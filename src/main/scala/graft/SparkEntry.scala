@@ -46,7 +46,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (see COVERAGE.md
     * for the operator-id → query-name map). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A1-A5 analog over lineitem (SURVEY §2.4): grouped agg with exact
     // decimal sums cast back to double for oracle-stable hashing.
     "q01_agg_pricing" -> ((s, dir) => {
@@ -59,7 +59,7 @@ object SparkEntry {
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
-  )
+  ) ++ graft.queries.RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +72,5 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ graft.queries.RelationalQueries.oracles
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator library.
+  *
+  * These are the engine-level primitives the reference's pipeline decomposes
+  * into (SURVEY.md §2): top-k scans (S1), keyed last-write-wins upsert (S7),
+  * left-enrich joins with missing-flags (J1/J2 + P10), null-skipping KPI
+  * aggregation (A1-A5), and dbt-style data-quality assertions (Q1-Q3) — plus
+  * the inner/semi/anti/set-op surface Spark gives for free (§2.3 note).
+  *
+  * Scale posture: every op is expressed as a declarative DataFrame transform
+  * (no collect, no driver loops) so Catalyst plans partial aggregation,
+  * broadcast vs sort-merge joins, and partition-pruned scans on its own.
+  */
+object Relational {
+
+  /** Exact sum of a double column computed over DECIMAL(18,2) and returned
+    * as double. Parallel floating-point summation is order-dependent; the
+    * decimal widening makes the aggregate bit-reproducible across partition
+    * counts (and across engines, which the DuckDB oracle gate relies on). */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact null-skipping mean of a double column (decimal sum / non-null
+    * count), rounded to `scale`. SQL-`avg` semantics: NULLs excluded from
+    * both numerator and denominator (SURVEY §2.4 A4). */
+  def davg(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double") / count(c), scale)
+
+  /** Conditional count: SUM(CASE WHEN cond THEN 1 ELSE 0 END) (A2/A5).
+    * NULL condition falls to ELSE, i.e. counts as 0 — matching Postgres
+    * CASE and the reference's flag counting. */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Top-k by explicit ordering (S1: the reference's API-delegated
+    * top-20-by-popularity re-derived in-engine). Callers must pass a total
+    * order (include a unique tiebreak column) for deterministic results. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Left-enrich a fact with a dimension and flag unmatched rows (J1/J2 +
+    * P10 `missing_omdb_data`). NULL join keys never match, leaving the flag
+    * true — identical semantics in Spark's Seq-key join and the reference's
+    * SQL left join. `dimKey` must be a dimension-side column that is never
+    * null on a match (e.g. its primary key). */
+  def leftEnrich(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 missingFlag: String, dimKey: String): DataFrame =
+    fact.join(dim, keys, "left").withColumn(missingFlag, col(dimKey).isNull)
+
+  /** Keyed last-write-wins dedup (S7: `INSERT ... ON CONFLICT DO UPDATE`).
+    * Keeps exactly one row per key group, the first under `order` (pass
+    * e.g. desc(ts), desc(fileSeq) for "latest wins" with a deterministic
+    * tiebreak — SURVEY §7.4.1). Implemented as a ranking window so it
+    * shuffles once on the key and never collects. */
+  def lastWriteWins(df: DataFrame, keys: Seq[String], order: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-group top-n as a DataFrame (window ranking; the scalable form of
+    * "top 3 per customer"). `order` must be total for determinism. */
+  def topNPerGroup(df: DataFrame, keys: Seq[String], n: Int, order: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** dbt-style `not_null` violation count for `cols` (Q1). Returns a single
+    * aggregated row; the pipeline asserts it is all zeros. */
+  def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      countIf(cols.map(col(_).isNull).reduce(_ || _)).as("nb_null_rows"),
+      count(lit(1)).as("nb_rows")
+    )
+
+  /** dbt-style `unique` check (Q2/Q3): number of key groups with more than
+    * one row, and the surplus row count. Encodes the reference's *intended*
+    * invariant — uniqueness per composite key (SURVEY §2.6 note). */
+  def uniqueViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        countIf(col("__n") > 1).as("nb_dup_keys"),
+        sum(col("__n") - 1).as("nb_surplus_rows")
+      )
+
+  /** Assert zero data-quality violations, mirroring `dbt test` semantics
+    * (run inside pipelines; throws on violation). */
+  def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit = {
+    val nulls = notNullViolations(df, notNullCols).head().getLong(0)
+    require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
+    if (uniqueKeys.nonEmpty) {
+      val dups = uniqueViolations(df, uniqueKeys).head().getLong(0)
+      require(dups == 0, s"unique violated: $dups duplicate key groups for $uniqueKeys")
+    }
+  }
+}

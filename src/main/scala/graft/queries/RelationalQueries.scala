@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational._
+import graft.sources.Testdata.table
+
+/** Generic relational operators from SURVEY.md §2 expressed over the
+  * driver's testdata, each with a DuckDB oracle. Query-name → §2 operator-id
+  * mapping lives in COVERAGE.md.
+  *
+  * Determinism rules (driver hash-compares Spark vs DuckDB):
+  *  - identical ORDER BY with a unique tiebreak in both engines;
+  *  - double aggregates via decimal(18,2) sums ([[graft.ops.Relational.dsum]]);
+  *  - integer-like outputs cast to BIGINT on both sides;
+  *  - timestamps surfaced as epoch microseconds (both engines truncate the
+  *    source's nanos the same way).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // S1: in-engine top-k (reference: TMDB popular page = top-20 by
+    // popularity, fetch_tmdb.py:49-51). Total order via o_orderkey tiebreak.
+    "q02_topk_orders" -> ((s, dir) => {
+      topK(table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+           20, col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
+    // P1: JSON field extraction (payload->>'k', stg_tmdb_popular.sql:22-27).
+    "q03_json_extract" -> ((s, dir) => {
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("nb_events"), dsum(col("value")).as("total_value"))
+        .orderBy("k")
+    }),
+
+    // P2-P5: empty-string→NULL date parse, 'N/A' sentinel scrub,
+    // thousands-separator strip, string→number cast (stg_omdb_ratings.sql).
+    "q04_scrub_cast" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val raw = when(col("o_orderkey") % 97 === 0, lit("N/A"))
+        .when(col("o_orderkey") % 101 === 0, lit(""))
+        .otherwise(concat(
+          floor(col("o_totalprice") / 1000).cast("long").cast("string"),
+          lit(","),
+          lpad((floor(col("o_totalprice")).cast("long") % 1000).cast("string"), 3, "0")))
+      val dateStr = when(col("o_orderkey") % 89 === 0, lit(""))
+        .otherwise(col("o_orderdate").cast("date").cast("string"))
+      o.withColumn("raw_price", raw)
+        .withColumn("scrubbed_price",
+          when(col("raw_price").isNull || col("raw_price") === "N/A" || col("raw_price") === "",
+            lit(null).cast("long"))
+            .otherwise(regexp_replace(col("raw_price"), ",", "").cast("long")))
+        .withColumn("order_date",
+          when(dateStr === "", lit(null).cast("date")).otherwise(dateStr.cast("date")))
+        .select("o_orderkey", "raw_price", "scrubbed_price", "order_date")
+        .orderBy("o_orderkey")
+    }),
+
+    // J1/J2 + P10: left-enrich with missing-flag; NULL keys never match.
+    "q05_left_join_missing" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val dim = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      leftEnrich(o, dim, Seq("o_custkey"), "missing_customer", "c_name")
+        .groupBy("missing_customer")
+        .agg(count(lit(1)).as("nb_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("missing_customer")
+    }),
+
+    // P7-P11: year extraction, coalesce fallback, weighted composite score
+    // with CASE fallback, threshold flags (movies_enriched_daily.sql:97-114).
+    "q06_enriched_flags" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val dim = table(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      leftEnrich(o, dim, Seq("o_custkey"), "missing_customer", "c_name")
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("fallback_bal", coalesce(col("c_acctbal"), col("o_totalprice")))
+        .withColumn("composite_score",
+          when(col("c_acctbal").isNotNull,
+            round(col("o_totalprice") * 0.6 + col("c_acctbal") * 0.4, 2))
+            .otherwise(round(col("o_totalprice"), 2)))
+        .withColumn("is_big",
+          when(col("o_totalprice") >= 150000.0 && coalesce(col("c_acctbal"), lit(0.0)) < 1000.0, true)
+            .otherwise(false))
+        .withColumn("is_small",
+          when(col("o_totalprice") < 50000.0 && coalesce(col("c_acctbal"), lit(0.0)) >= 9000.0, true)
+            .otherwise(false))
+        .select("o_orderkey", "order_year", "fallback_bal", "composite_score",
+                "is_big", "is_small", "missing_customer")
+        .orderBy("o_orderkey")
+    }),
+
+    // A1-A5: the kpi_daily_summary shape — one row per day: counts,
+    // conditional counts, coverage ratio, null-skipping means, flag counts.
+    "q07_kpi_daily" -> ((s, dir) => {
+      table(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .groupBy("event_date")
+        .agg(
+          count(lit(1)).as("nb_events"),
+          countIf(col("event_type") === "click").as("nb_clicks"),
+          countIf(col("event_type") === "error").as("nb_errors"),
+          davg(col("value"), 4).as("avg_value"),
+          countIf(col("value") >= 10.0).as("nb_high_value")
+        )
+        .withColumn("click_ratio",
+          round(col("nb_clicks").cast("double") / col("nb_events").cast("double"), 4))
+        .orderBy("event_date")
+    }),
+
+    // J1 at scale: multi-way dim join (region⋈nation⋈customer⋈orders) with
+    // broadcast dims, rollup to region revenue.
+    "q08_join3_rollup" -> ((s, dir) => {
+      val region = table(s, dir, "region")
+      val nation = table(s, dir, "nation")
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("nb_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // Window ranking: top-3 orders per customer (generic form of the
+    // reference's per-entity top-k; §2.5 beyond-parity surface).
+    "q09_window_topn" -> ((s, dir) => {
+      topNPerGroup(table(s, dir, "orders"), Seq("o_custkey"), 3,
+                   col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Window frame: running per-user sum over event time (decimal-exact).
+    "q10_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // S7: keyed last-write-wins (upsert semantics: latest event per user,
+    // deterministic tiebreak on event_id — SURVEY §7.4.1).
+    "q11_last_write_wins" -> ((s, dir) => {
+      lastWriteWins(table(s, dir, "events"), Seq("user_id"),
+                    col("ts").desc, col("event_id").desc)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("user_id", "event_id", "ts_us", "value")
+        .orderBy("user_id")
+    }),
+
+    // Q1-Q3: dbt-style not_null / unique assertion counts as data.
+    "q12_dq_checks" -> ((s, dir) => {
+      val o = table(s, dir, "orders").agg(
+        countIf(col("o_custkey").isNull).as("orders_null_cust"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_keys"))
+      val c = table(s, dir, "customer").agg(
+        countIf(col("c_name").isNull).as("cust_null_name"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("cust_dup_keys"))
+      o.crossJoin(c)
+    }),
+
+    // Semi/anti join surface (§2.3 note: free via the same join primitive).
+    "q13_semi_anti" -> ((s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      val withO = customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("nb_with_orders"))
+      val withoutO = customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("nb_without_orders"))
+      withO.crossJoin(withoutO)
+    }),
+
+    // Set operators (INTERSECT / EXCEPT / UNION, set semantics).
+    "q14_set_ops" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey").as("key")).distinct()
+      val o = table(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+      c.intersect(o).agg(count(lit(1)).as("nb_intersect"))
+        .crossJoin(c.except(o).agg(count(lit(1)).as("nb_except")))
+        .crossJoin(c.union(o).distinct().agg(count(lit(1)).as("nb_union")))
+    }),
+
+    // Grouping sets (ROLLUP) — beyond-parity aggregation surface.
+    "q15_rollup" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("nb"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Exact DISTINCT aggregation.
+    "q16_distinct_agg" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("nb_customers"),
+             count(lit(1)).as("nb_orders"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q03_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(count(*) AS BIGINT) AS nb_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q04_scrub_cast" ->
+      """WITH raws AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+        |         WHEN o_orderkey % 101 = 0 THEN ''
+        |         ELSE concat(CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS VARCHAR), ',',
+        |                     lpad(CAST(CAST(floor(o_totalprice) AS BIGINT) % 1000 AS VARCHAR), 3, '0'))
+        |    END AS raw_price,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN ''
+        |         ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS date_str
+        |  FROM orders)
+        |SELECT o_orderkey, raw_price,
+        |  CASE WHEN raw_price IS NULL OR raw_price = 'N/A' OR raw_price = '' THEN NULL
+        |       ELSE CAST(replace(raw_price, ',', '') AS BIGINT) END AS scrubbed_price,
+        |  CASE WHEN date_str = '' THEN NULL ELSE CAST(date_str AS DATE) END AS order_date
+        |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "q05_left_join_missing" ->
+      """SELECT (c.c_name IS NULL) AS missing_customer,
+        |  CAST(count(*) AS BIGINT) AS nb_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY missing_customer""".stripMargin,
+
+    "q06_enriched_flags" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+        |  coalesce(c_acctbal, o_totalprice) AS fallback_bal,
+        |  CASE WHEN c_acctbal IS NOT NULL THEN round(o_totalprice * 0.6 + c_acctbal * 0.4, 2)
+        |       ELSE round(o_totalprice, 2) END AS composite_score,
+        |  CASE WHEN o_totalprice >= 150000.0 AND coalesce(c_acctbal, 0.0) < 1000.0 THEN true
+        |       ELSE false END AS is_big,
+        |  CASE WHEN o_totalprice < 50000.0 AND coalesce(c_acctbal, 0.0) >= 9000.0 THEN true
+        |       ELSE false END AS is_small,
+        |  (c_name IS NULL) AS missing_customer
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_kpi_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(count(*) AS BIGINT) AS nb_events,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb_clicks,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS nb_errors,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value,
+        |  CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS nb_high_value,
+        |  round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 4) AS click_ratio
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    "q08_join3_rollup" ->
+      """SELECT r_name,
+        |  CAST(count(*) AS BIGINT) AS nb_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q09_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q11_last_write_wins" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q12_dq_checks" ->
+      """SELECT * FROM
+        |(SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_null_cust,
+        |        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS orders_dup_keys FROM orders)
+        |CROSS JOIN
+        |(SELECT CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_null_name,
+        |        CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS cust_dup_keys FROM customer)""".stripMargin,
+
+    "q13_semi_anti" ->
+      """SELECT * FROM
+        |(SELECT CAST(count(*) AS BIGINT) AS nb_with_orders FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |CROSS JOIN
+        |(SELECT CAST(count(*) AS BIGINT) AS nb_without_orders FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))""".stripMargin,
+
+    "q14_set_ops" ->
+      """SELECT * FROM
+        |(SELECT CAST(count(*) AS BIGINT) AS nb_intersect FROM
+        | (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders))
+        |CROSS JOIN
+        |(SELECT CAST(count(*) AS BIGINT) AS nb_except FROM
+        | (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+        |CROSS JOIN
+        |(SELECT CAST(count(*) AS BIGINT) AS nb_union FROM
+        | (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders))""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q16_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nb_customers,
+        |  CAST(count(*) AS BIGINT) AS nb_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  )
+}
