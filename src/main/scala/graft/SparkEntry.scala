@@ -14,24 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Read one testdata table; pins ANSI off so cast semantics match the
-    * reference (Postgres sentinel-scrubbed casts → NULL-on-garbage, SURVEY
-    * §7.4.2) regardless of how the driver built the session. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.ansi.enabled", "false")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's mart lineage (SURVEY §3.2): enrich a fact with a
     * dimension via left join, derive flags, then roll up a daily KPI row —
-    * orders ⟕ customer standing in for popular ⟕ details ⟕ omdb. */
+    * orders ⟕ customer standing in for popular ⟕ details ⟕ omdb.
+    * No broadcast hint on customer: it grows with scale factor, so the join
+    * strategy is left to AQE (broadcast when small, sort-merge when not). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val orders = t(spark, dir, "orders")
-    val customer = t(spark, dir, "customer")
+    val orders = graft.sources.Testdata.table(spark, dir, "orders")
+    val customer = graft.sources.Testdata.table(spark, dir, "customer")
     val enriched = orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "left")
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
       .withColumn("missing_customer", col("c_custkey").isNull)
       .withColumn("is_big", col("o_totalprice") >= 100000.0)
     enriched
@@ -50,7 +44,7 @@ object SparkEntry {
     // A1-A5 analog over lineitem (SURVEY §2.4): grouped agg with exact
     // decimal sums cast back to double for oracle-stable hashing.
     "q01_agg_pricing" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      graft.sources.Testdata.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),

@@ -25,10 +25,15 @@ object Relational {
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
   /** Exact null-skipping mean of a double column (decimal sum / non-null
-    * count), rounded to `scale`. SQL-`avg` semantics: NULLs excluded from
-    * both numerator and denominator (SURVEY §2.4 A4). */
+    * count), quantized to `scale` decimal places via a DECIMAL cast — not
+    * round() — so the value is bit-identical across engines (Spark round()
+    * is BigDecimal HALF_UP on the exact double; DuckDB round() scales by
+    * 10^n first; double→decimal casts are correctly rounded in both).
+    * SQL-`avg` semantics: NULLs excluded from numerator and denominator
+    * (SURVEY §2.4 A4). */
   def davg(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast("decimal(18,2)")).cast("double") / count(c), scale)
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(c))
+      .cast(s"decimal(18,$scale)").cast("double")
 
   /** Conditional count: SUM(CASE WHEN cond THEN 1 ELSE 0 END) (A2/A5).
     * NULL condition falls to ELSE, i.e. counts as 0 — matching Postgres
@@ -70,10 +75,12 @@ object Relational {
   }
 
   /** dbt-style `not_null` violation count for `cols` (Q1). Returns a single
-    * aggregated row; the pipeline asserts it is all zeros. */
+    * aggregated row; the pipeline asserts it is all zeros. Empty `cols`
+    * folds to a constant-false predicate (0 violations) instead of
+    * crashing on empty.reduce. */
   def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(
-      countIf(cols.map(col(_).isNull).reduce(_ || _)).as("nb_null_rows"),
+      countIf(cols.map(col(_).isNull).foldLeft(lit(false))(_ || _)).as("nb_null_rows"),
       count(lit(1)).as("nb_rows")
     )
 

@@ -35,7 +35,7 @@ object RelationalQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("k")
         .agg(count(lit(1)).as("nb_events"), dsum(col("value")).as("total_value"))
-        .orderBy("k")
+        .orderBy(asc_nulls_last("k"))
     }),
 
     // P2-P5: empty-string→NULL date parse, 'N/A' sentinel scrub,
@@ -80,10 +80,17 @@ object RelationalQueries {
       leftEnrich(o, dim, Seq("o_custkey"), "missing_customer", "c_name")
         .withColumn("order_year", year(col("o_orderdate")).cast("long"))
         .withColumn("fallback_bal", coalesce(col("c_acctbal"), col("o_totalprice")))
+        // Rounded outputs go through DECIMAL(18,2) quantization on BOTH
+        // engines (not round-on-double): Spark round() is exact-BigDecimal
+        // HALF_UP while DuckDB round() scales by 10^n on the double — they
+        // can disagree by one ULP-step on boundary values. double→decimal
+        // casts are correctly-rounded in both, so the quantized value (and
+        // its double image) is bit-identical.
         .withColumn("composite_score",
           when(col("c_acctbal").isNotNull,
-            round(col("o_totalprice") * 0.6 + col("c_acctbal") * 0.4, 2))
-            .otherwise(round(col("o_totalprice"), 2)))
+            (col("o_totalprice") * 0.6 + col("c_acctbal") * 0.4))
+            .otherwise(col("o_totalprice"))
+            .cast("decimal(18,2)").cast("double"))
         .withColumn("is_big",
           when(col("o_totalprice") >= 150000.0 && coalesce(col("c_acctbal"), lit(0.0)) < 1000.0, true)
             .otherwise(false))
@@ -109,19 +116,22 @@ object RelationalQueries {
           countIf(col("value") >= 10.0).as("nb_high_value")
         )
         .withColumn("click_ratio",
-          round(col("nb_clicks").cast("double") / col("nb_events").cast("double"), 4))
-        .orderBy("event_date")
+          (col("nb_clicks").cast("double") / col("nb_events").cast("double"))
+            .cast("decimal(18,4)").cast("double"))
+        .orderBy(asc_nulls_last("event_date"))
     }),
 
-    // J1 at scale: multi-way dim join (region⋈nation⋈customer⋈orders) with
-    // broadcast dims, rollup to region revenue.
+    // J1 at scale: multi-way dim join (region⋈nation⋈customer⋈orders).
+    // Broadcast hints ONLY on the fixed-cardinality dims (region: 5 rows,
+    // nation: 25); customer grows with SF, so its join strategy is left to
+    // AQE — a forced broadcast would OOM executors at 100× (VERDICT r1).
     "q08_join3_rollup" -> ((s, dir) => {
       val region = table(s, dir, "region")
       val nation = table(s, dir, "nation")
       val customer = table(s, dir, "customer")
       val orders = table(s, dir, "orders")
       orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"))
@@ -218,7 +228,7 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CAST(count(*) AS BIGINT) AS nb_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS LAST""".stripMargin,
 
     "q04_scrub_cast" ->
       """WITH raws AS (
@@ -250,8 +260,8 @@ object RelationalQueries {
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
         |  coalesce(c_acctbal, o_totalprice) AS fallback_bal,
-        |  CASE WHEN c_acctbal IS NOT NULL THEN round(o_totalprice * 0.6 + c_acctbal * 0.4, 2)
-        |       ELSE round(o_totalprice, 2) END AS composite_score,
+        |  CAST(CAST(CASE WHEN c_acctbal IS NOT NULL THEN o_totalprice * 0.6 + c_acctbal * 0.4
+        |       ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS composite_score,
         |  CASE WHEN o_totalprice >= 150000.0 AND coalesce(c_acctbal, 0.0) < 1000.0 THEN true
         |       ELSE false END AS is_big,
         |  CASE WHEN o_totalprice < 50000.0 AND coalesce(c_acctbal, 0.0) >= 9000.0 THEN true
@@ -265,11 +275,11 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS nb_events,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb_clicks,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS nb_errors,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value,
+        |  CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS DECIMAL(18,4)) AS DOUBLE) AS avg_value,
         |  CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS nb_high_value,
-        |  round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / CAST(count(*) AS DOUBLE), 4) AS click_ratio
-        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+        |  CAST(CAST(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS click_ratio
+        |FROM events GROUP BY 1 ORDER BY event_date NULLS LAST""".stripMargin,
 
     "q08_join3_rollup" ->
       """SELECT r_name,

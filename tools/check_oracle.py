@@ -5,7 +5,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
 against the sf parquet tables, read the Spark result parquet, sort columns
-by name and rows by value, and compare exactly (hash-style).
+by name, and compare rows IN RESULT ORDER (the driver's t2 gate is an
+order-sensitive hash compare, so this checker must be at least as strict —
+a wrong ORDER BY must fail here, not only on the driver).
 """
 import json, sys, glob
 import duckdb
@@ -23,8 +25,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             return "<null>"
         if isinstance(v, float):
             return repr(v)
+        # DuckDB fetchdf() yields DATE as midnight Timestamps; parquet read
+        # yields datetime.date — normalize both to the ISO date string.
+        if isinstance(v, pd.Timestamp) and v.time() == pd.Timestamp(0).time():
+            return v.date().isoformat()
         return str(v)
-    return df.map(cell).sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.map(cell).reset_index(drop=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
