@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.io.{LakeZones, RawZone, ServingSink}
+import graft.marts.Marts
+import graft.model.Schemas
+import graft.ops.Relational
+import graft.staging.Staging
+
+/** End-to-end run for one snapshot date (SURVEY.md §3.1: the reference's
+  * 6-task Airflow chain `fetch → load → dbt run → export → index`,
+  * `dags/movies_analytics.py:105`, collapsed into one Spark lineage).
+  *
+  * Stages 3–5 of the reference (load_postgres, dbt_run, export_parquet) are
+  * a single DataFrame DAG here — Catalyst optimizes across what dbt treats
+  * as per-model fences (SURVEY §3.2). Stage 6 (index_elasticsearch) is the
+  * dry-run serving sink. Stages 1–2 (API fetch) are ingestion adapters
+  * outside the engine; their output contract — enveloped JSON under
+  * `date=` partitions — is the pipeline's input.
+  */
+object Pipeline {
+
+  case class Config(
+      rawRoot: String,
+      lakeRoot: String,
+      servingDir: String,
+      snapshotDate: String,
+      runId: String,
+      /** true for the reference's pretty-printed one-object-per-file raw
+        * form; false for JSON-lines raw zones. */
+      multiLineRaw: Boolean = true)
+
+  case class Result(
+      stgTmdbPopular: DataFrame,
+      stgTmdbDetails: DataFrame,
+      stgOmdbRatings: DataFrame,
+      moviesEnrichedDaily: DataFrame,
+      kpiDailySummary: DataFrame,
+      exportedPaths: Map[String, String])
+
+  /** Read the three raw feeds for the date and shape them into the raw
+    * tables (stage 3: `load_raw_to_postgres.py`). */
+  def loadRaw(spark: SparkSession, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+    val pop = RawZone.readEnveloped(spark, cfg.rawRoot, "tmdb", "popular",
+      cfg.snapshotDate, Schemas.popularPageSchema, cfg.multiLineRaw)
+    val det = RawZone.readEnveloped(spark, cfg.rawRoot, "tmdb", "details",
+      cfg.snapshotDate, Schemas.detailsSchema, cfg.multiLineRaw)
+    val omdb = RawZone.readEnveloped(spark, cfg.rawRoot, "omdb", "ratings",
+      cfg.snapshotDate, Schemas.omdbSchema, cfg.multiLineRaw)
+    (Staging.rawTmdbPopular(pop, cfg.snapshotDate),
+     Staging.rawTmdbDetails(det, cfg.snapshotDate),
+     Staging.rawOmdbRatings(omdb, cfg.snapshotDate))
+  }
+
+  /** Full run: raw → staging → marts → quality gates → lake export →
+    * serving sink. Throws on data-quality violations (the dbt-test
+    * contract, SURVEY §2.6). */
+  def run(spark: SparkSession, cfg: Config): Result = {
+    val (rawPop, rawDet, rawOmdb) = loadRaw(spark, cfg)
+
+    // staging models (dbt stage, parallelizable — here one lazy DAG)
+    val stgPop = Staging.stgTmdbPopular(rawPop)
+    val stgDet = Staging.stgTmdbDetails(rawDet)
+    val stgOmdb = Staging.stgOmdbRatings(rawOmdb)
+
+    // marts; enriched feeds four consumers (kpi, quality, export, serving)
+    // so persist it once instead of recomputing the 3-way join per action
+    val enriched = Marts.moviesEnrichedDaily(stgPop, stgDet, stgOmdb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kpi = Marts.kpiDailySummary(enriched)
+
+    try {
+      // quality gates — dbt schema tests (Q1-Q3, models/*/schema.yml)
+      Relational.assertQuality(rawPop, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))
+      Relational.assertQuality(rawDet, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))
+      Relational.assertQuality(rawOmdb, Seq("imdb_id"), Seq("snapshot_date", "imdb_id"))
+      Relational.assertQuality(enriched, Seq("snapshot_date", "tmdb_id", "title"),
+        Seq("snapshot_date", "tmdb_id"))
+      Relational.assertQuality(kpi, Seq("snapshot_date", "nb_movies"),
+        Seq("snapshot_date"))
+
+      // lake export: 3 staging → formatted/, 2 marts → usage/ (S9/S10)
+      val exported = LakeZones.exportAll(Map(
+        "stg_tmdb_popular" -> stgPop,
+        "stg_tmdb_details" -> stgDet,
+        "stg_omdb_ratings" -> stgOmdb,
+        "movies_enriched_daily" -> enriched,
+        "kpi_daily_summary" -> kpi), cfg.lakeRoot)
+
+      // serving: the two usage tables → ES bulk dry-run, stable ids
+      // (`index_elasticsearch.py:22-23,245-246`)
+      ServingSink.bootstrapMapping(enriched, cfg.servingDir, "movies_enriched_daily")
+      ServingSink.bootstrapMapping(kpi, cfg.servingDir, "movies_kpis_daily")
+      ServingSink.writeBulk(enriched, cfg.servingDir, "movies_enriched_daily",
+        Seq("snapshot_date", "tmdb_id"))
+      ServingSink.writeBulk(kpi, cfg.servingDir, "movies_kpis_daily",
+        Seq("snapshot_date"))
+
+      Result(stgPop, stgDet, stgOmdb, enriched, kpi, exported)
+    } finally enriched.unpersist()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Lake-zone Parquet writers (SURVEY.md §2.1 S7/S9/S10).
+  *
+  * Layout mirrors the reference's export zones
+  * (`scripts/export/export_to_parquet.py:27-37,55-60,100,109`):
+  *
+  * {{{ <lakeRoot>/<zone>/<name>/snapshot_date=<YYYY-MM-DD>/part-….parquet }}}
+  *
+  * The reference's per-day idempotency — `INSERT … ON CONFLICT DO UPDATE`
+  * re-running a day replaces that day's rows
+  * (`scripts/load/load_raw_to_postgres.py:103-110`) — maps to Spark
+  * dynamic partition overwrite: only the snapshot_date partitions present
+  * in the incoming batch are replaced, other days are untouched, and the
+  * swap is atomic at partition granularity (SURVEY §2.1 S7 route (a)).
+  */
+object LakeZones {
+
+  /** S10: partitioned snappy Parquet write, dynamic overwrite. `df` must
+    * carry a `snapshot_date` column (the partition key). Re-running the
+    * same batch is a no-op on content — the idempotency property the
+    * reference gets from its keyed upsert. */
+  def writePartitioned(df: DataFrame, root: String, zone: String, name: String): String = {
+    val path = s"$root/$zone/$name"
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("snapshot_date")
+      .parquet(path)
+    path
+  }
+
+  /** S7 (full write half): upsert a keyed batch into a partitioned table.
+    * Within the batch, the PK `(snapshot_date, keys…)` is enforced by
+    * last-write-wins dedup under `order`; across runs, dynamic partition
+    * overwrite replaces exactly the days present in the batch. */
+  def upsertByDay(batch: DataFrame, root: String, zone: String, name: String,
+                  keys: Seq[String],
+                  order: Seq[org.apache.spark.sql.Column]): String = {
+    val deduped = Relational.lastWriteWins(batch, "snapshot_date" +: keys, order: _*)
+    writePartitioned(deduped, root, zone, name)
+  }
+
+  /** S11: read a lake table back (all days, partition column recovered from
+    * the directory layout; filter on snapshot_date prunes partitions). */
+  def readTable(spark: SparkSession, root: String, zone: String, name: String): DataFrame =
+    spark.read.option("basePath", s"$root/$zone/$name").parquet(s"$root/$zone/$name")
+
+  /** S9: the reference's EXPORTS manifest
+    * (`export_to_parquet.py:27-37`) — (zone, exported name) per model. */
+  val exports: Map[String, (String, String)] = Map(
+    "stg_tmdb_popular" -> ("formatted", "tmdb_popular"),
+    "stg_tmdb_details" -> ("formatted", "tmdb_details"),
+    "stg_omdb_ratings" -> ("formatted", "omdb_ratings"),
+    "movies_enriched_daily" -> ("usage", "movies_enriched"),
+    "kpi_daily_summary" -> ("usage", "kpi_daily")
+  )
+
+  /** Export all five model tables per the manifest (stage 5 of the
+    * lifecycle, SURVEY §3.3). Returns name → written path. */
+  def exportAll(models: Map[String, DataFrame], root: String): Map[String, String] =
+    models.map { case (model, df) =>
+      val (zone, name) = exports(model)
+      model -> writePartitioned(df, root, zone, name)
+    }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Relational
+
+/** Per-operator unit + property tests (SURVEY.md §5 layers 1 and 4).
+  * Properties drive ScalaCheck generators directly under fixed seeds
+  * (scalatestplus is not in the offline dependency cache). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("notNullViolations: empty column list is a no-op, not a crash") {
+    val df = Seq((1, "a"), (2, null: String)).toDF("k", "v")
+    val r = Relational.notNullViolations(df, Nil).head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 2)
+    val r2 = Relational.notNullViolations(df, Seq("v")).head()
+    assert(r2.getLong(0) == 1)
+    Relational.assertQuality(df, Nil, Seq("k")) // must not throw
+  }
+
+  test("uniqueViolations counts duplicate key groups and surplus rows") {
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
+    val r = Relational.uniqueViolations(df, Seq("k")).head()
+    assert(r.getLong(0) == 1) // one dup key group
+    assert(r.getLong(1) == 2) // two surplus rows
+    intercept[IllegalArgumentException] {
+      Relational.assertQuality(df, Seq("k"), Seq("k"))
+    }
+  }
+
+  test("countIf: NULL condition counts as 0 (CASE → ELSE parity)") {
+    val df = Seq(Some(5), None, Some(15)).toDF("x")
+    val n = df.agg(Relational.countIf(col("x") > 10)).head().getLong(0)
+    assert(n == 1) // NULL > 10 is NULL → not counted
+  }
+
+  test("topK is a total-order limit") {
+    val df = Seq((1, 10.0), (2, 30.0), (3, 20.0), (4, 30.0)).toDF("id", "v")
+    val top = Relational.topK(df, 2, col("v").desc, col("id").asc)
+      .select("id").as[Int].collect().toSeq
+    assert(top == Seq(2, 4)) // ties broken by id
+  }
+
+  test("lastWriteWins: idempotent and insensitive to duplication (property)") {
+    val rows = Gen.listOfN(40, for {
+      k <- Gen.choose(1, 6)
+      ts <- Gen.choose(1L, 1000L)
+      v <- Gen.choose(0, 100)
+    } yield (k, ts, v))
+    for (seed <- 1L to 10L) {
+      val data = rows(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail(s"generator failed for seed $seed"))
+      val df = data.toDF("k", "ts", "v")
+      val order = Seq(col("ts").desc, col("v").desc)
+      val once = Relational.lastWriteWins(df, Seq("k"), order: _*)
+      val twice = Relational.lastWriteWins(once, Seq("k"), order: _*)
+      val reunion = Relational.lastWriteWins(df.union(df), Seq("k"), order: _*)
+      val a = once.orderBy("k").collect().toSeq
+      assert(twice.orderBy("k").collect().toSeq == a)   // idempotent
+      assert(reunion.orderBy("k").collect().toSeq == a) // dup-insensitive
+      assert(once.groupBy("k").count().filter($"count" > 1).count() == 0)
+    }
+  }
+
+  test("leftEnrich: NULL fact keys never match (J2 contract)") {
+    val fact = Seq((Some("a"), 1), (None: Option[String], 2)).toDF("k", "x")
+    val dim = Seq(("a", "m"), (null: String, "n")).toDF("k", "name")
+    val out = Relational.leftEnrich(fact, dim, Seq("k"), "missing", "name")
+      .select("x", "missing").as[(Int, Boolean)].collect().toMap
+    assert(out(1) == false)
+    assert(out(2) == true) // NULL = NULL does not match, even vs a NULL dim key
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Golden end-to-end test: checked-in JSON fixtures → full pipeline → exact
+  * expected staging/mart rows (SURVEY.md §5 layer 2), plus re-run
+  * idempotency (S7) and the serving payload (S13). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val cfg = MovieFixtures.tempConfig()
+  private lazy val result = Pipeline.run(spark, cfg)
+
+  test("staging: OMDb Response filter, N/A scrub, comma strip, LWW upsert") {
+    val omdb = result.stgOmdbRatings.collect().map(r =>
+      r.getAs[String]("imdb_id") -> r).toMap
+    // tt0105 (Response False) dropped; orphan tt9999 still staged
+    assert(omdb.keySet == Set("tt0101", "tt0102", "tt9999"))
+    assert(omdb("tt0101").getAs[Double]("imdb_rating") == 7.5)
+    assert(omdb("tt0101").getAs[Long]("imdb_votes") == 1234567L)
+    assert(omdb("tt0101").getAs[Int]("metascore") == 80)
+    assert(omdb("tt0102").isNullAt(omdb("tt0102").fieldIndex("imdb_rating")))
+    assert(omdb("tt0102").isNullAt(omdb("tt0102").fieldIndex("imdb_votes")))
+    assert(omdb("tt0102").getAs[Int]("metascore") == 55)
+
+    val det = result.stgTmdbDetails.collect().map(r =>
+      r.getAs[Long]("tmdb_id") -> r).toMap
+    // corrupt file dropped; 101's bare stale duplicate lost to the
+    // enveloped record (runtime 120, not 999); empty runtime/date → NULL
+    assert(det.keySet == Set(101L, 102L, 103L, 105L))
+    assert(det(101L).getAs[Int]("runtime_minutes") == 120)
+    assert(det(101L).getAs[String]("status") == "Released")
+    assert(det(102L).isNullAt(det(102L).fieldIndex("runtime_minutes")))
+    assert(det(102L).isNullAt(det(102L).fieldIndex("release_date")))
+    assert(det(103L).isNullAt(det(103L).fieldIndex("imdb_id")))
+    assert(det(101L).getAs[String]("genres_json") == """[{"id":18,"name":"Drama"}]""")
+  }
+
+  test("mart: movies_enriched_daily matches the reference semantics row-for-row") {
+    val rows = result.moviesEnrichedDaily.collect().map(r =>
+      r.getAs[Long]("tmdb_id") -> r).toMap
+    assert(rows.keySet == Set(101L, 102L, 103L, 104L, 105L))
+
+    def dec(r: Row, c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+    def b(r: Row, c: String): Boolean = r.getAs[Boolean](c)
+
+    val m1 = rows(101L)
+    assert(m1.getAs[String]("imdb_id") == "tt0101")
+    assert(m1.getAs[Int]("release_year") == 2020)
+    assert(!b(m1, "missing_omdb_data"))
+    assert(dec(m1, "composite_score") == BigDecimal("7.70")) // .6*7.5 + .4*8.0
+    assert(!b(m1, "is_overhyped") && b(m1, "is_hidden_gem"))
+
+    val m2 = rows(102L) // N/A imdb rating → composite falls PAST metascore to tmdb
+    assert(!b(m2, "missing_omdb_data"))
+    assert(m2.isNullAt(m2.fieldIndex("release_year")))
+    assert(dec(m2, "composite_score") == BigDecimal("6.50"))
+    assert(m2.getAs[Int]("metascore") == 55)
+
+    val m3 = rows(103L) // NULL imdb_id: J2 join can never match
+    assert(b(m3, "missing_omdb_data"))
+    assert(m3.isNullAt(m3.fieldIndex("imdb_rating")))
+    assert(dec(m3, "composite_score") == BigDecimal("5.00"))
+    assert(b(m3, "is_overhyped") && !b(m3, "is_hidden_gem"))
+
+    val m4 = rows(104L) // no details row (J1 unmatched)
+    assert(m4.isNullAt(m4.fieldIndex("imdb_id")))
+    assert(m4.isNullAt(m4.fieldIndex("runtime_minutes")))
+    assert(b(m4, "missing_omdb_data"))
+    assert(dec(m4, "composite_score") == BigDecimal("7.00"))
+    assert(!b(m4, "is_hidden_gem")) // pop < 30 but rating 7.0 < 7.5
+
+    val m5 = rows(105L) // OMDb doc dropped by Response filter
+    assert(b(m5, "missing_omdb_data"))
+    assert(dec(m5, "composite_score") == BigDecimal("6.90"))
+  }
+
+  test("mart: kpi_daily_summary is the exact expected single row") {
+    val rows = result.kpiDailySummary.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    def dec(c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+    assert(r.getAs[java.sql.Date]("snapshot_date").toString == MovieFixtures.SnapshotDate)
+    assert(r.getAs[Long]("nb_movies") == 5L)
+    assert(r.getAs[Long]("nb_movies_with_omdb") == 2L)
+    assert(dec("omdb_coverage_ratio") == BigDecimal("0.40"))
+    assert(dec("avg_tmdb_rating") == BigDecimal("6.70"))
+    assert(dec("avg_imdb_rating") == BigDecimal("7.50")) // null-skipping avg
+    assert(dec("avg_popularity") == BigDecimal("34.66"))
+    assert(r.getAs[Long]("nb_overhyped") == 1L)
+    assert(r.getAs[Long]("nb_hidden_gems") == 1L)
+  }
+
+  test("lake: re-running the day is idempotent (dynamic partition overwrite)") {
+    result // first run
+    Pipeline.run(spark, cfg) // second run, same day
+    val enriched = io.LakeZones.readTable(spark, cfg.lakeRoot, "usage", "movies_enriched")
+    assert(enriched.count() == 5) // replaced, not appended
+    val kpi = io.LakeZones.readTable(spark, cfg.lakeRoot, "usage", "kpi_daily")
+    assert(kpi.count() == 1)
+    // all five exports exist with the manifest's names
+    for ((zone, name) <- io.LakeZones.exports.values)
+      assert(io.LakeZones.readTable(spark, cfg.lakeRoot, zone, name).count() > 0)
+  }
+
+  test("serving: bulk NDJSON payload has stable ids, date strings, explicit nulls") {
+    result
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(cfg.servingDir)
+    assert(java.nio.file.Files.exists(dir.resolve("movies_enriched_daily.mapping.json")))
+    val mapping = java.nio.file.Files.readString(dir.resolve("movies_kpis_daily.mapping.json"))
+    assert(mapping.contains(""""snapshot_date":{"type":"date"}"""))
+    assert(mapping.contains(""""number_of_shards":1"""))
+
+    val kpiLines = java.nio.file.Files.list(dir.resolve("movies_kpis_daily.bulk")).iterator().asScala
+      .filter(_.toString.endsWith(".txt"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .toSeq
+    assert(kpiLines.size == 2) // action + doc for the single KPI row
+    assert(kpiLines.head ==
+      s"""{"index":{"_index":"movies_kpis_daily","_id":"${MovieFixtures.SnapshotDate}"}}""")
+    assert(kpiLines(1).contains(s""""snapshot_date":"${MovieFixtures.SnapshotDate}""""))
+    assert(kpiLines(1).contains(""""nb_movies":5"""))
+
+    val bulkLines = java.nio.file.Files.list(dir.resolve("movies_enriched_daily.bulk")).iterator().asScala
+      .filter(_.toString.endsWith(".txt"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .toSeq
+    assert(bulkLines.size == 10) // 5 docs × (action + doc)
+    val actions = bulkLines.filter(_.startsWith("""{"index":"""))
+    assert(actions.contains(
+      s"""{"index":{"_index":"movies_enriched_daily","_id":"${MovieFixtures.SnapshotDate}_101"}}"""))
+    // docs keep nulls explicit (Python json.dumps parity)
+    val m4doc = bulkLines.find(_.contains(""""tmdb_id":104""")).get
+    assert(m4doc.contains(""""imdb_id":null"""))
+  }
+}
