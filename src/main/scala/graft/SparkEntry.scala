@@ -53,7 +53,7 @@ object SparkEntry {
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
-  ) ++ graft.queries.RelationalQueries.queries
+  ) ++ graft.queries.RelationalQueries.queries ++ graft.queries.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +66,5 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.RelationalQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.LlmQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, batch-decoded per partition.
+  *
+  * The Spark-side plumbing — schema, partition sizing, per-partition batch
+  * iteration, feature schema — is real and tested. The CODECS ARE STUBS:
+  * this container has no image/audio libraries, so `decodeStub` parses a
+  * tiny deterministic fake header and derives features from raw bytes. A
+  * production deployment swaps `decodeStub`/`frameSampleStub` for real
+  * codec calls; nothing else changes.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (SURVEY-style explicit
+    * schema; binary stays opaque to Catalyst and is never shuffled except
+    * by explicit repartition). */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      mean_byte: Double,
+      histogram: Array[Double])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType)
+  ))
+
+  /** STUB CODEC — deterministic fake "decode": width/height from the
+    * first 4 bytes (big-endian u16 pairs), 16-bin byte histogram as the
+    * "feature vector". Replace with a real codec (e.g. javax.imageio /
+    * ffmpeg bindings) in production; signature and batch shape stay. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val b = r.bytes
+    def u16(i: Int): Int =
+      if (b.length > i + 1) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff) else 0
+    val hist = new Array[Double](16)
+    var sum = 0L
+    var i = 0
+    while (i < b.length) { val v = b(i) & 0xff; hist(v / 16) += 1; sum += v; i += 1 }
+    val n = math.max(b.length, 1)
+    MediaFeatures(r.media_id, r.kind, b.length, u16(0), u16(2),
+      sum.toDouble / n, hist.map(_ / n))
+  }
+
+  /** Batch decode: one pass per partition, codec invoked per record
+    * inside the partition iterator (mapPartitions ≈ mapInPandas batch
+    * shape — amortizes per-batch codec setup, never collects). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codecs would initialize per-partition state here (decoder
+      // handles, model weights, thread pools)
+      it.map(decodeStub)
+    }
+  }
+
+  /** STUB frame sampler: every `stride`-th 4-byte window stands in for a
+    * decoded video frame; emits one row per sampled "frame". Real
+    * implementation: demux + keyframe decode. */
+  def frameSampleStub(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Iterator.range(0, math.max(r.bytes.length - 3, 0), math.max(stride, 1))
+        .map { off =>
+          val frameHash = java.util.Arrays.hashCode(
+            java.util.Arrays.copyOfRange(r.bytes, off, off + 4))
+          (r.media_id, off, frameHash)
+        }
+    }.toDF("media_id", "frame_offset", "frame_hash")
+  }
+
+  /** Size-aware repartition: media blobs are orders of magnitude bigger
+    * than their metadata, so partition count follows total payload bytes,
+    * not row count (targeting `targetBytes` per partition keeps executor
+    * memory flat at 100 TB). */
+  def repartitionBySize(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
+    val total = df.agg(sum(length(col(bytesCol)))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    df.repartition(parts)
+  }
+
+  /** Wrap any table into a fake media table (test/demo harness): text
+    * bytes become the opaque payload. Lets the multimodal path run
+    * against the provisioned `documents` table without real media. */
+  def syntheticMedia(spark: SparkSession, df: DataFrame,
+                     idCol: String, payloadCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit("image/fake").as("kind"),
+        col(payloadCol).cast("binary").as("bytes"))
+      .as[MediaRow]
+  }
+}

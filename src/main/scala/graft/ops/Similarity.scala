@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, per the training-data-pipeline contract:
+  *  - brute-force cosine/dot top-k — the exactness baseline, O(|Q|·|C|),
+  *    correct at any scale when |Q| is small (the query side broadcasts);
+  *  - LSH-bucketed ANN (signed random projections) — the scale path:
+  *    candidates come from hash buckets, so the join shuffles on the
+  *    sketch key instead of crossing the full corpus.
+  *
+  * All arithmetic is columnar fold over built-ins (zip_with/aggregate) —
+  * no UDFs, no collect.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float/double array columns, folded
+    * left-to-right in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (NULL when either vector has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn)
+  }
+
+  /** Brute-force top-k by cosine: every query row against every corpus
+    * row, ranked per query with an id tiebreak. `queries` is expected to
+    * be the small side — it is broadcast, so the corpus never shuffles;
+    * the per-query ranking is a window over the corpus partition. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 qId: String = "q_id", qVec: String = "q_vec",
+                 cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(qId, cId, "rank", "cosine")
+  }
+
+  /** Deterministic signed-random-projection planes: `nPlanes` × `dim`
+    * ±1 entries from a seeded PRNG (driver-side constants, folded into
+    * the plan as literals — broadcast for free). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH sketch: the vector's sign bit against each projection plane,
+    * packed into a long. Nearby vectors agree on most bits. */
+  def srpSketch(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: bucket corpus and queries by the first `prefixBits` of the
+    * SRP sketch, rank by exact cosine within the bucket only. Recall is
+    * traded for a shuffle keyed on the bucket instead of a cross join —
+    * the 100 TB path. Increase recall with multiple plane seeds (probes). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 16, prefixBits: Int = 8, seeds: Seq[Long] = Seq(42L, 1042L),
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val dim = 64 // provisioned embedding dimensionality; parameterize per table
+    val mask = (1L << prefixBits) - 1
+    val probed = seeds.map { seed =>
+      val planes = randomPlanes(nPlanes, dim, seed)
+      val qb = queries.withColumn("bucket",
+        srpSketch(col(qVec), planes).bitwiseAND(mask))
+      val cb = corpus.withColumn("bucket",
+        srpSketch(col(cVec), planes).bitwiseAND(mask))
+      qb.join(cb, Seq("bucket")).filter(col(qId) =!= col(cId))
+        .select(col(qId), col(cId), col(qVec), col(cVec))
+    }.reduce(_ unionByName _).distinct()
+    val scored = probed.withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(qId, cId, "rank", "cosine")
+  }
+}

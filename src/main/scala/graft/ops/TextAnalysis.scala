@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE "beyond the reference" clause): tokenization, language-ID,
+  * quality scoring, fingerprinting.
+  *
+  * Everything is a pure Column expression over built-ins (codegen'd or
+  * JVM higher-order functions — no UDFs), so Catalyst can push, prune and
+  * pipeline around them; per-row work is O(tokens), embarrassingly
+  * partition-parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, empty-safe (consecutive/trailing separators
+    * yield no empty tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters (NULL for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Share of non-alphanumeric, non-space characters — a punctuation/noise
+    * signal for quality filtering. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-z0-9A-Z ]", "")))
+        .cast("double") / length(text))
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and public-knowledge. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Number of tokens that belong to `set`. */
+  def stopwordHits(ts: Column, set: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(set)))
+
+  /** Stopword share of all tokens (quality signal: natural language has a
+    * stable 0.2-0.5 band; word salad and boilerplate fall outside). */
+  def stopwordRatio(text: Column, langs: Seq[String] = Seq("en")): Column = {
+    val ts = tokens(text)
+    val all = langs.flatMap(stopwords).distinct
+    when(size(ts) > 0, stopwordHits(ts, all).cast("double") / size(ts))
+  }
+
+  /** Language-ID: argmax of per-language stopword hits with a fixed
+    * tie/miss order (ties → earlier entry in `order`; zero hits → "und").
+    * The scalable form of n-gram language-ID — per-row, no shuffle. */
+  def langId(text: Column, order: Seq[String] = Seq("en", "fr", "de", "es", "zh")): Column = {
+    val ts = tokens(text)
+    val hits = order.map(l => l -> stopwordHits(ts, stopwords(l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), els) =>
+      when(h > 0 && h === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword band + low
+    * punctuation noise. Weights are engine policy, not reference parity. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val swScore = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.3)
+    val punctScore = when(coalesce(punctRatio(text), lit(0.0)) <= 0.2, 1.0).otherwise(0.2)
+    ((lenScore * 0.4) + (swScore * 0.4) + (punctScore * 0.2)).cast("decimal(4,2)")
+  }
+
+  /** Canonical content fingerprint: md5 over the whitespace-normalized
+    * token stream. Case/spacing variants of the same content collide —
+    * the groupable document fingerprint for exact dedup at scale. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Rolling polynomial hash over tokens (base-31 Horner fold over each
+    * token's xxhash64) — an order-sensitive fingerprint: permuted copies
+    * of the same bag of words do NOT collide, unlike [[fingerprint]]. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Testdata.table
+
+/** LLM-training-data pipeline operators over the provisioned
+  * `documents` / `embeddings` tables, each with a DuckDB oracle.
+  *
+  * Cross-engine determinism techniques specific to this catalog:
+  *  - all content hashing is md5 (bit-identical hex in both engines);
+  *    MinHash permutations are md5 hex strings compared lexicographically;
+  *  - ratio outputs are IEEE double divisions of exact integers;
+  *  - embedding dot products are exact DECIMAL sums (order-independent),
+  *    cast to double only at the output surface;
+  *  - the corpora have no native duplicates, so dedup queries synthesize
+  *    deterministic mutations (truncations, whitespace noise) in-query.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docTokens(c: org.apache.spark.sql.Column) = TextAnalysis.tokens(c)
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup via content fingerprint: corpus ∪ verbatim copies of
+    // every 5th doc; copies must collapse onto their source (keeper=min id).
+    "q17_exact_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = d.unionByName(copies)
+      Dedup.exactDedup(corpus, "text", "doc_id")
+        .select(col("content_key"), col("keeper"), col("nb_copies"))
+        .orderBy("keeper")
+    }),
+
+    // Text analysis rollup: per-language token/char statistics.
+    "q18_text_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      d.groupBy("lang")
+        .agg(
+          count(lit(1)).as("nb_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(when(col("n_tokens") < 30, 1L).otherwise(0L)).as("nb_short"))
+        .orderBy("lang")
+    }),
+
+    // Language-ID heuristic vs the labeled lang column: stopword-hit
+    // argmax with fixed tie order (en,fr,de,es,zh; no hits → und).
+    "q19_lang_id" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("nb_docs"))
+        .orderBy("lang", "predicted_lang")
+    }),
+
+    // Near-dup detection, full MinHash→LSH→Jaccard pipeline: corpus ∪
+    // 80%-prefix truncations of every 7th doc; truncation keeps shingle
+    // overlap high, so LSH must surface the (original, copy) pairs, and
+    // exact 3-gram Jaccard ≥ 0.5 confirms them. Bucketed end-to-end —
+    // candidates come only from shared LSH band buckets.
+    "q20_minhash_lsh" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val trunc = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .withColumn("keep_n",
+          greatest(floor(size(col("toks")) * 4 / 5).cast("int"), lit(3)))
+        .select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(1), col("keep_n"))).as("text"))
+      val corpus = d.unionByName(trunc)
+      Dedup.nearDupPairs(corpus, "doc_id", "text",
+          threshold = 0.5, shingleN = 3, k = 12, bands = 3, rows = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash (16-bit demo surface, md5-derived bits so the oracle can
+    // mirror it; the library's 64-bit xxhash64 variant is unit-tested):
+    // per-doc fingerprint from sign-summed token-hash bits.
+    "q21_simhash" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+          explode(array_distinct(docTokens(col("text")))).as("t"))
+        .withColumn("h4", substring(md5(col("t")), 1, 4))
+      val bits = tok
+        .select(col("doc_id"), col("h4"), explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("hexd", expr("substring(h4, b div 4 + 1, 1)"))
+        .withColumn("v", expr("instr('0123456789abcdef', hexd) - 1"))
+        .withColumn("p", expr(
+          "CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2 WHEN b % 4 = 2 THEN 4 ELSE 8 END"))
+        .withColumn("contrib", expr("CASE WHEN (v div p) % 2 = 1 THEN 1 ELSE -1 END"))
+      bits.groupBy("doc_id", "b")
+        .agg(sum(col("contrib")).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN cnt > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END"))
+          .as("simhash16"))
+        .orderBy("doc_id")
+    }),
+
+    // Similarity search: exact top-10 by QUANTIZED inner product (the
+    // int-quantization MIPS baseline) for every 50th vector as query.
+    // Components are rounded to 20-bit fixed point (float×2^20 is exact
+    // in double; round-ties-away agrees across engines), so the dot is a
+    // sum of exact BIGINTs ≤2^48 — order-independent integer arithmetic
+    // that hash-matches the oracle bit-for-bit, and the surfaced double
+    // dot_int/2^40 is exactly representable. (Engine decimal arithmetic
+    // is NOT portable: DuckDB silently drops multiply scale at width 38
+    // and truncates on down-rescale where Spark rounds.) The LSH-bucketed
+    // ANN scale path is [[graft.ops.Similarity.annTopK]], recall-tested
+    // in LlmOpsSpec against full-precision brute force.
+    "q22_ann_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def quant(c: org.apache.spark.sql.Column) =
+        round(c.cast("double") * 1048576.0).cast("long")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), posexplode(col("embedding")).as(Seq("i", "qv")))
+        .withColumn("qi", quant(col("qv")))
+      val c = e.select(col("vec_id").as("c_id"), posexplode(col("embedding")).as(Seq("i", "cv")))
+        .withColumn("ci", quant(col("cv")))
+      val dots = q.join(c, "i")
+        .filter(col("q_id") =!= col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(sum(col("qi") * col("ci")).as("dot_i"))
+      val w = Window.partitionBy("q_id").orderBy(col("dot_i").desc, col("c_id").asc)
+      dots.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("c_id"), col("rank"),
+          (col("dot_i").cast("double") / 1099511627776.0).as("dot"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Normalized fingerprint dedup: corpus ∪ whitespace-noised copies of
+    // every 9th doc (leading blanks + doubled separators). The fingerprint
+    // normalizes token streams, so noised copies collapse onto their source.
+    "q23_fingerprint" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val noised = d.filter(col("doc_id") % 9 === 0)
+        .select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  ")).as("text"))
+      val corpus = d.unionByName(noised)
+      corpus
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("nb_copies"))
+        .orderBy("keeper")
+    }),
+
+    // Multimodal plumbing: documents' text bytes as opaque media payloads →
+    // per-partition batch "decode" (STUB codec; real schema/batch shape) →
+    // typed feature columns. mean_byte is an IEEE division of exact ints.
+    "q24_multimodal" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, table(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("mean_byte"))
+        .orderBy("media_id")
+    })
+  )
+
+  /** DuckDB oracle SQL — each mirrors the Spark formula exactly (same
+    * hash inputs, same division order, same tie-breaks). */
+  val oracles: Map[String, String] = Map(
+
+    "q17_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS content_key,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS nb_copies
+        |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q18_text_stats" ->
+      """WITH d AS (
+        |  SELECT lang, length(text) AS n_chars2,
+        |         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS nb_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+        |  CAST(sum(n_chars2) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(max(n_tokens) AS INT) AS max_tokens,
+        |  CAST(sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) AS nb_short
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q19_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+        |    len(list_filter(toks, t -> list_contains(['le','la','de','et','est'], t))) AS h_fr,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','es'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS h_zh
+        |  FROM d),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN h_en > 0 AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |         WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |         WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |         WHEN h_es > 0 AND h_es >= h_zh THEN 'es'
+        |         WHEN h_zh > 0 THEN 'zh'
+        |         ELSE 'und' END AS predicted_lang
+        |  FROM h)
+        |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS nb_docs
+        |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q20_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         toks[1:greatest(CAST(floor(len(toks) * 4 / 5) AS INT), 3)]
+        |  FROM base WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM corpus),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12),
+        |      j -> list_aggregate(list_transform(sh, s -> md5(concat(j, '|', s))), 'min')) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |         array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], '|') AS key
+        |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jac AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_inter,
+        |    len(sa.sh) + len(sb.sh)
+        |      - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_union
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) AS jaccard
+        |FROM jac
+        |WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q21_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS t
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    strpos('0123456789abcdef', substr(substr(md5(t), 1, 4), b.b // 4 + 1, 1)) - 1 AS v,
+        |    CASE WHEN b.b % 4 = 0 THEN 1 WHEN b.b % 4 = 1 THEN 2
+        |         WHEN b.b % 4 = 2 THEN 4 ELSE 8 END AS p
+        |  FROM tok, (SELECT unnest(range(0, 16)) AS b) b),
+        |cnts AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (v // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN cnt > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q22_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS e FROM embeddings),
+        |dots AS (
+        |  SELECT q_id, c_id,
+        |    sum(CAST(round(CAST(q.e[t.i + 1] AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(round(CAST(c.e[t.i + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS dot_i
+        |  FROM q, c, range(64) t(i)
+        |  WHERE q_id != c_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, c_id, dot_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
+        |  FROM dots)
+        |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q23_fingerprint" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, concat('  ', replace(text, ' ', '  '))
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS nb_copies
+        |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q24_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, length(text) AS n_bytes,
+        |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bytes
+        |  FROM documents)
+        |SELECT media_id, CAST(n_bytes AS INT) AS n_bytes,
+        |  CAST(CASE WHEN n_bytes > 1 THEN bytes[1] * 256 + bytes[2] ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN n_bytes > 3 THEN bytes[3] * 256 + bytes[4] ELSE 0 END AS INT) AS height,
+        |  CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / greatest(n_bytes, 1) AS mean_byte
+        |FROM b ORDER BY media_id""".stripMargin
+  )
+}

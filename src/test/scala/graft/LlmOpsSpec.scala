@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit tests for the LLM-data operators whose scale paths are not
+  * DuckDB-expressible (64-bit SimHash, SRP-bucketed ANN, media stubs) —
+  * the oracle-checked counterparts live in queries/LlmQueries. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/langId/quality: empty-safe tokenization, stopword argmax") {
+    val df = Seq(
+      (1, "the cat sat on the mat and the dog is here too now ok yes the end of it all the more the better the a of and is"),
+      (2, "le chat est sur le tapis et la porte est ouverte"),
+      (3, ""),
+      (4, "zzz qqq www")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.langId(col("text")).as("lang")).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1)._2 == "en")
+    assert(out(2)._2 == "fr")
+    assert(out(3) == (0, "und"))
+    assert(out(4)._2 == "und")
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("fp_eq"),
+      (TextAnalysis.rollingHash(col("t1")) === TextAnalysis.rollingHash(col("t2"))).as("rh_eq"),
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(lower(lit("A  b   c")))).as("fp_norm")
+    ).head()
+    assert(!r.getBoolean(0)) // different bags? no — same bag, different order: md5 of joined differs
+    assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)) // case/whitespace-insensitive
+  }
+
+  test("simhash64: identical docs collide, near docs are close, far docs are far") {
+    val base = "spark catalyst optimizer plans the query into stages and tasks for executors"
+    val near = base + " quickly" // one extra token
+    val far = "completely different words about cooking pasta with tomato sauce tonight"
+    val df = Seq((1, base), (2, base), (3, near), (4, far)).toDF("id", "text")
+    val h = df.select(col("id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1) == h(2))
+    assert(ham(h(1), h(3)) < 16, s"near doc hamming ${ham(h(1), h(3))}")
+    assert(ham(h(1), h(4)) > ham(h(1), h(3)))
+    // column-level hamming agrees with the JVM computation
+    val hd = df.filter(col("id").isin(1, 4))
+      .agg(collect_list(Dedup.simhash64(TextAnalysis.tokens(col("text"))))).head()
+      .getSeq[Long](0)
+    val viaCol = Seq((hd(0), hd(1))).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b")).cast("int")).head().getInt(0)
+    assert(viaCol == ham(hd(0), hd(1)))
+  }
+
+  test("nearDupPairs finds planted truncation near-dups, never all-pairs") {
+    val docs = (0 until 40).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 7 + j * 13) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    val planted = docs.take(5).map { case (id, t) =>
+      (id + 1000L, t.split(" ").dropRight(3).mkString(" "))
+    }
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (i <- 0 until 5) assert(pairs.contains((i.toLong, i + 1000L)),
+      s"planted pair $i missing from $pairs")
+  }
+
+  test("exactDedup + survivors collapse verbatim copies") {
+    val df = Seq((1L, "a b c"), (2L, "x y z"), (3L, "a b c"), (4L, "a  b  c "))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDedup(df, "text", "doc_id")
+      .select("keeper", "nb_copies").as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 3L) // 1,3 verbatim + 4 whitespace-variant
+    assert(groups(2L) == 1L)
+  }
+
+  test("annTopK: SRP-bucketed search recalls most of brute-force top-k") {
+    val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val exact = Similarity.cosineTopK(queries, corpus, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // 3-bit buckets × 5 probe tables: for moderately-similar neighbors
+    // (bit-agreement ~0.6) expected recall ≈ 1-(1-0.6³)⁵ ≈ 0.7. More bits
+    // → cheaper buckets, lower recall; that dial is the point of the op.
+    val approx = Similarity.annTopK(queries, corpus, 10,
+        nPlanes = 16, prefixBits = 3, seeds = Seq(42L, 1042L, 7L, 99L, 5L))
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low (${exact.size} exact, ${approx.size} approx)")
+  }
+
+  test("multimodal: stub decode plumbing — schema, batch, sizes") {
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media)
+    val text0 = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    val row = feats.filter(col("media_id") === 0).head()
+    assert(row.n_bytes == text0.getBytes("UTF-8").length)
+    assert(row.histogram.length == 16)
+    assert(math.abs(row.histogram.sum - 1.0) < 1e-9) // normalized
+    assert(row.width == ((text0(0).toInt << 8) | text0(1).toInt)) // fake header = first bytes
+    val frames = Multimodal.frameSampleStub(media, stride = 64)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_offset", "frame_hash"))
+    assert(frames.count() > 0)
+    val repart = Multimodal.repartitionBySize(media.toDF(), "bytes", 16 * 1024)
+    assert(repart.rdd.getNumPartitions >= 2) // 500 docs × ~300 B ≫ 16 KiB target
+  }
+}
