@@ -216,6 +216,44 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("nb_customers"),
              count(lit(1)).as("nb_orders"))
         .orderBy("o_orderpriority")
+    }),
+
+    // J2's defining semantic, explicitly exercised: INJECTED NULL left keys
+    // must never match the dimension (SQL null-equality), leaving the
+    // missing-flag true for exactly those rows (VERDICT r1 item 8).
+    "q25_nullkey_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("join_key",
+          when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_custkey")))
+      val dim = table(s, dir, "customer").withColumnRenamed("c_custkey", "join_key")
+      leftEnrich(o, dim, Seq("join_key"), "missing_customer", "c_name")
+        .groupBy(col("join_key").isNull.as("null_key"), col("missing_customer"))
+        .agg(count(lit(1)).as("nb_orders"))
+        .orderBy("null_key", "missing_customer")
+    }),
+
+    // P9 in its exact reference shape: THREE-branch composite fallback
+    // (both stats → weighted+rounded; primary only → primary unrounded;
+    // else → base metric), per movies_enriched_daily.sql:97-103.
+    "q26_composite_3branch" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val dim = table(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      o.join(dim, Seq("o_custkey"), "left")
+        .withColumn("primary_stat",
+          when(col("c_acctbal") >= 1000.0, col("c_acctbal")))
+        .withColumn("secondary_stat",
+          when(col("o_totalprice") >= 100000.0, col("o_totalprice")))
+        .withColumn("composite",
+          when(col("primary_stat").isNotNull && col("secondary_stat").isNotNull,
+            (col("primary_stat") * 0.6 + (col("secondary_stat") / 10.0) * 0.4)
+              .cast("decimal(18,2)"))
+            .when(col("primary_stat").isNotNull, col("primary_stat").cast("decimal(18,2)"))
+            .otherwise(col("o_totalprice").cast("decimal(18,2)"))
+            // double output face: decimal(18,2)→double is exact, while
+            // pandas narrows small decimals to float64 only on one side
+            .cast("double"))
+        .select("o_orderkey", "primary_stat", "secondary_stat", "composite")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -351,6 +389,29 @@ object RelationalQueries {
       """SELECT o_orderpriority,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nb_customers,
         |  CAST(count(*) AS BIGINT) AS nb_orders
-        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q25_nullkey_join" ->
+      """WITH o AS (
+        |  SELECT *, CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS join_key
+        |  FROM orders)
+        |SELECT (join_key IS NULL) AS null_key,
+        |       (c_name IS NULL) AS missing_customer,
+        |       CAST(count(*) AS BIGINT) AS nb_orders
+        |FROM o LEFT JOIN customer ON join_key = c_custkey
+        |GROUP BY 1, 2 ORDER BY null_key, missing_customer""".stripMargin,
+
+    "q26_composite_3branch" ->
+      """WITH j AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN c_acctbal >= 1000.0 THEN c_acctbal END AS primary_stat,
+        |    CASE WHEN o_totalprice >= 100000.0 THEN o_totalprice END AS secondary_stat
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_orderkey, primary_stat, secondary_stat,
+        |  CAST(CASE WHEN primary_stat IS NOT NULL AND secondary_stat IS NOT NULL
+        |         THEN CAST(primary_stat * 0.6 + (secondary_stat / 10.0) * 0.4 AS DECIMAL(18,2))
+        |       WHEN primary_stat IS NOT NULL THEN CAST(primary_stat AS DECIMAL(18,2))
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS composite
+        |FROM j ORDER BY o_orderkey""".stripMargin
   )
 }
