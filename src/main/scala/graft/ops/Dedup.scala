@@ -33,11 +33,35 @@ object Dedup {
           i => concat_ws(" ", slice(tokens, i, lit(n)))))
         .otherwise(array(concat_ws(" ", tokens))))
 
-  /** MinHash signature: k md5-permutation minima over the shingle set,
-    * as an array of hex strings (seed j salts the hash). */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleSet, s => md5(concat(j, lit("|"), s)))))
+  /** MinHash permutation constants: k ≤ 16 affine maps h → (a·h+b) mod P
+    * over the base hash. All < 2^31 so products stay in signed 64-bit. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  val MinhashA: Seq[Long] = Seq(1000000007L, 998244353L, 805306457L,
+    735632797L, 652567963L, 591861871L, 536870923L, 479001599L, 433494437L,
+    370248451L, 312500003L, 268435459L, 201326611L, 167772161L, 134217757L,
+    100000007L)
+  val MinhashB: Seq[Long] = Seq(12582917L, 23068673L, 37748737L, 52428847L,
+    67108879L, 79691779L, 93871597L, 104857601L, 122949829L, 134217689L,
+    152339483L, 167772107L, 181818181L, 198491317L, 211106233L, 223092871L)
+
+  /** Engine-portable base hash of a string: the first 12 hex digits of its
+    * md5 as a 48-bit integer, reduced mod P. One digest + one codegen'd
+    * base conversion per shingle; the k permutations are then integer
+    * affine maps, not k more digests. (The DuckDB oracle computes the
+    * same integer with an ascii-digit fold — identical values.) */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature: k affine-permutation minima over the shingle set,
+    * as an array of longs. */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    require(k <= MinhashA.length, s"k must be <= ${MinhashA.length}")
+    val hashes = transform(shingleSet, s => baseHash(s))
+    array((0 until k).map { j =>
+      array_min(transform(hashes,
+        h => (h * MinhashA(j) + MinhashB(j)) % MinhashP))
+    }: _*)
+  }
 
   /** LSH banding: split the k-length signature into bands of `rows`
     * contiguous values; each band's key is its joined signature slice.
@@ -47,19 +71,33 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        concat_ws("|", slice(sig, b * rows + 1, lit(rows))).as("key")))
+        concat_ws("|",
+          transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))
+          .as("key")))
 
-  /** Candidate near-dup pairs via LSH: explode bands, self-join each
-    * bucket, emit distinct (a < b) pairs. The join shuffles on the band
-    * key only — bucket sizes, not corpus size, bound the pair blow-up. */
+  /** Candidate near-dup pairs via LSH: explode shingles, hash each ONCE,
+    * build the k-permutation signature as k min-aggregates (partial+final
+    * — the scale shape; a Column-level transform would re-inline the
+    * digest k times, higher-order funcs get no subexpression sharing),
+    * band the signature, self-join each bucket, emit distinct (a < b)
+    * pairs. Joins shuffle on the band key only — bucket sizes, not corpus
+    * size, bound the pair blow-up. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
-    val sh = df.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
-    val banded = sh
-      .select(col("id"), posexplode(lshBands(minhashSignature(col("sh"), k), bands, rows)))
-      .select(col("id"), col("col.band").as("band"), col("col.key").as("key"))
+    val hv = df
+      .select(col(idCol).as("id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
+      .select(col("id"), baseHash(col("s")).as("hv"))
+    val aggs = (0 until k).map(j =>
+      min((col("hv") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"sig$j"))
+    val sig = hv.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*)
+    }
+    val banded = sig
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -73,7 +111,13 @@ object Dedup {
     * shuffle joins against the shingle table), never all-pairs. */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                      textCol: String, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    // candidate pairs are a tiny fraction of the corpus — semi-join the
+    // corpus down to the docs actually referenced before re-shingling,
+    // so the expensive shingle/hash pass doesn't run corpus-wide twice
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
+    val sh = needed.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -119,17 +119,18 @@ object LlmQueries {
     // in LlmOpsSpec against full-precision brute force.
     "q22_ann_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      def quant(c: org.apache.spark.sql.Column) =
-        round(c.cast("double") * 1048576.0).cast("long")
+      val quantArr = transform(col("embedding"),
+        x => round(x.cast("double") * 1048576.0).cast("long"))
+      // broadcast the small query side; the dot is a map-side integer
+      // fold per (query, candidate) pair — no position-explode shuffle
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), posexplode(col("embedding")).as(Seq("i", "qv")))
-        .withColumn("qi", quant(col("qv")))
-      val c = e.select(col("vec_id").as("c_id"), posexplode(col("embedding")).as(Seq("i", "cv")))
-        .withColumn("ci", quant(col("cv")))
-      val dots = q.join(c, "i")
+        .select(col("vec_id").as("q_id"), quantArr.as("qv"))
+      val c = e.select(col("vec_id").as("c_id"), quantArr.as("cv"))
+      val dots = broadcast(q).crossJoin(c)
         .filter(col("q_id") =!= col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(sum(col("qi") * col("ci")).as("dot_i"))
+        .withColumn("dot_i",
+          aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
       val w = Window.partitionBy("q_id").orderBy(col("dot_i").desc, col("c_id").asc)
       dots.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
@@ -219,8 +220,13 @@ object LlmQueries {
         |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS nb_docs
         |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
 
-    "q20_minhash_lsh" ->
-      """WITH base AS (
+    "q20_minhash_lsh" -> {
+      // permutation table interpolated from the SAME constants the Spark
+      // operator uses (graft.ops.Dedup.MinhashA/B) — no drift possible
+      val sigExprs = (0 until 12).map { j =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % 2147483647), 'min')"
+      }.mkString(",\n        |      ")
+      s"""WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
         |  FROM documents),
         |corpus AS (
@@ -236,11 +242,19 @@ object LlmQueries {
         |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
         |      ELSE [array_to_string(toks, ' ')] END) AS sh
         |  FROM corpus),
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      list_aggregate(list_transform(range(12), i ->
+        |        (CASE WHEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) <= 57
+        |              THEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 48
+        |              ELSE ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 87 END)
+        |        * CAST(pow(16, 11 - i) AS BIGINT)), 'sum') % 2147483647) AS hv
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id, sh,
-        |    list_transform(range(0, 12),
-        |      j -> list_aggregate(list_transform(sh, s -> md5(concat(j, '|', s))), 'min')) AS sig
-        |  FROM sh),
+        |    [$sigExprs] AS sig
+        |  FROM hv),
         |banded AS (
         |  SELECT doc_id, b.band,
         |         array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], '|') AS key
@@ -258,7 +272,8 @@ object LlmQueries {
         |SELECT id_a, id_b, CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) AS jaccard
         |FROM jac
         |WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q21_simhash" ->
       """WITH tok AS (
