@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/** Structured Streaming surface — beyond reference parity (the reference
+  * is strictly daily batch, SURVEY.md §2.8); this is the engine's
+  * incremental story for users who feed the same zones continuously.
+  *
+  * Design: the streaming plans reuse the batch transforms' semantics —
+  * watermarked event-time windows stand in for the snapshot-date group
+  * key, `dropDuplicatesWithinWatermark` / keyed state stand in for the
+  * keyed last-write-wins upsert.
+  */
+object Streaming {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp,
+                   event_type: String, value: Double)
+
+  /** Streaming analog of kpi_daily_summary (SURVEY §2.4 A1–A5): daily
+    * event-time windows with a watermark bounding state; late data beyond
+    * the watermark is dropped instead of reprocessing the day — the
+    * streaming counterpart of idempotent partition overwrite. */
+  def dailyKpi(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("day"))
+      .agg(
+        count(lit(1)).as("nb_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb_clicks"),
+        avg(col("value")).as("avg_value"))
+      .select(to_date(col("day.start")).as("event_date"),
+        col("nb_events"), col("nb_clicks"), col("avg_value"))
+
+  /** Streaming keyed last-write-wins (S7's streaming face): keeps the
+    * newest event per user in keyed state and emits it on every update.
+    * State is one row per key — bounded by key cardinality, partitioned
+    * across executors by the group key. */
+  def latestPerUser(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[Event]) =>
+          val newest = (batch ++ state.getOption.iterator)
+            .maxBy(e => (e.ts.getTime, e.value))
+          state.update(newest)
+          newest
+      }
+  }
+
+  /** Streaming exact dedup over a content key with watermark-bounded
+    * state (the scale-safe streaming dedup: state expires with the
+    * watermark instead of growing forever). */
+  def dedupStream(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "1 day"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Incremental raw-zone ingestion: a file stream over the enveloped
+    * JSON layout — new `date=` files are picked up per micro-batch and
+    * flow through the same staging transforms as batch (S5/S6 streaming
+    * face). `maxFilesPerTrigger` bounds micro-batch size. */
+  def rawFileStream(spark: SparkSession, root: String, source: String,
+                    endpoint: String, dataSchema: StructType,
+                    maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val readSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("_meta", Schemas.metaSchema),
+      org.apache.spark.sql.types.StructField("data", dataSchema)))
+    spark.readStream
+      .schema(readSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(s"$root/$source/$endpoint/date=*")
+  }
+}
