@@ -95,6 +95,62 @@ object Relational {
         sum(col("__n") - 1).as("nb_surplus_rows")
       )
 
+  /** As-of join (an operator Spark lacks natively): for each fact row,
+    * attach the dimension row with the greatest `dimTime` ≤ `factTime`
+    * for the same key — SURVEY §2.3's "beyond the reference" surface,
+    * composed from existing ops per the custom-operator preference order.
+    *
+    * Implementation is the scalable union+window form: ONE shuffle on the
+    * key (no range cross-join, no per-row subquery) — tag both sides,
+    * sort by (time, dim-first, tiebreak) within the key partition, and
+    * carry the latest dim payload forward with a running `last(…,
+    * ignoreNulls)`. Ties on (key, time) resolve to the greatest
+    * `dimTieBreak`, making results deterministic.
+    *
+    * Returns all fact rows (unmatched → NULL payload) plus
+    * `payload` columns prefixed `asof_`. */
+  def asOfJoin(fact: DataFrame, dim: DataFrame,
+               factKey: String, dimKey: String,
+               factTime: String, dimTime: String, dimTieBreak: String,
+               payload: Seq[String]): DataFrame = {
+    val pCols = (dimTime +: dimTieBreak +: payload).distinct
+    val factCols = fact.columns.toSeq
+    val taggedDim = dim.select(
+      Seq(col(dimKey).as("__k"), col(dimTime).as("__t"), lit(1).as("__is_dim"),
+          col(dimTieBreak).as("__tie")) ++
+        pCols.map(c => col(c).as(s"__p_$c")) ++
+        factCols.map(c => lit(null).as(c)): _*)
+    val taggedFact = fact.select(
+      Seq(col(factKey).as("__k"), col(factTime).as("__t"), lit(0).as("__is_dim"),
+          lit(null).as("__tie")) ++
+        pCols.map(c => lit(null).as(s"__p_$c")) ++
+        factCols.map(col): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__is_dim").desc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedDim.unionByName(taggedFact)
+      .select(
+        (factCols.map(col) :+ col("__is_dim")) ++
+          pCols.map(c => last(when(col("__is_dim") === 1, col(s"__p_$c")), ignoreNulls = true)
+            .over(w).as(s"asof_$c")): _*)
+    carried.filter(col("__is_dim") === 0).drop("__is_dim")
+  }
+
+  /** Skew-mitigating salted join: fact rows get a deterministic salt in
+    * [0, buckets), the dimension is replicated once per salt value, and
+    * the join key becomes (keys…, salt) — a hot key's rows spread over
+    * `buckets` reducers instead of one. Use when AQE's skew-join split
+    * is unavailable or insufficient (e.g. skewed aggregation feeding the
+    * join). Cost: dim side × buckets. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    sf.join(sd, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Assert zero data-quality violations, mirroring `dbt test` semantics
     * (run inside pipelines; throws on violation). */
   def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit = {

@@ -254,6 +254,26 @@ object RelationalQueries {
             .cast("double"))
         .select("o_orderkey", "primary_stat", "secondary_stat", "composite")
         .orderBy("o_orderkey")
+    }),
+
+    // As-of join (beyond-parity operator surface): each event picks up the
+    // customer's latest order at-or-before the event time; ties on order
+    // date resolve to the greatest orderkey. One shuffle on the key.
+    "q27_asof_join" -> ((s, dir) => {
+      val events = table(s, dir, "events").select("event_id", "user_id", "ts")
+      val orders = table(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      asOfJoin(events, orders,
+          factKey = "user_id", dimKey = "o_custkey",
+          factTime = "ts", dimTime = "o_orderdate", dimTieBreak = "o_orderkey",
+          payload = Seq("o_totalprice"))
+        .select(col("event_id"),
+          // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+          // cast is a type-face change, micros match DuckDB's epoch_us
+          unix_micros(col("asof_o_orderdate").cast("timestamp")).as("asof_date_us"),
+          col("asof_o_orderkey").as("asof_orderkey"),
+          col("asof_o_totalprice").as("asof_totalprice"))
+        .orderBy("event_id")
     })
   )
 
@@ -412,6 +432,29 @@ object RelationalQueries {
         |         THEN CAST(primary_stat * 0.6 + (secondary_stat / 10.0) * 0.4 AS DECIMAL(18,2))
         |       WHEN primary_stat IS NOT NULL THEN CAST(primary_stat AS DECIMAL(18,2))
         |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS composite
-        |FROM j ORDER BY o_orderkey""".stripMargin
+        |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    "q27_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, 1 AS is_dim, o_orderkey AS tie,
+        |         o_orderdate AS p_date, o_orderkey AS p_key, o_totalprice AS p_price,
+        |         NULL::BIGINT AS event_id
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, NULL, NULL, event_id FROM events),
+        |w AS (
+        |  SELECT event_id, is_dim,
+        |    last_value(CASE WHEN is_dim = 1 THEN p_date END IGNORE NULLS)
+        |      OVER win AS asof_date,
+        |    last_value(CASE WHEN is_dim = 1 THEN p_key END IGNORE NULLS)
+        |      OVER win AS asof_orderkey,
+        |    last_value(CASE WHEN is_dim = 1 THEN p_price END IGNORE NULLS)
+        |      OVER win AS asof_totalprice
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, is_dim DESC, tie NULLS LAST
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, epoch_us(asof_date) AS asof_date_us,
+        |       asof_orderkey, asof_totalprice
+        |FROM w WHERE is_dim = 0 ORDER BY event_id""".stripMargin
   )
 }

@@ -65,6 +65,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: latest dim row at-or-before fact time, ties to greatest key") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fact = Seq(
+      (100L, 1L, t("2026-01-10 00:00:00")), // after both orders of key 1
+      (101L, 1L, t("2026-01-05 00:00:00")), // exactly at order time (inclusive)
+      (102L, 1L, t("2026-01-01 00:00:00")), // before any order
+      (103L, 2L, t("2026-01-10 00:00:00"))  // key with tied order dates
+    ).toDF("event_id", "k", "ts")
+    val dim = Seq(
+      (1L, t("2026-01-03 00:00:00"), 7L, 70.0),
+      (1L, t("2026-01-05 00:00:00"), 8L, 80.0),
+      (2L, t("2026-01-04 00:00:00"), 3L, 30.0),
+      (2L, t("2026-01-04 00:00:00"), 4L, 40.0) // tie → greatest key wins
+    ).toDF("k", "odate", "okey", "price")
+    val out = Relational.asOfJoin(fact, dim, "k", "k", "ts", "odate", "okey", Seq("price"))
+      .select("event_id", "asof_okey", "asof_price").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(100L) == ((Some(8L), Some(80.0))))
+    assert(out(101L) == ((Some(8L), Some(80.0)))) // inclusive <=
+    assert(out(102L) == ((None, None)))           // no prior order
+    assert(out(103L) == ((Some(4L), Some(40.0)))) // tie broken by key
+  }
+
+  test("saltedJoin equals the plain join and replicates the dim per salt") {
+    val fact = (1 to 200).map(i => (i % 3, i)).toDF("k", "x")
+    val dim = Seq((0, "a"), (1, "b"), (2, "c"), (7, "zzz")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "x", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Relational.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .select("k", "x", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("leftEnrich: NULL fact keys never match (J2 contract)") {
     val fact = Seq((Some("a"), 1), (None: Option[String], 2)).toDF("k", "x")
     val dim = Seq(("a", "m"), (null: String, "n")).toDF("k", "name")
