@@ -136,6 +136,35 @@ object Relational {
     carried.filter(col("__is_dim") === 0).drop("__is_dim")
   }
 
+  /** Binned range join (the scalable form of an interval join, which
+    * Spark would otherwise plan as a broadcast-nested-loop or cartesian):
+    * match fact rows whose `factTime` falls in the dim's
+    * [`dimStart`, `dimEnd`) interval for the same key. Both sides are
+    * bucketed into fixed `binSeconds` bins — intervals explode to every
+    * bin they span — so the match becomes an equi-join on (key, bin)
+    * followed by the exact predicate. Shuffle is keyed on (key, bin);
+    * pair blow-up is bounded by interval-length / bin size.
+    *
+    * Times must be TIMESTAMP columns. Returns fact ⨯ matching dim rows
+    * (inner). */
+  def rangeJoin(fact: DataFrame, dim: DataFrame,
+                factKey: String, dimKey: String,
+                factTime: String, dimStart: String, dimEnd: String,
+                binSeconds: Long): DataFrame = {
+    val binF = (unix_seconds(col(factTime)) / binSeconds).cast("long")
+    val binS = (unix_seconds(col(dimStart)) / binSeconds).cast("long")
+    val binE = (unix_seconds(col(dimEnd)) / binSeconds).cast("long")
+    val sf = fact.withColumn("__bin", binF)
+      .withColumnRenamed(factKey, "__k")
+    val sd = dim
+      .withColumn("__bin", explode(sequence(binS, binE)))
+      .withColumnRenamed(dimKey, "__k")
+    sf.join(sd, Seq("__k", "__bin"))
+      .filter(col(factTime) >= col(dimStart) && col(factTime) < col(dimEnd))
+      .drop("__bin")
+      .withColumnRenamed("__k", factKey)
+  }
+
   /** Skew-mitigating salted join: fact rows get a deterministic salt in
     * [0, buckets), the dimension is replicated once per salt value, and
     * the join key becomes (keys…, salt) — a hot key's rows spread over

@@ -274,6 +274,23 @@ object RelationalQueries {
           col("asof_o_orderkey").as("asof_orderkey"),
           col("asof_o_totalprice").as("asof_totalprice"))
         .orderBy("event_id")
+    }),
+
+    // Binned range join (beyond-parity): events inside each order's 3-day
+    // window for the same customer, rolled up per order. The interval
+    // match runs as an equi-join on (key, day-bin) + exact filter — never
+    // a nested-loop join.
+    "q28_range_join" -> ((s, dir) => {
+      val events = table(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_start"))
+        .withColumn("o_end", col("o_start") + expr("INTERVAL 3 DAYS"))
+      rangeJoin(events, orders, "user_id", "o_custkey", "ts", "o_start", "o_end",
+          binSeconds = 86400L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("nb_events"), dsum(col("value")).as("total_value"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -455,6 +472,15 @@ object RelationalQueries {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, epoch_us(asof_date) AS asof_date_us,
         |       asof_orderkey, asof_totalprice
-        |FROM w WHERE is_dim = 0 ORDER BY event_id""".stripMargin
+        |FROM w WHERE is_dim = 0 ORDER BY event_id""".stripMargin,
+
+    "q28_range_join" ->
+      """SELECT o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS nb_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders JOIN events
+        |  ON user_id = o_custkey
+        | AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 3 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -17,8 +17,13 @@ import graft.ops.Relational
   */
 object Staging {
 
-  private def snapshotDateCol(fallback: String): Column =
-    coalesce(to_date(col("_meta.snapshot_date")), to_date(lit(fallback)))
+  /** The run's snapshot date keys every row — matching the reference,
+    * where the loader stamps rows from the SNAPSHOT_DATE env var
+    * (`load_raw_to_postgres.py:202-224`; `dags/movies_analytics.py:34`)
+    * and `_meta.snapshot_date` is lineage, not the PK source. Re-loading
+    * old files under a new date therefore re-keys them to the new day. */
+  private def snapshotDateCol(runDate: String): Column =
+    to_date(lit(runDate))
 
   /** Upsert discipline for a raw table: one row per PK, latest extract wins,
     * source file as deterministic tiebreak (SURVEY §7.4.1). */

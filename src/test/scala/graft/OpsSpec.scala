@@ -88,6 +88,22 @@ class OpsSpec extends SparkSpec {
     assert(out(103L) == ((Some(4L), Some(40.0)))) // tie broken by key
   }
 
+  test("rangeJoin: inclusive start, exclusive end, bins spanned correctly") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fact = Seq(
+      (1L, 1L, t("2026-01-05 00:00:00")), // == start → in
+      (2L, 1L, t("2026-01-07 23:59:59")), // inside, different day-bin
+      (3L, 1L, t("2026-01-08 00:00:00")), // == end → out
+      (4L, 1L, t("2026-01-04 23:59:59")), // before → out
+      (5L, 2L, t("2026-01-05 12:00:00"))  // wrong key
+    ).toDF("event_id", "k", "ts")
+    val dim = Seq((10L, 1L, t("2026-01-05 00:00:00"), t("2026-01-08 00:00:00")))
+      .toDF("okey", "k", "start", "end")
+    val out = Relational.rangeJoin(fact, dim, "k", "k", "ts", "start", "end", 86400L)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("saltedJoin equals the plain join and replicates the dim per salt") {
     val fact = (1 to 200).map(i => (i % 3, i)).toDF("k", "x")
     val dim = Seq((0, "a"), (1, "b"), (2, "c"), (7, "zzz")).toDF("k", "name")

@@ -102,6 +102,34 @@ class PipelineSpec extends SparkSpec {
       assert(io.LakeZones.readTable(spark, cfg.lakeRoot, zone, name).count() > 0)
   }
 
+  test("lake: a second snapshot date lands beside the first, untouched by re-runs") {
+    // own config: this test writes day-2 serving payloads that would
+    // otherwise clobber the shared cfg's day-1 artifacts
+    val cfg = MovieFixtures.tempConfig()
+    Pipeline.run(spark, cfg) // day 1 in the lake
+    // build a second day by copying the fixture raw zone under a new date
+    val base = java.nio.file.Paths.get(cfg.rawRoot)
+    val d2 = "2026-02-19"
+    for (feed <- Seq("tmdb/popular", "tmdb/details", "omdb/ratings")) {
+      val src = base.resolve(s"$feed/date=${MovieFixtures.SnapshotDate}")
+      val dst = base.resolve(s"$feed/date=$d2")
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach { f =>
+        java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    Pipeline.run(spark, cfg.copy(snapshotDate = d2))
+    val enriched = io.LakeZones.readTable(spark, cfg.lakeRoot, "usage", "movies_enriched")
+    val byDay = enriched.groupBy("snapshot_date").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(byDay == Map(MovieFixtures.SnapshotDate -> 5L, d2 -> 5L))
+    // re-running day 2 must not disturb day 1 (dynamic partition overwrite)
+    Pipeline.run(spark, cfg.copy(snapshotDate = d2))
+    assert(io.LakeZones.readTable(spark, cfg.lakeRoot, "usage", "movies_enriched")
+      .count() == 10)
+  }
+
   test("serving: bulk NDJSON payload has stable ids, date strings, explicit nulls") {
     result
     import scala.jdk.CollectionConverters._
