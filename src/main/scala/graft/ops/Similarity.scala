@@ -65,6 +65,66 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
+    * of `nCentroids` deterministic pseudo-centroids (seeded ±1 planes
+    * reused as centroid directions), queries probe their `nProbes`
+    * nearest centroids, and exact cosine ranks within the probed cells.
+    * The inverted-file analog of [[annTopK]]: same bucket-join shape,
+    * cell assignment by nearest-centroid instead of hash prefix. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val dim = 64
+    val centroids = randomPlanes(nCentroids, dim, seed)
+    def cellScores(vec: Column): Seq[(Int, Column)] =
+      centroids.zipWithIndex.map { case (ctr, i) =>
+        i -> dot(vec, array(ctr.map(lit): _*))
+      }
+    // corpus: single best cell
+    val cCell = corpus.withColumn("cell",
+      cellScores(col(cVec)).map { case (i, s) => struct(s.as("s"), lit(i).as("i")) }
+        .reduce((a, b) => when(a.getField("s") >= b.getField("s"), a).otherwise(b))
+        .getField("i"))
+    // queries: top nProbes cells, exploded
+    val qCells = queries.withColumn("cell",
+      explode(slice(
+        sort_array(array(cellScores(col(qVec)).map { case (i, s) =>
+          struct(s.as("s"), lit(i).as("i")) }: _*), asc = false),
+        1, nProbes).getField("i")))
+    val scored = qCells.join(cCell, Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId), col(qVec), col(cVec)).distinct()
+      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(qId, cId, "rank", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (multi
+    * -probe), exact cosine ≥ threshold confirmation — the embedding-space
+    * dedup family (never all-pairs). Returns (id_a < id_b, cosine). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nPlanes: Int = 16,
+                        prefixBits: Int = 8,
+                        seeds: Seq[Long] = Seq(42L, 1042L)): DataFrame = {
+    val mask = (1L << prefixBits) - 1
+    val candidates = seeds.map { seed =>
+      val planes = randomPlanes(nPlanes, dim = 64, seed)
+      val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", srpSketch(col("v"), planes).bitwiseAND(mask))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+    }.reduce(_ unionByName _).distinct()
+    candidates
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** ANN top-k: bucket corpus and queries by the first `prefixBits` of the
     * SRP sketch, rank by exact cosine within the bucket only. Recall is
     * traded for a shuffle keyed on the bucket instead of a cross join —

@@ -86,6 +86,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space characters each count as one token — a cheap proxy
+    * for subword tokenizer counts (closer to LLM token budgets than
+    * whitespace words on punctuation-heavy text). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
   /** Rolling polynomial hash over tokens (base-31 Horner fold over each
     * token's xxhash64) — an order-sensitive fingerprint: permuted copies
     * of the same bag of words do NOT collide, unlike [[fingerprint]]. */

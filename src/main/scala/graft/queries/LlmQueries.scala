@@ -155,6 +155,17 @@ object LlmQueries {
         .orderBy("keeper")
     }),
 
+    // Quality scoring distribution: the composite [0,1] score (length
+    // band + stopword band + punctuation noise) bucketed per language.
+    "q29_quality_score" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("quality",
+          TextAnalysis.qualityScore(col("text")).cast("double"))
+        .groupBy("lang", "quality")
+        .agg(count(lit(1)).as("nb_docs"))
+        .orderBy("lang", "quality")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -322,6 +333,29 @@ object LlmQueries {
         |       CAST(min(doc_id) AS BIGINT) AS keeper,
         |       CAST(count(*) AS BIGINT) AS nb_copies
         |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q29_quality_score" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','is'], t))) AS sw,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS np
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    (CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0
+        |          WHEN ntok >= 5 THEN 0.5 ELSE 0.0 END * 0.4
+        |     + CASE WHEN ntok > 0 AND CAST(sw AS DOUBLE) / ntok >= 0.05
+        |            THEN 1.0 ELSE 0.3 END * 0.4
+        |     + CASE WHEN (CASE WHEN length(text) > 0
+        |                       THEN CAST(np AS DOUBLE) / length(text)
+        |                       ELSE 0.0 END) <= 0.2
+        |            THEN 1.0 ELSE 0.2 END * 0.2) AS raw
+        |  FROM d)
+        |SELECT lang, CAST(CAST(raw AS DECIMAL(4,2)) AS DOUBLE) AS quality,
+        |       CAST(count(*) AS BIGINT) AS nb_docs
+        |FROM sc GROUP BY 1, 2 ORDER BY lang, quality""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

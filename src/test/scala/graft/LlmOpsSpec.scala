@@ -101,6 +101,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall too low (${exact.size} exact, ${approx.size} approx)")
   }
 
+  test("bpeishTokenCount: letter runs, digit runs, single punct marks") {
+    val df = Seq(
+      ("ab,12 cd.", 5),   // ab , 12 cd .
+      ("hello world", 2),
+      ("a1b2", 4),
+      ("", 0)
+    ).toDF("text", "want")
+    val bad = df.filter(
+      graft.ops.TextAnalysis.bpeishTokenCount(col("text")) =!= col("want"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("ivfTopK: probed-cell search recalls most of brute-force top-k") {
+    val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val exact = Similarity.cosineTopK(queries, corpus, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, corpus, 10, nCentroids = 8, nProbes = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("embeddingNearDups finds planted near-identical vectors, never all-pairs") {
+    val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(100)
+    // plant: copies with one component nudged — cosine ≈ 1 with source
+    val planted = e.withColumn("vec_id", col("vec_id") + 10000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(1.001f)))
+    val corpus = e.unionByName(planted)
+    val pairs = Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0L until 100L).count(i => pairs.contains((i, i + 10000L)))
+    assert(found >= 90, s"only $found/100 planted near-dup pairs found")
+  }
+
   test("multimodal: stub decode plumbing — schema, batch, sizes") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text")
