@@ -291,6 +291,41 @@ object RelationalQueries {
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("nb_events"), dsum(col("value")).as("total_value"))
         .orderBy("o_orderkey")
+    }),
+
+    // CUBE grouping sets: every (status, priority) subtotal combination.
+    "q30_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("nb"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Gap-based sessionization (stream-analytics staple): a new session
+    // starts after a >30-minute silence per user; pure lag+cumsum window
+    // logic on epoch micros — exact integer arithmetic in both engines.
+    "q31_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = table(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("nb_events"),
+          // floor division (not a double→long cast: Spark truncates where
+          // DuckDB's cast rounds — floor matches `//` for positives)
+          floor((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).cast("long")
+            .as("duration_s"))
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("nb_sessions"),
+          max(col("nb_events")).as("max_session_events"),
+          max(col("duration_s")).as("max_session_s"))
+        .orderBy("user_id")
     })
   )
 
@@ -481,6 +516,38 @@ object RelationalQueries {
         |FROM orders JOIN events
         |  ON user_id = o_custkey
         | AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 3 DAY
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q30_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, session_id,
+        |    CAST(count(*) AS BIGINT) AS nb_events,
+        |    CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(max(session_id) AS BIGINT) AS nb_sessions,
+        |  CAST(max(nb_events) AS BIGINT) AS max_session_events,
+        |  CAST(max(duration_s) AS BIGINT) AS max_session_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
