@@ -301,6 +301,21 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
+    // Exact quantiles (ordered-set aggregate surface): engine-exact ONLY
+    // because l_quantity is integer-valued — linear interpolation between
+    // integer-valued doubles at f ∈ {0, .25, .5, .75} is exact IEEE
+    // arithmetic under either engine's formula, so values hash-match.
+    "q32_quantiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("nb"))
+        .orderBy("l_returnflag")
+    }),
+
     // Gap-based sessionization (stream-analytics staple): a new session
     // starts after a >30-minute silence per user; pure lag+cumsum window
     // logic on epoch micros — exact integer arithmetic in both engines.
@@ -524,6 +539,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q32_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  CAST(count(*) AS BIGINT) AS nb
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q31_sessionize" ->
       """WITH ev AS (
