@@ -95,4 +95,13 @@ object Marts {
         avg(col("popularity")).cast("decimal(18,2)").as("avg_popularity"),
         sum(when(col("is_overhyped"), 1L).otherwise(0L)).as("nb_overhyped"),
         sum(when(col("is_hidden_gem"), 1L).otherwise(0L)).as("nb_hidden_gems"))
+
+  /** Typed face of the KPI mart (SURVEY §1.3: `Dataset[T]` where the
+    * schema is fixed) — compile-time column safety for consumers. */
+  def kpiDailySummaryTyped(enriched: DataFrame):
+      org.apache.spark.sql.Dataset[Schemas.KpiDailySummary] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Schemas.KpiDailySummary] =
+      org.apache.spark.sql.Encoders.product[Schemas.KpiDailySummary]
+    kpiDailySummary(enriched).as[Schemas.KpiDailySummary]
+  }
 }

@@ -74,6 +74,13 @@ class PipelineSpec extends SparkSpec {
     assert(dec(m5, "composite_score") == BigDecimal("6.90"))
   }
 
+  test("mart: typed Dataset face round-trips the KPI row") {
+    val ks = marts.Marts.kpiDailySummaryTyped(result.moviesEnrichedDaily).collect()
+    assert(ks.length == 1)
+    assert(ks(0).nb_movies == 5L)
+    assert(BigDecimal(ks(0).omdb_coverage_ratio) == BigDecimal("0.40"))
+  }
+
   test("mart: kpi_daily_summary is the exact expected single row") {
     val rows = result.kpiDailySummary.collect()
     assert(rows.length == 1)
