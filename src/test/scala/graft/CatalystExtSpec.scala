@@ -23,6 +23,24 @@ class CatalystExtSpec extends SparkSpec {
     assert(out(2).isEmpty)        // zero total weight → NULL
   }
 
+  test("HeavyHitters sketch surfaces planted hot tokens within the MG bound") {
+    import org.apache.spark.sql.Dataset
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val words: Dataset[String] = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      .as[String]
+    val hot = spark.range(2000).select(lit("hotword").as("w")).as[String]
+    val all = words.union(hot).repartition(8)
+    val n = all.count()
+    val cap = 16
+    val sketch = all.select(new graft.functions.HeavyHitters(cap).toColumn).head()
+    assert(sketch.contains("hotword"), s"hot token missing from $sketch")
+    // undercount-only, by at most N/capacity
+    assert(sketch("hotword") <= 2000L)
+    assert(sketch("hotword") >= 2000L - n / cap)
+    assert(sketch.size <= cap)
+  }
+
   test("SimHash64Expr matches the higher-order-fold implementation exactly") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
       .limit(100)
