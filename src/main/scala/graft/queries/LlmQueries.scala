@@ -155,6 +155,18 @@ object LlmQueries {
         .orderBy("keeper")
     }),
 
+    // Exact vocabulary heavy hitters: top-25 tokens corpus-wide (the
+    // exact counterpart of the HeavyHitters sketch Aggregator) — explode,
+    // partial+final count, TakeOrdered with token tiebreak.
+    "q33_top_tokens" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(docTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("nb"))
+        .orderBy(col("nb").desc, col("token").asc)
+        .limit(25)
+    }),
+
     // Quality scoring distribution: the composite [0,1] score (length
     // band + stopword band + punctuation noise) bucketed per language.
     "q29_quality_score" -> ((s, dir) => {
@@ -333,6 +345,12 @@ object LlmQueries {
         |       CAST(min(doc_id) AS BIGINT) AS keeper,
         |       CAST(count(*) AS BIGINT) AS nb_copies
         |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q33_top_tokens" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS nb
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |      FROM documents)
+        |GROUP BY t ORDER BY nb DESC, token LIMIT 25""".stripMargin,
 
     "q29_quality_score" ->
       """WITH d AS (

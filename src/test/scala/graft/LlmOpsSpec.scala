@@ -82,6 +82,11 @@ class LlmOpsSpec extends SparkSpec {
       .select("keeper", "nb_copies").as[(Long, Long)].collect().toMap
     assert(groups(1L) == 3L) // 1,3 verbatim + 4 whitespace-variant
     assert(groups(2L) == 1L)
+    // survivors: keep the smallest id of each near-dup pair cluster
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivors(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
   }
 
   test("annTopK: SRP-bucketed search recalls most of brute-force top-k") {
