@@ -101,4 +101,12 @@ object Pipeline {
       Result(stgPop, stgDet, stgOmdb, enriched, kpi, exported)
     } finally enriched.unpersist()
   }
+
+  /** Backfill: run a range of snapshot dates sequentially (the engine's
+    * equivalent of re-triggering the reference's daily DAG per day,
+    * `dags/movies_analytics.py:22-28`). Each day is independently
+    * idempotent — dynamic partition overwrite touches only its own
+    * partitions — so a failed backfill resumes by re-running. */
+  def backfill(spark: SparkSession, cfg: Config, dates: Seq[String]): Map[String, Result] =
+    dates.map(d => d -> run(spark, cfg.copy(snapshotDate = d))).toMap
 }
