@@ -301,6 +301,30 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
+    // Pivot (wide reshaping): order counts per priority × status. Spark's
+    // pivot() is sugar over conditional aggregation, which is exactly how
+    // the oracle expresses it — explicit value list keeps plans static.
+    "q34_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Unpivot (long reshaping): per-order metric rows from wide columns.
+    "q35_unpivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice").cast("double").as("o_totalprice"),
+                col("o_custkey").cast("double").as("o_custkey")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    }),
+
     // Exact quantiles (ordered-set aggregate surface): engine-exact ONLY
     // because l_quantity is integer-valued — linear interpolation between
     // integer-valued doubles at f ∈ {0, .25, .5, .75} is exact IEEE
@@ -539,6 +563,21 @@ object RelationalQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q35_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey, metric""".stripMargin,
 
     "q32_quantiles" ->
       """SELECT l_returnflag,
