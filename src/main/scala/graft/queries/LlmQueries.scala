@@ -178,6 +178,22 @@ object LlmQueries {
         .orderBy("lang", "quality")
     }),
 
+    // Edit distance (exact integer, engine-portable): each sampled doc vs
+    // its 80%-prefix truncation — the character-level near-dup check,
+    // bounded to candidate pairs (never corpus×corpus).
+    "q36_edit_distance" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .withColumn("trunc",
+          concat_ws(" ", slice(col("toks"), lit(1),
+            greatest(floor(size(col("toks")) * 4 / 5).cast("int"), lit(3)))))
+      d.select(col("doc_id"),
+          levenshtein(col("text"), col("trunc")).as("edit_dist"),
+          length(col("text")).as("n_chars_full"),
+          length(col("trunc")).as("n_chars_trunc"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -374,6 +390,18 @@ object LlmQueries {
         |SELECT lang, CAST(CAST(raw AS DECIMAL(4,2)) AS DOUBLE) AS quality,
         |       CAST(count(*) AS BIGINT) AS nb_docs
         |FROM sc GROUP BY 1, 2 ORDER BY lang, quality""".stripMargin,
+
+    "q36_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    array_to_string((list_filter(string_split(text, ' '), t -> t != ''))[
+        |      1:greatest(CAST(floor(len(list_filter(string_split(text, ' '), t -> t != '')) * 4 / 5) AS INT), 3)], ' ') AS trunc
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        |  CAST(levenshtein(text, trunc) AS INT) AS edit_dist,
+        |  CAST(length(text) AS INT) AS n_chars_full,
+        |  CAST(length(trunc) AS INT) AS n_chars_trunc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -325,6 +325,25 @@ object RelationalQueries {
         .orderBy("o_orderkey", "metric")
     }),
 
+    // Calendar-function battery with conventions explicitly aligned
+    // (day-of-week origins differ across engines; ISO week matches).
+    "q37_date_parts" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") % 500 === 0)
+        .withColumn("d", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          year(col("d")).as("y"),
+          month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          (dayofweek(col("d")) - 1).as("dow_sun0"), // Spark: Sun=1 → Sun=0
+          dayofyear(col("d")).as("doy"),
+          quarter(col("d")).as("q"),
+          weekofyear(col("d")).as("iso_week"),
+          date_format(col("d"), "yyyy-MM").as("ym"),
+          unix_date(col("d")).as("epoch_days"))
+        .orderBy("o_orderkey")
+    }),
+
     // Exact quantiles (ordered-set aggregate surface): engine-exact ONLY
     // because l_quantity is integer-valued — linear interpolation between
     // integer-valued doubles at f ∈ {0, .25, .5, .75} is exact IEEE
@@ -563,6 +582,20 @@ object RelationalQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q37_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INT) AS y,
+        |  CAST(date_part('month', o_orderdate) AS INT) AS m,
+        |  CAST(date_part('day', o_orderdate) AS INT) AS dom,
+        |  CAST(date_part('dow', o_orderdate) AS INT) AS dow_sun0,
+        |  CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |  CAST(date_part('week', o_orderdate) AS INT) AS iso_week,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) AS DATE) - DATE '1970-01-01' AS INT) AS epoch_days
+        |FROM orders WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q34_pivot" ->
       """SELECT o_orderpriority,
