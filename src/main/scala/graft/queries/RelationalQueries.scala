@@ -325,6 +325,21 @@ object RelationalQueries {
         .orderBy("o_orderkey", "metric")
     }),
 
+    // SQL entry path (spark.sql over registered views) with a correlated
+    // scalar subquery — Catalyst decorrelates it into a join, same engine
+    // surface users of the SQL API hit.
+    "q38_sql_subquery" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0) AS nb_big_orders
+          |FROM customer_v c
+          |WHERE c_custkey % 50 = 0
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Calendar-function battery with conventions explicitly aligned
     // (day-of-week origins differ across engines; ISO week matches).
     "q37_date_parts" -> ((s, dir) => {
@@ -582,6 +597,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q38_sql_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0) AS nb_big_orders
+        |FROM customer c
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "q37_date_parts" ->
       """SELECT o_orderkey,

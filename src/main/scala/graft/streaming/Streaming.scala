@@ -66,13 +66,15 @@ object Streaming {
     * face). `maxFilesPerTrigger` bounds micro-batch size. */
   def rawFileStream(spark: SparkSession, root: String, source: String,
                     endpoint: String, dataSchema: StructType,
-                    maxFilesPerTrigger: Int = 1000): DataFrame = {
+                    maxFilesPerTrigger: Int = 1000,
+                    multiLine: Boolean = true): DataFrame = {
     val readSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_meta", Schemas.metaSchema),
       org.apache.spark.sql.types.StructField("data", dataSchema)))
     spark.readStream
       .schema(readSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("multiLine", multiLine) // pretty one-object-per-file raw form
       .json(s"$root/$source/$endpoint/date=*")
   }
 }

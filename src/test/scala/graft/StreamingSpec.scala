@@ -41,6 +41,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rawFileStream: new raw-zone files arrive as micro-batches") {
+    val cfg = MovieFixtures.tempConfig()
+    val stream = Streaming.rawFileStream(spark, cfg.rawRoot, "omdb", "ratings",
+        graft.model.Schemas.omdbSchema, maxFilesPerTrigger = 2)
+      .filter(org.apache.spark.sql.functions.col("data.Response") === "True")
+    val q = stream.writeStream.format("memory").queryName("raw_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // fixture zone has 3 Response=True docs (multiLine files are single
+      // JSON objects; the stream reads them as one record each)
+      val n0 = spark.table("raw_stream").count()
+      assert(n0 == 3, s"expected 3 enveloped docs, got $n0")
+      // a late-arriving file is picked up incrementally
+      val d = java.nio.file.Paths.get(cfg.rawRoot, "omdb", "ratings",
+        s"date=${MovieFixtures.SnapshotDate}")
+      java.nio.file.Files.writeString(d.resolve("tt7777.json"),
+        """{"_meta":{"snapshot_date":"2026-02-18","run_id":"r","extracted_at_utc":"t","source":"omdb","endpoint":"ratings"},"data":{"Response":"True","Title":"Late","imdbRating":"5.0","imdbVotes":"1","Metascore":"50","Rated":"R","Type":"movie","Year":"2020","Country":"US","Genre":"G","Director":"D","Actors":"A","Ratings":[]}}""")
+      q.processAllAvailable()
+      assert(spark.table("raw_stream").count() == 4)
+    } finally q.stop()
+  }
+
   test("latestPerUser: keyed state keeps the newest event across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
