@@ -25,6 +25,17 @@ object Dedup {
         min(col(idCol)).as("keeper"),
         count(lit(1)).as("nb_copies"))
 
+  /** End-to-end exact dedup: return the corpus with one survivor (the
+    * smallest id) per normalized-content group — what a training-data
+    * pipeline actually feeds downstream. One shuffle on the content key. */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct word n-gram shingles of a token array. */
   def shingles(tokens: Column, n: Int): Column =
     array_distinct(

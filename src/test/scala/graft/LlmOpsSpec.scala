@@ -87,6 +87,21 @@ class LlmOpsSpec extends SparkSpec {
     val kept = Dedup.survivors(df, pairs, "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
+    // dedupCorpus: the downstream-facing form — full rows, one per group
+    val corpus = Dedup.dedupCorpus(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L))
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd tolerance") {
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val words = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val r = words.agg(
+      countDistinct(col("w")).as("exact"),
+      approx_count_distinct(col("w"), 0.05).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
   }
 
   test("annTopK: SRP-bucketed search recalls most of brute-force top-k") {
