@@ -91,7 +91,8 @@ object Pipeline {
 
       // serving: the two usage tables → ES bulk dry-run, stable ids
       // (`index_elasticsearch.py:22-23,245-246`)
-      ServingSink.bootstrapMapping(enriched, cfg.servingDir, "movies_enriched_daily")
+      ServingSink.bootstrapMapping(enriched, cfg.servingDir, "movies_enriched_daily",
+        ServingSink.movieFieldSpec)
       ServingSink.bootstrapMapping(kpi, cfg.servingDir, "movies_kpis_daily")
       ServingSink.writeBulk(enriched, cfg.servingDir, "movies_enriched_daily",
         Seq("snapshot_date", "tmdb_id"))

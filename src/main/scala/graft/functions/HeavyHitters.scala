@@ -39,12 +39,16 @@ class HeavyHitters(capacity: Int)
   override def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
     b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
     if (a.size > capacity) {
-      // keep the top `capacity` by count, subtracting the cutoff —
-      // preserves the undercount-only bound
-      val cutoff = a.values.toSeq.sorted(Ordering[Long].reverse)(capacity - 1)
-      val kept = a.toSeq.filter(_._2 >= cutoff).sortBy(-_._2).take(capacity)
-      a.clear()
-      kept.foreach { case (k, v) => a.update(k, v) }
+      // standard mergeable-summaries merge (Agarwal et al., "Mergeable
+      // Summaries"): subtract the (capacity+1)-th largest count from every
+      // entry and drop the non-positive ones. Equivalent to running the
+      // Misra-Gries decrement `cutoff` times at once, so the combined
+      // sketch keeps the N/capacity undercount bound across merges —
+      // truncating without subtracting would let an evicted item lose an
+      // arbitrarily large count.
+      val cutoff = a.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      a.mapValuesInPlace((_, v) => v - cutoff)
+      a.filterInPlace((_, v) => v > 0L)
     }
     a
   }

@@ -27,10 +27,11 @@ object LakeZones {
     * reference gets from its keyed upsert. */
   def writePartitioned(df: DataFrame, root: String, zone: String, name: String): String = {
     val path = s"$root/$zone/$name"
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode("overwrite")
+      // per-write option, not session conf: a concurrent caller keeps
+      // static full-table overwrite semantics everywhere else
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .partitionBy("snapshot_date")
       .parquet(path)

@@ -34,24 +34,55 @@ object ServingSink {
     case _ => "keyword"
   }
 
+  /** Per-field mapping overrides mirroring the reference's hand-pinned
+    * movie mapping (`index_elasticsearch.py:179-207`):
+    *  - `textKeywordFields` → full-text `text` with a `.keyword` subfield
+    *    (exact-match aggregations AND free-text search — the reference's
+    *    Kibana dashboards rely on both for `title`/`director`);
+    *  - `textFields` → plain `text` (`actors`);
+    *  - `typeOverrides` → verbatim type pin (e.g. `metascore` staged as
+    *    int but mapped `double`, `index_elasticsearch.py:196`). */
+  case class FieldSpec(
+      textKeywordFields: Set[String] = Set.empty,
+      textFields: Set[String] = Set.empty,
+      typeOverrides: Map[String, String] = Map.empty)
+
+  /** The reference's pinned choices for the movies index
+    * (`index_elasticsearch.py:179-207`): `metascore` staged int but mapped
+    * `double`, `imdb_votes` staged long but mapped `integer`. */
+  val movieFieldSpec: FieldSpec = FieldSpec(
+    textKeywordFields = Set("title", "director"),
+    textFields = Set("actors"),
+    typeOverrides = Map("metascore" -> "double", "imdb_votes" -> "integer"))
+
+  private def fieldJson(f: StructField, spec: FieldSpec): String =
+    if (spec.textKeywordFields(f.name))
+      s""""${f.name}":{"type":"text","fields":{"keyword":{"type":"keyword"}}}"""
+    else if (spec.textFields(f.name))
+      s""""${f.name}":{"type":"text"}"""
+    else {
+      val t = spec.typeOverrides.getOrElse(f.name, esType(f.dataType))
+      s""""${f.name}":{"type":"$t"}"""
+    }
+
   /** S12: index mapping JSON derived from the frame's schema (1 shard,
-    * 0 replicas — `index_elasticsearch.py:180,211`). */
-  def mappingJson(df: DataFrame): String = {
-    val props = df.schema.fields
-      .map(f => s""""${f.name}":{"type":"${esType(f.dataType)}"}""")
-      .mkString(",")
+    * 0 replicas — `index_elasticsearch.py:180,211`), with per-field
+    * overrides for the reference's text/numeric pins. */
+  def mappingJson(df: DataFrame, spec: FieldSpec = FieldSpec()): String = {
+    val props = df.schema.fields.map(fieldJson(_, spec)).mkString(",")
     s"""{"settings":{"number_of_shards":1,"number_of_replicas":0},"mappings":{"properties":{$props}}}"""
   }
 
   /** S12: bootstrap the index mapping file iff missing (the reference's
     * 200→skip / 404→create check, `index_elasticsearch.py:41-59`).
     * Returns true when created. */
-  def bootstrapMapping(df: DataFrame, outDir: String, index: String): Boolean = {
+  def bootstrapMapping(df: DataFrame, outDir: String, index: String,
+                       spec: FieldSpec = FieldSpec()): Boolean = {
     val dir = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(dir)
     val f = dir.resolve(s"$index.mapping.json")
     if (java.nio.file.Files.exists(f)) false
-    else { java.nio.file.Files.writeString(f, mappingJson(df)); true }
+    else { java.nio.file.Files.writeString(f, mappingJson(df, spec)); true }
   }
 
   /** S13: one NDJSON bulk line-pair per row, as a single-column frame of

@@ -170,14 +170,65 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Keep one survivor per near-dup cluster: treat pairs as edges, collapse
-    * each doc to min(neighbor) as cluster rep (single-hop union — exact for
-    * the transitive closure only when clusters are cliques, which LSH
-    * near-dup groups practically are; iterate for chains). */
+    * each doc to min(neighbor) as cluster rep. SINGLE-HOP: exact for the
+    * transitive closure only when clusters are cliques. Near-dup chains
+    * (A~B, B~C with no A~C edge — common at scale: successive edits)
+    * need [[survivorsTransitive]]. */
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val rep = pairs.select(col("id_a").as("id"), col("id_b").as("dup"))
       .groupBy("dup").agg(min("id").as("rep"))
     df.join(rep, df(idCol) === rep("dup"), "left")
       .filter(col("rep").isNull) // drop docs that point at an earlier rep
       .drop("dup", "rep")
+  }
+
+  /** Connected components of the near-dup pair graph by iterated min-label
+    * propagation with path halving (the alternating-star family): each
+    * round every node adopts the smallest label among itself, its
+    * neighbors, and its current label's label, until a fixpoint. Converges
+    * in O(log diameter) rounds; each round is two shuffles keyed on id
+    * (edge propagation + label-of-label), with `localCheckpoint` cutting
+    * lineage so the plan stays flat at any iteration count. Returns
+    * (id, lbl) for every node that appears in `pairs`, lbl = component
+    * minimum. Throws if `maxIter` rounds don't converge (pathological
+    * diameter — raise the bound). */
+  def components(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.groupBy("a").agg(min(col("b")).as("m"))
+      .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // propagate each neighbor's current label across every edge…
+      val viaEdge = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("lbl"))
+      val prop = labels.unionByName(viaEdge)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+      // …then path-halve: adopt the label of the current label
+      val hop = prop.select(col("id").as("lbl"), col("lbl").as("lbl2"))
+      val next = prop.join(hop, Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      done = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(done, s"components did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Transitive near-dup survivors: collapse each connected component of
+    * the pair graph to its smallest id, so chains (A~B~C) fold to one
+    * survivor even without an A~C edge. Docs in no pair survive
+    * untouched (anti-join keeps them). */
+  def survivorsTransitive(df: DataFrame, pairs: DataFrame, idCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val dups = components(pairs, maxIter)
+      .filter(col("lbl") < col("id")).select(col("id").as("__dup"))
+    df.join(dups, df(idCol) === dups("__dup"), "left_anti")
   }
 }

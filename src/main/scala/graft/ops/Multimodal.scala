@@ -85,7 +85,10 @@ object Multimodal {
     * not row count (targeting `targetBytes` per partition keeps executor
     * memory flat at 100 TB). */
   def repartitionBySize(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(length(col(bytesCol)))).head().getLong(0)
+    // sum() is NULL on empty/all-null input — coalesce to 0 so the probe
+    // never NPEs
+    val total = df.agg(coalesce(sum(length(col(bytesCol))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     df.repartition(parts)
   }

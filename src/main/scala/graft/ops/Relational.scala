@@ -170,9 +170,18 @@ object Relational {
     * the join key becomes (keys…, salt) — a hot key's rows spread over
     * `buckets` reducers instead of one. Use when AQE's skew-join split
     * is unavailable or insufficient (e.g. skewed aggregation feeding the
-    * join). Cost: dim side × buckets. */
+    * join). Cost: dim side × buckets.
+    *
+    * Only inner and left-flavored joins are semantics-preserving: the dim
+    * side is replicated per salt bucket, so right/full-outer (and
+    * right-semi/anti) would emit each unmatched dim row `buckets` times. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left-flavored joins only, got '$joinType' " +
+        "(the replicated dim side would duplicate unmatched dim rows)")
     val sf = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(buckets)).cast("int"))
     val sd = dim.withColumn("__salt",

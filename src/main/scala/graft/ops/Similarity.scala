@@ -33,10 +33,21 @@ object Similarity {
     when(nn > 0, d / nn)
   }
 
+  /** Probe the embedding dimensionality from the data (one-row action).
+    * Callers that know the dim statically should pass it instead. */
+  def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).head().getInt(0)
+
   /** Brute-force top-k by cosine: every query row against every corpus
-    * row, ranked per query with an id tiebreak. `queries` is expected to
-    * be the small side — it is broadcast, so the corpus never shuffles;
-    * the per-query ranking is a window over the corpus partition. */
+    * row, ranked per query with an id tiebreak.
+    *
+    * CONTRACT: `queries` must be a FIXED-cardinality set (a bounded list
+    * of probe vectors — thousands, not a fraction of the corpus). It is
+    * broadcast, so the corpus never shuffles and the per-query ranking is
+    * a window over the corpus partition; a query side that grows with the
+    * corpus grows the broadcast with it and OOMs executors at scale. For
+    * corpus-proportional query sides use [[annTopK]] /
+    * [[annTopKQuantized]] (bucket-keyed shuffle, no broadcast). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  qId: String = "q_id", qVec: String = "q_vec",
                  cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
@@ -73,10 +84,11 @@ object Similarity {
     * cell assignment by nearest-centroid instead of hash prefix. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
+              dim: Int = -1,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val dim = 64
-    val centroids = randomPlanes(nCentroids, dim, seed)
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
+    val centroids = randomPlanes(nCentroids, d, seed)
     def cellScores(vec: Column): Seq[(Int, Column)] =
       centroids.zipWithIndex.map { case (ctr, i) =>
         i -> dot(vec, array(ctr.map(lit): _*))
@@ -108,10 +120,12 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nPlanes: Int = 16,
                         prefixBits: Int = 8,
-                        seeds: Seq[Long] = Seq(42L, 1042L)): DataFrame = {
+                        seeds: Seq[Long] = Seq(42L, 1042L),
+                        dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
     val mask = (1L << prefixBits) - 1
     val candidates = seeds.map { seed =>
-      val planes = randomPlanes(nPlanes, dim = 64, seed)
+      val planes = randomPlanes(nPlanes, d, seed)
       val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
         .withColumn("bucket", srpSketch(col("v"), planes).bitwiseAND(mask))
       b.as("a").join(b.as("b"),
@@ -131,12 +145,13 @@ object Similarity {
     * the 100 TB path. Increase recall with multiple plane seeds (probes). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 16, prefixBits: Int = 8, seeds: Seq[Long] = Seq(42L, 1042L),
+              dim: Int = -1,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val dim = 64 // provisioned embedding dimensionality; parameterize per table
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
     val mask = (1L << prefixBits) - 1
     val probed = seeds.map { seed =>
-      val planes = randomPlanes(nPlanes, dim, seed)
+      val planes = randomPlanes(nPlanes, d, seed)
       val qb = queries.withColumn("bucket",
         srpSketch(col(qVec), planes).bitwiseAND(mask))
       val cb = corpus.withColumn("bucket",
@@ -149,5 +164,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(qId, cId, "rank", "cosine")
+  }
+
+  /** Deterministic SRP-bucketed ANN top-k over QUANTIZED vectors — the
+    * bit-reproducible flavor of [[annTopK]] and the preferred production
+    * shape: components are rounded to fixed point (`quantScale` = 2^20 by
+    * default; float×2^20 is exact in double, round-ties-away agrees
+    * across engines), the SRP sign sketch and the rerank dot are then
+    * pure integer arithmetic — no floating-point sums anywhere, so the
+    * result is identical at any partition count and in any engine (the
+    * DuckDB oracle runs the same formula with the same ±1 plane
+    * literals).
+    *
+    * 100 TB posture: candidates come only from shared sketch buckets —
+    * the join shuffles on the bucket key, nothing broadcasts, nothing
+    * crosses the full corpus. The surfaced `dot` is dot_int/quantScale²,
+    * exactly representable. */
+  def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nPlanes: Int = 4, seeds: Seq[Long] = Seq(42L, 1042L),
+                       quantScale: Double = 1048576.0, dim: Int = -1,
+                       qId: String = "q_id", qVec: String = "q_vec",
+                       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
+    val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
+    val candidates = seeds.map { seed =>
+      val planes = randomPlanes(nPlanes, d, seed)
+      // srpSketch's dot folds integer-valued doubles < 2^53 — exact, so
+      // the sign bits (and buckets) are deterministic
+      q.withColumn("__bucket", srpSketch(col("__qv"), planes))
+        .join(c.withColumn("__bucket", srpSketch(col("__cv"), planes)), Seq("__bucket"))
+        .filter(col(qId) =!= col(cId))
+        .select(col(qId), col(cId), col("__qv"), col("__cv"))
+    }.reduce(_ unionByName _).distinct()
+    val scored = candidates.withColumn("dot_i",
+      aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(qId).orderBy(col("dot_i").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"),
+        (col("dot_i").cast("double") / (quantScale * quantScale)).as("dot"))
   }
 }

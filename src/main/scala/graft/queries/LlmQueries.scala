@@ -107,23 +107,26 @@ object LlmQueries {
     }),
 
     // Similarity search: exact top-10 by QUANTIZED inner product (the
-    // int-quantization MIPS baseline) for every 50th vector as query.
+    // int-quantization MIPS baseline) for a FIXED query set — the 10 probe
+    // vectors vec_id ∈ {0,50,…,450}, a bounded cardinality at every scale
+    // factor (vec_id < 500 caps it; a corpus-proportional query side would
+    // grow the broadcast below linearly with the corpus and OOM at 100×).
     // Components are rounded to 20-bit fixed point (float×2^20 is exact
     // in double; round-ties-away agrees across engines), so the dot is a
     // sum of exact BIGINTs ≤2^48 — order-independent integer arithmetic
     // that hash-matches the oracle bit-for-bit, and the surfaced double
     // dot_int/2^40 is exactly representable. (Engine decimal arithmetic
     // is NOT portable: DuckDB silently drops multiply scale at width 38
-    // and truncates on down-rescale where Spark rounds.) The LSH-bucketed
-    // ANN scale path is [[graft.ops.Similarity.annTopK]], recall-tested
-    // in LlmOpsSpec against full-precision brute force.
+    // and truncates on down-rescale where Spark rounds.) The bucketed
+    // scale path for corpus-sized query sides is q41 (oracle-verified) /
+    // [[graft.ops.Similarity.annTopK]] (recall-tested in LlmOpsSpec).
     "q22_ann_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val quantArr = transform(col("embedding"),
         x => round(x.cast("double") * 1048576.0).cast("long"))
-      // broadcast the small query side; the dot is a map-side integer
+      // broadcast the fixed-size query side; the dot is a map-side integer
       // fold per (query, candidate) pair — no position-explode shuffle
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), quantArr.as("qv"))
       val c = e.select(col("vec_id").as("c_id"), quantArr.as("cv"))
       val dots = broadcast(q).crossJoin(c)
@@ -192,6 +195,49 @@ object LlmQueries {
           length(col("text")).as("n_chars_full"),
           length(col("trunc")).as("n_chars_trunc"))
         .orderBy("doc_id")
+    }),
+
+    // Transitive near-dup collapse: corpus ∪ CHAINS of truncations — B =
+    // 70% prefix of every 11th doc, C = 70% prefix of B. Jaccard(A,B) ≈
+    // 0.7 and J(B,C) ≈ 0.7 clear the 0.5 threshold while J(A,C) ≈ 0.49
+    // does not, so the pair graph has real chains. Ids are deliberately
+    // NON-monotone along the chain (B = id+200000, C = id+100000): C's
+    // only direct neighbor is the LARGER B, so single-hop min-neighbor
+    // would keep C alive — only a transitive collapse folds the component
+    // {A, C, B} to A. Oracle mirrors LSH+Jaccard exactly, then closes the
+    // graph with a recursive CTE.
+    "q40_transitive_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      def trunc(df: DataFrame, off: Int): DataFrame = df
+        .withColumn("toks", docTokens(col("text")))
+        .withColumn("keep_n",
+          greatest(floor(size(col("toks")) * 7 / 10).cast("int"), lit(3)))
+        .select(
+          (col("doc_id") + off).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(1), col("keep_n"))).as("text"))
+      val b = trunc(d.filter(col("doc_id") % 11 === 0), 200000)
+      val c = trunc(b, -100000)
+      val corpus = d.unionByName(b).unionByName(c)
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, k = 12, bands = 3, rows = 4)
+      Dedup.survivorsTransitive(corpus, pairs, "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Deterministic SRP-bucketed ANN (the oracle-verified scale path):
+    // quantized sign sketches bucket the corpus, candidates come only
+    // from shared buckets (2 probe seeds), exact integer dot reranks —
+    // no broadcast, no cross join, pure integer arithmetic end-to-end.
+    // The oracle interpolates the SAME seeded ±1 plane literals the Spark
+    // operator derives, so bucket assignment cannot drift.
+    "q41_ann_bucketed" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.annTopKQuantized(q, c, k = 10,
+          nPlanes = 4, seeds = Seq(42L, 1042L), dim = 64)
+        .orderBy("q_id", "rank")
     }),
 
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
@@ -335,7 +381,7 @@ object LlmQueries {
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q22_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id < 500 AND vec_id % 50 = 0),
         |c AS (SELECT vec_id AS c_id, embedding AS e FROM embeddings),
         |dots AS (
         |  SELECT q_id, c_id,
@@ -402,6 +448,110 @@ object LlmQueries {
         |  CAST(length(text) AS INT) AS n_chars_full,
         |  CAST(length(trunc) AS INT) AS n_chars_trunc
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q40_transitive_dedup" -> {
+      // same interpolated permutation constants as q20 — no drift possible
+      val sigExprs = (0 until 12).map { j =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % 2147483647), 'min')"
+      }.mkString(",\n        |      ")
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |tr1 AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |         toks[1:greatest(CAST(floor(len(toks) * 7 / 10) AS INT), 3)] AS toks
+        |  FROM base WHERE doc_id % 11 = 0),
+        |tr2 AS (
+        |  SELECT doc_id - 100000 AS doc_id,
+        |         toks[1:greatest(CAST(floor(len(toks) * 7 / 10) AS INT), 3)] AS toks
+        |  FROM tr1),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL SELECT doc_id, toks FROM tr1
+        |  UNION ALL SELECT doc_id, toks FROM tr2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM corpus),
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      list_aggregate(list_transform(range(12), i ->
+        |        (CASE WHEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) <= 57
+        |              THEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 48
+        |              ELSE ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 87 END)
+        |        * CAST(pow(16, 11 - i) AS BIGINT)), 'sum') % 2147483647) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [$sigExprs] AS sig
+        |  FROM hv),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |         array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], '|') AS key
+        |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jac AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_inter,
+        |    len(sa.sh) + len(sb.sh)
+        |      - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_union
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM jac
+        |  WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |rep AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+        |SELECT c2.doc_id FROM corpus c2
+        |LEFT JOIN rep ON rep.a = c2.doc_id
+        |WHERE rep.a IS NULL OR rep.mn >= c2.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    "q41_ann_bucketed" -> {
+      // interpolate the SAME seeded ±1 plane literals the Spark operator
+      // derives (Similarity.randomPlanes) — bucket assignment cannot drift
+      def bucketSql(seed: Long): String =
+        Similarity.randomPlanes(4, 64, seed).zipWithIndex.map { case (plane, p) =>
+          val lst = plane.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_aggregate(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), 'sum') >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n        |      + ")
+      s"""WITH v AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS q_id, c.id AS c_id
+        |  FROM b q JOIN b c ON (q.b1 = c.b1 OR q.b2 = c.b2) AND q.id != c.id
+        |  WHERE q.id < 500 AND q.id % 25 = 0),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    list_aggregate(list_transform(range(64), i -> a.v[i+1] * bb.v[i+1]), 'sum') AS dot_i
+        |  FROM cand JOIN v a ON a.id = q_id JOIN v bb ON bb.id = c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, dot_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -41,6 +41,35 @@ class CatalystExtSpec extends SparkSpec {
     assert(sketch.size <= cap)
   }
 
+  test("HeavyHitters.merge preserves the Misra-Gries bound across partial merges") {
+    // pure Aggregator-level property test: many partial sketches with
+    // mostly-disjoint filler vocabularies are merged in a tree — the shape
+    // where a truncating (non-subtracting) merge would silently evict a
+    // true heavy hitter admitted early. Checks the mergeable-summaries
+    // guarantees: undercount-only, error ≤ N/capacity, heavy survivor.
+    val cap = 16
+    val hh = new graft.functions.HeavyHitters(cap)
+    val rnd = new scala.util.Random(7)
+    val partitions: Seq[Seq[String]] = (0 until 50).map { p =>
+      val fillers = Seq.fill(60)(s"f${p}_${rnd.nextInt(40)}") // per-partition vocab
+      rnd.shuffle(Seq.fill(40)("hotword") ++ fillers)
+    }
+    val n = partitions.map(_.size).sum.toLong
+    val exact = partitions.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val partials = partitions.map(_.foldLeft(hh.zero)(hh.reduce))
+    val merged = partials.reduce(hh.merge) // left-deep: worst case for eviction
+    val out = hh.finish(merged)
+    assert(out.size <= cap)
+    // undercount-only, and by at most N/capacity, for every surfaced item
+    out.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+      assert(exact(k) - c <= n / cap, s"$k undercounted past the bound")
+    }
+    // the planted heavy hitter (2000 = 40×50 > N/capacity) must survive
+    assert(exact("hotword") > n / cap)
+    assert(out.contains("hotword"), s"true heavy hitter evicted: $out")
+  }
+
   test("SimHash64Expr matches the higher-order-fold implementation exactly") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
       .limit(100)

@@ -93,6 +93,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(corpus == Set(1L, 2L))
   }
 
+  test("survivorsTransitive collapses chains and multi-minima components") {
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // single-hop keeps 2 (its only neighbor, 3, is larger) — the defect
+    val single = Dedup.survivors(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(single == Set(1L, 2L, 10L, 20L))
+    // transitive: component {1,2,3} folds to its minimum
+    val trans = Dedup.survivorsTransitive(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(trans == Set(1L, 10L, 20L))
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 13-node chain converges to one survivor (exercises path halving)
+    val chain = (0 until 12).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
+    val df2 = (100L to 112L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    assert(Dedup.survivorsTransitive(df2, chain, "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(100L))
+  }
+
+  test("annTopKQuantized: bucketed integer-exact top-k, probed dim ≠ 64") {
+    // dim-8 corpus (dim probed from data, not hardcoded); planted scaled
+    // copies are parallel to their source → identical SRP signs (same
+    // bucket every seed) and a strictly dominant inner product → rank 1
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }
+    val planted = base.take(5).map { case (id, v) => (id + 100L, v.map(_ * 10f)) }
+    val corpus = (base ++ planted).toDF("c_id", "c_vec")
+    val queries = corpus.filter(col("c_id") < 5)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    val out = Similarity.annTopKQuantized(queries, corpus, k = 3, nPlanes = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    for (i <- 0L until 5L)
+      assert(out.contains((i, i + 100L, 1)),
+        s"scaled copy of $i not rank-1: ${out.filter(_._1 == i)}")
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd tolerance") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
     val words = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))

@@ -137,6 +137,40 @@ class PipelineSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("serving: movies mapping matches the reference's pinned dict field-for-field") {
+    result
+    val mapping = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(cfg.servingDir).resolve("movies_enriched_daily.mapping.json"))
+    // every field the reference's movies_mapping pins
+    // (`index_elasticsearch.py:179-207`) must carry the identical type spec
+    val expected = Seq(
+      """"snapshot_date":{"type":"date"}""",
+      """"tmdb_id":{"type":"long"}""",
+      """"imdb_id":{"type":"keyword"}""",
+      """"title":{"type":"text","fields":{"keyword":{"type":"keyword"}}}""",
+      """"original_language":{"type":"keyword"}""",
+      """"release_date":{"type":"date"}""",
+      """"release_year":{"type":"integer"}""",
+      """"popularity":{"type":"double"}""",
+      """"tmdb_rating":{"type":"double"}""",
+      """"tmdb_vote_count":{"type":"integer"}""",
+      """"imdb_rating":{"type":"double"}""",
+      """"imdb_votes":{"type":"integer"}""",
+      """"metascore":{"type":"double"}""",
+      """"composite_score":{"type":"double"}""",
+      """"runtime_minutes":{"type":"integer"}""",
+      """"status":{"type":"keyword"}""",
+      """"rated":{"type":"keyword"}""",
+      """"director":{"type":"text","fields":{"keyword":{"type":"keyword"}}}""",
+      """"actors":{"type":"text"}""",
+      """"missing_omdb_data":{"type":"boolean"}""",
+      """"is_overhyped":{"type":"boolean"}""",
+      """"is_hidden_gem":{"type":"boolean"}""")
+    for (f <- expected) assert(mapping.contains(f), s"missing/mismatched: $f")
+    assert(mapping.contains(""""number_of_shards":1"""))
+    assert(mapping.contains(""""number_of_replicas":0"""))
+  }
+
   test("serving: bulk NDJSON payload has stable ids, date strings, explicit nulls") {
     result
     import scala.jdk.CollectionConverters._
