@@ -36,10 +36,63 @@ object Multimodal {
     StructField("bytes", BinaryType)
   ))
 
+  /** Pluggable codec seam: one implementation turns an opaque media row
+    * into typed features. Implementations must be Serializable — the
+    * instance ships to executors and runs inside the partition iterator. */
+  trait Codec extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+  }
+
+  /** Container-safe default: the deterministic fake decode below. */
+  object StubCodec extends Codec {
+    override def decode(r: MediaRow): MediaFeatures = decodeStub(r)
+  }
+
+  /** Real image decode via `javax.imageio` (PNG/JPEG/BMP/GIF readers ship
+    * with the JDK — no external dependency, headless-safe): width/height
+    * from the decoded raster, 16-bin luminance histogram, mean luminance
+    * (integer Rec.601 weights). Non-image payloads (ImageIO.read → null)
+    * fall back to the stub so mixed corpora don't fail the partition. */
+  object ImageIoCodec extends Codec {
+    /** ImageIO present in this JVM (absent on stripped runtimes without
+      * the java.desktop module). */
+    lazy val available: Boolean =
+      try { Class.forName("javax.imageio.ImageIO"); true }
+      catch { case _: Throwable => false }
+
+    override def decode(r: MediaRow): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) StubCodec.decode(r)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Double](16)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum / 16) += 1
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length, w, h,
+          sum.toDouble / n, hist.map(_ / n))
+      }
+    }
+  }
+
   /** STUB CODEC — deterministic fake "decode": width/height from the
     * first 4 bytes (big-endian u16 pairs), 16-bin byte histogram as the
-    * "feature vector". Replace with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production; signature and batch shape stay. */
+    * "feature vector". The pluggable seam is [[Codec]]; this remains the
+    * default because the provisioned corpus carries no real media. */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val b = r.bytes
     def u16(i: Int): Int =
@@ -56,12 +109,13 @@ object Multimodal {
   /** Batch decode: one pass per partition, codec invoked per record
     * inside the partition iterator (mapPartitions ≈ mapInPandas batch
     * shape — amortizes per-batch codec setup, never collects). */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow],
+                     codec: Codec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs would initialize per-partition state here (decoder
       // handles, model weights, thread pools)
-      it.map(decodeStub)
+      it.map(codec.decode)
     }
   }
 
