@@ -93,7 +93,8 @@ object Pipeline {
       // (`index_elasticsearch.py:22-23,245-246`)
       ServingSink.bootstrapMapping(enriched, cfg.servingDir, "movies_enriched_daily",
         ServingSink.movieFieldSpec)
-      ServingSink.bootstrapMapping(kpi, cfg.servingDir, "movies_kpis_daily")
+      ServingSink.bootstrapMapping(kpi, cfg.servingDir, "movies_kpis_daily",
+        ServingSink.kpiFieldSpec)
       ServingSink.writeBulk(enriched, cfg.servingDir, "movies_enriched_daily",
         Seq("snapshot_date", "tmdb_id"))
       ServingSink.writeBulk(kpi, cfg.servingDir, "movies_kpis_daily",

@@ -55,6 +55,16 @@ object ServingSink {
     textFields = Set("actors"),
     typeOverrides = Map("metascore" -> "double", "imdb_votes" -> "integer"))
 
+  /** The reference's pinned choices for the KPI index
+    * (`index_elasticsearch.py:210-225`): the four counts are mapped
+    * `integer` even though Spark `count()` produces longs. */
+  val kpiFieldSpec: FieldSpec = FieldSpec(
+    typeOverrides = Map(
+      "nb_movies" -> "integer",
+      "nb_movies_with_omdb" -> "integer",
+      "nb_overhyped" -> "integer",
+      "nb_hidden_gems" -> "integer"))
+
   private def fieldJson(f: StructField, spec: FieldSpec): String =
     if (spec.textKeywordFields(f.name))
       s""""${f.name}":{"type":"text","fields":{"keyword":{"type":"keyword"}}}"""

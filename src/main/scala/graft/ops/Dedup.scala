@@ -193,31 +193,57 @@ object Dedup {
     * minimum. Throws if `maxIter` rounds don't converge (pathological
     * diameter — raise the bound). */
   def components(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val spark = pairs.sparkSession
+    // Per-round frames are pinned as lazily-localCheckpointed RDDs we hold
+    // a handle on: ONE action per round (the convergence count) both
+    // materializes the round's labels and counts changed labels, and the
+    // superseded round's blocks are unpersisted immediately — r3 ran a
+    // second convergence-join job per round and accumulated up to 30 label
+    // snapshots in block storage.
+    val edgesDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.groupBy("a").agg(min(col("b")).as("m"))
+      .distinct()
+    val edgesRdd = edgesDf.rdd
+    edgesRdd.localCheckpoint() // lazy mark; round 1's action materializes it
+    val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
+
+    val labels0 = edges.groupBy("a").agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))
-      .localCheckpoint()
+    var labelsRdd = labels0.rdd
+    labelsRdd.localCheckpoint()
+    var labels = spark.createDataFrame(labelsRdd, labels0.schema)
+
     var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      // propagate each neighbor's current label across every edge…
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // propagate each neighbor's current label across every edge, carrying
+      // each node's previous label through the aggregate (max ignores the
+      // NULLs on edge-propagated rows; every node has exactly one own-row)…
       val viaEdge = edges.join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("lbl"))
-      val prop = labels.unionByName(viaEdge)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .select(edges("a").as("id"), col("lbl"),
+          lit(null).cast(labels.schema("lbl").dataType).as("old"))
+      val prop = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionByName(viaEdge)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
       // …then path-halve: adopt the label of the current label
       val hop = prop.select(col("id").as("lbl"), col("lbl").as("lbl2"))
-      val next = prop.join(hop, Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      done = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+      val newLbl = least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
+      val nextDf = prop.join(hop, Seq("lbl"), "left")
+        .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("old")).as("chg"))
+      val nextRdd = nextDf.rdd
+      nextRdd.localCheckpoint()
+      // the single per-round action: caches this round, counts the delta
+      changed = nextRdd.filter(_.getBoolean(2)).count()
+      val prev = labelsRdd
+      labelsRdd = nextRdd
+      labels = spark.createDataFrame(nextRdd, nextDf.schema).drop("chg")
+      prev.unpersist(blocking = false)
       iter += 1
     }
-    require(done, s"components did not converge in $maxIter rounds")
+    require(changed == 0, s"components did not converge in $maxIter rounds")
+    // the result is a leaf over labelsRdd's cached blocks — the edge blocks
+    // are no longer reachable from it
+    edgesRdd.unpersist(blocking = false)
     labels
   }
 

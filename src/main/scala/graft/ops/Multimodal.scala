@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * iteration, feature schema — is real and tested. The CODECS ARE STUBS:
   * this container has no image/audio libraries, so `decodeStub` parses a
   * tiny deterministic fake header and derives features from raw bytes. A
-  * production deployment swaps `decodeStub`/`frameSampleStub` for real
-  * codec calls; nothing else changes.
+  * production deployment swaps the [[Codec]] / [[Demuxer]] seam
+  * implementations for real codec calls; nothing else changes.
+  * [[ImageIoCodec]] is the proof: real JDK image decode behind the same
+  * seam, falling back to the stub on non-image payloads.
   */
 object Multimodal {
 
@@ -61,9 +63,15 @@ object Multimodal {
       catch { case _: Throwable => false }
 
     override def decode(r: MediaRow): MediaFeatures = {
+      // JDK image plugins can throw RuntimeExceptions (IllegalArgument,
+      // CMMException, AIOOBE) on malformed payloads, not just IOException —
+      // any decode failure falls back to the stub so mixed corpora never
+      // fail the partition; same for a stripped runtime without java.desktop
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-        catch { case _: java.io.IOException => null }
+        if (!available) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) StubCodec.decode(r)
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -119,20 +127,45 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampler: every `stride`-th 4-byte window stands in for a
-    * decoded video frame; emits one row per sampled "frame". Real
-    * implementation: demux + keyframe decode. */
-  def frameSampleStub(media: Dataset[MediaRow], stride: Int): DataFrame = {
-    import media.sparkSession.implicits._
-    media.flatMap { r =>
+  /** One sampled frame out of a media payload: byte offset within the
+    * container plus a content hash of the decoded frame. */
+  case class Frame(media_id: Long, frame_offset: Int, frame_hash: Int)
+
+  /** Pluggable demux seam for audio/video: one implementation turns an
+    * opaque media row into an iterator of sampled frames. Same contract
+    * as [[Codec]] — Serializable, runs inside the partition iterator, a
+    * production deployment swaps in a real demuxer (container parse +
+    * keyframe decode) and nothing else changes. */
+  trait Demuxer extends Serializable {
+    def frames(r: MediaRow, stride: Int): Iterator[Frame]
+  }
+
+  /** STUB demuxer — container-safe default: every `stride`-th 4-byte
+    * window stands in for a decoded keyframe (no media libs in this
+    * container). Deterministic, so the plumbing is fully testable. */
+  object StubDemuxer extends Demuxer {
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] =
       Iterator.range(0, math.max(r.bytes.length - 3, 0), math.max(stride, 1))
         .map { off =>
           val frameHash = java.util.Arrays.hashCode(
             java.util.Arrays.copyOfRange(r.bytes, off, off + 4))
-          (r.media_id, off, frameHash)
+          Frame(r.media_id, off, frameHash)
         }
-    }.toDF("media_id", "frame_offset", "frame_hash")
   }
+
+  /** Frame sampling through the [[Demuxer]] seam: one demux pass per
+    * partition, one output row per sampled frame. Never collects; frame
+    * fan-out stays inside the partition iterator. */
+  def frameSample(media: Dataset[MediaRow], stride: Int,
+                  demuxer: Demuxer = StubDemuxer): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(demuxer.frames(_, stride))
+      .toDF("media_id", "frame_offset", "frame_hash")
+  }
+
+  /** Back-compat alias for the pre-seam entry point. */
+  def frameSampleStub(media: Dataset[MediaRow], stride: Int): DataFrame =
+    frameSample(media, stride, StubDemuxer)
 
   /** Size-aware repartition: media blobs are orders of magnitude bigger
     * than their metadata, so partition count follows total payload bytes,

@@ -34,9 +34,12 @@ object Similarity {
   }
 
   /** Probe the embedding dimensionality from the data (one-row action).
-    * Callers that know the dim statically should pass it instead. */
+    * Callers that know the dim statically should pass it instead. Returns 0
+    * on an empty / all-NULL frame so callers degrade to an empty result
+    * instead of throwing. */
   def probeDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).limit(1).head().getInt(0)
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Brute-force top-k by cosine: every query row against every corpus
     * row, ranked per query with an id tiebreak.

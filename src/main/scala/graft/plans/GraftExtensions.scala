@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * identical key sets. `dropDuplicates(keys)` is idempotent, and upsert
   * pipelines that compose library ops (e.g. a raw-table LWW dedup feeding
   * a defensive dedup in a downstream writer) can stack two identical
-  * dedups — each one is a full shuffle, so removing the inner node saves
-  * an exchange. Catalyst has no built-in rule for this pattern.
+  * dedups. Removing the inner node at analysis saves a full hash-aggregate
+  * pass over the data (the outer dedup reuses the single exchange either
+  * way), and keeps the plan clean before the optimizer rewrites
+  * Deduplicate into Aggregate.
   *
   * Safety: only fires when the key attribute-id sets are EQUAL — the
   * outer dedup then keeps exactly one row per key group either way (which

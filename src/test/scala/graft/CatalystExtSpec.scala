@@ -104,4 +104,49 @@ class CatalystExtSpec extends SparkSpec {
     assert(countDedups(graft.plans.CollapseDeduplicate(mixed)) == 2,
       "distinct key sets must be preserved")
   }
+
+  test("product path: GraftExtensions-equipped session collapses the stacked dedup exchange") {
+    import org.apache.spark.sql.SparkSession
+    // Bench/Verify install the extensions via the spark.sql.extensions
+    // config, which only takes effect on a fresh SparkContext (it is a
+    // static conf) — in-JVM we exercise the identical injection machinery
+    // with builder.withExtensions(new GraftExtensions), the same class the
+    // config names, on a fresh session over the shared context.
+    spark.sparkContext // force the shared context before detaching sessions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSession = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      import extSession.implicits._
+      val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+      val stacked = df.dropDuplicates("k").dropDuplicates("k")
+      // analyzer (post-hoc resolution) collapsed the inner dedup...
+      assert(stacked.queryExecution.analyzed
+        .collect { case d: Deduplicate => d }.size == 1,
+        "config-installed rule did not collapse the stacked dedup")
+      // ...so the physical plan carries ONE shuffle, not two
+      def exchanges(p: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(p.queryExecution.executedPlan.toString).size
+      assert(exchanges(stacked) == 1,
+        s"stacked dedup should plan exactly one exchange")
+      // safety check stays at the analysis layer (where the rule runs):
+      // distinct key sets must survive it untouched — what the downstream
+      // optimizer (RemoveRedundantAggregates) then does is its business
+      assert(df.dropDuplicates("k", "v").dropDuplicates("k")
+        .queryExecution.analyzed
+        .collect { case d: Deduplicate => d }.size == 2,
+        "distinct-key stack must keep both Deduplicates at analysis")
+      // the SQL function rides the same config
+      assert(extSession.sql("SELECT graft_simhash64(array('a','b')) AS h")
+        .head().getLong(0) != 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }

@@ -215,4 +215,73 @@ class LlmOpsSpec extends SparkSpec {
     val repart = Multimodal.repartitionBySize(media.toDF(), "bytes", 16 * 1024)
     assert(repart.rdd.getNumPartitions >= 2) // 500 docs × ~300 B ≫ 16 KiB target
   }
+
+  // A real 77-byte 2×2 RGB PNG: (0,0)=black, (1,0)=white, (0,1)=red,
+  // (1,1)=blue. Rec.601 integer luminances: 0, 255, 76, 29 → mean 90.0,
+  // histogram bins 0/1/4/15 at 0.25 each.
+  private val png2x2: Array[Byte] = Array[Int](
+    -119, 80, 78, 71, 13, 10, 26, 10, 0, 0, 0, 13,
+    73, 72, 68, 82, 0, 0, 0, 2, 0, 0, 0, 2,
+    8, 2, 0, 0, 0, -3, -44, -102, 115, 0, 0, 0,
+    20, 73, 68, 65, 84, 120, -100, 99, 96, 96, 96, -8,
+    -1, -1, 63, -61, 127, 6, 16, 3, 0, 33, -20, 4,
+    -4, -124, -21, -3, -124, 0, 0, 0, 0, 73, 69, 78,
+    68, -82, 66, 96, -126).map(_.toByte)
+
+  test("ImageIoCodec decodes a real 2x2 PNG byte literal (golden)") {
+    assert(Multimodal.ImageIoCodec.available)
+    val f = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(1L, "image/png", png2x2))
+    assert(f.width == 2 && f.height == 2)
+    assert(f.n_bytes == 77)
+    assert(f.mean_byte == 90.0) // (0 + 255 + 76 + 29) / 4
+    val expectedHist = Array.tabulate(16)(i =>
+      if (Set(0, 1, 4, 15)(i)) 0.25 else 0.0)
+    assert(f.histogram.toSeq == expectedHist.toSeq)
+  }
+
+  test("ImageIoCodec through the Spark decode path + stub fallback") {
+    import spark.implicits._
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val corruptPng = png2x2.take(40) // valid signature, truncated body
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png2x2),
+      Multimodal.MediaRow(2L, "application/octet-stream", garbage),
+      Multimodal.MediaRow(3L, "image/png", corruptPng)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media, Multimodal.ImageIoCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    // real decode for the valid PNG
+    assert(feats(1L).width == 2 && feats(1L).mean_byte == 90.0)
+    // non-image and corrupt payloads fall back to the stub, bit-for-bit,
+    // without failing the partition (Array equality is by reference, so
+    // compare the histogram separately)
+    def same(a: Multimodal.MediaFeatures, b: Multimodal.MediaFeatures) = {
+      assert(a.histogram.toSeq == b.histogram.toSeq)
+      assert((a.media_id, a.kind, a.n_bytes, a.width, a.height, a.mean_byte)
+        == (b.media_id, b.kind, b.n_bytes, b.width, b.height, b.mean_byte))
+    }
+    same(feats(2L), Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(2L, "application/octet-stream", garbage)))
+    same(feats(3L), Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(3L, "image/png", corruptPng)))
+  }
+
+  test("frameSample demux seam is pluggable") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, "video/fake",
+      Array.tabulate[Byte](256)(_.toByte))).toDS()
+    // stub demuxer: stride-64 over 253 offsets → offsets 0,64,128,192
+    val stub = Multimodal.frameSample(media, stride = 64)
+      .select("frame_offset").as[Int].collect().sorted
+    assert(stub.toSeq == Seq(0, 64, 128, 192))
+    // a custom demuxer drops in with no other plumbing changes
+    object EveryByteOnce extends Multimodal.Demuxer {
+      override def frames(r: Multimodal.MediaRow, stride: Int) =
+        Iterator.single(Multimodal.Frame(r.media_id, -1, r.bytes.length))
+    }
+    val custom = Multimodal.frameSample(media, 64, EveryByteOnce).collect()
+    assert(custom.length == 1 && custom(0).getInt(1) == -1
+      && custom(0).getInt(2) == 256)
+  }
 }

@@ -171,6 +171,27 @@ class PipelineSpec extends SparkSpec {
     assert(mapping.contains(""""number_of_replicas":0"""))
   }
 
+  test("serving: KPI mapping matches the reference's pinned dict field-for-field") {
+    result
+    val mapping = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(cfg.servingDir).resolve("movies_kpis_daily.mapping.json"))
+    // the reference pins the four counts as `integer` even though they are
+    // 64-bit counts upstream (`index_elasticsearch.py:210-225`)
+    val expected = Seq(
+      """"snapshot_date":{"type":"date"}""",
+      """"nb_movies":{"type":"integer"}""",
+      """"nb_movies_with_omdb":{"type":"integer"}""",
+      """"omdb_coverage_ratio":{"type":"double"}""",
+      """"avg_tmdb_rating":{"type":"double"}""",
+      """"avg_imdb_rating":{"type":"double"}""",
+      """"avg_popularity":{"type":"double"}""",
+      """"nb_overhyped":{"type":"integer"}""",
+      """"nb_hidden_gems":{"type":"integer"}""")
+    for (f <- expected) assert(mapping.contains(f), s"missing/mismatched: $f")
+    assert(mapping.contains(""""number_of_shards":1"""))
+    assert(mapping.contains(""""number_of_replicas":0"""))
+  }
+
   test("serving: bulk NDJSON payload has stable ids, date strings, explicit nulls") {
     result
     import scala.jdk.CollectionConverters._
