@@ -49,6 +49,42 @@ object LakeZones {
     writePartitioned(deduped, root, zone, name)
   }
 
+  /** S7 (streaming face): merge-upsert a micro-batch into a partitioned
+    * lake table. [[upsertByDay]] assumes the batch carries the COMPLETE
+    * refreshed content of every day it touches (true for batch snapshot
+    * runs); a streaming update-mode batch instead carries only the CHANGED
+    * keys, so here the batch is merged with the existing rows of exactly
+    * the touched day partitions under keyed last-write-wins, and only
+    * those partitions are rewritten.
+    *
+    * Scale posture: the read-modify-write is bounded by the partitions
+    * present in the batch, not the table — the `days` list collected to
+    * the driver is one value per touched day (small by construction), and
+    * partition pruning keeps the merge read to those directories. The
+    * touched partitions are materialized (`localCheckpoint`) before the
+    * overwrite so Spark does not see a self-overwriting file scan. */
+  def mergeUpsertByDay(batch: DataFrame, root: String, zone: String, name: String,
+                       keys: Seq[String],
+                       order: Seq[org.apache.spark.sql.Column]): String = {
+    val spark = batch.sparkSession
+    val path = s"$root/$zone/$name"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(hPath)) batch
+      else {
+        val days = batch.select(col("snapshot_date").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (days.isEmpty) return path // empty batch: nothing to rewrite
+        val existing = readTable(spark, root, zone, name)
+          .filter(col("snapshot_date").cast("string").isin(days: _*))
+          .select(batch.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint()
+        existing.unionByName(batch)
+      }
+    upsertByDay(merged, root, zone, name, keys, order)
+  }
+
   /** S11: read a lake table back (all days, partition column recovered from
     * the directory layout; filter on snapshot_date prunes partitions). */
   def readTable(spark: SparkSession, root: String, zone: String, name: String): DataFrame =

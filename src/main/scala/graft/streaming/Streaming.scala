@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
+import graft.io.LakeZones
 import graft.model.Schemas
 
 /** Structured Streaming surface — beyond reference parity (the reference
@@ -59,6 +60,28 @@ object Streaming {
                   watermark: String = "1 day"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream → lake zone: every micro-batch merge-upserts into the same
+    * partitioned Parquet layout the batch pipeline writes
+    * ([[LakeZones.mergeUpsertByDay]]), so incremental results land beside
+    * — and are readable exactly like — batch snapshots. The stream must
+    * carry a `snapshot_date` column (the partition key).
+    *
+    * Replay safety: `foreachBatch` is at-least-once; the merge-upsert is
+    * idempotent (re-delivering a batch re-merges the same keys under
+    * last-write-wins and rewrites the same day partitions with identical
+    * content), so the checkpoint + sink pair gives effectively-once lake
+    * content. */
+  def lakeSink(stream: DataFrame, checkpointDir: String, root: String,
+               zone: String, name: String, keys: Seq[String],
+               order: Seq[Column], outputMode: String = "update"): StreamingQuery =
+    stream.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        LakeZones.mergeUpsertByDay(batch, root, zone, name, keys, order): Unit
+      }
+      .start()
 
   /** Incremental raw-zone ingestion: a file stream over the enveloped
     * JSON layout — new `date=` files are picked up per micro-batch and

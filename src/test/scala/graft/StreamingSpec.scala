@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lakeSink: streaming micro-batches merge-upsert into the lake zones") {
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_stream").toString
+    val ms = MemoryStream[(String, Long, Double, Timestamp)]
+    val stream = ms.toDF.toDF("day", "user_id", "value", "ts")
+      .select(to_date(col("day")).as("snapshot_date"),
+        col("user_id"), col("value"), col("ts"))
+    val q = Streaming.lakeSink(stream, s"$dir/ckpt", s"$dir/lake", "usage",
+      "user_latest", keys = Seq("user_id"), order = Seq(col("ts").desc),
+      outputMode = "append")
+    try {
+      ms.addData(
+        ("2026-03-01", 1L, 1.0, ts("2026-03-01 10:00:00")),
+        ("2026-03-01", 2L, 2.0, ts("2026-03-01 11:00:00")))
+      q.processAllAvailable()
+      // a later batch updates user 1 and opens a second day; user 2's row
+      // must survive the rewrite of day 1 (merge, not clobber)
+      ms.addData(
+        ("2026-03-01", 1L, 9.0, ts("2026-03-01 12:00:00")),
+        ("2026-03-02", 3L, 3.0, ts("2026-03-02 09:00:00")))
+      q.processAllAvailable()
+      val out = io.LakeZones.readTable(spark, s"$dir/lake", "usage", "user_latest")
+        .select(col("snapshot_date").cast("string"), col("user_id"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(out == Map(
+        ("2026-03-01", 1L) -> 9.0,
+        ("2026-03-01", 2L) -> 2.0,
+        ("2026-03-02", 3L) -> 3.0))
+      // within-batch LWW: an older duplicate key in one batch never wins
+      ms.addData(
+        ("2026-03-02", 3L, 7.0, ts("2026-03-02 11:00:00")),
+        ("2026-03-02", 3L, 5.0, ts("2026-03-02 10:00:00")))
+      q.processAllAvailable()
+      val day2 = io.LakeZones.readTable(spark, s"$dir/lake", "usage", "user_latest")
+        .filter(col("snapshot_date") === "2026-03-02")
+        .select("value").collect().map(_.getDouble(0)).toSeq
+      assert(day2 == Seq(7.0))
+    } finally q.stop()
+  }
+
   test("latestPerUser: keyed state keeps the newest event across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
