@@ -96,11 +96,14 @@ object Similarity {
       centroids.zipWithIndex.map { case (ctr, i) =>
         i -> dot(vec, array(ctr.map(lit): _*))
       }
-    // corpus: single best cell
+    // corpus: single best cell — array_max over (score, -index) structs, so
+    // ties go to the lowest centroid index. NOT a struct reduce with
+    // when(): that duplicates the accumulated tree each step and the
+    // expression grows 2^nCentroids (OOMs the planner at 16 centroids).
     val cCell = corpus.withColumn("cell",
-      cellScores(col(cVec)).map { case (i, s) => struct(s.as("s"), lit(i).as("i")) }
-        .reduce((a, b) => when(a.getField("s") >= b.getField("s"), a).otherwise(b))
-        .getField("i"))
+      -array_max(array(cellScores(col(cVec)).map { case (i, s) =>
+        struct(s.as("s"), lit(-i).as("ni")) }: _*))
+        .getField("ni"))
     // queries: top nProbes cells, exploded
     val qCells = queries.withColumn("cell",
       explode(slice(
@@ -115,6 +118,107 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(qId, cId, "rank", "cosine")
+  }
+
+  /** Deterministic quantized IVF top-k — the bit-reproducible flavor of
+    * [[ivfTopK]] and its oracle-checkable face: vectors are rounded to
+    * fixed point (float×2^20 exact in double), the seeded ±1
+    * pseudo-centroid scores and the rerank dot are then pure integer
+    * arithmetic, so cell assignment, probing and ranking are identical at
+    * any partition count and in any engine. Tie-breaks are pinned: the
+    * corpus cell is the FIRST maximum-score centroid (score desc, index
+    * asc), query probes are the top `nProbes` by the same order.
+    *
+    * 100 TB posture: same inverted-file shape as [[ivfTopK]] — candidates
+    * come only from probed cells, the join shuffles on the cell id,
+    * nothing broadcasts, nothing crosses the full corpus. */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
+                       quantScale: Double = 1048576.0, dim: Int = -1,
+                       qId: String = "q_id", qVec: String = "q_vec",
+                       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
+    val centroids = randomPlanes(nCentroids, d, seed)
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    // integer centroid score: quantized components × ±1 — exact longs
+    def cellScore(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, array(ctr.map(x => lit(x.toLong)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
+    val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
+    // corpus: single best cell — array_max over (score, -index) structs
+    // (lexicographic), so ties go to the lowest centroid index. NOT a
+    // struct reduce with when(): that duplicates the accumulated tree each
+    // step and the expression grows 2^nCentroids.
+    val cCell = c.withColumn("__cell",
+      -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(cellScore(col("__cv"), ctr).as("s"), lit(-i).as("ni")) }: _*))
+        .getField("ni"))
+    // queries: top nProbes cells — the struct carries -i so the descending
+    // lexicographic sort breaks score ties on the lowest index
+    val qCells = q.withColumn("__cell",
+      explode(transform(slice(
+        sort_array(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(cellScore(col("__qv"), ctr).as("s"), lit(-i).as("ni")) }: _*),
+          asc = false),
+        1, nProbes), s => -s.getField("ni"))))
+    // corpus rows live in exactly one cell and query probes are distinct
+    // cells, so each (q, c) pair appears at most once — no dedup needed
+    val scored = qCells.join(cCell, Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("dot_i",
+        aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(qId).orderBy(col("dot_i").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"),
+        (col("dot_i").cast("double") / (quantScale * quantScale)).as("dot"))
+  }
+
+  /** Deterministic quantized embedding near-dup pairs — the
+    * bit-reproducible flavor of [[embeddingNearDups]]: fixed-point
+    * quantization makes the SRP bucket bits and the dot/norm sums exact
+    * integers; the only floating-point step is the final
+    * dot/√(‖a‖²·‖b‖²) with a pinned evaluation order (each IEEE op
+    * rounds once, identically in any engine). Returns
+    * (id_a < id_b, cosine ≥ threshold).
+    *
+    * 100 TB posture: identical to [[embeddingNearDups]] — candidates only
+    * from shared sketch buckets, bucket-keyed shuffle, never all-pairs. */
+  def embeddingNearDupsQuantized(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, nPlanes: Int = 8,
+                                 prefixBits: Int = 8,
+                                 seeds: Seq[Long] = Seq(42L, 1042L),
+                                 quantScale: Double = 1048576.0,
+                                 dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
+    val mask = (1L << prefixBits) - 1
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
+    val candidates = seeds.map { seed =>
+      val planes = randomPlanes(nPlanes, d, seed)
+      // srpSketch folds integer-valued doubles < 2^53 — exact sign bits
+      val b = base.withColumn("bucket", srpSketch(col("v"), planes).bitwiseAND(mask))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+    }.reduce(_ unionByName _).distinct()
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    candidates
+      .withColumn("dot_i", dotL(col("va"), col("vb")))
+      .withColumn("na2", dotL(col("va"), col("va")))
+      .withColumn("nb2", dotL(col("vb"), col("vb")))
+      .withColumn("cosine",
+        when(col("na2") > 0 && col("nb2") > 0,
+          col("dot_i").cast("double")
+            / sqrt(col("na2").cast("double") * col("nb2").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (multi

@@ -240,6 +240,42 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Quantized IVF ANN (the inverted-file scale path, oracle-verified):
+    // corpus vectors are assigned to their nearest of 16 seeded ±1
+    // pseudo-centroids by exact integer score (first maximum on ties),
+    // queries probe their top-4 cells, exact integer dot reranks within
+    // the probed cells only. The oracle interpolates the SAME centroid
+    // literals and pins the identical (score desc, index asc) tie order.
+    "q42_ivf_ann" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopKQuantized(q, c, k = 10,
+          nCentroids = 16, nProbes = 4, seed = 7L, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Quantized embedding near-dup pairs: corpus ∪ scaled copies of every
+    // 25th vector (×(1 + 2^-10), a pure-scaling perturbation, so cosine of
+    // each planted pair is 1 up to quantization noise ~1e-12). SRP buckets
+    // bound candidates; the cosine confirmation is a pinned-order IEEE
+    // chain over exact integer dot/norm sums, so the oracle (same plane
+    // literals, same formula) hash-matches bit-for-bit.
+    "q43_embed_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(col("id") % 25 === 0)
+        .select((col("id") + 100000).as("id"),
+          transform(col("v"), x => x * 1.0009765625).as("v"))
+      val corpus = base.unionByName(copies)
+      Similarity.embeddingNearDupsQuantized(corpus, "id", "v",
+          threshold = 0.99, nPlanes = 8, prefixBits = 8,
+          seeds = Seq(42L, 1042L), dim = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -551,6 +587,87 @@ object LlmQueries {
         |  FROM scored)
         |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "q42_ivf_ann" -> {
+      // interpolate the SAME seeded ±1 centroid literals the Spark
+      // operator derives (Similarity.randomPlanes(16, 64, 7L)) — cell
+      // assignment cannot drift
+      val ctrRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
+        case (ctr, i) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($i, $lst)"
+      }.mkString(",\n        |    ")
+      s"""WITH v AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ctr(i, p) AS (VALUES
+        |    $ctrRows),
+        |cells AS (
+        |  SELECT v.id, v.v, ctr.i,
+        |    list_aggregate(list_transform(range(64), j -> v.v[j+1] * ctr.p[j+1]), 'sum') AS s
+        |  FROM v, ctr),
+        |rc AS (
+        |  SELECT id, v, i,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
+        |  FROM cells),
+        |c_cell AS (SELECT id, v, i AS cell FROM rc WHERE r = 1),
+        |q_cell AS (SELECT id, v, i AS cell FROM rc
+        |           WHERE r <= 4 AND id < 500 AND id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, c.id AS c_id,
+        |    list_aggregate(list_transform(range(64), j -> q.v[j+1] * c.v[j+1]), 'sum') AS dot_i
+        |  FROM q_cell q JOIN c_cell c ON q.cell = c.cell AND q.id != c.id),
+        |ranked AS (
+        |  SELECT q_id, c_id, dot_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "q43_embed_neardup" -> {
+      // interpolate the SAME seeded ±1 plane literals
+      // (Similarity.randomPlanes(8, 64, seed)) — bucket bits cannot drift
+      def bucketSql(seed: Long): String =
+        Similarity.randomPlanes(8, 64, seed).zipWithIndex.map { case (plane, p) =>
+          val lst = plane.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_aggregate(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), 'sum') >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n        |      + ")
+      s"""WITH base AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT id, dv FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, list_transform(dv, x -> x * 1.0009765625)
+        |  FROM base WHERE id % 25 = 0),
+        |qv AS (
+        |  SELECT id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM corpus),
+        |b AS (
+        |  SELECT id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM qv),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM b a JOIN b c ON (a.b1 = c.b1 OR a.b2 = c.b2) AND a.id < c.id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_aggregate(list_transform(range(64), j -> va.v[j+1] * vb.v[j+1]), 'sum') AS dot_i,
+        |    list_aggregate(list_transform(range(64), j -> va.v[j+1] * va.v[j+1]), 'sum') AS na2,
+        |    list_aggregate(list_transform(range(64), j -> vb.v[j+1] * vb.v[j+1]), 'sum') AS nb2
+        |  FROM cand JOIN qv va ON va.id = id_a JOIN qv vb ON vb.id = id_b),
+        |cos AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na2 > 0 AND nb2 > 0
+        |         THEN CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+        |    END AS cosine
+        |  FROM scored)
+        |SELECT id_a, id_b, cosine FROM cos
+        |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q24_multimodal" ->

@@ -184,6 +184,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("ivfTopKQuantized: planted scaled copies rank 1 through probed cells") {
+    // scaled copies are parallel to their source: integer centroid scores
+    // scale with the vector, so the copy shares the query's best cell, and
+    // its ~10× inner product makes it strictly dominant → rank 1. dim ≠ 64
+    // exercises the probe path too.
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }
+    val planted = base.take(5).map { case (id, v) => (id + 100L, v.map(_ * 10f)) }
+    val corpus = (base ++ planted).toDF("c_id", "c_vec")
+    val queries = corpus.filter(col("c_id") < 5)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    val out = Similarity.ivfTopKQuantized(queries, corpus, k = 3,
+        nCentroids = 8, nProbes = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    for (i <- 0L until 5L)
+      assert(out.contains((i, i + 100L, 1)),
+        s"scaled copy of $i not rank-1: ${out.filter(_._1 == i)}")
+  }
+
+  test("embeddingNearDupsQuantized: planted pairs found, bit-stable under repartition") {
+    val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(100)
+    val n = e.count()
+    val base = e.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = base.select((col("id") + 10000L).as("id"),
+      transform(col("v"), x => x * lit(1.0009765625)).as("v"))
+    val corpus = base.unionByName(planted)
+    val pairs = Similarity.embeddingNearDupsQuantized(corpus, "id", "v",
+      threshold = 0.999)
+    val rows = pairs.collect().toSet
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val hits = (0L until n).count(i => ids.contains((i, i + 10000L)))
+    assert(hits >= (n * 9 / 10), s"only $hits/$n planted quantized pairs found")
+    // integer sketch + pinned-order IEEE cosine ⇒ identical rows (cosine
+    // bits included) at any partitioning
+    val again = Similarity.embeddingNearDupsQuantized(
+      corpus.repartition(7), "id", "v", threshold = 0.999).collect().toSet
+    assert(again == rows)
+  }
+
   test("embeddingNearDups finds planted near-identical vectors, never all-pairs") {
     val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding")).limit(100)

@@ -21,9 +21,10 @@ object MovieFixtures {
   val SnapshotDate = "2026-02-18"
   val RunId = "20260217T190700"
 
-  private def meta(endpoint: String, source: String, at: String): String =
+  private def meta(endpoint: String, source: String, at: String,
+                   date: String): String =
     s"""  "_meta": {
-       |    "snapshot_date": "$SnapshotDate",
+       |    "snapshot_date": "$date",
        |    "run_id": "$RunId",
        |    "extracted_at_utc": "$at",
        |    "source": "$source",
@@ -37,8 +38,8 @@ object MovieFixtures {
 
   /** Populate `<root>/{tmdb,omdb}/...{popular,details,ratings}/date=…` and
     * return the root as a string. */
-  def writeRawZone(root: Path): String = {
-    val d = s"date=$SnapshotDate"
+  def writeRawZone(root: Path, date: String = SnapshotDate): String = {
+    val d = s"date=$date"
 
     def movie(id: Int, title: String, release: String, pop: Double,
               va: Double, vc: Int, lang: String, genres: String): String =
@@ -50,7 +51,7 @@ object MovieFixtures {
 
     write(root.resolve(s"tmdb/popular/$d"), "popular_movies.json",
       s"""{
-         |${meta("popular", "tmdb", "2026-02-17T19:07:12.345678+00:00")},
+         |${meta("popular", "tmdb", "2026-02-17T19:07:12.345678+00:00", date)},
          |  "data": {
          |    "page": 1,
          |    "results": [
@@ -68,7 +69,7 @@ object MovieFixtures {
     def details(id: Int, imdb: String, title: String, release: String,
                 runtime: String, status: String): String =
       s"""{
-         |${meta("details", "tmdb", "2026-02-17T19:07:20.000000+00:00")},
+         |${meta("details", "tmdb", "2026-02-17T19:07:20.000000+00:00", date)},
          |  "data": {
          |    "id": $id, "imdb_id": $imdb, "title": "$title",
          |    "release_date": "$release", "runtime": $runtime, "status": "$status",
@@ -100,7 +101,7 @@ object MovieFixtures {
     def omdb(response: String, title: String, rating: String, votes: String,
              metascore: String): String =
       s"""{
-         |${meta("ratings", "omdb", "2026-02-17T19:07:30.000000+00:00")},
+         |${meta("ratings", "omdb", "2026-02-17T19:07:30.000000+00:00", date)},
          |  "data": {
          |    "Response": "$response", "Title": "$title",
          |    "imdbRating": "$rating", "imdbVotes": "$votes", "Metascore": "$metascore",

@@ -223,4 +223,44 @@ class PipelineSpec extends SparkSpec {
     val m4doc = bulkLines.find(_.contains(""""tmdb_id":104""")).get
     assert(m4doc.contains(""""imdb_id":null"""))
   }
+
+  test("backfill: two days coexist; re-running day 1 leaves day 2's files untouched") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.LakeZones
+    val base = java.nio.file.Files.createTempDirectory("graft-backfill-")
+    val rawRoot = base.resolve("raw")
+    val day1 = MovieFixtures.SnapshotDate
+    val day2 = "2026-02-19"
+    MovieFixtures.writeRawZone(rawRoot, day1)
+    MovieFixtures.writeRawZone(rawRoot, day2)
+    val bcfg = Pipeline.Config(rawRoot.toString, base.resolve("lake").toString,
+      base.resolve("serving").toString, day1, MovieFixtures.RunId)
+    Pipeline.backfill(spark, bcfg, Seq(day1, day2))
+
+    // both snapshot_date partitions coexist with full per-day content
+    val lake = LakeZones.readTable(spark, bcfg.lakeRoot, "usage", "movies_enriched")
+    val byDay = lake.groupBy(col("snapshot_date").cast("string").as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay == Map(day1 -> 5L, day2 -> 5L), s"per-day rows: $byDay")
+
+    // re-run day 1: dynamic overwrite must replace only day 1's partition —
+    // day 2's files (names AND mtimes) stay byte-identical on disk
+    def day2Files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(
+        bcfg.lakeRoot, "usage", "movies_enriched", s"snapshot_date=$day2")
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = day2Files()
+    assert(before.nonEmpty)
+    Pipeline.run(spark, bcfg.copy(snapshotDate = day1))
+    assert(day2Files() == before, "day-2 partition files changed on a day-1 re-run")
+    // and the day-1 re-run is content-idempotent
+    val d1 = LakeZones.readTable(spark, bcfg.lakeRoot, "usage", "movies_enriched")
+      .filter(col("snapshot_date").cast("string") === day1)
+    assert(d1.count() == 5L)
+  }
 }
