@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Everything here derives from content hashes, never `rand()`: the same
+  * row lands in the same split on every run, at every partition count, in
+  * every engine — the reproducibility contract a 100 TB training corpus
+  * needs (re-running a backfill must not shuffle documents across
+  * train/val/test).
+  *
+  * 100 TB posture: all pure map-side Column expressions — no shuffle, no
+  * state, no driver round-trips; codegen'd md5 + arithmetic per row.
+  */
+object Sampling {
+
+  /** Value of one lowercase hex digit (portable: ASCII arithmetic only). */
+  private def hexDigitVal(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** Stable bucket ∈ [0, 256): the first two hex digits of md5(key).
+    * Cross-engine reproducible (md5 hex is bit-identical everywhere). */
+  def hashBucket(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    hexDigitVal(substring(h, 1, 1)) * 16 + hexDigitVal(substring(h, 2, 1))
+  }
+
+  /** Deterministic train/val/test assignment by hash bucket. Cut points
+    * are integer bucket counts (256×pct/100, floor), so the realized
+    * fractions are exact and documented: 80/10/10 → 204/26/26 buckets. */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(key)
+    val trainCut = 256 * trainPct / 100
+    val valCut = 256 * (trainPct + valPct) / 100
+    when(b < trainCut, "train").when(b < valCut, "val").otherwise("test")
+  }
+
+  /** Deterministic fraction-sample: keep rows whose bucket falls under
+    * `256×fraction` — the hash-derived analog of `df.sample` that is
+    * stable across runs and engines. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"invalid fraction $fraction")
+    df.filter(hashBucket(col(keyCol)) < (256 * fraction).toInt)
+  }
+}

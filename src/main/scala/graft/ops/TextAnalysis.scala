@@ -100,4 +100,25 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** PII patterns, kept to syntax both Java regex and RE2 accept (char
+    * classes, bounded repeats, \b) so external engines redact identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Redact emails/phone numbers with typed placeholders — the scrub step
+    * of a training-data pipeline. Pure map-side, codegen'd regex. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
+  /** Count of pattern matches in the text (whole-match group). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Raw (non-distinct) word n-grams, 1-indexed slices — the input to
+    * repetition scoring. Caller must guard `size(tokens) >= n`. */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
 }

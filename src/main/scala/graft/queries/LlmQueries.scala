@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -274,6 +274,52 @@ object LlmQueries {
           threshold = 0.99, nPlanes = 8, prefixBits = 8,
           seeds = Seq(42L, 1042L), dim = 64)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Deterministic train/val/test split: hash-bucket assignment (first
+    // two md5 hex digits of doc_id, never rand()) → per-split per-lang
+    // token accounting. The reproducibility contract for corpus splits:
+    // same doc → same split at any partition count, in any engine.
+    "q44_train_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.withColumn("split", Sampling.splitAssign(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("nb_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("split", "lang")
+    }),
+
+    // PII redaction accounting: emails/phones injected into every 13th doc
+    // (deterministic literals built from doc_id), then pattern counts and
+    // redacted lengths per affected doc. Patterns stick to syntax Java
+    // regex and RE2 share, so both engines see identical matches.
+    "q45_pii_redaction" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+        .withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 555-123-4567 end")))
+      d.select(col("doc_id"),
+          TextAnalysis.matchCount(col("text2"), TextAnalysis.EmailRe).as("nb_emails"),
+          TextAnalysis.matchCount(col("text2"), TextAnalysis.PhoneRe).as("nb_phones"),
+          length(col("text2")).as("len_raw"),
+          length(TextAnalysis.redactPii(col("text2"))).as("len_redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition detection (quality signal): max repeated 3-gram share per
+    // doc — raw (non-distinct) n-grams, grouped twice (gram counts, then
+    // per-doc max/sum). rep_ratio is an IEEE division of exact ints.
+    "q46_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+      val grams = d.select(col("doc_id"),
+        explode(TextAnalysis.ngrams(col("toks"), 3)).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+        .orderBy("doc_id")
     }),
 
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
@@ -669,6 +715,55 @@ object LlmQueries {
         |SELECT id_a, id_b, cosine FROM cos
         |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q44_train_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, ntok,
+        |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS nb_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q45_pii_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com or 555-123-4567 end' AS text2
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS nb_emails,
+        |  CAST(len(regexp_extract_all(text2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS nb_phones,
+        |  CAST(length(text2) AS INT) AS len_raw,
+        |  CAST(length(
+        |    regexp_replace(
+        |      regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')) AS INT) AS len_redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q46_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+        |  FROM d WHERE len(toks) >= 3),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(max(c) AS BIGINT) AS max_rep,
+        |       CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -184,6 +184,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("splitAssign: deterministic, complete, and close to declared fractions") {
+    import graft.ops.Sampling
+    val keys = (0L until 2000L).toDF("k")
+    val splits = keys.select(col("k"), Sampling.splitAssign(col("k")).as("s"))
+    val counts = splits.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    // realized fractions are 204/26/26 of 256 — allow sampling wobble
+    assert(math.abs(counts("train") - 2000.0 * 204 / 256) < 120,
+      s"train count ${counts("train")}")
+    // stability: identical assignment at a different partitioning
+    val again = keys.repartition(13)
+      .select(col("k"), Sampling.splitAssign(col("k")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = splits.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    // hashSample keeps a stable subset, no resampling across runs
+    val s1 = Sampling.hashSample(keys, "k", 0.25).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(keys.repartition(7), "k", 0.25).as[Long].collect().toSet
+    assert(s1 == s2 && s1.size > 300 && s1.size < 700, s"sample size ${s1.size}")
+  }
+
+  test("redactPii / matchCount / ngrams: patterns and slices are exact") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      ("write to bob.smith@corp.example.org or call 555-123-4567 now", 1, 1),
+      ("no pii here at all", 0, 0),
+      ("two mails a@b.io and c.d@e.f.co", 2, 0)
+    ).toDF("text", "wantEmails", "wantPhones")
+    val bad = df.filter(
+      TextAnalysis.matchCount(col("text"), TextAnalysis.EmailRe) =!= col("wantEmails") ||
+      TextAnalysis.matchCount(col("text"), TextAnalysis.PhoneRe) =!= col("wantPhones"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+    val red = df.filter(col("wantEmails") === 1)
+      .select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(red == "write to [EMAIL] or call [PHONE] now", red)
+    val grams = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.ngrams(TextAnalysis.tokens(col("t")), 3))
+      .as[Seq[String]].head()
+    assert(grams == Seq("a b c", "b c d"), grams)
+  }
+
   test("ivfTopKQuantized: planted scaled copies rank 1 through probed cells") {
     // scaled copies are parallel to their source: integer centroid scores
     // scale with the vector, so the copy shares the query's best cell, and
