@@ -257,4 +257,25 @@ object Dedup {
       .filter(col("lbl") < col("id")).select(col("id").as("__dup"))
     df.join(dups, df(idCol) === dups("__dup"), "left_anti")
   }
+
+  /** Decontamination: corpus docs sharing at least one word n-gram with
+    * any benchmark doc, with the count of distinct shared grams. The
+    * benchmark side (an eval suite) is bounded by construction, so its
+    * distinct gram set is broadcast and the corpus never shuffles — each
+    * corpus partition streams its grams past the broadcast set. Returns
+    * (idCol, nb_shared) for contaminated docs only. */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val toks = TextAnalysis.tokens(col(textCol))
+      df.withColumn("__toks", toks).filter(size(col("__toks")) >= n)
+        .select(col(idCol),
+          explode(array_distinct(TextAnalysis.ngrams(col("__toks"), n))).as("__g"))
+    }
+    val benchGrams = grams(benchmark).select("__g").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nb_shared")) // grams are distinct per doc already
+  }
 }

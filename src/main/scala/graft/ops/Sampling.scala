@@ -46,4 +46,19 @@ object Sampling {
     require(fraction > 0 && fraction <= 1, s"invalid fraction $fraction")
     df.filter(hashBucket(col(keyCol)) < (256 * fraction).toInt)
   }
+
+  /** Deterministic per-source mixture sampling: each row keeps or drops by
+    * its hash bucket against its source's fraction — how a training mix
+    * downsamples over-represented domains. The per-source cut is a chained
+    * CASE (linear expression, map-side); unknown sources fall back to
+    * `defaultFraction`. */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 1.0): DataFrame = {
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit((256 * defaultFraction).toInt)) { case (acc, (src, f)) =>
+        when(col(sourceCol) === src, lit((256 * f).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < cut)
+  }
 }

@@ -24,6 +24,11 @@ object LlmQueries {
 
   private def docTokens(c: org.apache.spark.sql.Column) = TextAnalysis.tokens(c)
 
+  /** q48 mixture weights: even-indexed sources 75%, odd 25% — shared by the
+    * Spark query and the interpolated oracle CASE so they cannot drift. */
+  val MixtureFractions: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup via content fingerprint: corpus ∪ verbatim copies of
@@ -320,6 +325,38 @@ object LlmQueries {
         .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"),
           (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Decontamination: train docs sharing any 5-gram with the benchmark
+    // split (doc_id % 97 == 0). Contamination is planted: every 31st
+    // train doc leaks the first 10 tokens of benchmark doc 0 (a 1-row
+    // broadcast, mirrored as a scalar subquery in the oracle). Benchmark
+    // gram set is bounded → broadcast; the corpus never shuffles.
+    "q47_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val excerpt = d.filter(col("doc_id") === 0)
+        .select(concat_ws(" ", slice(docTokens(col("text")), 1, 10)).as("ex"))
+      val leaked = d.crossJoin(broadcast(excerpt))
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0 && col("doc_id") % 97 =!= 0,
+            concat(col("text"), lit(" "), col("ex"))).otherwise(col("text")))
+        .drop("ex")
+      Dedup.ngramOverlap(
+          leaked.filter(col("doc_id") % 97 =!= 0),
+          leaked.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic mixture sampling: even-indexed sources keep 75%, odd
+    // keep 25% (hash-bucket per doc, never rand()) — the domain-mixing
+    // step of a training-data pipeline. The oracle interpolates the SAME
+    // per-source CASE arms the Spark map encodes.
+    "q48_mixture_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.mixtureSample(d, "doc_id", "source", MixtureFractions, 0.5)
+        .groupBy("source").agg(count(lit(1)).as("nb_kept"))
+        .orderBy("source")
     }),
 
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
@@ -764,6 +801,52 @@ object LlmQueries {
         |       CAST(max(c) AS BIGINT) AS max_rep,
         |       CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q47_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ex AS (
+        |  SELECT array_to_string(
+        |    (list_filter(string_split(text, ' '), t -> t != ''))[1:10], ' ') AS ex
+        |  FROM documents WHERE doc_id = 0),
+        |leaked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 AND doc_id % 97 != 0
+        |         THEN text || ' ' || (SELECT ex FROM ex) ELSE text END AS text
+        |  FROM d),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM leaked),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+        |  FROM tok WHERE len(toks) >= 5),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nb_shared
+        |FROM g t JOIN bg ON t.g = bg.g
+        |WHERE t.doc_id % 97 != 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q48_mixture_sample" -> {
+      // interpolate the SAME per-source cuts the Spark map encodes
+      val arms = MixtureFractions.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN ${(256 * f).toInt}"
+      }.mkString("\n        |      ", "\n        |      ", "")
+      s"""WITH d AS (
+        |  SELECT source,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT source FROM d
+        |  WHERE b < CASE$arms
+        |      ELSE 128 END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS nb_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -227,6 +227,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(grams == Seq("a b c", "b c d"), grams)
   }
 
+  test("ngramOverlap: planted leak flagged with exact shared-gram count") {
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "own words here alpha beta gamma delta epsilon tail"),
+      (2L, "completely different content nothing shared at all"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly "alpha beta gamma delta epsilon"; 2 shares
+    // nothing; 3 has < 5 tokens and is guarded out
+    assert(out == Map(1L -> 1L), out.toString)
+  }
+
+  test("mixtureSample: per-source fractions, partition-stable, default fallback") {
+    import graft.ops.Sampling
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "src")
+    val fr = Map("a" -> 0.75, "b" -> 0.25)
+    val kept = Sampling.mixtureSample(df, "k", "src", fr)
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ≈ 500×192/256 = 375 and 500×64/256 = 125
+    assert(math.abs(counts("a") - 375) < 75, counts.toString)
+    assert(math.abs(counts("b") - 125) < 60, counts.toString)
+    val again = Sampling.mixtureSample(df.repartition(9), "k", "src", fr)
+      .select("k").as[Long].collect().toSet
+    assert(again == kept.select("k").as[Long].collect().toSet)
+    // unknown source → defaultFraction 1.0 keeps everything
+    val other = (0 until 100).map(i => (i.toLong, "zzz")).toDF("k", "src")
+    assert(Sampling.mixtureSample(other, "k", "src", Map("a" -> 0.1)).count() == 100)
+  }
+
   test("ivfTopKQuantized: planted scaled copies rank 1 through probed cells") {
     // scaled copies are parallel to their source: integer centroid scores
     // scale with the vector, so the copy shares the query's best cell, and
