@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -357,6 +357,18 @@ object LlmQueries {
       Sampling.mixtureSample(d, "doc_id", "source", MixtureFractions, 0.5)
         .groupBy("source").agg(count(lit(1)).as("nb_kept"))
         .orderBy("source")
+    }),
+
+    // Sequence packing: docs packed greedily (id order, first-fit
+    // sequential) into 800-token bins within 50-doc groups — a pure
+    // aggregate-fold per group, no UDF, no driver loop, groups in
+    // parallel. The oracle replays the identical greedy recurrence with a
+    // recursive CTE.
+    "q49_seq_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+      Packing.packSequential(d, "doc_id", "ntok", expr("doc_id div 50"), cap = 800L)
+        .orderBy("doc_id")
     }),
 
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
@@ -847,6 +859,23 @@ object LlmQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS nb_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q49_seq_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 50 AS grp,
+        |         len(list_filter(string_split(text, ' '), t -> t != '')) AS t,
+        |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT grp, rn, doc_id, t, CAST(0 AS BIGINT) AS bin, t AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.rn, d.doc_id, d.t,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.t > 800 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.t > 800 THEN d.t ELSE p.fill + d.t END
+        |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
+        |SELECT doc_id, CAST(grp AS BIGINT) AS grp, CAST(bin AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

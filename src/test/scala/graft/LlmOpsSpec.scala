@@ -261,6 +261,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(Sampling.mixtureSample(other, "k", "src", Map("a" -> 0.1)).count() == 100)
   }
 
+  test("packSequential: first-fit order, exact fit, oversized doc, group isolation") {
+    import graft.ops.Packing
+    val df = Seq(
+      // group 0: 60+40 fill bin 0 exactly (cap 100), 50 opens bin 1,
+      // 300 (oversized) gets bin 2 alone, 10 opens bin 3
+      (1L, 60L, 0L), (2L, 40L, 0L), (3L, 50L, 0L), (4L, 300L, 0L), (5L, 10L, 0L),
+      // group 1 packs independently from bin 0
+      (10L, 90L, 1L), (11L, 90L, 1L)
+    ).toDF("id", "ntok", "grp")
+    val out = Packing.packSequential(df, "id", "ntok", col("grp"), cap = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (0L, 0L), 2L -> (0L, 0L), 3L -> (0L, 1L), 4L -> (0L, 2L), 5L -> (0L, 3L),
+      10L -> (1L, 0L), 11L -> (1L, 1L)), out.toString)
+  }
+
   test("ivfTopKQuantized: planted scaled copies rank 1 through probed cells") {
     // scaled copies are parallel to their source: integer centroid scores
     // scale with the vector, so the copy shares the query's best cell, and
