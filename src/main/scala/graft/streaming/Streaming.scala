@@ -53,6 +53,59 @@ object Streaming {
       }
   }
 
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, nb_events: Int)
+
+  /** Streaming gap sessionization — the incremental face of the batch
+    * sessionizer (q31): per-user sessions absorb events arriving within
+    * `gapMs` of the session end and CLOSE via event-time timeout once the
+    * watermark passes end+gap (so emission is driven by stream progress,
+    * not wall clock). State is one open session per user — bounded by key
+    * cardinality, partitioned by the group key; `flatMapGroupsWithState`
+    * because closing a batch's worth of sessions can emit 0..n rows. */
+  def sessionize(events: Dataset[Event],
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            // within a micro-batch, order by event time (iterator order is
+            // arrival order, not time order)
+            val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- evs) cur match {
+              case Some(s) if e.ts.getTime - s.end <= gapMs =>
+                cur = Some(SessionState(s.start,
+                  math.max(s.end, e.ts.getTime), s.n + 1))
+              case Some(s) =>
+                closed ::= Session(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n)
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+              case None =>
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup over a content key with watermark-bounded
     * state (the scale-safe streaming dedup: state expires with the
     * watermark instead of growing forever). */

@@ -105,6 +105,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: gap sessions close on event-time timeout, split on gap") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionize(ms.toDS(), gapMs = 30 * 60 * 1000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      ms.addData(
+        Event(1L, ts("2026-03-01 10:00:00"), "click", 1.0),
+        Event(1L, ts("2026-03-01 10:10:00"), "view", 2.0),
+        Event(2L, ts("2026-03-01 10:05:00"), "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+      // user 1 again 2 h later: splits into a NEW session (gap > 30 min);
+      // this also advances the watermark past both old sessions' timeouts
+      ms.addData(Event(1L, ts("2026-03-01 12:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      // one more nudge so the timeout fires in a subsequent micro-batch
+      ms.addData(Event(9L, ts("2026-03-01 14:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getInt(3))).toSet
+      assert(out.contains((1L, "2026-03-01 10:00:00.0", "2026-03-01 10:10:00.0", 2)),
+        out.toString)
+      assert(out.contains((2L, "2026-03-01 10:05:00.0", "2026-03-01 10:05:00.0", 1)),
+        out.toString)
+    } finally q.stop()
+  }
+
   test("latestPerUser: keyed state keeps the newest event across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
