@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data team
+  * actually runs, wired from the library's own operators in the order
+  * that minimizes downstream work —
+  *
+  *   1. exact dedup (cheapest filter first: one content-hash shuffle),
+  *   2. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
+  *   3. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
+  *   4. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
+  *   5. PII redaction ([[TextAnalysis.redactPii]]),
+  *   6. deterministic split assignment ([[Sampling.splitAssign]]).
+  *
+  * Every stage is the library operator itself — no re-implementation —
+  * so each stage's scale posture (bucketed candidates, broadcast-bounded
+  * benchmark, hash-bucket splits) is inherited. Returns the curated
+  * corpus plus a one-row stats frame for pipeline observability.
+  */
+object Curate {
+
+  case class Config(
+      nearDupThreshold: Double = 0.5,
+      shingleN: Int = 3,
+      minhashK: Int = 12,
+      lshBands: Int = 3,
+      lshRows: Int = 4,
+      qualityFloor: Double = 0.5,
+      contaminationN: Int = 5,
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  case class Result(corpus: DataFrame, stats: DataFrame)
+
+  /** Curate `docs` (idCol, textCol) against `benchmark` (same shape).
+    * Output: survivors with `text` redacted and a `split` column; stats
+    * counts per stage. The intermediate corpus is cached once — five
+    * stages consume it, and the near-dup collapse iterates. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String,
+             cfg: Config = Config()): Result = {
+    val total = docs.count()
+
+    // 1. exact dedup — survivors keep the smallest id per content key
+    val exact = Dedup.dedupCorpus(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+
+    // 2. transitive near-dup collapse
+    val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
+      threshold = cfg.nearDupThreshold, shingleN = cfg.shingleN,
+      k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows)
+    val nearDeduped = Dedup.survivorsTransitive(exact, pairs, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNear = nearDeduped.count()
+    exact.unpersist()
+
+    // 3. quality floor
+    val quality = nearDeduped
+      .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
+    // 4. decontamination: drop docs sharing any n-gram with the benchmark
+    val contaminated = Dedup.ngramOverlap(quality, benchmark, idCol, textCol,
+        cfg.contaminationN)
+      .select(col(idCol).as("__contaminated_id"))
+    val clean = quality
+      .join(contaminated, quality(idCol) === col("__contaminated_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClean = clean.count()
+    nearDeduped.unpersist()
+
+    // 5 + 6. redact PII, assign splits
+    val curated = clean
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .withColumn("split",
+        Sampling.splitAssign(col(idCol), cfg.trainPct, cfg.valPct))
+
+    val stats = curated.sparkSession.createDataFrame(Seq(
+      (total, nExact, nNear, nClean)
+    )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
+      "nb_after_quality_decontam")
+    Result(curated, stats)
+  }
+}

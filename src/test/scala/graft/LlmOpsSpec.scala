@@ -227,6 +227,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(grams == Seq("a b c", "b c d"), grams)
   }
 
+  test("curate: end-to-end corpus curation composes the library stages") {
+    import graft.ops.Curate
+    val good1 = "the quick brown fox and the lazy dog of the meadow is running " +
+      "past the old mill and the river bend where the children of the village play"
+    val toks = good1.split(" ")
+    val trunc = toks.take(toks.length * 4 / 5).mkString(" ")
+    val good2 = "a growing list of features and a set of tools is what the " +
+      "platform offers and the users of the service are happy with the results"
+    val leaked = good2 + " alpha beta gamma delta epsilon"
+    val leakSrc = "benchmark holdout phrase alpha beta gamma delta epsilon zeta"
+    val withEmail = "the contact of the team is dev@example.org and the page of " +
+      "the project has a list of the issues and the plans of coming releases"
+    val docs = Seq(
+      (1L, good1),
+      (2L, "  " + good1.replace(" ", "  ")), // exact dup after normalization
+      (3L, trunc),                           // near-dup (truncation) of 1
+      (4L, "xyz abc"),                       // below the quality floor
+      (5L, leaked),                          // leaks a benchmark 5-gram
+      (6L, withEmail)                        // survives, PII redacted
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leakSrc)).toDF("doc_id", "text")
+    val r = Curate.curate(docs, bench, "doc_id", "text")
+    val out = r.corpus.select("doc_id", "text", "split").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getString(2)))).toMap
+    assert(out.keySet == Set(1L, 6L), out.keySet.toString)
+    assert(out(6L)._1.contains("[EMAIL]") && !out(6L)._1.contains("dev@example.org"))
+    assert(Set("train", "val", "test").contains(out(1L)._2))
+    val st = r.stats.head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      == ((6L, 5L, 4L, 2L)), st.toString)
+  }
+
   test("ngramOverlap: planted leak flagged with exact shared-gram count") {
     val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
