@@ -258,6 +258,36 @@ object Dedup {
     df.join(dups, df(idCol) === dups("__dup"), "left_anti")
   }
 
+  /** SimHash near-dup pairs via bit-band bucketing: each hash splits into
+    * `bands` contiguous `width`-bit keys; candidates share at least one
+    * (band, key) — by pigeonhole, every pair with hamming < bands is
+    * guaranteed caught, pairs beyond that are caught with probability
+    * falling in their distance. Exact popcount verifies candidates.
+    *
+    * 100 TB posture: the join shuffles on (band, key) — bucket count is
+    * bands × 2^width, so pair the 64-bit [[graft.functions.SimHash64Expr]]
+    * hash with 16-bit bands (4 × 65536 buckets) at scale; the 16-bit demo
+    * surface (q50) uses 4-bit bands so its DuckDB oracle stays cheap. */
+  def simhashNearDups(df: DataFrame, idCol: String, hashCol: String,
+                      bands: Int = 4, width: Int = 16,
+                      maxHamming: Int = 3): DataFrame = {
+    val mask = (1L << width) - 1
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(mask).as("key"))
+    }: _*)
+    val banded = df
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"), explode(bandKeys).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Decontamination: corpus docs sharing at least one word n-gram with
     * any benchmark doc, with the count of distinct shared grams. The
     * benchmark side (an eval suite) is bounded by construction, so its

@@ -29,6 +29,29 @@ object LlmQueries {
   val MixtureFractions: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap
 
+  /** md5-derived 16-bit SimHash per doc_id over a caller-chosen feature
+    * array — the oracle-mirrorable demo flavor shared by q21 (token
+    * features) and q50 (shingle features; the production path is the
+    * 64-bit codegen expression `graft_simhash64`). */
+  private def md5Simhash16(d: DataFrame,
+                           features: org.apache.spark.sql.Column): DataFrame = {
+    val tok = d.select(col("doc_id"),
+        explode(array_distinct(features)).as("t"))
+      .withColumn("h4", substring(md5(col("t")), 1, 4))
+    val bits = tok
+      .select(col("doc_id"), col("h4"), explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("hexd", expr("substring(h4, b div 4 + 1, 1)"))
+      .withColumn("v", expr("instr('0123456789abcdef', hexd) - 1"))
+      .withColumn("p", expr(
+        "CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2 WHEN b % 4 = 2 THEN 4 ELSE 8 END"))
+      .withColumn("contrib", expr("CASE WHEN (v div p) % 2 = 1 THEN 1 ELSE -1 END"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN cnt > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END"))
+        .as("simhash16"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup via content fingerprint: corpus ∪ verbatim copies of
@@ -91,25 +114,9 @@ object LlmQueries {
     // SimHash (16-bit demo surface, md5-derived bits so the oracle can
     // mirror it; the library's 64-bit xxhash64 variant is unit-tested):
     // per-doc fingerprint from sign-summed token-hash bits.
-    "q21_simhash" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-          explode(array_distinct(docTokens(col("text")))).as("t"))
-        .withColumn("h4", substring(md5(col("t")), 1, 4))
-      val bits = tok
-        .select(col("doc_id"), col("h4"), explode(sequence(lit(0), lit(15))).as("b"))
-        .withColumn("hexd", expr("substring(h4, b div 4 + 1, 1)"))
-        .withColumn("v", expr("instr('0123456789abcdef', hexd) - 1"))
-        .withColumn("p", expr(
-          "CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2 WHEN b % 4 = 2 THEN 4 ELSE 8 END"))
-        .withColumn("contrib", expr("CASE WHEN (v div p) % 2 = 1 THEN 1 ELSE -1 END"))
-      bits.groupBy("doc_id", "b")
-        .agg(sum(col("contrib")).as("cnt"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN cnt > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END"))
-          .as("simhash16"))
-        .orderBy("doc_id")
-    }),
+    "q21_simhash" -> ((s, dir) =>
+      md5Simhash16(table(s, dir, "documents"), docTokens(col("text")))
+        .orderBy("doc_id")),
 
     // Similarity search: exact top-10 by QUANTIZED inner product (the
     // int-quantization MIPS baseline) for a FIXED query set — the 10 probe
@@ -369,6 +376,32 @@ object LlmQueries {
         .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
       Packing.packSequential(d, "doc_id", "ntok", expr("doc_id div 50"), cap = 800L)
         .orderBy("doc_id")
+    }),
+
+    // SimHash banded near-dup pairs: corpus ∪ single-token mutations of
+    // every 17th doc (first token → 'zzz'). Features are 3-gram SHINGLES
+    // (order-sensitive, large feature space — token sets over this tiny
+    // synthetic vocabulary are degenerate: all docs look alike), so the
+    // mutation moves only ~2 of ~80 features and the pair stays within
+    // hamming 2 while unrelated docs sit far apart. Candidates share a
+    // 4-bit band of the 16-bit hash (pigeonhole: hamming < 4 always
+    // caught), exact popcount ≤ 2 verifies. The oracle replays hash,
+    // banding and popcount bit-for-bit.
+    "q50_simhash_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", lit("zzz"),
+            concat_ws(" ", slice(col("toks"), lit(2),
+              greatest(size(col("toks")) - 1, lit(0))))).as("text"))
+      val corpus = d.unionByName(mutated)
+        .withColumn("toks", docTokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+      val sh = md5Simhash16(corpus, TextAnalysis.ngrams(col("toks"), 3))
+      Dedup.simhashNearDups(sh, "doc_id", "simhash16",
+          bands = 4, width = 4, maxHamming = 2)
+        .orderBy("id_a", "id_b")
     }),
 
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
@@ -876,6 +909,50 @@ object LlmQueries {
         |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
         |SELECT doc_id, CAST(grp AS BIGINT) AS grp, CAST(bin AS BIGINT) AS bin
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q50_simhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         concat_ws(' ', 'zzz', array_to_string(
+        |           (list_filter(string_split(text, ' '), x -> x != ''))[2:], ' '))
+        |  FROM base WHERE doc_id % 17 = 0),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM corpus),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS t
+        |        FROM tk WHERE len(toks) >= 3)),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    strpos('0123456789abcdef', substr(substr(md5(t), 1, 4), b.b // 4 + 1, 1)) - 1 AS v,
+        |    CASE WHEN b.b % 4 = 0 THEN 1 WHEN b.b % 4 = 1 THEN 2
+        |         WHEN b.b % 4 = 2 THEN 4 ELSE 8 END AS p
+        |  FROM tok, (SELECT unnest(range(0, 16)) AS b) b),
+        |cnts AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (v // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM bits GROUP BY 1, 2),
+        |sh16 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM cnts GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, h, band.band AS band,
+        |    (h // CAST(pow(2, band.band * 4) AS BIGINT)) % 16 AS key
+        |  FROM sh16, (SELECT unnest(range(4)) AS band) band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |         a.h AS ha, c.h AS hb
+        |  FROM bd a JOIN bd c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -259,6 +259,20 @@ class LlmOpsSpec extends SparkSpec {
       == ((6L, 5L, 4L, 2L)), st.toString)
   }
 
+  test("simhashNearDups: banded candidates, pigeonhole boundary, exact popcount") {
+    val x = 0x0123456789abcdefL
+    val df = Seq(
+      (1L, x),
+      (2L, x ^ 0x3L),                    // 2 bits in band 0 → 3 shared bands
+      (3L, ~x),                          // every band differs → never candidate
+      (4L, x ^ 0x0001000100010001L)      // 1 bit per band: hamming 4 but NO
+    ).toDF("id", "h")                    //   shared band (pigeonhole boundary)
+    val out = Dedup.simhashNearDups(df, "id", "h",
+        bands = 4, width = 16, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 2)), out.toString)
+  }
+
   test("ngramOverlap: planted leak flagged with exact shared-gram count") {
     val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
