@@ -259,6 +259,33 @@ class LlmOpsSpec extends SparkSpec {
       == ((6L, 5L, 4L, 2L)), st.toString)
   }
 
+  test("packSequential properties: ids preserved, bins contiguous, fill bounded") {
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(120) + 1).toLong, (i % 7).toLong))
+    val df = rows.toDF("id", "ntok", "grp")
+    val out = Packing.packSequential(df, "id", "ntok", col("grp"), cap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == rows.map(_._1).toSet) // no doc lost or invented
+    val sizes = rows.map(r => r._1 -> r._2).toMap
+    // every bin fits the cap unless it holds a single oversized doc
+    out.groupBy(o => (o._2, o._3)).foreach { case ((g, b), docs) =>
+      val fill = docs.map(d => sizes(d._1)).sum
+      assert(fill <= 100L || docs.size == 1, s"grp $g bin $b fill $fill n=${docs.size}")
+    }
+    // bins are contiguous from 0 within each group, non-decreasing in id order
+    out.groupBy(_._2).foreach { case (g, docs) =>
+      val byId = docs.sortBy(_._1).map(_._3).toSeq
+      assert(byId.head == 0L, s"grp $g starts at bin ${byId.head}")
+      byId.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b == a || b == a + 1, s"grp $g bin jump $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("simhashNearDups: banded candidates, pigeonhole boundary, exact popcount") {
     val x = 0x0123456789abcdefL
     val df = Seq(
