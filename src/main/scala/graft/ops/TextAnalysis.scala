@@ -121,4 +121,26 @@ object TextAnalysis {
   def ngrams(toks: Column, n: Int): Column =
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+
+  /** Corpus term weighting — the log-free TF-IDF variant
+    * weight = tf × N ∕ df (rarity-scaled term frequency). Log-free
+    * because libm log is not bit-identical across engines, while
+    * tf×N ≤ 2^53 is exact and one IEEE division is — so weights (and
+    * their ranking) reproduce bit-for-bit anywhere.
+    *
+    * 100 TB posture: tf and df are partial+final count aggregates (two
+    * key shuffles); the corpus size N is a 1-row broadcast. Returns one
+    * row per (doc, term): (idCol, term, tf, df, weight). */
+  def termWeights(docs: org.apache.spark.sql.DataFrame,
+                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count_distinct(col(idCol)).as("__n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        (col("tf") * col("__n")).cast("double") / col("df"))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"))
+  }
 }

@@ -404,6 +404,22 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corpus term weighting: tf × N ∕ df per (doc, term) — the log-free
+    // TF-IDF variant (libm log is not cross-engine bit-stable; exact
+    // integer tf×N and one IEEE division are). df spans the FULL corpus;
+    // the top-5 ranking is evaluated for the sampled docs only.
+    "q51_term_weight" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = TextAnalysis.termWeights(d, "doc_id", "text")
+        .filter(col("doc_id") % 50 === 0)
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("weight").desc, col("term").asc)
+      w.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "weight", "rank")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -953,6 +969,26 @@ object LlmQueries {
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q51_term_weight" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+        |    CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) / dfreq.df AS weight
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+        |  WHERE doc_id % 50 = 0),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, weight,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS INT) AS rank
+        |  FROM w)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       weight, rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -286,6 +286,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("termWeights: tf, corpus df, and rarity scaling are exact") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")
+    ).toDF("doc_id", "text")
+    val w = graft.ops.TextAnalysis.termWeights(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(w((1L, "apple")) == ((2L, 1L, 6.0)))  // tf=2, df=1 → 2×3/1
+    assert(w((1L, "banana")) == ((1L, 2L, 1.5))) // tf=1, df=2 → 3/2
+    assert(w((3L, "durian")) == ((1L, 1L, 3.0)))
+    assert(w.size == 5, w.toString)
+  }
+
   test("simhashNearDups: banded candidates, pigeonhole boundary, exact popcount") {
     val x = 0x0123456789abcdefL
     val df = Seq(
