@@ -177,6 +177,68 @@ object Similarity {
         (col("dot_i").cast("double") / (quantScale * quantScale)).as("dot"))
   }
 
+  /** Per-block PQ codebooks: `nBlocks` independent sets of `codebookSize`
+    * seeded ±1 sub-centroids of dimension `subDim` (block b seeds with
+    * seed+b so blocks differ). Driver-side literals, like [[randomPlanes]]. */
+  def pqCodebooks(nBlocks: Int, codebookSize: Int, subDim: Int,
+                  seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until nBlocks).map(b => randomPlanes(codebookSize, subDim, seed + b))
+
+  /** Product-quantization top-k with asymmetric-distance scoring — the
+    * standard memory-compression ANN: each corpus vector is reduced to
+    * `nBlocks` small codes (nearest ±1 sub-centroid per block, exact
+    * integer scores, ties to the lowest code), its full vector is
+    * DROPPED, and queries score candidates as Σ_b dot(q_block,
+    * centroid[code_b]) — the ADC approximation, exact integers here so
+    * ranking is bit-reproducible and the DuckDB oracle replays it.
+    *
+    * 100 TB posture: the corpus side carries nBlocks small ints instead
+    * of `dim` floats (~32× smaller shuffle/cache footprint); the scoring
+    * join is against the CODES, with the bounded query side broadcast.
+    * Compose with [[annTopKQuantized]]-style buckets when the query side
+    * is corpus-sized. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             nBlocks: Int = 8, codebookSize: Int = 8, seed: Long = 11L,
+             quantScale: Double = 1048576.0, dim: Int = -1,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
+    require(d % nBlocks == 0, s"dim $d not divisible into $nBlocks blocks")
+    val w = d / nBlocks
+    val books = pqCodebooks(nBlocks, codebookSize, w, seed)
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def dotLit(block: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(block, array(ctr.map(x => lit(x.toLong)): _*),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
+    // corpus → codes only (the vector is dropped — that IS the point)
+    val cCoded = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
+      .withColumn("__codes", array((0 until nBlocks).map { b =>
+        val cBlock = slice(col("__cv"), b * w + 1, w)
+        -array_max(array(books(b).zipWithIndex.map { case (ctr, j) =>
+          struct(dotLit(cBlock, ctr).as("s"), lit(-j).as("nj")) }: _*))
+          .getField("nj")
+      }: _*))
+      .drop("__cv")
+    val scoreI = (0 until nBlocks).map { b =>
+      val qBlock = slice(col("__qv"), b * w + 1, w)
+      val ctrTable = array(books(b).map(ctr =>
+        array(ctr.map(x => lit(x.toLong)): _*)): _*)
+      aggregate(zip_with(qBlock,
+        element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
+        (a, c) => a * c), lit(0L), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val scored = broadcast(q).crossJoin(cCoded)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score_i", scoreI)
+    val win = Window.partitionBy(qId).orderBy(col("score_i").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"),
+        (col("score_i").cast("double") / quantScale).as("score"))
+  }
+
   /** Deterministic quantized embedding near-dup pairs — the
     * bit-reproducible flavor of [[embeddingNearDups]]: fixed-point
     * quantization makes the SRP bucket bits and the dot/norm sums exact

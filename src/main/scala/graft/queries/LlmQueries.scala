@@ -404,6 +404,23 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Product-quantization ADC scoring: each corpus vector is reduced to
+    // 8 codes (nearest seeded ±1 sub-centroid per 8-dim block by exact
+    // integer score) and its floats are DROPPED — 32× less corpus state;
+    // queries rank candidates by the asymmetric-distance approximation
+    // Σ_b dot(q_block, centroid[code_b]), exact integers throughout. The
+    // oracle interpolates the same 64 sub-centroid literals and replays
+    // code assignment and ADC ranking bit-for-bit.
+    "q52_pq_adc" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.pqTopK(q, c, k = 10,
+          nBlocks = 8, codebookSize = 8, seed = 11L, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
     // Corpus term weighting: tf × N ∕ df per (doc, term) — the log-free
     // TF-IDF variant (libm log is not cross-engine bit-stable; exact
     // integer tf×N and one IEEE division are). df spans the FULL corpus;
@@ -969,6 +986,46 @@ object LlmQueries {
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q52_pq_adc" -> {
+      // interpolate the SAME 8×8 seeded ±1 sub-centroid literals the Spark
+      // operator derives (Similarity.pqCodebooks(8, 8, 8, 11L))
+      val ctrRows = Similarity.pqCodebooks(8, 8, 8, 11L).zipWithIndex.flatMap {
+        case (book, b) => book.zipWithIndex.map { case (ctr, j) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($b, $j, $lst)"
+        }
+      }.mkString(",\n        |    ")
+      s"""WITH v AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ctr(b, j, p) AS (VALUES
+        |    $ctrRows),
+        |cs AS (
+        |  SELECT v.id, ctr.b, ctr.j,
+        |    list_aggregate(list_transform(range(8), i -> v.v[ctr.b*8 + i + 1] * ctr.p[i+1]), 'sum') AS s
+        |  FROM v, ctr),
+        |code AS (
+        |  SELECT id, b, j FROM (
+        |    SELECT id, b, j,
+        |      row_number() OVER (PARTITION BY id, b ORDER BY s DESC, j) AS r
+        |    FROM cs) WHERE r = 1),
+        |terms AS (
+        |  SELECT q.id AS q_id, cd.id AS c_id,
+        |    list_aggregate(list_transform(range(8), i -> q.v[cd.b*8 + i + 1] * p.p[i+1]), 'sum') AS t
+        |  FROM v q
+        |  JOIN code cd ON q.id != cd.id
+        |  JOIN ctr p ON p.b = cd.b AND p.j = cd.j
+        |  WHERE q.id < 500 AND q.id % 50 = 0),
+        |adc AS (SELECT q_id, c_id, sum(t) AS score_i FROM terms GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, c_id, score_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_i DESC, c_id) AS INT) AS rank
+        |  FROM adc)
+        |SELECT q_id, c_id, rank, CAST(score_i AS DOUBLE) / 1048576.0 AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q51_term_weight" ->
       """WITH tok AS (

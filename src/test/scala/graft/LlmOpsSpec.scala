@@ -386,6 +386,32 @@ class LlmOpsSpec extends SparkSpec {
         s"scaled copy of $i not rank-1: ${out.filter(_._1 == i)}")
   }
 
+  test("pqTopK: parallel copies attain the maximal ADC score") {
+    import graft.ops.Similarity
+    // a scaled copy's per-block code is the query's own ADC maximizer
+    // (argmax is scale-invariant), so no candidate can OUT-score it —
+    // but coarse codebooks make code-tuple collisions common, so other
+    // candidates can TIE and win the id tie-break. The PQ property to
+    // assert is score maximality, not rank.
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
+    }
+    val planted = base.take(5).map { case (id, v) => (id + 100L, v.map(_ * 10f)) }
+    val corpus = (base ++ planted).toDF("c_id", "c_vec")
+    val queries = corpus.filter(col("c_id") < 5)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    val rows = Similarity.pqTopK(queries, corpus, k = 60,
+        nBlocks = 4, codebookSize = 8)
+      .select("q_id", "c_id", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    for (i <- 0L until 5L) {
+      val rs = rows(i)
+      val maxScore = rs.map(_._3).max
+      val copyScore = rs.find(_._2 == i + 100L).get._3
+      assert(copyScore == maxScore, s"copy of $i: $copyScore < max $maxScore")
+    }
+  }
+
   test("embeddingNearDupsQuantized: planted pairs found, bit-stable under repartition") {
     val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding")).limit(100)
