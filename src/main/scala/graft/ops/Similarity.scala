@@ -239,6 +239,70 @@ object Similarity {
         (col("score_i").cast("double") / quantScale).as("score"))
   }
 
+  /** IVF-PQ top-k — the standard big-corpus ANN architecture, composed
+    * from the library's two verified pieces: [[ivfTopKQuantized]]'s cell
+    * probing bounds the CANDIDATES (no broadcast of anything
+    * corpus-sized, join keyed on the cell) and [[pqTopK]]'s codes
+    * compress the CORPUS (codes instead of floats, integer ADC scoring).
+    * All arithmetic exact integers, all tie-breaks pinned, so the DuckDB
+    * oracle replays cell assignment, code assignment and ADC ranking
+    * bit-for-bit. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbes: Int = 4, cellSeed: Long = 42L,
+                nBlocks: Int = 8, codebookSize: Int = 8, pqSeed: Long = 11L,
+                quantScale: Double = 1048576.0, dim: Int = -1,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(corpus, cVec)
+    require(d % nBlocks == 0, s"dim $d not divisible into $nBlocks blocks")
+    val w = d / nBlocks
+    val centroids = randomPlanes(nCentroids, d, cellSeed)
+    val books = pqCodebooks(nBlocks, codebookSize, w, pqSeed)
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def dotLit(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, array(ctr.map(x => lit(x.toLong)): _*),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
+    val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
+    // corpus: best cell + PQ codes, full vector dropped
+    val cCoded = c
+      .withColumn("__cell",
+        -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(dotLit(col("__cv"), ctr).as("s"), lit(-i).as("ni")) }: _*))
+          .getField("ni"))
+      .withColumn("__codes", array((0 until nBlocks).map { b =>
+        val cBlock = slice(col("__cv"), b * w + 1, w)
+        -array_max(array(books(b).zipWithIndex.map { case (ctr, j) =>
+          struct(dotLit(cBlock, ctr).as("s"), lit(-j).as("nj")) }: _*))
+          .getField("nj")
+      }: _*))
+      .drop("__cv")
+    // queries: top nProbes cells, full vector kept for ADC tables
+    val qCells = q.withColumn("__cell",
+      explode(transform(slice(
+        sort_array(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(dotLit(col("__qv"), ctr).as("s"), lit(-i).as("ni")) }: _*),
+          asc = false),
+        1, nProbes), s => -s.getField("ni"))))
+    val scoreI = (0 until nBlocks).map { b =>
+      val qBlock = slice(col("__qv"), b * w + 1, w)
+      val ctrTable = array(books(b).map(ctr =>
+        array(ctr.map(x => lit(x.toLong)): _*)): _*)
+      aggregate(zip_with(qBlock,
+        element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
+        (a, x) => a * x), lit(0L), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val scored = qCells.join(cCoded, Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score_i", scoreI)
+    val win = Window.partitionBy(qId).orderBy(col("score_i").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"),
+        (col("score_i").cast("double") / quantScale).as("score"))
+  }
+
   /** Deterministic quantized embedding near-dup pairs — the
     * bit-reproducible flavor of [[embeddingNearDups]]: fixed-point
     * quantization makes the SRP bucket bits and the dot/norm sums exact

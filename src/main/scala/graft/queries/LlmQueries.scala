@@ -421,6 +421,22 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ: the two verified pieces composed — probed cells bound the
+    // candidate set (cell-keyed join, nothing corpus-sized broadcasts),
+    // PQ codes compress the corpus (floats dropped), integer ADC reranks.
+    // The oracle interpolates BOTH literal sets (16 cell centroids + 64
+    // sub-centroids) and replays every stage bit-for-bit.
+    "q53_ivf_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfPqTopK(q, c, k = 10,
+          nCentroids = 16, nProbes = 4, cellSeed = 7L,
+          nBlocks = 8, codebookSize = 8, pqSeed = 11L, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
     // Corpus term weighting: tf × N ∕ df per (doc, term) — the log-free
     // TF-IDF variant (libm log is not cross-engine bit-stable; exact
     // integer tf×N and one IEEE division are). df spans the FULL corpus;
@@ -1018,6 +1034,67 @@ object LlmQueries {
         |  JOIN code cd ON q.id != cd.id
         |  JOIN ctr p ON p.b = cd.b AND p.j = cd.j
         |  WHERE q.id < 500 AND q.id % 50 = 0),
+        |adc AS (SELECT q_id, c_id, sum(t) AS score_i FROM terms GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, c_id, score_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_i DESC, c_id) AS INT) AS rank
+        |  FROM adc)
+        |SELECT q_id, c_id, rank, CAST(score_i AS DOUBLE) / 1048576.0 AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "q53_ivf_pq" -> {
+      // interpolate BOTH literal sets the Spark operator derives: the 16
+      // cell centroids (randomPlanes(16, 64, 7L)) and the 8×8 PQ
+      // sub-centroids (pqCodebooks(8, 8, 8, 11L))
+      val cellRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
+        case (ctr, i) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($i, $lst)"
+      }.mkString(",\n        |    ")
+      val pqRows = Similarity.pqCodebooks(8, 8, 8, 11L).zipWithIndex.flatMap {
+        case (book, b) => book.zipWithIndex.map { case (ctr, j) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($b, $j, $lst)"
+        }
+      }.mkString(",\n        |    ")
+      s"""WITH v AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ctr(i, p) AS (VALUES
+        |    $cellRows),
+        |pq(b, j, p) AS (VALUES
+        |    $pqRows),
+        |cells AS (
+        |  SELECT v.id, v.v, ctr.i,
+        |    list_aggregate(list_transform(range(64), x -> v.v[x+1] * ctr.p[x+1]), 'sum') AS s
+        |  FROM v, ctr),
+        |rc AS (
+        |  SELECT id, v, i,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
+        |  FROM cells),
+        |c_cell AS (SELECT id, i AS cell FROM rc WHERE r = 1),
+        |q_cell AS (SELECT id, v, i AS cell FROM rc
+        |           WHERE r <= 4 AND id < 500 AND id % 50 = 0),
+        |cs AS (
+        |  SELECT v.id, pq.b, pq.j,
+        |    list_aggregate(list_transform(range(8), x -> v.v[pq.b*8 + x + 1] * pq.p[x+1]), 'sum') AS s
+        |  FROM v, pq),
+        |code AS (
+        |  SELECT id, b, j FROM (
+        |    SELECT id, b, j,
+        |      row_number() OVER (PARTITION BY id, b ORDER BY s DESC, j) AS r
+        |    FROM cs) WHERE r = 1),
+        |cand AS (
+        |  SELECT q.id AS q_id, q.v AS qv, c.id AS c_id
+        |  FROM q_cell q JOIN c_cell c ON q.cell = c.cell AND q.id != c.id),
+        |terms AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |    list_aggregate(list_transform(range(8), x -> cand.qv[cd.b*8 + x + 1] * p.p[x+1]), 'sum') AS t
+        |  FROM cand
+        |  JOIN code cd ON cd.id = cand.c_id
+        |  JOIN pq p ON p.b = cd.b AND p.j = cd.j),
         |adc AS (SELECT q_id, c_id, sum(t) AS score_i FROM terms GROUP BY 1, 2),
         |ranked AS (
         |  SELECT q_id, c_id, score_i,

@@ -412,6 +412,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: copy reaches its query through a shared cell, maximal ADC score") {
+    import graft.ops.Similarity
+    // parallel copy: scale-invariant cell assignment puts it in the
+    // query's own best cell (always probed), and its codes are the ADC
+    // maximizers — so it must appear among the candidates with the top
+    // score (rank can tie under coarse codebooks, score cannot be beaten)
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
+    }
+    val planted = base.take(5).map { case (id, v) => (id + 100L, v.map(_ * 10f)) }
+    val corpus = (base ++ planted).toDF("c_id", "c_vec")
+    val queries = corpus.filter(col("c_id") < 5)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    val rows = Similarity.ivfPqTopK(queries, corpus, k = 60,
+        nCentroids = 8, nProbes = 4, nBlocks = 4, codebookSize = 8)
+      .select("q_id", "c_id", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    for (i <- 0L until 5L) {
+      val rs = rows(i)
+      val copy = rs.find(_._2 == i + 100L)
+      assert(copy.isDefined, s"copy of $i not among candidates")
+      assert(copy.get._3 == rs.map(_._3).max,
+        s"copy of $i: ${copy.get._3} < max ${rs.map(_._3).max}")
+    }
+  }
+
   test("embeddingNearDupsQuantized: planted pairs found, bit-stable under repartition") {
     val e = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding")).limit(100)
