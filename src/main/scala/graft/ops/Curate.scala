@@ -32,12 +32,17 @@ object Curate {
       trainPct: Int = 80,
       valPct: Int = 10)
 
-  case class Result(corpus: DataFrame, stats: DataFrame)
+  /** `release()` drops the cached stage backing `corpus` — call it after
+    * the curated corpus has been materialized (written to the lake). */
+  case class Result(corpus: DataFrame, stats: DataFrame,
+                    release: () => Unit = () => ())
 
   /** Curate `docs` (idCol, textCol) against `benchmark` (same shape).
     * Output: survivors with `text` redacted and a `split` column; stats
-    * counts per stage. The intermediate corpus is cached once — five
-    * stages consume it, and the near-dup collapse iterates. */
+    * counts per stage. Intermediates are cached while consumed and
+    * unpersisted as each stage hands off; the final `clean` stays cached
+    * (the returned corpus reads it) — call `Result.release()` once the
+    * corpus has been written out. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String,
              cfg: Config = Config()): Result = {
@@ -80,6 +85,6 @@ object Curate {
       (total, nExact, nNear, nClean)
     )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
       "nb_after_quality_decontam")
-    Result(curated, stats)
+    Result(curated, stats, () => { clean.unpersist(); () })
   }
 }
