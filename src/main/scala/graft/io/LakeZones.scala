@@ -86,9 +86,17 @@ object LakeZones {
   }
 
   /** S11: read a lake table back (all days, partition column recovered from
-    * the directory layout; filter on snapshot_date prunes partitions). */
-  def readTable(spark: SparkSession, root: String, zone: String, name: String): DataFrame =
-    spark.read.option("basePath", s"$root/$zone/$name").parquet(s"$root/$zone/$name")
+    * the directory layout; filter on snapshot_date prunes partitions).
+    * `mergeSchema = true` reconciles per-day schema evolution — a column
+    * added in later day partitions reads as NULL for earlier days (at the
+    * cost of a footer scan per file, so leave it off for pinned-schema
+    * tables). */
+  def readTable(spark: SparkSession, root: String, zone: String, name: String,
+                mergeSchema: Boolean = false): DataFrame =
+    spark.read
+      .option("basePath", s"$root/$zone/$name")
+      .option("mergeSchema", mergeSchema)
+      .parquet(s"$root/$zone/$name")
 
   /** S9: the reference's EXPORTS manifest
     * (`export_to_parquet.py:27-37`) — (zone, exported name) per model. */

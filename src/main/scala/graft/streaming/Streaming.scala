@@ -106,6 +106,24 @@ object Streaming {
       }
   }
 
+  /** Stream-stream event-time interval join — the canonical attribution
+    * join: each click matches impressions with the same key that happened
+    * at most `maxDelay` before it. The time-range predicate plus
+    * watermarks on BOTH sides let Spark expire join state (without the
+    * range condition a stream-stream join buffers forever). Inner-join
+    * matches emit as soon as both sides arrive. */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+                      key: String = "ad_id", maxDelay: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val imp = impressions.select(col(key).as("imp_key"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks.select(col(key).as("clk_key"), col("ts").as("clk_ts"))
+      .withWatermark("clk_ts", watermark)
+    imp.join(clk, expr(
+        s"imp_key = clk_key AND clk_ts >= imp_ts AND clk_ts <= imp_ts + INTERVAL $maxDelay"))
+      .select(col("imp_key").as(key), col("imp_ts"), col("clk_ts"))
+  }
+
   /** Streaming exact dedup over a content key with watermark-bounded
     * state (the scale-safe streaming dedup: state expires with the
     * watermark instead of growing forever). */

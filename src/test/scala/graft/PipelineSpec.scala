@@ -224,6 +224,27 @@ class PipelineSpec extends SparkSpec {
     assert(m4doc.contains(""""imdb_id":null"""))
   }
 
+  test("lake: per-day schema evolution reads back with mergeSchema") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import graft.io.LakeZones
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve-").toString
+    val day1 = Seq((1L, 10.0)).toDF("k", "v")
+      .withColumn("snapshot_date", to_date(lit("2026-03-01")))
+    val day2 = Seq((2L, 20.0, "fresh")).toDF("k", "v", "added")
+      .withColumn("snapshot_date", to_date(lit("2026-03-02")))
+    LakeZones.writePartitioned(day1, root, "usage", "evolving")
+    LakeZones.writePartitioned(day2, root, "usage", "evolving")
+    val merged = LakeZones.readTable(spark, root, "usage", "evolving",
+      mergeSchema = true)
+    assert(merged.columns.toSet == Set("k", "v", "added", "snapshot_date"))
+    val rows = merged.orderBy("k").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("added")))
+    assert(rows.toSeq == Seq(1L -> None, 2L -> Some("fresh")))
+    // default pinned-schema read still works (first-footer schema)
+    assert(LakeZones.readTable(spark, root, "usage", "evolving").count() == 2)
+  }
+
   test("backfill: two days coexist; re-running day 1 leaves day 2's files untouched") {
     import org.apache.spark.sql.functions.col
     import graft.io.LakeZones

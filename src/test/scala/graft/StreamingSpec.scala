@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: clicks match impressions within the delay window only") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.attributionJoin(
+      imps.toDF.toDF("ad_id", "ts"), clks.toDF.toDF("ad_id", "ts"),
+      key = "ad_id", maxDelay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2026-03-01 10:00:00")), (2L, ts("2026-03-01 10:00:00")))
+      clks.addData(
+        (1L, ts("2026-03-01 10:30:00")), // within 1 h of impression 1 → match
+        (1L, ts("2026-03-01 12:30:00")), // same key, beyond the window → no
+        (3L, ts("2026-03-01 10:15:00"))) // no impression for this key → no
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString))
+      assert(out.toSeq == Seq((1L, "2026-03-01 10:30:00.0")), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize: gap sessions close on event-time timeout, split on gap") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
