@@ -36,6 +36,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Priority-aware exact dedup: one survivor per normalized-content
+    * group, chosen by the caller's priority expression (ascending; ties
+    * broken by smallest id) instead of blindly by min id — the "keep the
+    * curated copy over the crawl copy" policy of a multi-source corpus.
+    * Same single hash-shuffle shape as [[dedupCorpus]]. */
+  def dedupCorpusByPriority(df: DataFrame, textCol: String, idCol: String,
+                            priority: Column): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(priority.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct word n-gram shingles of a token array. */
   def shingles(tokens: Column, n: Int): Column =
     array_distinct(
@@ -141,6 +155,32 @@ object Dedup {
       .withColumn("jaccard",
         col("nb_inter").cast("double") / col("nb_union").cast("double"))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram containment for candidate pairs: |A∩B| ∕ |A| and ∕ |B|
+    * over distinct shingle sets — the asymmetric complement to
+    * [[jaccardOnPairs]]. An excerpt wholly inside a larger doc scores
+    * containment ≈ 1 on its own side while Jaccard (÷ the union) stays
+    * low, so symmetric thresholds miss exactly the quote/aggregator-page
+    * duplicates this catches. Runs only on candidate pairs, same
+    * semi-join-then-reshingle shape as [[jaccardOnPairs]]. */
+  def containmentOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int): DataFrame = {
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
+    val sh = needed.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("nb_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // IEEE double divisions of exact ints — engine-portable
+      .withColumn("containment_a",
+        col("nb_inter").cast("double") / size(col("sh_a")).cast("double"))
+      .withColumn("containment_b",
+        col("nb_inter").cast("double") / size(col("sh_b")).cast("double"))
+      .select("id_a", "id_b", "nb_inter", "containment_a", "containment_b")
   }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */

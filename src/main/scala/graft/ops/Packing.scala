@@ -49,4 +49,30 @@ object Packing {
       .select(col("grp"), explode(col("packed")).as("p"))
       .select(col("p.id").as(idCol), col("grp"), col("p.bin").as("bin"))
   }
+
+  /** Sliding-window token chunking: cut each doc's token stream into
+    * windows of `chunkSize` tokens advancing by `chunkSize - overlap` —
+    * the long-document splitting step of sequence prep (every token lands
+    * in ≥ 1 chunk; consecutive chunks share `overlap` tokens of context).
+    * A doc with ≤ chunkSize tokens yields exactly one chunk; empty docs
+    * yield none. Pure per-row transform + posexplode: linear work, no
+    * shuffle, chunk count = 1 + ⌈(n − chunkSize) ∕ stride⌉. Returns one
+    * row per chunk: (idCol, chunk_idx, n_tokens, chunk_text). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize) (got $overlap of $chunkSize)")
+    val stride = chunkSize - overlap
+    val n = size(col("__toks"))
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(((n - chunkSize + (stride - 1)) / stride).cast("int") + 1)
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkSize)))).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
 }

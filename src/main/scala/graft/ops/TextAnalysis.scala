@@ -143,4 +143,40 @@ object TextAnalysis {
         (col("tf") * col("__n")).cast("double") / col("df"))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"))
   }
+
+  /** C4-style boilerplate line removal: lines (newline-split, empties
+    * dropped) occurring in more than `maxDocs` distinct docs corpus-wide
+    * are deleted from every doc; surviving lines reassemble in original
+    * order. This is the "terms of service / cookie banner" cleanup of a
+    * web-corpus pipeline.
+    *
+    * 100 TB posture: line doc-frequency is a partial+final distinct-count
+    * aggregate; the boilerplate set it yields is tiny by construction
+    * (only lines shared by > maxDocs docs), so the line-drop join is an
+    * anti-join against a frame AQE will broadcast — the corpus itself
+    * shuffles once (the per-doc reassembly aggregate). Returns one row
+    * per input doc: (idCol, clean_text, nb_kept, nb_removed); docs that
+    * were pure boilerplate come back with an empty clean_text. */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, maxDocs: Long): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\n"), l => l =!= "")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(count_distinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") > maxDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("nb_kept"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("nb_lines"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("nb_kept"), lit(0L)).as("nb_kept"),
+        (col("nb_lines") - coalesce(col("nb_kept"), lit(0L))).as("nb_removed"))
+  }
 }

@@ -453,6 +453,69 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Priority-aware exact dedup: corpus ∪ 'curated'-source copies of every
+    // 11th doc (higher ids). The survivor policy prefers curated over crawl
+    // sources, so the COPY must win its group — the opposite of min-id
+    // dedup, and the policy a multi-source corpus actually wants.
+    "q54_priority_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "source")
+      val copies = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          lit("curated").as("source"))
+      val corpus = d.unionByName(copies)
+      val prio = when(col("source") === "curated", 0).otherwise(1)
+      Dedup.dedupCorpusByPriority(corpus, "text", "doc_id", prio)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-dup: corpus ∪ 40%-prefix excerpts of every 19th doc.
+    // An excerpt's shingles all sit inside its source, so containment on
+    // the excerpt side is exactly 1.0 while Jaccard (÷ union) is ~0.4 —
+    // below any symmetric near-dup threshold. Candidates still come only
+    // from LSH band buckets, banded 6×2 (vs q20's 3×4) because the target
+    // similarity regime is lower; the oracle replays the identical
+    // banding, so the probabilistic catch set matches bit-for-bit.
+    "q55_containment" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 19 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .filter(size(col("toks")) >= 10)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(1),
+            greatest((size(col("toks")) * 2 / 5).cast("int"), lit(4)))).as("text"))
+      val corpus = d.unionByName(excerpts)
+      val cand = Dedup.lshCandidates(corpus, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, rows = 2)
+      Dedup.containmentOnPairs(cand, corpus, "doc_id", "text", 3)
+        .filter(greatest(col("containment_a"), col("containment_b")) >= lit(0.9))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C4-style boilerplate removal: every 4th doc gains a shared header
+    // line, every 3rd a shared footer; the content line itself is unique.
+    // Lines in > 50 distinct docs are corpus-frequent → removed from every
+    // doc; clean_text must come back as exactly the original content.
+    "q56_boilerplate" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", concat(
+          when(col("doc_id") % 4 === 0, lit("standard header\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nall rights reserved")).otherwise(lit(""))))
+      TextAnalysis.removeBoilerplate(d, "doc_id", "text", maxDocs = 50)
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window chunking: every 10th doc cut into 20-token windows
+    // advancing by 15 (5 tokens of shared context) — the long-document
+    // splitting step of sequence prep. Linear, no shuffle; the oracle
+    // replays the identical window arithmetic and clamped tail slice.
+    "q57_chunks" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      Packing.chunkTokens(d, "doc_id", "text", chunkSize = 20, overlap = 5)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -1123,6 +1186,118 @@ object LlmQueries {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       weight, rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q54_priority_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'curated' FROM documents WHERE doc_id % 11 = 0),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (
+        |      PARTITION BY md5(array_to_string(
+        |        list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+        |      ORDER BY CASE WHEN source = 'curated' THEN 0 ELSE 1 END, doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q55_containment" -> {
+      // same interpolated permutation constants as q20 — no drift possible
+      val sigExprs = (0 until 12).map { j =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % 2147483647), 'min')"
+      }.mkString(",\n        |      ")
+      s"""WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         toks[1:greatest(CAST(floor(len(toks) * 2 / 5) AS INT), 4)]
+        |  FROM base WHERE doc_id % 19 = 0 AND len(toks) >= 10),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM corpus),
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      list_aggregate(list_transform(range(12), i ->
+        |        (CASE WHEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) <= 57
+        |              THEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 48
+        |              ELSE ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 87 END)
+        |        * CAST(pow(16, 11 - i) AS BIGINT)), 'sum') % 2147483647) AS hv
+        |  FROM sh),
+        |sig AS (SELECT doc_id, sh, [$sigExprs] AS sig FROM hv),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |         array_to_string(sig[b.band*2 + 1 : b.band*2 + 2], '|') AS key
+        |  FROM sig, (SELECT unnest(range(0, 6)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |cont AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_inter,
+        |    len(sa.sh) AS na, len(sb.sh) AS nb
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, CAST(nb_inter AS INT) AS nb_inter,
+        |  CAST(nb_inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment_a,
+        |  CAST(nb_inter AS DOUBLE) / CAST(nb AS DOUBLE) AS containment_b
+        |FROM cont
+        |WHERE greatest(CAST(nb_inter AS DOUBLE) / CAST(na AS DOUBLE),
+        |               CAST(nb_inter AS DOUBLE) / CAST(nb AS DOUBLE)) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q56_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'standard header' || chr(10) ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x != '') AS ls
+        |  FROM d),
+        |lx AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |          i -> {'pos': i - 1, 'line': ls[i]})) AS u
+        |        FROM ls)),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lx GROUP BY line),
+        |keptl AS (
+        |  SELECT doc_id, pos, line FROM lx
+        |  WHERE line NOT IN (SELECT line FROM freq WHERE line_df > 50)),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS nb_kept
+        |  FROM keptl GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS nb_lines FROM lx GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(coalesce(k.nb_kept, 0) AS BIGINT) AS nb_kept,
+        |  CAST(t.nb_lines - coalesce(k.nb_kept, 0) AS BIGINT) AS nb_removed
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q57_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN n <= 20 THEN 1
+        |      ELSE CAST(floor((n - 20 + 14) / 15) AS INT) + 1 END)) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INT) AS n_tokens,
+        |  array_to_string(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

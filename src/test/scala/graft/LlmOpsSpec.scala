@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Unit tests for the LLM-data operators whose scale paths are not
   * DuckDB-expressible (64-bit SimHash, SRP-bucketed ANN, media stubs) —
@@ -559,5 +559,70 @@ class LlmOpsSpec extends SparkSpec {
     val custom = Multimodal.frameSample(media, 64, EveryByteOnce).collect()
     assert(custom.length == 1 && custom(0).getInt(1) == -1
       && custom(0).getInt(2) == 256)
+  }
+
+  test("dedupCorpusByPriority keeps the preferred source, not the smallest id") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "crawl"),
+      (2L, "alpha beta gamma", "curated"), // same content, higher id, better source
+      (3L, "alpha beta gamma", "crawl"),
+      (4L, "unique document here", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val prio = when(col("source") === "curated", 0).otherwise(1)
+    val out = Dedup.dedupCorpusByPriority(df, "text", "doc_id", prio)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 4L)) // curated wins over min-id 1
+    val minId = Dedup.dedupCorpus(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId.toSeq == Seq(1L, 4L)) // the policy this overrides
+  }
+
+  test("containmentOnPairs: excerpt containment is 1 where Jaccard is low") {
+    val orig = (1 to 20).map(i => s"t$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"t$i").mkString(" ") // prefix of orig
+    val df = Seq((1L, orig), (2L, excerpt)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentOnPairs(pairs, df, "doc_id", "text", 3).head()
+    assert(r.getAs[Int]("nb_inter") == 6) // all 6 excerpt 3-grams hit
+    assert(r.getAs[Double]("containment_b") == 1.0)
+    assert(r.getAs[Double]("containment_a") == 6.0 / 18.0)
+    val j = Dedup.jaccardOnPairs(pairs, df, "doc_id", "text", 3)
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.5, s"symmetric threshold would have caught it (j=$j)")
+  }
+
+  test("removeBoilerplate drops corpus-frequent lines, keeps order, empty-safe") {
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"header common\ncontent line $i\nfooter common")) ++ Seq(
+      (11L, "header common\nfooter common"), // pure boilerplate
+      (12L, "content a\nheader common\ncontent b")) // order must survive
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(df, "doc_id", "text", maxDocs = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(3) == (("content line 3", 1L, 2L)))
+    assert(out(11) == (("", 0L, 2L))) // all-boilerplate doc survives, empty
+    assert(out(12) == (("content a\ncontent b", 2L, 1L)))
+    assert(out.size == 12)
+  }
+
+  test("chunkTokens: sliding windows with overlap, exact boundaries") {
+    val df = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 tokens
+      (2L, "a b c"), // fits one chunk
+      (3L, "")) // empty: no chunks
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(df, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 4) // stride 3: starts 1, 4, 7, 10
+    assert(d1(0)._4 == "w1 w2 w3 w4 w5")
+    assert(d1(1)._4 == "w4 w5 w6 w7 w8") // 2-token context overlap
+    assert(d1(3) == ((1L, 3, 3, "w10 w11 w12"))) // tail clamps
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+    assert(d1.map(_._3).sum == 12 + 3 * 2) // coverage: n + (chunks-1)*overlap
   }
 }
