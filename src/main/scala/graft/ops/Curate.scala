@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * actually runs, wired from the library's own operators in the order
   * that minimizes downstream work —
   *
+  *   0. (opt-in) boilerplate line removal ([[TextAnalysis.removeBoilerplate]]
+  *      — BEFORE dedup, so shared footers can't mask real duplicates or
+  *      fake near-dups; docs left empty by it are dropped),
   *   1. exact dedup (cheapest filter first: one content-hash shuffle),
   *   2. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
   *   3. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
   *   4. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
   *   5. PII redaction ([[TextAnalysis.redactPii]]),
-  *   6. deterministic split assignment ([[Sampling.splitAssign]]).
+  *   6. deterministic split assignment ([[Sampling.splitAssign]]),
+  *   7. (opt-in) sliding-window chunking ([[Packing.chunkTokens]] — LAST,
+  *      over redacted survivors only; chunks inherit the doc's split so a
+  *      document never straddles train/val).
   *
   * Every stage is the library operator itself — no re-implementation —
   * so each stage's scale posture (bucketed candidates, broadcast-bounded
@@ -30,7 +36,9 @@ object Curate {
       qualityFloor: Double = 0.5,
       contaminationN: Int = 5,
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      boilerplateMaxDocs: Option[Long] = None,
+      chunk: Option[(Int, Int)] = None)
 
   /** `release()` drops the cached stage backing `corpus` — call it after
     * the curated corpus has been materialized (written to the lake). */
@@ -46,10 +54,21 @@ object Curate {
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String,
              cfg: Config = Config()): Result = {
-    val total = docs.count()
+    // 0. boilerplate removal (opt-in): corpus-frequent lines stripped
+    // before any hashing; docs reduced to nothing are dropped
+    val docs0 = cfg.boilerplateMaxDocs match {
+      case Some(maxDocs) =>
+        val bp = TextAnalysis.removeBoilerplate(docs, idCol, textCol, maxDocs)
+          .filter(col("nb_kept") > 0)
+          .select(col(idCol), col("clean_text"))
+        docs.drop(textCol).join(bp, Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
+      case None => docs
+    }
+    val total = docs0.count()
 
     // 1. exact dedup — survivors keep the smallest id per content key
-    val exact = Dedup.dedupCorpus(docs, textCol, idCol)
+    val exact = Dedup.dedupCorpus(docs0, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 
@@ -81,10 +100,19 @@ object Curate {
       .withColumn("split",
         Sampling.splitAssign(col(idCol), cfg.trainPct, cfg.valPct))
 
+    // 7. chunking (opt-in): emit fixed windows instead of whole docs;
+    // each chunk carries its document's split assignment
+    val emitted = cfg.chunk match {
+      case Some((size, overlap)) =>
+        Packing.chunkTokens(curated, idCol, textCol, size, overlap)
+          .join(curated.select(col(idCol), col("split")), Seq(idCol))
+      case None => curated
+    }
+
     val stats = curated.sparkSession.createDataFrame(Seq(
       (total, nExact, nNear, nClean)
     )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
       "nb_after_quality_decontam")
-    Result(curated, stats, () => { clean.unpersist(); () })
+    Result(emitted, stats, () => { clean.unpersist(); () })
   }
 }

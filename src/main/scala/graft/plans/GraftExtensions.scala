@@ -40,15 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before user-injected optimizer rules ever see the plan
     e.injectPostHocResolutionRule(_ => CollapseDeduplicate)
     e.injectFunction(graft.functions.SimHash64Expr.descriptor)
+    graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }
 
 object GraftExtensions {
-  /** Live-session install: registers the SQL function. (The analyzer rule
+  /** Live-session install: registers the SQL functions. (The analyzer rule
     * can only be attached at session build via `spark.sql.extensions` —
     * a live session's analyzer is already constructed.) */
   def install(spark: SparkSession): Unit = {
-    val (id, info, builder) = graft.functions.SimHash64Expr.descriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    (graft.functions.SimHash64Expr.descriptor +: graft.functions.SqlFunctions.all)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 }

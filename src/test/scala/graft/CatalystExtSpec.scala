@@ -86,6 +86,20 @@ class CatalystExtSpec extends SparkSpec {
     assert(planStr.contains("graft_simhash64"))
   }
 
+  test("SqlFunctions: graft_hamming64 and graft_bucket match the Scala ops") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_hamming64(5L, 6L) AS h, graft_bucket(42) AS b").head()
+    assert(r.getAs[Number]("h").intValue == 2) // 101 xor 110 = 011
+    // the SQL bucket is bit-identical to the Scala sampling assignment
+    val ids = (0L until 200L).toDF("id")
+    val cmp = ids.select(
+      expr("graft_bucket(id)").as("sqlb"),
+      graft.ops.Sampling.hashBucket(col("id")).cast("int").as("scalab"))
+    assert(cmp.filter(col("sqlb") =!= col("scalab")).count() == 0)
+    assert(cmp.filter(col("sqlb") < 0 || col("sqlb") > 255).count() == 0)
+  }
+
   test("CollapseDeduplicate removes a redundant identical-key dedup") {
     // the rule hooks analysis (post-hoc resolution) because the optimizer
     // rewrites Deduplicate into Aggregate before user rules run; here we

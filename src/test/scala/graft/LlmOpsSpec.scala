@@ -259,6 +259,37 @@ class LlmOpsSpec extends SparkSpec {
       == ((6L, 5L, 4L, 2L)), st.toString)
   }
 
+  test("curate: opt-in boilerplate and chunking stages bracket the pipeline") {
+    import graft.ops.Curate
+    val body1 = (1 to 30).map(i => s"alpha$i the of and is").mkString(" ")
+    val body2 = (1 to 30).map(i => s"beta$i the of and is").mkString(" ")
+    val footer = "all rights reserved"
+    val docs = Seq(
+      (1L, s"$body1\n$footer"),
+      (2L, s"$body2\n$footer"),
+      (3L, s"$body1\n$footer"), // exact dup of 1 ONLY once the footer goes
+      (4L, footer)              // pure boilerplate: dropped at stage 0
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout phrase nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val r = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(boilerplateMaxDocs = Some(2L), chunk = Some((40, 10))))
+    val chunks = r.corpus.collect()
+    // survivors: docs 1 and 2 (3 deduped against 1, 4 emptied) — chunked
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(1L, 2L), byDoc.keySet.toString)
+    // 150 tokens, window 40, stride 30 → 1 + ceil(110/30) = 5 chunks/doc
+    assert(byDoc(1L).length == 5, byDoc(1L).length.toString)
+    chunks.foreach { c =>
+      assert(!c.getAs[String]("chunk_text").contains(footer))
+      // every chunk of a doc carries the doc's single split
+      assert(Set("train", "val", "test").contains(c.getAs[String]("split")))
+    }
+    assert(byDoc(1L).map(_.getAs[String]("split")).toSet.size == 1)
+    assert(r.stats.head().getLong(0) == 3L) // nb_input counts post-boilerplate
+    r.release()
+  }
+
   test("packSequential properties: ids preserved, bins contiguous, fill bounded") {
     import graft.ops.Packing
     val rnd = new scala.util.Random(7)
@@ -605,6 +636,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(11) == (("", 0L, 2L))) // all-boilerplate doc survives, empty
     assert(out(12) == (("content a\ncontent b", 2L, 1L)))
     assert(out.size == 12)
+  }
+
+  test("plan shape: chunkTokens is shuffle-free; boilerplate drop anti-joins") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val chunkPlan = Packing.chunkTokens(df, "doc_id", "text", 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), chunkPlan.take(800))
+    val bpPlan = TextAnalysis.removeBoilerplate(df, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(bpPlan.contains("LeftAnti"), bpPlan.take(1200))
   }
 
   test("chunkTokens: sliding windows with overlap, exact boundaries") {
