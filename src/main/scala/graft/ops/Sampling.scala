@@ -47,6 +47,26 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < (256 * fraction).toInt)
   }
 
+  /** Deterministic per-group volume cap: keep at most `k` rows per group,
+    * chosen by md5-hash rank (ties broken by key) — a seedless,
+    * partition-count-independent "uniform" pick of k that reproduces in
+    * any engine, unlike reservoir sampling (order-dependent) or
+    * `rand()`-ranked rows. The per-source cap step of mixture
+    * construction: an over-represented domain is clipped to a budget
+    * BEFORE fraction tuning. One window shuffle keyed on the group; rows
+    * beyond rank k are dropped group-locally (WindowGroupLimit), so the
+    * post-filter volume, not the input, bounds what survives the window. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic per-source mixture sampling: each row keeps or drops by
     * its hash bucket against its source's fraction — how a training mix
     * downsamples over-represented domains. The per-source cut is a chained

@@ -516,6 +516,17 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Per-source volume cap: at most 15 docs per source, picked by md5-hash
+    // rank — the deterministic "uniform" clip of over-represented domains
+    // that precedes fraction tuning in mixture construction. The oracle
+    // replays the identical hash ranking and tie-break.
+    "q58_source_cap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.capPerGroup(d, "source", "doc_id", k = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque media payloads →
     // per-partition batch "decode" (STUB codec; real schema/batch shape) →
     // typed feature columns. mean_byte is an IEEE division of exact ints.
@@ -1298,6 +1309,14 @@ object LlmQueries {
         |  CAST(len(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INT) AS n_tokens,
         |  array_to_string(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q58_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

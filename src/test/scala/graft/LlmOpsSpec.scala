@@ -290,6 +290,26 @@ class LlmOpsSpec extends SparkSpec {
     r.release()
   }
 
+  test("capPerGroup: at most k per group, hash-deterministic, partition-stable") {
+    import graft.ops.Sampling
+    val df = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val out = Sampling.capPerGroup(df, "src", "id", 10)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 4 && counts.values.forall(_ == 10L), counts.toString)
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.capPerGroup(df.repartition(13), "src", "id", 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b) // same survivors at any partition count
+    // survivors are exactly the k hash-smallest keys per group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (0L until 200L).groupBy(_ % 4).values
+      .flatMap(g => g.sortBy(i => (h(i), i)).take(10)).toSeq.sorted
+    assert(a == expect)
+  }
+
   test("packSequential properties: ids preserved, bins contiguous, fill bounded") {
     import graft.ops.Packing
     val rnd = new scala.util.Random(7)
