@@ -106,6 +106,18 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrich — J1's streaming face: each micro-batch left-
+    * joins a bounded static dimension (re-planned per batch, so a small
+    * dim broadcasts and a dim refreshed on disk is re-read). No state, no
+    * watermark needed: static-side rows can't be late. `missing_dim`
+    * mirrors the batch pipeline's missing-join-match flag (P10). */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val dimKeyed = dim.withColumnRenamed(key, "__dim_key")
+    stream.join(dimKeyed, stream(key) === dimKeyed("__dim_key"), "left")
+      .withColumn("missing_dim", col("__dim_key").isNull)
+      .drop("__dim_key")
+  }
+
   /** Stream-stream event-time interval join — the canonical attribution
     * join: each click matches impressions with the same key that happened
     * at most `maxDelay` before it. The time-range predicate plus

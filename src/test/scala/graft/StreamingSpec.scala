@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: static dim joins each micro-batch, misses flagged") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streaming.enrichStream(
+        ms.toDF.toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 10.0), (3L, 20.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched_stream").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.getAs[String]("tier")), r.getAs[Boolean]("missing_dim"))))
+        .toMap
+      assert(out(1L) == ((Some("gold"), false)))
+      assert(out(3L) == ((None, true))) // no dim row: flagged, not dropped
+    } finally q.stop()
+  }
+
   test("attributionJoin: clicks match impressions within the delay window only") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp)]
