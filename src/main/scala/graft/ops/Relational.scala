@@ -189,6 +189,31 @@ object Relational {
     sf.join(sd, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Snapshot diff — the day-over-day lake-table audit behind S7-style
+    * keyed upserts: full-outer join two snapshots on the key and classify
+    * every key as added / removed / changed / unchanged. Column
+    * comparison is null-safe (`<=>`), so NULL→NULL is unchanged and
+    * NULL→value is changed. One key shuffle (zero with co-bucketed
+    * snapshots); the classification is a pure projection over the join. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    def pick(df: DataFrame, p: String) =
+      df.select((keyCol +: compareCols).map(c => col(c).as(s"$p$c")): _*)
+    val joined = pick(oldSnap, "__o_")
+      .join(pick(newSnap, "__n_"),
+        col(s"__o_$keyCol") === col(s"__n_$keyCol"), "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    joined.select(
+      coalesce(col(s"__o_$keyCol"), col(s"__n_$keyCol")).as(keyCol),
+      when(col(s"__o_$keyCol").isNull, "added")
+        .when(col(s"__n_$keyCol").isNull, "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged").as("change_type"))
+  }
+
   /** Assert zero data-quality violations, mirroring `dbt test` semantics
     * (run inside pipelines; throws on violation). */
   def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit = {

@@ -232,6 +232,22 @@ object RelationalQueries {
         .orderBy("null_key", "missing_customer")
     }),
 
+    // Snapshot diff: today's documents snapshot vs yesterday's — every
+    // 17th doc removed, every 13th edited, every 19th re-keyed as an
+    // addition. The full-outer classification must label each key exactly
+    // (null-safe compares; removal beats edit where the selectors overlap).
+    "q59_snapshot_diff" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val today = d.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("n_chars")))
+      snapshotDiff(d, today, "doc_id", Seq("text", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // P9 in its exact reference shape: THREE-branch composite fallback
     // (both stats → weighted+rounded; primary only → primary unrounded;
     // else → base metric), per movies_enriched_daily.sql:97-103.
@@ -545,6 +561,24 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS nb_orders
         |FROM o LEFT JOIN customer ON join_key = c_custkey
         |GROUP BY 1, 2 ORDER BY null_key, missing_customer""".stripMargin,
+
+    "q59_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, n_chars FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, n_chars FROM documents WHERE doc_id % 19 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM n.text
+        |         OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q26_composite_3branch" ->
       """WITH j AS (

@@ -114,6 +114,18 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("d"))).toDF("k", "v")
+    val nw = Seq((2L, Option("bX")), (3L, Option.empty[String]), (4L, Option("d")),
+      (5L, Option("e"))).toDF("k", "v")
+    val out = Relational.snapshotDiff(old, nw, "k", Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", // NULL <=> NULL: null-safe compare, not "changed"
+      4L -> "unchanged", 5L -> "added"), out.toString)
+  }
+
   test("leftEnrich: NULL fact keys never match (J2 contract)") {
     val fact = Seq((Some("a"), 1), (None: Option[String], 2)).toDF("k", "x")
     val dim = Seq(("a", "m"), (null: String, "n")).toDF("k", "name")
