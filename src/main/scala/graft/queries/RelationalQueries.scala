@@ -393,6 +393,52 @@ object RelationalQueries {
     // Gap-based sessionization (stream-analytics staple): a new session
     // starts after a >30-minute silence per user; pure lag+cumsum window
     // logic on epoch micros — exact integer arithmetic in both engines.
+    // Event funnel: first view → first click at-or-after it → first
+    // purchase at-or-after that, per user. Three stacked window minima
+    // over ONE user-partitioned sort (Spark evaluates successive Window
+    // operators over the same partitioning without re-shuffling), then a
+    // per-user rollup. NULL stage times propagate: no view → no eligible
+    // click, exactly the funnel semantics.
+    "q60_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val ev = table(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      ev
+        .withColumn("v_us",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" && col("ts_us") >= col("v_us"),
+            col("ts_us"))).over(w))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" && col("ts_us") >= col("c_us"),
+            col("ts_us"))).over(w))
+        .groupBy("user_id")
+        .agg(max(col("v_us")).as("first_view_us"),
+          max(col("c_us")).as("first_click_us"),
+          max(col("p_us")).as("first_purchase_us"))
+        .withColumn("reached_stage",
+          when(col("first_purchase_us").isNotNull, 3)
+            .when(col("first_click_us").isNotNull, 2)
+            .when(col("first_view_us").isNotNull, 1)
+            .otherwise(0))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users bucketed by first-seen date, activity counted
+    // per (cohort, day offset) — two partial+final aggregates around an
+    // id-keyed join (the first-seen side is users-sized, AQE broadcasts it
+    // at small SF; at scale both sides shuffle on user_id once).
+    "q61_retention" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("nb_active"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     "q31_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -676,6 +722,34 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  CAST(count(*) AS BIGINT) AS nb
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q60_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_us
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS c_us
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us >= v.v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS p_us
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us >= c.c_us GROUP BY 1)
+        |SELECT v.user_id, v.v_us AS first_view_us, c.c_us AS first_click_us,
+        |  p.p_us AS first_purchase_us,
+        |  CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+        |       WHEN c.c_us IS NOT NULL THEN 2
+        |       WHEN v.v_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached_stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q61_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS nb_active
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
 
     "q31_sessionize" ->
       """WITH ev AS (
