@@ -67,6 +67,22 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Split-integrity check: content-duplicate groups that straddle split
+    * boundaries — the train/test leakage a by-ID split silently creates
+    * whenever the same content survives under several ids (the reason
+    * curation runs dedup BEFORE [[splitAssign]]). One fingerprint-keyed
+    * partial+final aggregate; an empty result is the pass condition, so a
+    * pipeline gates on `splitLeakage(...).isEmpty`. Returns one row per
+    * leaking group: (content_key, nb_docs, nb_splits, min_id). */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   splitCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_key"))
+      .agg(
+        count(lit(1)).as("nb_docs"),
+        count_distinct(col(splitCol)).as("nb_splits"),
+        min(col(idCol)).as("min_id"))
+      .filter(col("nb_docs") > 1 && col("nb_splits") > 1)
+
   /** Deterministic per-source mixture sampling: each row keeps or drops by
     * its hash bucket against its source's fraction — how a training mix
     * downsamples over-represented domains. The per-source cut is a chained

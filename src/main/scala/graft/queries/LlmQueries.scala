@@ -516,6 +516,22 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Split-leakage DQ check: verbatim copies of every 5th doc re-keyed at
+    // +100000 land in hash-independent splits, so the same content
+    // straddles train/val/test — exactly the leak a by-ID split creates
+    // when dedup is skipped. The check must surface every straddling
+    // group (and only those): duplicates whose copies happen to hash into
+    // the same split stay out of the report.
+    "q62_split_leakage" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = d.unionByName(copies)
+        .withColumn("split", Sampling.splitAssign(col("doc_id")))
+      Sampling.splitLeakage(corpus, "text", "doc_id", "split")
+        .orderBy("min_id")
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1309,6 +1325,32 @@ object LlmQueries {
         |  CAST(len(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INT) AS n_tokens,
         |  array_to_string(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q62_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |  FROM corpus),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS content_key,
+        |  CAST(count(*) AS BIGINT) AS nb_docs,
+        |  CAST(count(DISTINCT split) AS BIGINT) AS nb_splits,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM sp GROUP BY 1
+        |HAVING count(*) > 1 AND count(DISTINCT split) > 1
+        |ORDER BY min_id""".stripMargin,
 
     "q58_source_cap" ->
       """WITH r AS (

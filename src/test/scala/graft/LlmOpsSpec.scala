@@ -290,6 +290,21 @@ class LlmOpsSpec extends SparkSpec {
     r.release()
   }
 
+  test("splitLeakage flags only content groups that straddle splits") {
+    import graft.ops.Sampling
+    val df = Seq(
+      (1L, "same content here", "train"),
+      (2L, "same content here", "test"), // straddles → flagged
+      (3L, "other content now", "train"),
+      (4L, "other content now", "train"), // dup, same split → clean
+      (5L, "unique snowflake doc", "val")
+    ).toDF("doc_id", "text", "split")
+    val out = Sampling.splitLeakage(df, "text", "doc_id", "split").collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getAs[Long]("min_id") == 1L)
+    assert(out(0).getAs[Long]("nb_splits") == 2L)
+  }
+
   test("capPerGroup: at most k per group, hash-deterministic, partition-stable") {
     import graft.ops.Sampling
     val df = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
