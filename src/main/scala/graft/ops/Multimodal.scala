@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, batch-decoded per partition.
   *
   * The Spark-side plumbing — schema, partition sizing, per-partition batch
-  * iteration, feature schema — is real and tested. The CODECS ARE STUBS:
-  * this container has no image/audio libraries, so `decodeStub` parses a
-  * tiny deterministic fake header and derives features from raw bytes. A
-  * production deployment swaps the [[Codec]] / [[Demuxer]] seam
-  * implementations for real codec calls; nothing else changes.
-  * [[ImageIoCodec]] is the proof: real JDK image decode behind the same
-  * seam, falling back to the stub on non-image payloads.
+  * iteration, feature schema — is real and tested. Both seams have a REAL
+  * JDK-backed implementation and a container-safe stub: [[ImageIoCodec]]
+  * decodes PNG/JPEG/BMP/GIF stills behind the [[Codec]] seam, and
+  * [[GifDemuxer]] iterates animated-GIF frames behind the [[Demuxer]] seam
+  * (the JDK cannot demux MP4/audio — a production deployment drops an
+  * FFmpeg-backed [[Demuxer]] into the same seam and nothing else changes).
+  * Non-decodable payloads fall back to the deterministic stubs so mixed
+  * corpora never fail a partition.
   */
 object Multimodal {
 
@@ -151,6 +152,52 @@ object Multimodal {
             java.util.Arrays.copyOfRange(r.bytes, off, off + 4))
           Frame(r.media_id, off, frameHash)
         }
+  }
+
+  /** Real multi-frame demux via the JDK GIF reader — the proof (like
+    * [[ImageIoCodec]] for [[Codec]]) that the [[Demuxer]] seam takes a real
+    * implementation with no other change: `javax.imageio` iterates the
+    * frames of an animated GIF (`getNumImages` / indexed `read`), every
+    * `stride`-th frame is decoded standalone (no disposal compositing) and
+    * hashed over its ARGB raster. `frame_offset` is the FRAME INDEX within
+    * the container (the stub's byte offset has no meaning once a real
+    * container is parsed). Non-GIF or malformed payloads fall back to
+    * [[StubDemuxer]] so mixed corpora never fail the partition — the same
+    * contract as [[ImageIoCodec]].
+    *
+    * NOTE: frames must be written non-interlaced; the JDK GIF reader
+    * mis-rasterizes tiny interlaced images (observed on 2×2). */
+  object GifDemuxer extends Demuxer {
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
+      if (!ImageIoCodec.available) return StubDemuxer.frames(r, stride)
+      val s = math.max(stride, 1)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return StubDemuxer.frames(r, stride) }
+        val reader = readers.next()
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) {
+          reader.dispose(); iis.close(); return StubDemuxer.frames(r, stride)
+        }
+        val decoded =
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true) // forward scan — needs the full stream
+            // materialize before dispose: the iterator must not outlive the reader
+            Iterator.range(0, n, s).map { i =>
+              val img = reader.read(i)
+              val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+              Frame(r.media_id, i, java.util.Arrays.hashCode(px))
+            }.toVector
+          } finally { reader.dispose(); iis.close() }
+        // a torn GIF can scan to ZERO complete frames without throwing —
+        // treat "no decodable frame" as non-GIF and fall back
+        if (decoded.isEmpty) StubDemuxer.frames(r, stride) else decoded.iterator
+      } catch {
+        case scala.util.control.NonFatal(_) => StubDemuxer.frames(r, stride)
+      }
+    }
   }
 
   /** Frame sampling through the [[Demuxer]] seam: one demux pass per

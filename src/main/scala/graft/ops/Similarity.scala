@@ -110,10 +110,12 @@ object Similarity {
         sort_array(array(cellScores(col(qVec)).map { case (i, s) =>
           struct(s.as("s"), lit(i).as("i")) }: _*), asc = false),
         1, nProbes).getField("i")))
+    // corpus rows live in exactly one cell and query probes are distinct
+    // cells, so each (q, c) pair appears at most once — no dedup exchange
+    // needed; the ranking window sees only (q_id, c_id, cosine)
     val scored = qCells.join(cCell, Seq("cell"))
       .filter(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), col(qVec), col(cVec)).distinct()
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -164,12 +166,13 @@ object Similarity {
           asc = false),
         1, nProbes), s => -s.getField("ni"))))
     // corpus rows live in exactly one cell and query probes are distinct
-    // cells, so each (q, c) pair appears at most once — no dedup needed
+    // cells, so each (q, c) pair appears at most once — no dedup needed;
+    // the ranking window sees only (q_id, c_id, dot_i)
     val scored = qCells.join(cCell, Seq("__cell"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("dot_i",
+      .select(col(qId), col(cId),
         aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+          lit(0L), (acc, x) => acc + x).as("dot_i"))
     val w = Window.partitionBy(qId).orderBy(col("dot_i").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -229,9 +232,11 @@ object Similarity {
         element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
         (a, c) => a * c), lit(0L), (acc, x) => acc + x)
     }.reduce(_ + _)
+    // score inside the projection so the ranking window carries only
+    // (q_id, c_id, score_i), not the query vector and code arrays
     val scored = broadcast(q).crossJoin(cCoded)
       .filter(col(qId) =!= col(cId))
-      .withColumn("score_i", scoreI)
+      .select(col(qId), col(cId), scoreI.as("score_i"))
     val win = Window.partitionBy(qId).orderBy(col("score_i").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
@@ -293,9 +298,11 @@ object Similarity {
         element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
         (a, x) => a * x), lit(0L), (acc, x) => acc + x)
     }.reduce(_ + _)
+    // score inside the projection so the ranking window carries only
+    // (q_id, c_id, score_i), not the query vector and code arrays
     val scored = qCells.join(cCoded, Seq("__cell"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("score_i", scoreI)
+      .select(col(qId), col(cId), scoreI.as("score_i"))
     val win = Window.partitionBy(qId).orderBy(col("score_i").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
@@ -324,15 +331,22 @@ object Similarity {
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
     val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
-    val candidates = seeds.map { seed =>
+    // candidate generation carries ONLY (id, bucket) — the bucket self-join
+    // and the multi-seed distinct() exchange small fixed-width keys, never
+    // the vectors; vectors come back via two id-keyed joins on the (tiny)
+    // candidate set, the jaccardOnPairs shape (Dedup.jaccardOnPairs)
+    val pairs = seeds.map { seed =>
       val planes = randomPlanes(nPlanes, d, seed)
       // srpSketch folds integer-valued doubles < 2^53 — exact sign bits
-      val b = base.withColumn("bucket", srpSketch(col("v"), planes).bitwiseAND(mask))
+      val b = base.select(col("id"),
+        srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }.reduce(_ unionByName _).distinct()
+    val candidates = pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     candidates
@@ -357,16 +371,21 @@ object Similarity {
                         dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val mask = (1L << prefixBits) - 1
-    val candidates = seeds.map { seed =>
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // (id, bucket) only through the self-join and distinct — vectors are
+    // joined back onto the candidate pairs afterward (jaccardOnPairs shape),
+    // so no exchange keys on array payloads
+    val pairs = seeds.map { seed =>
       val planes = randomPlanes(nPlanes, d, seed)
-      val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("bucket", srpSketch(col("v"), planes).bitwiseAND(mask))
+      val b = base.select(col("id"),
+        srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }.reduce(_ unionByName _).distinct()
-    candidates
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -383,16 +402,22 @@ object Similarity {
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
     val mask = (1L << prefixBits) - 1
-    val probed = seeds.map { seed =>
+    // bucket join and multi-probe distinct carry only (q_id, c_id) —
+    // vectors join back onto the deduped pairs, and the ranking window
+    // sees only (q_id, c_id, cosine)
+    val pairs = seeds.map { seed =>
       val planes = randomPlanes(nPlanes, d, seed)
-      val qb = queries.withColumn("bucket",
-        srpSketch(col(qVec), planes).bitwiseAND(mask))
-      val cb = corpus.withColumn("bucket",
-        srpSketch(col(cVec), planes).bitwiseAND(mask))
+      val qb = queries.select(col(qId),
+        srpSketch(col(qVec), planes).bitwiseAND(mask).as("bucket"))
+      val cb = corpus.select(col(cId),
+        srpSketch(col(cVec), planes).bitwiseAND(mask).as("bucket"))
       qb.join(cb, Seq("bucket")).filter(col(qId) =!= col(cId))
-        .select(col(qId), col(cId), col(qVec), col(cVec))
+        .select(col(qId), col(cId))
     }.reduce(_ unionByName _).distinct()
-    val scored = probed.withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val scored = pairs
+      .join(queries.select(col(qId), col(qVec)), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -423,18 +448,24 @@ object Similarity {
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
     val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
     val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
-    val candidates = seeds.map { seed =>
+    // (q_id, c_id) only through the bucket join and multi-probe distinct;
+    // quantized vectors join back onto the deduped pairs and the window
+    // sees only (q_id, c_id, dot_i)
+    val pairs = seeds.map { seed =>
       val planes = randomPlanes(nPlanes, d, seed)
       // srpSketch's dot folds integer-valued doubles < 2^53 — exact, so
       // the sign bits (and buckets) are deterministic
-      q.withColumn("__bucket", srpSketch(col("__qv"), planes))
-        .join(c.withColumn("__bucket", srpSketch(col("__cv"), planes)), Seq("__bucket"))
+      q.select(col(qId), srpSketch(col("__qv"), planes).as("__bucket"))
+        .join(c.select(col(cId), srpSketch(col("__cv"), planes).as("__bucket")),
+          Seq("__bucket"))
         .filter(col(qId) =!= col(cId))
-        .select(col(qId), col(cId), col("__qv"), col("__cv"))
+        .select(col(qId), col(cId))
     }.reduce(_ unionByName _).distinct()
-    val scored = candidates.withColumn("dot_i",
-      aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+    val scored = pairs
+      .join(q, Seq(qId)).join(c, Seq(cId))
+      .select(col(qId), col(cId),
+        aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_i"))
     val w = Window.partitionBy(qId).orderBy(col("dot_i").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

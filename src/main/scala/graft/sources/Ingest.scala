@@ -32,6 +32,44 @@ object Ingest {
     def get(url: String, params: Map[String, String]): String
   }
 
+  /** Production transport for the [[Fetcher]] seam: a `java.net.http`
+    * GET with URL-encoded query params. Any non-2xx status throws (the
+    * reference's `raise_for_status`, `fetch_tmdb.py:55,70`), so
+    * [[getWithRetry]] sees HTTP and transport failures uniformly and
+    * applies the same linear-backoff retry to both — a 429 rate-limit
+    * response is retried like a dropped connection, a persistent 4xx/5xx
+    * exhausts `maxAttempts` and propagates.
+    *
+    * Driver-side only by design (the fetch loop is an ingestion adapter,
+    * not a distributed operator), so the client is a plain field — nothing
+    * here ships to executors. */
+  final class HttpFetcher(connectTimeoutMs: Long = 5000,
+                          requestTimeoutMs: Long = 15000) extends Fetcher {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    override def get(url: String, params: Map[String, String]): String = {
+      val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val full =
+        if (qs.isEmpty) url
+        else url + (if (url.contains("?")) "&" else "?") + qs
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HTTP ${resp.statusCode()} for $url") // body dropped: may be huge
+      resp.body()
+    }
+  }
+
   /** The reference's endpoints (`fetch_tmdb.py:20-21`). */
   val PopularUrl = "https://api.themoviedb.org/3/movie/popular"
   def detailsUrl(movieId: Long): String =
@@ -96,10 +134,12 @@ object Ingest {
     * `sleeper` is injectable so tests can assert the pacing without
     * wall-clock sleeps. */
   def fetchTmdbSnapshot(fetcher: Fetcher, cfg: Config,
-                        sleeper: Long => Unit = Thread.sleep): Seq[Long] = {
+                        sleeper: Long => Unit = Thread.sleep,
+                        popularUrl: String = PopularUrl,
+                        detailsUrlOf: Long => String = detailsUrl): Seq[Long] = {
     val baseParams = cfg.apiKey.map("api_key" -> _).toMap +
       ("language" -> cfg.language)
-    val popular = getWithRetry(fetcher, PopularUrl,
+    val popular = getWithRetry(fetcher, popularUrl,
       baseParams + ("page" -> "1"), cfg, sleeper)
     saveEnveloped(datePath(cfg, "tmdb", "popular"), "popular_movies.json",
       popular, "tmdb", "popular", cfg)
@@ -113,7 +153,7 @@ object Ingest {
         }
       }
     ids.foreach { id =>
-      val details = getWithRetry(fetcher, detailsUrl(id), baseParams, cfg, sleeper)
+      val details = getWithRetry(fetcher, detailsUrlOf(id), baseParams, cfg, sleeper)
       saveEnveloped(datePath(cfg, "tmdb", "details"), s"$id.json",
         details, "tmdb", "details", cfg)
       sleeper(cfg.rateLimitMs) // `time.sleep(0.25)`, fetch_tmdb.py:74

@@ -91,6 +91,84 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage == "down")
   }
 
+  // --- real transport: HttpFetcher against an in-process HTTP server ---
+
+  private def withServer(test: (String, com.sun.net.httpserver.HttpServer) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}", server)
+    finally server.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+                      body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  test("HttpFetcher: success body, param encoding, 429 retry, non-2xx throw") {
+    withServer { (base, server) =>
+      val seen = mutable.Buffer[String]()
+      var flakyLeft = 2
+      server.createContext("/ok", ex => {
+        seen.append(ex.getRequestURI.toString)
+        respond(ex, 200, """{"hello":"world & more"}""")
+      })
+      server.createContext("/flaky", ex =>
+        if (flakyLeft > 0) { flakyLeft -= 1; respond(ex, 429, "slow down") }
+        else respond(ex, 200, "recovered"))
+      server.createContext("/dead", ex => respond(ex, 500, "boom"))
+
+      val f = new Ingest.HttpFetcher()
+      // success path + URL encoding of query params
+      assert(f.get(s"$base/ok", Map("language" -> "fr-FR", "q" -> "a b&c"))
+        == """{"hello":"world & more"}""")
+      assert(seen.head.startsWith("/ok?"))
+      assert(seen.head.contains("language=fr-FR"))
+      assert(seen.head.contains("q=a+b%26c"))
+
+      // 429 rate-limit responses retry with linear backoff, then succeed
+      val cfg = Ingest.Config("/tmp/unused", "2026-03-05", "r",
+        maxAttempts = 3, backoffMs = 50)
+      val sleeps = mutable.Buffer[Long]()
+      assert(Ingest.getWithRetry(f, s"$base/flaky", Map.empty, cfg,
+        sleeps.append(_)) == "recovered")
+      assert(sleeps.toSeq == Seq(50L, 100L))
+
+      // persistent non-2xx exhausts maxAttempts and surfaces the status
+      val e = intercept[java.io.IOException] {
+        Ingest.getWithRetry(f, s"$base/dead", Map.empty, cfg, _ => ())
+      }
+      assert(e.getMessage.contains("HTTP 500"))
+    }
+  }
+
+  test("fetchTmdbSnapshot end-to-end over HttpFetcher (real transport, no network)") {
+    withServer { (base, server) =>
+      server.createContext("/3/movie/popular", ex => respond(ex, 200, popularJson))
+      server.createContext("/3/movie/", ex => {
+        val id = ex.getRequestURI.getPath.substring("/3/movie/".length).toLong
+        respond(ex, 200, detailsJson(id))
+      })
+      val root = Files.createTempDirectory("graft_ingest_http").toString
+      val cfg = Ingest.Config(root, "2026-03-05", "run-http",
+        apiKey = Some("secret"), rateLimitMs = 0)
+      val ids = Ingest.fetchTmdbSnapshot(new Ingest.HttpFetcher(), cfg,
+        sleeper = _ => (),
+        popularUrl = s"$base/3/movie/popular",
+        detailsUrlOf = id => s"$base/3/movie/$id")
+      assert(ids == Seq(101L, 102L))
+      // the files written over the real transport feed the engine directly
+      val det = graft.io.RawZone.readEnveloped(spark, root, "tmdb", "details",
+        "2026-03-05", graft.model.Schemas.detailsSchema, multiLine = true)
+      assert(det.select("data.id").as[Long].collect().sorted.toSeq == Seq(101L, 102L))
+      assert(det.select("_meta.run_id").distinct().head().getString(0) == "run-http")
+    }
+  }
+
   test("fetchOmdbSnapshot: per-imdb-id files readable by the engine, empties skipped") {
     val root = Files.createTempDirectory("graft_ingest_omdb").toString
     val cfg = Ingest.Config(root, "2026-03-05", "run1", apiKey = Some("k"))

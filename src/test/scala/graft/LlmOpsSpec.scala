@@ -609,6 +609,54 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "image/png", corruptPng)))
   }
 
+  // A real 60-byte 2-frame animated GIF, written by the JDK GIF writer
+  // (non-interlaced — the JDK reader mis-rasterizes tiny interlaced GIFs):
+  // 2×2 frames, frame 0 = black/white checkerboard, frame 1 = its inverse.
+  private val gif2frames: Array[Byte] = Array[Int](
+    71, 73, 70, 56, 57, 97, 2, 0, 2, 0, -16, 0,
+    0, 0, 0, 0, -1, -1, -1, 44, 0, 0, 0, 0,
+    2, 0, 2, 0, 0, 8, 7, 0, 1, 4, 8, 0,
+    32, 32, 0, 44, 0, 0, 0, 0, 2, 0, 2, 0,
+    0, 8, 7, 0, 3, 0, 0, 16, 32, 32, 0, 59).map(_.toByte)
+
+  test("GifDemuxer demuxes a real 2-frame GIF byte literal (golden)") {
+    assert(Multimodal.ImageIoCodec.available)
+    def demux(stride: Int) = Multimodal.GifDemuxer.frames(
+      Multimodal.MediaRow(7L, "image/gif", gif2frames), stride).toVector
+    val frames = demux(1)
+    // frame_offset is the frame INDEX within the container
+    assert(frames.map(_.frame_offset) == Vector(0, 1))
+    // golden ARGB raster hashes: Arrays.hashCode over row-major getRGB of
+    // (B W / W B) and (W B / B W) — recomputed from the decoded pixels
+    assert(frames(0).frame_hash == -1609690207)
+    assert(frames(1).frame_hash == 537764641)
+    assert(frames(0).frame_hash != frames(1).frame_hash)
+    // stride samples every stride-th frame
+    assert(demux(2).map(_.frame_offset) == Vector(0))
+    // non-GIF and torn payloads fall back to the stub, never throw
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    def viaGif(id: Long, bytes: Array[Byte]) = Multimodal.GifDemuxer.frames(
+      Multimodal.MediaRow(id, "application/octet-stream", bytes), 8).toVector
+    def viaStub(id: Long, bytes: Array[Byte]) = Multimodal.StubDemuxer.frames(
+      Multimodal.MediaRow(id, "application/octet-stream", bytes), 8).toVector
+    assert(viaGif(8L, garbage) == viaStub(8L, garbage))
+    assert(viaGif(9L, gif2frames.take(30)) == viaStub(9L, gif2frames.take(30)))
+  }
+
+  test("GifDemuxer through the Spark frameSample path with mixed payloads") {
+    import spark.implicits._
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/gif", gif2frames),
+      Multimodal.MediaRow(2L, "application/octet-stream", garbage)
+    ).toDS()
+    val byId = Multimodal.frameSample(media, stride = 1, Multimodal.GifDemuxer)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(byId(1L) == 2L) // two real GIF frames
+    // the stub emits one frame per byte offset up to len-4 (stride 1)
+    assert(byId(2L) == 29L)
+  }
+
   test("frameSample demux seam is pluggable") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(7L, "video/fake",
