@@ -104,6 +104,18 @@ object Pipeline {
     } finally enriched.unpersist()
   }
 
+  /** SQL-surface face: expose the five model tables under their dbt model
+    * names as temp views, so a `spark.sql` user queries the pipeline's
+    * outputs exactly as the reference's warehouse user queries the dbt
+    * models (the SQL files under `dbt/models/staging` and `dbt/models/marts`). */
+  def registerModelViews(r: Result): Unit = {
+    r.stgTmdbPopular.createOrReplaceTempView("stg_tmdb_popular")
+    r.stgTmdbDetails.createOrReplaceTempView("stg_tmdb_details")
+    r.stgOmdbRatings.createOrReplaceTempView("stg_omdb_ratings")
+    r.moviesEnrichedDaily.createOrReplaceTempView("movies_enriched_daily")
+    r.kpiDailySummary.createOrReplaceTempView("kpi_daily_summary")
+  }
+
   /** Backfill: run a range of snapshot dates sequentially (the engine's
     * equivalent of re-triggering the reference's daily DAG per day,
     * `dags/movies_analytics.py:22-28`). Each day is independently

@@ -38,6 +38,19 @@ object SparkEntry {
       )
   }
 
+  /** SQL-surface face: register every testdata table (the relational star
+    * schema plus `documents`/`embeddings`) as a temp view, so a SQL-only
+    * user can drive the engine entirely through `spark.sql` — with the
+    * `graft_*` functions installed by [[graft.plans.GraftExtensions]],
+    * that is a complete SQL story (q63 is authored that way). The five
+    * PIPELINE model tables get the same treatment post-run via
+    * [[Pipeline.registerModelViews]]. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.sources.Testdata.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2 (see COVERAGE.md
     * for the operator-id → query-name map). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](

@@ -61,8 +61,14 @@ object LakeZones {
     * present in the batch, not the table — the `days` list collected to
     * the driver is one value per touched day (small by construction), and
     * partition pruning keeps the merge read to those directories. The
-    * touched partitions are materialized (`localCheckpoint`) before the
-    * overwrite so Spark does not see a self-overwriting file scan. */
+    * merged days are STAGED to a sibling temp directory and then swapped
+    * into place per partition: the staging write's plan reads the live
+    * table (no self-overwriting scan), and nothing is pinned in executor
+    * storage — r4 materialized the touched days via `localCheckpoint`,
+    * which held a full day's partition in executor local storage and
+    * would not survive a 100 TB day. The swap (delete + rename per day
+    * directory) has the same partition-granularity atomicity as dynamic
+    * partition overwrite. */
   def mergeUpsertByDay(batch: DataFrame, root: String, zone: String, name: String,
                        keys: Seq[String],
                        order: Seq[org.apache.spark.sql.Column]): String = {
@@ -70,19 +76,34 @@ object LakeZones {
     val path = s"$root/$zone/$name"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(hPath)) batch
-      else {
-        val days = batch.select(col("snapshot_date").cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        if (days.isEmpty) return path // empty batch: nothing to rewrite
-        val existing = readTable(spark, root, zone, name)
-          .filter(col("snapshot_date").cast("string").isin(days: _*))
-          .select(batch.columns.map(col).toIndexedSeq: _*)
-          .localCheckpoint()
-        existing.unionByName(batch)
+    if (!fs.exists(hPath))
+      return upsertByDay(batch, root, zone, name, keys, order)
+    val days = batch.select(col("snapshot_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (days.isEmpty) return path // empty batch: nothing to rewrite
+    val existing = readTable(spark, root, zone, name)
+      .filter(col("snapshot_date").cast("string").isin(days: _*))
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+    val merged = Relational.lastWriteWins(
+      existing.unionByName(batch), "snapshot_date" +: keys, order: _*)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/$zone/.staging_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("snapshot_date")
+      .parquet(tmp.toString)
+    try {
+      days.foreach { day =>
+        val target = new org.apache.hadoop.fs.Path(hPath, s"snapshot_date=$day")
+        val staged = new org.apache.hadoop.fs.Path(tmp, s"snapshot_date=$day")
+        if (fs.exists(staged)) {
+          if (fs.exists(target)) fs.delete(target, true)
+          fs.rename(staged, target)
+        }
       }
-    upsertByDay(merged, root, zone, name, keys, order)
+    } finally fs.delete(tmp, true)
+    path
   }
 
   /** S11: read a lake table back (all days, partition column recovered from

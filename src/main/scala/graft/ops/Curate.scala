@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *   0. (opt-in) boilerplate line removal ([[TextAnalysis.removeBoilerplate]]
   *      — BEFORE dedup, so shared footers can't mask real duplicates or
   *      fake near-dups; docs left empty by it are dropped),
-  *   1. exact dedup (cheapest filter first: one content-hash shuffle),
-  *   2. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
-  *   3. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
-  *   4. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
-  *   5. PII redaction ([[TextAnalysis.redactPii]]),
+  *   1. PII redaction ([[TextAnalysis.redactPii]] — BEFORE any hashing:
+  *      docs that differ only in the PII value collapse to identical
+  *      content, so the dedup stages catch them, and every later stage
+  *      scores the text that actually ships),
+  *   2. exact dedup (cheapest filter first: one content-hash shuffle),
+  *   3. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
+  *   4. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
+  *   5. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
   *   6. deterministic split assignment ([[Sampling.splitAssign]]),
   *   7. (opt-in) sliding-window chunking ([[Packing.chunkTokens]] — LAST,
   *      over redacted survivors only; chunks inherit the doc's split so a
@@ -24,6 +27,12 @@ import org.apache.spark.sql.functions._
   * so each stage's scale posture (bucketed candidates, broadcast-bounded
   * benchmark, hash-bucket splits) is inherited. Returns the curated
   * corpus plus a one-row stats frame for pipeline observability.
+  *
+  * With redaction idempotent (its placeholders match none of its own
+  * patterns) and the LSH/minhash machinery deterministic, the whole
+  * recipe is a FIXPOINT: curating an already-curated corpus eliminates
+  * nothing and changes no text or split (property-tested). That is the
+  * contract an incrementally re-run pipeline relies on.
   */
 object Curate {
 
@@ -65,14 +74,18 @@ object Curate {
           .withColumnRenamed("clean_text", textCol)
       case None => docs
     }
-    val total = docs0.count()
+    // 1. redact PII before any content hashing (see the fixpoint note in
+    // the object doc); rows are never dropped here so the input count is
+    // unchanged
+    val redacted = docs0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val total = redacted.count()
 
-    // 1. exact dedup — survivors keep the smallest id per content key
-    val exact = Dedup.dedupCorpus(docs0, textCol, idCol)
+    // 2. exact dedup — survivors keep the smallest id per content key
+    val exact = Dedup.dedupCorpus(redacted, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 
-    // 2. transitive near-dup collapse
+    // 3. transitive near-dup collapse
     val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
       threshold = cfg.nearDupThreshold, shingleN = cfg.shingleN,
       k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows)
@@ -81,10 +94,10 @@ object Curate {
     val nNear = nearDeduped.count()
     exact.unpersist()
 
-    // 3. quality floor
+    // 4. quality floor
     val quality = nearDeduped
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
-    // 4. decontamination: drop docs sharing any n-gram with the benchmark
+    // 5. decontamination: drop docs sharing any n-gram with the benchmark
     val contaminated = Dedup.ngramOverlap(quality, benchmark, idCol, textCol,
         cfg.contaminationN)
       .select(col(idCol).as("__contaminated_id"))
@@ -94,9 +107,8 @@ object Curate {
     val nClean = clean.count()
     nearDeduped.unpersist()
 
-    // 5 + 6. redact PII, assign splits
+    // 6. assign splits (text already redacted before dedup)
     val curated = clean
-      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("split",
         Sampling.splitAssign(col(idCol), cfg.trainPct, cfg.valPct))
 

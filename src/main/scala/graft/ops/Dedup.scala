@@ -232,7 +232,13 @@ object Dedup {
     * (id, lbl) for every node that appears in `pairs`, lbl = component
     * minimum. Throws if `maxIter` rounds don't converge (pathological
     * diameter — raise the bound). */
-  def components(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds it took to
+    * converge — the observable behind the O(log diameter) claim, reported
+    * by the scale-stress harness (`graft.tools.ScaleStress`). */
+  def componentsWithRounds(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // Per-round frames are pinned as lazily-localCheckpointed RDDs we hold
     // a handle on: ONE action per round (the convergence count) both
@@ -284,7 +290,7 @@ object Dedup {
     // the result is a leaf over labelsRdd's cached blocks — the edge blocks
     // are no longer reachable from it
     edgesRdd.unpersist(blocking = false)
-    labels
+    (labels, iter)
   }
 
   /** Transitive near-dup survivors: collapse each connected component of

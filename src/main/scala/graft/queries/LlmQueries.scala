@@ -552,6 +552,40 @@ object LlmQueries {
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           col("mean_byte"))
         .orderBy("media_id")
+    }),
+
+    // SQL-surface face (SURVEY §2.6 beyond parity): the whole query is
+    // AUTHORED AS SQL over the registered temp views — graft_bucket
+    // assigns the same md5 splits as Sampling.splitAssign, the 60-bit
+    // md5 fingerprint detects exact dups, and graft_hamming64 measures
+    // adjacent-fingerprint decorrelation through a lag window. Everything
+    // is md5/integer arithmetic, so DuckDB replays it bit-for-bit.
+    "q63_sql_surface" -> ((s, dir) => {
+      graft.plans.GraftExtensions.install(s) // idempotent; no-op in Verify/Bench
+      graft.SparkEntry.registerViews(s, dir)
+      s.sql("""
+        |WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN graft_bucket(doc_id) < 204 THEN 'train'
+        |         WHEN graft_bucket(doc_id) < 230 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(conv(substr(md5(concat_ws(' ',
+        |      filter(split(lower(text), ' '), t -> t != ''))), 1, 15), 16, 10)
+        |      AS BIGINT) AS fp60
+        |  FROM documents),
+        |seq AS (
+        |  SELECT split, lang, fp60,
+        |    lag(fp60) OVER (PARTITION BY split, lang ORDER BY doc_id) AS prev_fp
+        |  FROM fp)
+        |SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS nb_docs,
+        |  CAST(count(DISTINCT fp60) AS BIGINT) AS nb_distinct_fp,
+        |  CAST(sum(CASE WHEN prev_fp IS NOT NULL
+        |                THEN graft_hamming64(fp60, prev_fp) END) AS BIGINT)
+        |    AS sum_adj_hamming
+        |FROM seq
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin)
     })
   )
 
@@ -1359,6 +1393,37 @@ object LlmQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    "q63_sql_surface" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b,
+        |    CAST(('0x' || substr(md5(array_to_string(
+        |      list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')), 1, 15))
+        |      AS BIGINT) AS fp60
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, lang, fp60,
+        |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM fp),
+        |seq AS (
+        |  SELECT split, lang, fp60,
+        |    lag(fp60) OVER (PARTITION BY split, lang ORDER BY doc_id) AS prev_fp
+        |  FROM sp)
+        |SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS nb_docs,
+        |  CAST(count(DISTINCT fp60) AS BIGINT) AS nb_distinct_fp,
+        |  CAST(sum(CASE WHEN prev_fp IS NOT NULL
+        |                THEN bit_count(xor(fp60, prev_fp)) END) AS BIGINT)
+        |    AS sum_adj_hamming
+        |FROM seq
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
 
     "q24_multimodal" ->
       """WITH b AS (

@@ -259,6 +259,95 @@ class LlmOpsSpec extends SparkSpec {
       == ((6L, 5L, 4L, 2L)), st.toString)
   }
 
+  test("lshCandidates under planted skew: a flooded band bucket stays correct") {
+    // degenerate corpus: 200 IDENTICAL docs (all 12 minima equal → all 3
+    // bands collide → one bucket holds the full flood and the self-join
+    // emits all C(200,2) pairs), 30 EMPTY docs (zero shingles), 30 normal
+    val floodText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows =
+      (0L until 200L).map(i => (i, floodText)) ++
+      (200L until 230L).map(i => (i, "")) ++
+      (230L until 260L).map(i => (i, s"doc$i speaks about matter$i concern$i " +
+        s"item${i * 7} and thing${i * 13} plus part${i * 29}"))
+    val df = rows.toDF("doc_id", "text")
+    val cand = Dedup.lshCandidates(df, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 3, rows = 4)
+    val nPairs = cand.count()
+    // correctness first: every identical pair survives the flooded bucket
+    val floodPairs = cand.filter(col("id_a") < 200 && col("id_b") < 200).count()
+    assert(floodPairs == 200L * 199 / 2, s"flood pairs $floodPairs")
+    // empty docs reduce to the single "" shingle — identical content, so
+    // they flood a second bucket and pair among THEMSELVES (correct: they
+    // are exact duplicates of each other), but never cross into any
+    // non-empty doc's bucket
+    val isEmptyA = col("id_a") >= 200 && col("id_a") < 230
+    val isEmptyB = col("id_b") >= 200 && col("id_b") < 230
+    assert(cand.filter(isEmptyA =!= isEmptyB).count() == 0)
+    assert(cand.filter(isEmptyA && isEmptyB).count() == 30L * 29 / 2)
+    // exact verification on the flooded pairs is exact Jaccard 1.0
+    val flooded = Dedup.jaccardOnPairs(
+      cand.filter(col("id_a") < 200 && col("id_b") < 200), df, "doc_id", "text", 3)
+    assert(flooded.agg(min("jaccard"), max("jaccard")).head()
+      == org.apache.spark.sql.Row(1.0, 1.0))
+    // record the runtime plan: at this SF the flooded bucket stays far
+    // below AQE's skewedPartitionThresholdInBytes, so no skew-split is
+    // expected (PERF.md documents the 100 TB posture: AQE splits the
+    // sort-merge partitions at scale; exact-dedup-first in Curate removes
+    // identical floods before LSH ever sees them)
+    val plan = cand.queryExecution.executedPlan.toString
+    info(s"planted-skew pairs=$nPairs, AQE skew marker in plan: ${plan.contains("skew=true")}")
+  }
+
+  test("curate is a fixpoint: re-curating a curated corpus changes nothing") {
+    import graft.ops.Curate
+    // seeded generator: stopword-dense sentences so the quality floor is
+    // comfortably cleared, plus planted rows for every eliminating stage
+    val rnd = new scala.util.Random(1234)
+    val stop = Seq("the", "of", "and", "is", "a", "in", "to", "it")
+    val words = Seq("fox", "dog", "mill", "river", "village", "platform",
+      "service", "tools", "users", "meadow", "issue", "release", "page",
+      "team", "project", "result", "list", "plan", "bend", "children")
+    def gen(): String =
+      Seq.tabulate(24)(i => if (i % 2 == 0) stop(rnd.nextInt(stop.size))
+                            else words(rnd.nextInt(words.size))).mkString(" ")
+    val bases = Seq.fill(15)(gen())
+    val rows = scala.collection.mutable.Buffer[(Long, String)]()
+    def add(t: String): Unit = rows.append((rows.size.toLong, t))
+    bases.foreach(add)
+    bases.take(4).foreach(b => add("  " + b.replace(" ", "  "))) // exact dups
+    bases.slice(4, 8).foreach { b => // near-dup truncations
+      val t = b.split(" "); add(t.take(t.length * 4 / 5).mkString(" "))
+    }
+    // identical up to the PII value — only pre-dedup redaction collapses
+    // these, which is exactly what the fixpoint requires
+    add("the contact of the team is alice@example.org and the page of the project has a list of the issues")
+    add("the contact of the team is bob@example.net and the page of the project has a list of the issues")
+    add("xz qq") // below the quality floor
+    add(bases.head + " alpha beta gamma delta epsilon") // benchmark leak
+    val bench = Seq((999L, "holdout alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = rows.toSeq.toDF("doc_id", "text")
+
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curate.curate(df, bench, "doc_id", "text")
+    def collect(r: Curate.Result) =
+      r.corpus.select("doc_id", "text", "split").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    val once = run(input)
+    val onceRows = collect(once)
+    assert(onceRows.nonEmpty)
+    // the PII twins collapsed to ONE surviving redacted row in pass 1
+    assert(onceRows.count(_._2.contains("[EMAIL]")) == 1)
+    val twice = run(once.corpus.select("doc_id", "text", "split"))
+    val twiceRows = collect(twice)
+    assert(twiceRows == onceRows)
+    // pass 2 eliminated nothing at any stage
+    val st = twice.stats.head()
+    assert(Seq(st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      .distinct.size == 1, st.toString)
+    once.release(); twice.release()
+  }
+
   test("curate: opt-in boilerplate and chunking stages bracket the pipeline") {
     import graft.ops.Curate
     val body1 = (1 to 30).map(i => s"alpha$i the of and is").mkString(" ")

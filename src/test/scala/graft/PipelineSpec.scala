@@ -97,6 +97,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("nb_hidden_gems") == 1L)
   }
 
+  test("sql surface: the five model views answer a pure-SQL mart query") {
+    Pipeline.registerModelViews(result)
+    // the dbt user's query, verbatim SQL over the model views: join the
+    // enriched mart back to staging and cross-check the KPI row
+    val row = spark.sql(
+      """SELECT k.nb_movies,
+        |       (SELECT count(*) FROM movies_enriched_daily) AS nb_enriched,
+        |       (SELECT count(*) FROM stg_tmdb_popular) AS nb_popular,
+        |       (SELECT count(*) FROM movies_enriched_daily e
+        |          JOIN stg_omdb_ratings o ON e.imdb_id = o.imdb_id) AS nb_with_omdb
+        |FROM kpi_daily_summary k""".stripMargin).head()
+    assert(row.getLong(0) == 5L) // nb_movies
+    assert(row.getLong(1) == 5L) // enriched rows
+    assert(row.getLong(2) == 5L) // staging popular rows
+    assert(row.getLong(3) == 2L) // omdb-matched movies
+  }
+
   test("lake: re-running the day is idempotent (dynamic partition overwrite)") {
     result // first run
     Pipeline.run(spark, cfg) // second run, same day
