@@ -66,9 +66,23 @@ object LakeZones {
     * table (no self-overwriting scan), and nothing is pinned in executor
     * storage — r4 materialized the touched days via `localCheckpoint`,
     * which held a full day's partition in executor local storage and
-    * would not survive a 100 TB day. The swap (delete + rename per day
-    * directory) has the same partition-granularity atomicity as dynamic
-    * partition overwrite. */
+    * would not survive a 100 TB day.
+    *
+    * Crash safety: the swap is a backup-rename protocol, not
+    * delete+rename. Per staged day directory (taken by its LITERAL name
+    * under the staging dir, so Hive-escaped and
+    * `__HIVE_DEFAULT_PARTITION__` values swap correctly): (1) rename the
+    * live partition into a hidden per-table undo dir, (2) rename the
+    * staged partition into place, (3) drop the backup. Every
+    * `FileSystem.rename` boolean is checked — HDFS reports several
+    * failure modes by returning false, not throwing — so a failed swap
+    * is loud and the staged data survives for the caller's replay. A
+    * hard crash at ANY point leaves a state [[sweepStaleDirs]] repairs
+    * at next entry: a backup with no live partition is restored, a
+    * backup with a live partition is dropped, and orphaned staging dirs
+    * are removed. Re-running the same batch then converges to the merged
+    * state with no window where a day's rows are lost (golden-tested by
+    * simulating a crash between the two renames). */
   def mergeUpsertByDay(batch: DataFrame, root: String, zone: String, name: String,
                        keys: Seq[String],
                        order: Seq[org.apache.spark.sql.Column]): String = {
@@ -76,13 +90,20 @@ object LakeZones {
     val path = s"$root/$zone/$name"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleDirs(fs, root, zone, name)
     if (!fs.exists(hPath))
       return upsertByDay(batch, root, zone, name, keys, order)
-    val days = batch.select(col("snapshot_date").cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (days.isEmpty) return path // empty batch: nothing to rewrite
+    val dayStrs = batch.select(col("snapshot_date").cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    if (dayStrs.isEmpty) return path // empty batch: nothing to rewrite
+    val nonNullDays = dayStrs.flatten
+    val touchesNullDay = dayStrs.exists(_.isEmpty)
+    val dayPred = {
+      val base = col("snapshot_date").cast("string").isin(nonNullDays: _*)
+      if (touchesNullDay) base || col("snapshot_date").isNull else base
+    }
     val existing = readTable(spark, root, zone, name)
-      .filter(col("snapshot_date").cast("string").isin(days: _*))
+      .filter(dayPred)
       .select(batch.columns.map(col).toIndexedSeq: _*)
     val merged = Relational.lastWriteWins(
       existing.unionByName(batch), "snapshot_date" +: keys, order: _*)
@@ -93,17 +114,81 @@ object LakeZones {
       .option("compression", "snappy")
       .partitionBy("snapshot_date")
       .parquet(tmp.toString)
+    val undo = undoDir(root, zone, name)
+    var swapFailed = false
     try {
-      days.foreach { day =>
-        val target = new org.apache.hadoop.fs.Path(hPath, s"snapshot_date=$day")
-        val staged = new org.apache.hadoop.fs.Path(tmp, s"snapshot_date=$day")
-        if (fs.exists(staged)) {
-          if (fs.exists(target)) fs.delete(target, true)
-          fs.rename(staged, target)
+      // swap the partition dirs that were ACTUALLY staged, by literal
+      // name — never reconstructed from the collected day strings, which
+      // would mis-resolve Hive-escaped or null partition values
+      stagedPartitionDirs(fs, tmp).foreach { st =>
+        val partName = st.getPath.getName
+        val target = new org.apache.hadoop.fs.Path(hPath, partName)
+        val backup = new org.apache.hadoop.fs.Path(undo, partName)
+        if (fs.exists(target)) {
+          if (!fs.mkdirs(undo))
+            throw new java.io.IOException(s"mergeUpsertByDay: mkdirs failed for $undo")
+          if (fs.exists(backup)) fs.delete(backup, true)
+          if (!fs.rename(target, backup)) {
+            swapFailed = true
+            throw new java.io.IOException(
+              s"mergeUpsertByDay: backup rename failed for $partName (staged data kept at $tmp)")
+          }
         }
+        if (!fs.rename(st.getPath, target)) {
+          swapFailed = true
+          throw new java.io.IOException(
+            s"mergeUpsertByDay: swap rename failed for $partName (staged data kept at $tmp)")
+        }
+        fs.delete(backup, true)
       }
-    } finally fs.delete(tmp, true)
+      if (fs.exists(undo) && fs.listStatus(undo).isEmpty) fs.delete(undo, true)
+    } finally {
+      // only clean up the staging dir on success — on a failed swap the
+      // staged merge is the sole complete copy of the day's rows, and the
+      // next entry's sweep (after backup restore) removes it
+      if (!swapFailed) { fs.delete(tmp, true); () }
+    }
     path
+  }
+
+  private def undoDir(root: String, zone: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$zone/.undo_$name")
+
+  private def stagedPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path) =
+    fs.listStatus(dir).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("snapshot_date="))
+
+  /** Repair after a crash mid-swap (called at every [[mergeUpsertByDay]]
+    * entry; idempotent, no-op when nothing is stale):
+    *   - a backup partition in `.undo_<name>/` whose live partition is
+    *     MISSING means the crash hit between the two renames — restore it
+    *     (the re-run's merge then sees the pre-crash rows);
+    *   - a backup whose live partition EXISTS means the crash hit after
+    *     the swap completed — the live dir is newer, drop the backup;
+    *   - any `.staging_<name>_*` dir is a dead run's scratch — drop it
+    *     (after restore, so a staged-but-unswapped merge is never the
+    *     only copy when it's deleted). */
+  def sweepStaleDirs(fs: org.apache.hadoop.fs.FileSystem,
+                     root: String, zone: String, name: String): Unit = {
+    val zonePath = new org.apache.hadoop.fs.Path(s"$root/$zone")
+    val tablePath = new org.apache.hadoop.fs.Path(s"$root/$zone/$name")
+    val undo = undoDir(root, zone, name)
+    if (fs.exists(undo)) {
+      fs.listStatus(undo).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"sweepStaleDirs: restore rename failed for ${st.getPath}")
+      }
+      fs.delete(undo, true)
+    }
+    if (fs.exists(zonePath)) {
+      fs.listStatus(zonePath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s".staging_${name}_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   /** S11: read a lake table back (all days, partition column recovered from

@@ -97,8 +97,14 @@ object Curate {
     // 4. quality floor
     val quality = nearDeduped
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
-    // 5. decontamination: drop docs sharing any n-gram with the benchmark
-    val contaminated = Dedup.ngramOverlap(quality, benchmark, idCol, textCol,
+    // 5. decontamination: drop docs sharing any n-gram with the benchmark.
+    // The corpus side was redacted in stage 1, so the benchmark side gets
+    // the SAME redaction first — otherwise every gram spanning an email/
+    // phone token differs ("[EMAIL]" vs the literal) and contamination
+    // centered on PII values slips through undetected.
+    val benchmarkRedacted = benchmark
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val contaminated = Dedup.ngramOverlap(quality, benchmarkRedacted, idCol, textCol,
         cfg.contaminationN)
       .select(col(idCol).as("__contaminated_id"))
     val clean = quality

@@ -259,6 +259,26 @@ class LlmOpsSpec extends SparkSpec {
       == ((6L, 5L, 4L, 2L)), st.toString)
   }
 
+  test("curate: decontamination catches overlap centered on PII values") {
+    import graft.ops.Curate
+    // the ONLY grams shared with the benchmark span the email token: an
+    // unredacted benchmark side tokenizes the literal address while the
+    // corpus side already reads [EMAIL], so every spanning gram differs
+    // and the contamination slips through — the benchmark must be
+    // redacted with the same rules before comparison
+    val contaminated = "please send a note with the latest numbers at " +
+      "dev@example.org today and the rest of the summary of the week is " +
+      "in the shared folder of the team for all of the members to read"
+    val clean = "a growing list of features and a set of tools is what the " +
+      "platform offers and the users of the service are happy with the results"
+    val docs = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val bench = Seq((100L, "the latest numbers at dev@example.org today"))
+      .toDF("doc_id", "text")
+    val r = Curate.curate(docs, bench, "doc_id", "text")
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L), s"doc 1 should be decontaminated away: $ids")
+  }
+
   test("lshCandidates under planted skew: a flooded band bucket stays correct") {
     // degenerate corpus: 200 IDENTICAL docs (all 12 minima equal → all 3
     // bands collide → one bucket holds the full flood and the self-join

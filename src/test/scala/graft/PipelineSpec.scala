@@ -301,4 +301,69 @@ class PipelineSpec extends SparkSpec {
       .filter(col("snapshot_date").cast("string") === day1)
     assert(d1.count() == 5L)
   }
+
+  test("merge-upsert: crash between backup and swap renames converges on re-run") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import graft.io.LakeZones
+    import graft.ops.Relational
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-crash-").toString
+    val d1 = "2026-03-01"
+    val d2 = "2026-03-02"
+    def frame(rows: Seq[(Long, String, String, Int)]) =
+      rows.toDF("k", "v", "snapshot_date", "ver")
+        .withColumn("snapshot_date", to_date(col("snapshot_date")))
+    val base = frame(Seq((1L, "a", d1, 1), (2L, "b", d1, 1), (3L, "c", d2, 1)))
+    LakeZones.writePartitioned(base, root, "usage", "t")
+    val batch = frame(Seq((2L, "b2", d1, 2), (4L, "d", d2, 2)))
+
+    // reconstruct the exact crash window the protocol can die in: the
+    // merged days are fully staged, day 1's live partition has been
+    // renamed into the undo dir, and the process died BEFORE the staged
+    // day 1 was renamed into place — the live table is missing day 1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tablePath = s"$root/usage/t"
+    val staged = Relational.lastWriteWins(
+      LakeZones.readTable(spark, root, "usage", "t").unionByName(batch),
+      Seq("snapshot_date", "k"), org.apache.spark.sql.functions.desc("ver"))
+    staged.write.mode("overwrite").partitionBy("snapshot_date")
+      .parquet(s"$root/usage/.staging_t_crash0")
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/usage/.undo_t")))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$tablePath/snapshot_date=$d1"),
+      new org.apache.hadoop.fs.Path(s"$root/usage/.undo_t/snapshot_date=$d1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/snapshot_date=$d1")))
+
+    // re-running the SAME batch must first restore day 1 from the undo
+    // dir (k=1 exists ONLY there — losing it means data loss), drop the
+    // orphaned staging dir, then merge to the final state
+    LakeZones.mergeUpsertByDay(batch, root, "usage", "t", Seq("k"), Seq(org.apache.spark.sql.functions.desc("ver")))
+    val out = LakeZones.readTable(spark, root, "usage", "t")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"), out.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/usage/.undo_t")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/usage"))
+      .forall(!_.getPath.getName.startsWith(".staging_t_")))
+  }
+
+  test("merge-upsert: Hive-escaped and null partition values swap correctly") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.LakeZones
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-esc-").toString
+    // a partition value needing Hive path escaping (colon, space) and a
+    // NULL partition (__HIVE_DEFAULT_PARTITION__ on disk) — both must
+    // merge, not be silently skipped by name reconstruction
+    val ts = "2026-03-01 10:00:00"
+    def frame(rows: Seq[(Long, String, Option[String], Int)]) =
+      rows.toDF("k", "v", "snapshot_date", "ver")
+    val base = frame(Seq((1L, "a", Some(ts), 1), (2L, "b", None, 1)))
+    LakeZones.writePartitioned(base, root, "usage", "esc")
+    val batch = frame(Seq((1L, "a2", Some(ts), 2), (3L, "c", None, 2)))
+    LakeZones.mergeUpsertByDay(batch, root, "usage", "esc", Seq("k"), Seq(org.apache.spark.sql.functions.desc("ver")))
+    val out = LakeZones.readTable(spark, root, "usage", "esc")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"), out.toString)
+  }
 }
