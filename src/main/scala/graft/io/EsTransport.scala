@@ -1,0 +1,218 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Live Elasticsearch HTTP transport behind the [[ServingSink]] payload
+  * builder — the serving-side twin of `graft.sources.Ingest.HttpFetcher`.
+  *
+  * Mirrors `scripts/index/index_elasticsearch.py`:
+  *  - connection check: GET the host root, surface the cluster version,
+  *    raise on failure (`index_elasticsearch.py:29-38`);
+  *  - mapping bootstrap: GET `/<index>` — 200 → skip, 404 → PUT the
+  *    mapping, anything else → raise (`index_elasticsearch.py:41-59`);
+  *  - bulk: POST NDJSON to `/_bulk` with `Content-Type:
+  *    application/x-ndjson`, raise on HTTP error, then inspect the 200
+  *    body — `errors: true` → collect the first 5 per-item `error`
+  *    objects and fail the run (`index_elasticsearch.py:100-149`).
+  *
+  * Beyond the reference: 429 rate-limit responses and transport failures
+  * are retried with linear backoff (the `Ingest.getWithRetry` policy);
+  * any other non-2xx fails fast, exactly like `raise_for_status`.
+  *
+  * The transport is an HTTP seam ([[EsClient]]) so tests drive the full
+  * protocol against an in-process HTTP server with the REAL
+  * [[HttpEsClient]]; the offline pipeline default remains the
+  * [[ServingSink]] dry-run file sink — a deployment swaps in this
+  * transport and nothing upstream changes.
+  *
+  * Scale posture: [[bulkIndexFrame]] ships chunked `_bulk` POSTs from
+  * `foreachPartition`, so a 1000-executor write streams straight from
+  * the partitions — no driver collect; [[bulkIndexLocal]] is the
+  * reference-shaped single-payload path for small frames (the KPI row).
+  */
+object EsTransport {
+
+  /** One HTTP exchange. Implementations return the raw status + body;
+    * retry/error policy lives in the transport, not the client. */
+  trait EsClient extends Serializable {
+    def send(method: String, url: String, body: Option[String],
+             contentType: String): EsResponse
+  }
+
+  final case class EsResponse(status: Int, body: String)
+
+  /** Production client: `java.net.http`, same timeouts/structure as
+    * `Ingest.HttpFetcher`. Built lazily so a serialized copy (closure
+    * capture for `foreachPartition`) reconstructs its client on the
+    * executor. */
+  final class HttpEsClient(connectTimeoutMs: Long = 5000,
+                           requestTimeoutMs: Long = 60000) extends EsClient {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .build()
+
+    override def send(method: String, url: String, body: Option[String],
+                      contentType: String): EsResponse = {
+      val pub = body match {
+        case Some(b) => java.net.http.HttpRequest.BodyPublishers.ofString(b)
+        case None => java.net.http.HttpRequest.BodyPublishers.noBody()
+      }
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .header("Content-Type", contentType)
+        .method(method, pub)
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      EsResponse(resp.statusCode(), resp.body())
+    }
+  }
+
+  final case class Config(
+      host: String,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 200,
+      /** Docs per `_bulk` POST in [[bulkIndexFrame]] — bounds the payload
+        * a single request carries at any corpus size. */
+      chunkDocs: Int = 1000) {
+    def base: String = host.stripSuffix("/")
+  }
+
+  /** Send with the ingestion retry policy: 2xx returns; 429 and transport
+    * exceptions retry with linear backoff; any other status fails fast
+    * (`raise_for_status` parity). */
+  def sendWithRetry(client: EsClient, cfg: Config, method: String, url: String,
+                    body: Option[String], contentType: String,
+                    sleeper: Long => Unit = Thread.sleep): EsResponse = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < cfg.maxAttempts) {
+      val resp =
+        try Some(client.send(method, url, body, contentType))
+        catch { case scala.util.control.NonFatal(e) => last = e; None }
+      resp match {
+        case Some(r) if r.status / 100 == 2 => return r
+        case Some(r) if r.status != 429 => // fail fast, never retried
+          throw new java.io.IOException(s"HTTP ${r.status} for $method $url")
+        case Some(r) =>
+          last = new java.io.IOException(s"HTTP ${r.status} for $method $url")
+        case None => ()
+      }
+      attempt += 1
+      if (attempt < cfg.maxAttempts) sleeper(cfg.backoffMs * attempt)
+    }
+    throw last
+  }
+
+  /** Connection check (`es_ok`): GET the host root, return the reported
+    * cluster version. Throws if unreachable or non-2xx. */
+  def ping(client: EsClient, cfg: Config,
+           sleeper: Long => Unit = Thread.sleep): String = {
+    val r = sendWithRetry(client, cfg, "GET", cfg.base, None,
+      "application/json", sleeper)
+    JsonMethods.parse(r.body) \ "version" \ "number" match {
+      case JString(v) => v
+      case _ => "unknown"
+    }
+  }
+
+  /** Mapping bootstrap (`create_index_if_missing`): GET `/<index>` —
+    * 200 → false (exists, skip); 404 → PUT `mappingJson`, true; any other
+    * status → throw. The PUT itself must succeed (2xx). */
+  def createIndexIfMissing(client: EsClient, cfg: Config, index: String,
+                           mappingJson: String,
+                           sleeper: Long => Unit = Thread.sleep): Boolean = {
+    val probe = try {
+      client.send("GET", s"${cfg.base}/$index", None, "application/json")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new java.io.IOException(s"ES probe failed for $index", e)
+    }
+    probe.status match {
+      case 200 => false
+      case 404 =>
+        sendWithRetry(client, cfg, "PUT", s"${cfg.base}/$index",
+          Some(mappingJson), "application/json", sleeper)
+        true
+      case s => throw new java.io.IOException(s"HTTP $s probing index $index")
+    }
+  }
+
+  /** POST one NDJSON payload to `/_bulk` and enforce the reference's
+    * error contract: HTTP error → throw (with 429 retry); HTTP 200 with
+    * `errors: true` → collect the first 5 per-item `error` objects and
+    * throw — a partial bulk is a failed run, never silent. */
+  def bulkPost(client: EsClient, cfg: Config, payload: String,
+               sleeper: Long => Unit = Thread.sleep): Unit = {
+    val r = sendWithRetry(client, cfg, "POST", s"${cfg.base}/_bulk",
+      Some(payload), "application/x-ndjson", sleeper)
+    val json = JsonMethods.parse(r.body)
+    json \ "errors" match {
+      case JBool(true) =>
+        val errors = (json \ "items").children.iterator
+          .map(item => item \ "index" \ "error")
+          .collect { case e if e != JNothing && e != JNull =>
+            JsonMethods.compact(JsonMethods.render(e)) }
+          .take(5).toList
+        throw new RuntimeException(s"Bulk indexing errors: $errors")
+      case _ => ()
+    }
+  }
+
+  /** Reference-shaped local path: build the complete NDJSON payload on
+    * the driver and POST it once (`bulk_index` builds one `payload`).
+    * For small frames only — the KPI singleton, a 20-row day. Returns
+    * the number of docs sent (0 for an empty frame, which sends
+    * nothing, `index_elasticsearch.py:102-104`). */
+  def bulkIndexLocal(client: EsClient, cfg: Config, df: DataFrame,
+                     index: String, idCols: Seq[String],
+                     sleeper: Long => Unit = Thread.sleep): Long = {
+    val lines = ServingSink.bulkLines(df, index, idCols)
+      .collect().map(_.getString(0))
+    if (lines.isEmpty) return 0L
+    bulkPost(client, cfg, lines.mkString("\n") + "\n", sleeper)
+    lines.length.toLong
+  }
+
+  /** Scale path: each partition POSTs its rows in `cfg.chunkDocs`-sized
+    * `_bulk` chunks — the payload built per executor, nothing collected
+    * to the driver. A per-item error in any chunk fails that task (and
+    * so the job): at-least-once overall, idempotent because the doc
+    * `_id`s are stable. Returns the number of docs sent. */
+  def bulkIndexFrame(df: DataFrame, index: String, idCols: Seq[String],
+                     cfg: Config,
+                     clientFactory: () => EsClient = () => new HttpEsClient()): Long = {
+    val spark = df.sparkSession
+    val sent = spark.sparkContext.longAccumulator(s"es_bulk_$index")
+    ServingSink.bulkLines(df, index, idCols).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val client = clientFactory()
+        rows.map(_.getString(0)).grouped(cfg.chunkDocs).foreach { chunk =>
+          bulkPost(client, cfg, chunk.mkString("\n") + "\n")
+          sent.add(chunk.size.toLong)
+        }
+    }
+    sent.value
+  }
+
+  /** The full serving stage over live HTTP (`main`,
+    * `index_elasticsearch.py:152-...`): ping, bootstrap both mappings
+    * iff missing, bulk both frames. Movies go partition-parallel, the
+    * KPI singleton goes through the reference-shaped local path. */
+  def indexDay(client: EsClient, cfg: Config,
+               movies: DataFrame, kpis: DataFrame,
+               movieIndex: String = "movies_enriched_daily",
+               kpiIndex: String = "movies_kpis_daily"): (Long, Long) = {
+    ping(client, cfg)
+    createIndexIfMissing(client, cfg, movieIndex,
+      ServingSink.mappingJson(movies, ServingSink.movieFieldSpec))
+    createIndexIfMissing(client, cfg, kpiIndex,
+      ServingSink.mappingJson(kpis, ServingSink.kpiFieldSpec))
+    val nMovies = bulkIndexFrame(movies, movieIndex,
+      Seq("snapshot_date", "tmdb_id"), cfg, () => client)
+    val nKpis = bulkIndexLocal(client, cfg, kpis, kpiIndex, Seq("snapshot_date"))
+    (nMovies, nKpis)
+  }
+}

@@ -200,6 +200,66 @@ object Multimodal {
     }
   }
 
+  /** Real audio demux via `javax.sound.sampled` (the WAV/PCM parser ships
+    * with the JDK — no external dependency): the RIFF header is parsed,
+    * the PCM payload is windowed into [[AudioWavDemuxer.WindowFrames]]
+    * -sample-frame windows, and every `stride`-th window becomes one
+    * [[Frame]] — `frame_offset` is the WINDOW INDEX (the audio analog of
+    * [[GifDemuxer]]'s frame index), `frame_hash` the hash of the window's
+    * raw PCM bytes. Non-PCM encodings (A-law/µ-law/float WAVs) and
+    * non-WAV payloads fall back to [[StubDemuxer]] — the same
+    * never-fail-the-partition contract as the other real seams. Closes
+    * the multimodal stub surface to formats the pure JDK genuinely
+    * cannot parse (MP4/MP3). */
+  object AudioWavDemuxer extends Demuxer {
+    /** PCM sample frames per emitted window (~64 ms at 16 kHz). */
+    val WindowFrames = 1024
+
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
+      val s = math.max(stride, 1)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+            return StubDemuxer.frames(r, stride)
+          val windowBytes = math.max(fmt.getFrameSize, 1) * WindowFrames
+          val data = in.readAllBytes()
+          if (data.isEmpty) return StubDemuxer.frames(r, stride)
+          val nWindows = (data.length + windowBytes - 1) / windowBytes
+          Iterator.range(0, nWindows, s).map { w =>
+            val from = w * windowBytes
+            val until = math.min(from + windowBytes, data.length)
+            Frame(r.media_id, w, java.util.Arrays.hashCode(
+              java.util.Arrays.copyOfRange(data, from, until)))
+          }.toVector.iterator
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => StubDemuxer.frames(r, stride)
+      }
+    }
+  }
+
+  /** Container dispatch over the magic bytes: animated GIFs go through
+    * [[GifDemuxer]], RIFF/WAVE audio through [[AudioWavDemuxer]], anything
+    * else through [[StubDemuxer]] — so a MIXED media corpus flows through
+    * ONE [[Demuxer]] seam and each payload gets the real parser the JDK
+    * has for it. */
+  object AutoDemuxer extends Demuxer {
+    private def startsWith(b: Array[Byte], at: Int, magic: String): Boolean =
+      b.length >= at + magic.length &&
+        magic.indices.forall(i => b(at + i) == magic.charAt(i).toByte)
+
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] =
+      if (startsWith(r.bytes, 0, "GIF8")) GifDemuxer.frames(r, stride)
+      else if (startsWith(r.bytes, 0, "RIFF") && startsWith(r.bytes, 8, "WAVE"))
+        AudioWavDemuxer.frames(r, stride)
+      else StubDemuxer.frames(r, stride)
+  }
+
   /** Frame sampling through the [[Demuxer]] seam: one demux pass per
     * partition, one output row per sampled frame. Never collects; frame
     * fan-out stays inside the partition iterator. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -530,6 +530,47 @@ object LlmQueries {
         .withColumn("split", Sampling.splitAssign(col("doc_id")))
       Sampling.splitLeakage(corpus, "text", "doc_id", "split")
         .orderBy("min_id")
+    }),
+
+    // The flagship Curate recipe under the oracle: a bounded sub-
+    // composition driven through Curate.curate ITSELF — boilerplate strip
+    // (q56 planting), PII redaction (q45 planting), exact dedup (q17
+    // copies at +200000), decontamination against a redacted benchmark
+    // (q47 leak planting), split assignment (q44 buckets) — with the
+    // near-dup stage pinned to a no-op (Jaccard threshold 2.0 is
+    // unsatisfiable) and the quality floor at 0.0, so every live stage
+    // is DuckDB-expressible. Output: one row of the recipe's per-stage
+    // counts plus split/char accounting of the curated corpus.
+    "q64_curate_recipe" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val excerpt = base.filter(col("doc_id") === 0)
+        .select(concat_ws(" ", slice(docTokens(col("text")), 1, 10)).as("ex"))
+      val injected = base.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(excerpt))
+        .withColumn("text", concat(
+          when(col("doc_id") % 4 === 0, lit("standard header\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 31 === 0, concat(lit(" "), col("ex"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com or 555-123-4567 end"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nall rights reserved")).otherwise(lit(""))))
+        .drop("ex")
+      val copies = injected.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+      val corpus = injected.unionByName(copies)
+      val bench = base.filter(col("doc_id") % 97 === 0)
+      val r = Curate.curate(corpus, bench, "doc_id", "text",
+        Curate.Config(nearDupThreshold = 2.0, qualityFloor = 0.0,
+          boilerplateMaxDocs = Some(50L)))
+      // NOTE: r.release() is deliberately NOT called here — the returned
+      // plan reads the recipe's cached final stage; the bench/verify JVMs
+      // are short-lived and the survivors frame is tiny at test SFs
+      r.stats.crossJoin(r.corpus.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("nb_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("nb_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("nb_test"),
+        sum(length(col("text")).cast("long")).as("total_chars")))
     }),
 
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
@@ -1385,6 +1426,100 @@ object LlmQueries {
         |FROM sp GROUP BY 1
         |HAVING count(*) > 1 AND count(DISTINCT split) > 1
         |ORDER BY min_id""".stripMargin,
+
+    "q64_curate_recipe" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ex AS (
+        |  SELECT array_to_string(
+        |    (list_filter(string_split(text, ' '), t -> t != ''))[1:10], ' ') AS ex
+        |  FROM base WHERE doc_id = 0),
+        |injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'standard header' || chr(10) ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 31 = 0 THEN ' ' || (SELECT ex FROM ex) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |            || '@mail.example.com or 555-123-4567 end' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+        |  FROM base WHERE doc_id % 97 != 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM injected
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM injected WHERE doc_id % 5 = 0),
+        |ls AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x != '') AS ls
+        |  FROM corpus),
+        |lx AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |          i -> {'pos': i - 1, 'line': ls[i]})) AS u
+        |        FROM ls)),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lx GROUP BY line),
+        |keptl AS (
+        |  SELECT doc_id, pos, line FROM lx
+        |  WHERE line NOT IN (SELECT line FROM freq WHERE line_df > 50)),
+        |stripped AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM keptl GROUP BY doc_id),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g') AS text
+        |  FROM stripped),
+        |keyed AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS ck
+        |  FROM red),
+        |dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+        |    FROM keyed) WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM dedup),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+        |  FROM tok WHERE len(toks) >= 5),
+        |benchred AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g') AS text
+        |  FROM base WHERE doc_id % 97 = 0),
+        |btok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM benchred),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+        |  FROM btok WHERE len(toks) >= 5),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM g t JOIN bg ON t.g = bg.g),
+        |clean AS (
+        |  SELECT d.doc_id, d.text FROM dedup d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |    FROM clean))
+        |SELECT
+        |  CAST((SELECT count(*) FROM stripped) AS BIGINT) AS nb_input,
+        |  CAST((SELECT count(*) FROM dedup) AS BIGINT) AS nb_after_exact_dedup,
+        |  CAST((SELECT count(*) FROM dedup) AS BIGINT) AS nb_after_near_dedup,
+        |  CAST((SELECT count(*) FROM clean) AS BIGINT) AS nb_after_quality_decontam,
+        |  CAST((SELECT count(*) FROM sp WHERE split = 'train') AS BIGINT) AS nb_train,
+        |  CAST((SELECT count(*) FROM sp WHERE split = 'val') AS BIGINT) AS nb_val,
+        |  CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT) AS nb_test,
+        |  CAST((SELECT sum(length(text)) FROM sp) AS BIGINT) AS total_chars""".stripMargin,
 
     "q58_source_cap" ->
       """WITH r AS (

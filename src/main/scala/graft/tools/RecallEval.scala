@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Recall evidence for the approximate similarity flavors at sf0.1 (the
+  * numbers behind PERF.md §recall): ground truth is brute-force cosine
+  * ([[Similarity.cosineTopK]] for top-k, an all-pairs threshold scan for
+  * near-dup pairs), each ANN flavor is swept over its bucketing knobs,
+  * and the printed `RECALL` lines record recall@10 (mean fraction of the
+  * true top-10 recovered per query) / pair-recall per setting — so a user
+  * knows which knobs reach ≥0.9 and what they cost in candidate volume.
+  *
+  * Usage: `runMain graft.tools.RecallEval [sfDir]`.
+  */
+object RecallEval {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.sources.Testdata.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .cache()
+    val corpus = emb.select(col("vec_id").as("c_id"), col("v").as("c_vec"))
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val nQueries = queries.count()
+    println(s"=== recall eval: ${corpus.count()} vectors, $nQueries queries, k=10 ===")
+
+    val k = 10
+    val truth = Similarity.cosineTopK(queries, corpus, k)
+      .select(col("q_id"), col("c_id")).cache()
+    truth.count()
+
+    def recallAt10(approx: DataFrame): Double = {
+      val hits = truth.join(approx.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .count()
+      hits.toDouble / (nQueries * k)
+    }
+
+    // --- annTopK: SRP buckets, swept over planes/prefix/probes ---
+    for ((nPlanes, prefixBits, nSeeds) <- Seq((16, 8, 2), (16, 6, 2), (16, 6, 4),
+                                              (8, 4, 2), (8, 4, 4), (8, 3, 4))) {
+      val seeds = (0 until nSeeds).map(i => 42L + 1000L * i)
+      val r = recallAt10(Similarity.annTopK(queries, corpus, k,
+        nPlanes = nPlanes, prefixBits = prefixBits, seeds = seeds, dim = 64))
+      println(f"RECALL annTopK planes=$nPlanes prefixBits=$prefixBits " +
+        f"seeds=$nSeeds recall@10=$r%.3f")
+    }
+
+    // --- ivfTopK: random-centroid cells, swept over cells/probes ---
+    for ((nCells, nProbes) <- Seq((16, 4), (16, 8), (8, 4), (8, 6), (4, 3))) {
+      val r = recallAt10(Similarity.ivfTopK(queries, corpus, k,
+        nCentroids = nCells, nProbes = nProbes, dim = 64))
+      println(f"RECALL ivfTopK cells=$nCells probes=$nProbes recall@10=$r%.3f")
+    }
+
+    // --- embeddingNearDups: pair recall vs all-pairs ground truth ---
+    // natural pairs at a threshold low enough to exist in the synthetic
+    // corpus; ground truth via a bounded self-join (2k vectors locally)
+    val thr = 0.8
+    val left = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val right = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val truePairs = left.join(right, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= thr)
+      .select("id_a", "id_b").cache()
+    val nTrue = truePairs.count()
+    println(s"=== near-dup ground truth: $nTrue pairs at cosine>=$thr ===")
+    for ((nPlanes, prefixBits, nSeeds) <- Seq((16, 8, 2), (16, 6, 2), (8, 4, 2),
+                                              (8, 4, 4), (8, 3, 4))) {
+      val seeds = (0 until nSeeds).map(i => 42L + 1000L * i)
+      val found = Similarity.embeddingNearDups(emb, "vec_id", "v",
+        threshold = thr, nPlanes = nPlanes, prefixBits = prefixBits,
+        seeds = seeds, dim = 64).select("id_a", "id_b")
+      val hits = truePairs.join(found, Seq("id_a", "id_b")).count()
+      val r = if (nTrue == 0) 1.0 else hits.toDouble / nTrue
+      println(f"RECALL embeddingNearDups planes=$nPlanes prefixBits=$prefixBits " +
+        f"seeds=$nSeeds pairRecall=$r%.3f")
+    }
+    spark.stop()
+  }
+}

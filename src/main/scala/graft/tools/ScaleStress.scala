@@ -1,11 +1,11 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 
 /** Scale-stress harness for the dedup/near-dup family (the evidence behind
   * the "amortizes at 100×" claims in PERF.md): builds a multiplied
@@ -16,8 +16,8 @@ import graft.ops.Dedup
   * the transitive collapse the rounds-to-convergence (the observable the
   * O(log diameter) claim rests on).
   *
-  * Usage: `runMain graft.tools.ScaleStress [sfDir] [multiplier]`
-  * (defaults: /root/testdata/sf0.1, 10×). Results are recorded in
+  * Usage: `runMain graft.tools.ScaleStress [sfDir] [multiplier...]`
+  * (defaults: /root/testdata/sf0.1, 1 10). Results are recorded in
   * PERF.md §scale-stress.
   */
 object ScaleStress {
@@ -38,7 +38,7 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mult = if (args.length > 1) args(1).toInt else 10
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,7 +76,7 @@ object ScaleStress {
         s"stages=${metrics.stages - s0}")
     }
 
-    Seq(1, mult).foreach { m =>
+    mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== corpus ${m}x: ${d.count()} docs ===")
 
@@ -109,7 +109,78 @@ object ScaleStress {
       }
 
       d.unpersist()
+
+      // embedding near-dup A/B (the q43 decision): same multiplied vector
+      // corpus through (a) the r5 id-only candidate shape — bucket
+      // self-join and distinct exchange bare (id_a,id_b), vectors join
+      // back — and (b) the r4 shape that carries both quantized vectors
+      // through the bucket self-join and distinct. The shuffle-byte gap
+      // between them is what the id-only design buys at scale.
+      val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== embeddings ${m}x: ${e.count()} vectors ===")
+      phase(s"${m}x_q43_embed_idonly") {
+        Similarity.embeddingNearDupsQuantized(e, "id", "v",
+          threshold = 0.99, nPlanes = 8, prefixBits = 8,
+          seeds = Seq(42L, 1042L), dim = 64).count()
+      }
+      phase(s"${m}x_q43_embed_carryvec") {
+        embedNearDupsCarryVectors(e, threshold = 0.99, nPlanes = 8,
+          prefixBits = 8, seeds = Seq(42L, 1042L), dim = 64).count()
+      }
+      e.unpersist()
     }
     spark.stop()
+  }
+
+  /** Multiplied embeddings corpus: copy k scales every vector by
+    * (1 + k·2⁻¹⁰) — pure scaling keeps cosine exactly 1, so each base
+    * vector's near-dup family grows with the multiplier (same posture as
+    * the noised document copies). */
+  private def embedCorpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.sources.Testdata
+      .table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    (0 until m).map { k =>
+      if (k == 0) base
+      else base.select((col("id") + lit(k * 10000000L)).as("id"),
+        transform(col("v"), x => x * (1.0 + k / 1024.0)).as("v"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The r4 candidate shape kept ONLY for the A/B measurement: quantized
+    * vectors ride the bucket self-join and the multi-seed distinct, so
+    * every exchanged candidate row carries two 64-element long arrays
+    * instead of two longs. Semantics identical to
+    * [[Similarity.embeddingNearDupsQuantized]]. */
+  private def embedNearDupsCarryVectors(df: DataFrame, threshold: Double,
+                                        nPlanes: Int, prefixBits: Int,
+                                        seeds: Seq[Long], dim: Int): DataFrame = {
+    val quantScale = 1048576.0
+    val mask = (1L << prefixBits) - 1
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    val base = df.select(col("id"), quant(col("v")).as("v"))
+    val candidates = seeds.map { seed =>
+      val planes = Similarity.randomPlanes(nPlanes, dim, seed)
+      val b = base.select(col("id"), col("v"),
+        Similarity.srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+    }.reduce(_ unionByName _).distinct()
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    candidates
+      .withColumn("dot_i", dotL(col("va"), col("vb")))
+      .withColumn("na2", dotL(col("va"), col("va")))
+      .withColumn("nb2", dotL(col("vb"), col("vb")))
+      .withColumn("cosine",
+        when(col("na2") > 0 && col("nb2") > 0,
+          col("dot_i").cast("double")
+            / sqrt(col("na2").cast("double") * col("nb2").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{EsTransport, ServingSink}
+import graft.io.EsTransport.{Config, EsResponse, HttpEsClient}
+
+/** Live ES transport (S12/S13 over HTTP) against an in-process HTTP
+  * server with the REAL HttpEsClient: mapping bootstrap 200-skip /
+  * 404-create, `_bulk` per-item error surfacing (first 5, fail on any),
+  * 429 linear-backoff retry, and the partition-parallel bulk path
+  * shipping the exact dry-run payload bytes. */
+class EsTransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- a minimal fake ES: version ping, index registry, bulk capture ---
+
+  private class FakeEs(server: com.sun.net.httpserver.HttpServer) {
+    val indexes = mutable.Map[String, String]() // index -> mapping body
+    val bulks = mutable.Buffer[String]() // captured _bulk payloads
+    var bulkResponse: String = """{"errors":false,"items":[]}"""
+    var bulk429Left = 0 // serve this many 429s before accepting
+
+    server.createContext("/", ex => {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val (code, resp) = synchronized {
+        (method, path) match {
+          case ("GET", "/") => (200, """{"version":{"number":"8.9.9-test"}}""")
+          case ("POST", "/_bulk") =>
+            if (bulk429Left > 0) { bulk429Left -= 1; (429, "slow down") }
+            else { bulks.append(body); (200, bulkResponse) }
+          case ("GET", p) =>
+            val idx = p.stripPrefix("/")
+            if (indexes.contains(idx)) (200, s"""{"$idx":{}}""") else (404, "")
+          case ("PUT", p) =>
+            indexes(p.stripPrefix("/")) = body; (200, """{"acknowledged":true}""")
+          case _ => (400, "bad")
+        }
+      }
+      val b = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    })
+  }
+
+  private def withEs(test: (String, FakeEs) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val es = new FakeEs(server)
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}", es)
+    finally server.stop(0)
+  }
+
+  private def moviesFrame = Seq(
+    (101L, Some("tt0101"), Some(7.5), "2026-02-18"),
+    (102L, None, None, "2026-02-18"),
+    (103L, Some("tt0103"), Some(6.0), "2026-02-18"),
+    (104L, Some("tt0104"), Some(5.5), "2026-02-18"),
+    (105L, Some("tt0105"), Some(8.1), "2026-02-18")
+  ).toDF("tmdb_id", "imdb_id", "imdb_rating", "snapshot_date")
+    .withColumn("snapshot_date", to_date(col("snapshot_date")))
+
+  test("ping surfaces the cluster version; createIndexIfMissing is 200-skip/404-create") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base)
+      assert(EsTransport.ping(client, cfg) == "8.9.9-test")
+      val mapping = ServingSink.mappingJson(moviesFrame, ServingSink.movieFieldSpec)
+      // 404 → PUT with the exact ServingSink mapping body
+      assert(EsTransport.createIndexIfMissing(client, cfg, "movies", mapping))
+      assert(es.indexes("movies") == mapping)
+      // 200 → skip, mapping untouched
+      es.indexes("movies") = "sentinel"
+      assert(!EsTransport.createIndexIfMissing(client, cfg, "movies", mapping))
+      assert(es.indexes("movies") == "sentinel")
+    }
+  }
+
+  test("bulkPost: per-item errors fail the run, first 5 reported") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base)
+      // happy path: errors:false accepted silently
+      EsTransport.bulkPost(client, cfg, "{}\n{}\n")
+      assert(es.bulks.size == 1)
+      // 7 item errors → RuntimeException carrying exactly the first 5
+      val items = (1 to 7).map(i =>
+        s"""{"index":{"_id":"$i","status":400,"error":{"type":"mapper_parsing_exception","reason":"err$i"}}}""")
+        .mkString("[", ",", "]")
+      es.bulkResponse = s"""{"errors":true,"items":$items}"""
+      val e = intercept[RuntimeException] {
+        EsTransport.bulkPost(client, cfg, "{}\n{}\n")
+      }
+      assert(e.getMessage.contains("err1") && e.getMessage.contains("err5"))
+      assert(!e.getMessage.contains("err6"))
+      // a mix of ok and failed items still fails (any error is fatal)
+      es.bulkResponse =
+        """{"errors":true,"items":[{"index":{"_id":"a","status":201}},""" +
+          """{"index":{"_id":"b","status":400,"error":{"reason":"only bad"}}}]}"""
+      val e2 = intercept[RuntimeException] {
+        EsTransport.bulkPost(client, cfg, "{}\n{}\n")
+      }
+      assert(e2.getMessage.contains("only bad"))
+    }
+  }
+
+  test("429 responses retry with linear backoff; other statuses fail fast") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base, maxAttempts = 3, backoffMs = 50)
+      es.bulk429Left = 2
+      val sleeps = mutable.Buffer[Long]()
+      EsTransport.bulkPost(client, cfg, "{}\n{}\n", sleeps.append(_))
+      assert(sleeps.toSeq == Seq(50L, 100L)) // two 429s, then accepted
+      assert(es.bulks.size == 1)
+      // non-429 HTTP error: immediate failure, no retries
+      val e = intercept[java.io.IOException] {
+        EsTransport.sendWithRetry(client, cfg, "PATCH", s"$base/x", None,
+          "application/json", _ => fail("must not retry"))
+      }
+      assert(e.getMessage.contains("HTTP 400"))
+    }
+  }
+
+  test("bulkIndexFrame ships the exact dry-run payload, chunked, partition-parallel") {
+    withEs { (base, es) =>
+      val cfg = Config(base, chunkDocs = 2)
+      val sent = EsTransport.bulkIndexFrame(moviesFrame, "movies_enriched_daily",
+        Seq("snapshot_date", "tmdb_id"), cfg)
+      assert(sent == 5L)
+      // every chunk ≤ 2 docs (4 lines), payload newline-terminated
+      assert(es.bulks.forall(p => p.endsWith("\n") &&
+        p.split("\n").length <= 4))
+      // reassembled lines == the dry-run payload lines, exactly
+      val received = es.bulks.flatMap(_.split("\n").filter(_.nonEmpty)).sorted
+      val expected = ServingSink.bulkLines(moviesFrame, "movies_enriched_daily",
+          Seq("snapshot_date", "tmdb_id"))
+        .collect().flatMap(_.getString(0).split("\n")).sorted.toSeq
+      assert(received.toSeq == expected)
+      // stable ids and explicit nulls crossed the wire
+      assert(received.exists(_.contains(""""_id":"2026-02-18_102"""")))
+      assert(received.exists(_.contains(""""imdb_id":null""")))
+    }
+  }
+
+  test("indexDay: ping + both mappings bootstrapped + both frames bulked") {
+    withEs { (base, es) =>
+      val kpi = Seq(("2026-02-18", 5L)).toDF("snapshot_date", "nb_movies")
+        .withColumn("snapshot_date", to_date(col("snapshot_date")))
+      val (nMovies, nKpis) = EsTransport.indexDay(new HttpEsClient(), Config(base),
+        moviesFrame, kpi)
+      assert(nMovies == 5L && nKpis == 1L)
+      assert(es.indexes.keySet == Set("movies_enriched_daily", "movies_kpis_daily"))
+      // the KPI mapping carries the reference's integer pins
+      assert(es.indexes("movies_kpis_daily").contains(""""nb_movies":{"type":"integer"}"""))
+      val allLines = es.bulks.flatMap(_.split("\n").filter(_.nonEmpty))
+      assert(allLines.count(_.startsWith("""{"index":""")) == 6) // 5 movies + 1 kpi
+    }
+  }
+}

@@ -784,6 +784,63 @@ class LlmOpsSpec extends SparkSpec {
       && custom(0).getInt(2) == 256)
   }
 
+  // golden WAV byte literal: canonical 44-byte RIFF/WAVE header (PCM,
+  // mono, 8-bit, 8 kHz) + 2500 deterministic samples — built field by
+  // field, independent of javax.sound, so a header mis-parse shifts the
+  // payload and breaks the window hashes below
+  private lazy val wav2500: Array[Byte] = {
+    val pcm = Array.tabulate[Byte](2500)(i => ((i * 13 + 7) % 256).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  test("AudioWavDemuxer windows a real WAV byte literal (golden)") {
+    val pcm = wav2500.drop(44)
+    def demux(stride: Int) = Multimodal.AudioWavDemuxer.frames(
+      Multimodal.MediaRow(11L, "audio/wav", wav2500), stride).toVector
+    val frames = demux(1)
+    // 2500 samples / 1024-frame windows → 3 windows; offset = window index
+    assert(frames.map(_.frame_offset) == Vector(0, 1, 2))
+    // window hashes are over the raw PCM payload bytes (header skipped)
+    def h(from: Int, until: Int) = java.util.Arrays.hashCode(
+      java.util.Arrays.copyOfRange(pcm, from, math.min(until, pcm.length)))
+    assert(frames.map(_.frame_hash) ==
+      Vector(h(0, 1024), h(1024, 2048), h(2048, 3072)))
+    assert(demux(2).map(_.frame_offset) == Vector(0, 2))
+    // non-WAV and truncated payloads fall back to the stub, never throw
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    def viaWav(id: Long, bytes: Array[Byte]) = Multimodal.AudioWavDemuxer.frames(
+      Multimodal.MediaRow(id, "application/octet-stream", bytes), 8).toVector
+    def viaStub(id: Long, bytes: Array[Byte]) = Multimodal.StubDemuxer.frames(
+      Multimodal.MediaRow(id, "application/octet-stream", bytes), 8).toVector
+    assert(viaWav(12L, garbage) == viaStub(12L, garbage))
+    assert(viaWav(13L, wav2500.take(40)) == viaStub(13L, wav2500.take(40)))
+  }
+
+  test("AutoDemuxer routes a mixed corpus by magic bytes through one seam") {
+    import spark.implicits._
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/gif", gif2frames),
+      Multimodal.MediaRow(2L, "audio/wav", wav2500),
+      Multimodal.MediaRow(3L, "application/octet-stream", garbage)
+    ).toDS()
+    val byId = Multimodal.frameSample(media, stride = 1, Multimodal.AutoDemuxer)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(byId == Map(1L -> 2L, // real GIF frames
+                       2L -> 3L, // real PCM windows
+                       3L -> 29L)) // stub fallback: one per byte offset
+  }
+
   test("dedupCorpusByPriority keeps the preferred source, not the smallest id") {
     val df = Seq(
       (1L, "alpha beta gamma", "crawl"),
