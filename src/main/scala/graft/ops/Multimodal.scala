@@ -243,8 +243,168 @@ object Multimodal {
     }
   }
 
+  /** Real MP4/ISO-BMFF demux — pure byte parsing of the CONTAINER (no
+    * codec, none needed): walks the box tree (`moov`→`trak`→`mdia`→`minf`
+    * →`stbl`), expands the sample tables — `stsz` sizes, `stsc`
+    * sample→chunk runs, `stco`/`co64` absolute chunk offsets, `stss` sync
+    * samples — into per-sample byte ranges within the payload, and emits
+    * every `stride`-th SYNC sample (keyframe; all samples when `stss` is
+    * absent, per spec) of the first video track (fallback: first audio
+    * track, then first track). `frame_offset` is the SAMPLE INDEX within
+    * the track — the same index semantics as [[GifDemuxer]] /
+    * [[AudioWavDemuxer]]; `frame_hash` is over the sample's coded bytes
+    * sliced straight out of `mdat`. The extraction is real container
+    * demux; only the bitstream decode (H.264/AAC) genuinely needs
+    * native codecs and stays behind the seam. Malformed, truncated, or
+    * sample-table-free payloads fall back to [[StubDemuxer]] — the same
+    * never-fail-the-partition contract as every other real seam. */
+  object Mp4Demuxer extends Demuxer {
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long = (u32(b, i) << 32) | u32(b, i + 4)
+
+    /** Immediate child boxes of the byte range [from, until): (type,
+      * payloadFrom, payloadUntil). Stops cleanly at a torn/overrunning
+      * box so a truncated tail never throws. Handles 64-bit `largesize`
+      * (size==1) and to-end-of-enclosing (size==0) per ISO 14496-12 §4.2. */
+    private def children(b: Array[Byte], from: Int, until: Int): Vector[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var i = from
+      var done = false
+      while (!done && i + 8 <= until) {
+        val size32 = u32(b, i)
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val header = if (size32 == 1L) 16 else 8
+        val size: Long =
+          if (size32 == 1L && i + 16 <= until) u64(b, i + 8)
+          else if (size32 == 0L) (until - i).toLong
+          else size32
+        if (size < header || i + size > until) done = true
+        else { out += ((typ, i + header, (i + size).toInt)); i += size.toInt }
+      }
+      out.result()
+    }
+
+    private def find(b: Array[Byte], from: Int, until: Int,
+                     path: List[String]): Option[(Int, Int)] = path match {
+      case Nil => Some((from, until))
+      case t :: rest =>
+        children(b, from, until).collectFirst { case (`t`, f, u) => (f, u) }
+          .flatMap { case (f, u) => find(b, f, u, rest) }
+    }
+
+    /** u32 full-box table (`stco`/`stss`/per-sample `stsz`): skips the
+      * 4-byte version+flags, reads the u32 entry count, bounds-checks. */
+    private def u32Table(b: Array[Byte], range: (Int, Int), skip: Int): Option[Array[Long]] = {
+      val (f, u) = range
+      if (f + 8 + skip > u) return None
+      val n = u32(b, f + 4 + skip).toInt
+      if (n < 0 || f + 8 + skip + 4L * n > u) None
+      else Some(Array.tabulate(n)(i => u32(b, f + 8 + skip + 4 * i)))
+    }
+
+    /** Per-sample (absoluteOffset, size) ranges of one trak, expanded from
+      * its stbl; None when any required table is missing or inconsistent. */
+    private def sampleRanges(b: Array[Byte], trak: (Int, Int)): Option[Array[(Long, Long)]] = {
+      val stbl = find(b, trak._1, trak._2, List("mdia", "minf", "stbl")).getOrElse(return None)
+      val boxes = children(b, stbl._1, stbl._2).groupBy(_._1)
+        .map { case (t, v) => t -> (v.head._2, v.head._3) }
+      // stsz: version+flags, sample_size (uniform when nonzero), sample_count
+      val sizes = boxes.get("stsz").flatMap { case (f, u) =>
+        if (f + 12 > u) None
+        else {
+          val uniform = u32(b, f + 4)
+          val n = u32(b, f + 8).toInt
+          if (n < 0) None
+          else if (uniform != 0L) Some(Array.fill(n)(uniform))
+          else u32Table(b, (f, u), skip = 4).filter(_.length == n)
+        }
+      }.getOrElse(return None)
+      // chunk offsets: stco (u32) or co64 (u64)
+      val chunkOffsets = boxes.get("stco").flatMap(r => u32Table(b, r, skip = 0))
+        .orElse(boxes.get("co64").flatMap { case (f, u) =>
+          if (f + 8 > u) None
+          else {
+            val n = u32(b, f + 4).toInt
+            if (n < 0 || f + 8 + 8L * n > u) None
+            else Some(Array.tabulate(n)(i => u64(b, f + 8 + 8 * i)))
+          }
+        }).getOrElse(return None)
+      // stsc runs: (first_chunk, samples_per_chunk, sample_description_id)
+      val stscRuns = boxes.get("stsc").flatMap { case (f, u) =>
+        if (f + 8 > u) None
+        else {
+          val n = u32(b, f + 4).toInt
+          if (n < 0 || f + 8 + 12L * n > u) None
+          else Some(Array.tabulate(n)(i =>
+            (u32(b, f + 8 + 12 * i), u32(b, f + 12 + 12 * i))))
+        }
+      }.getOrElse(return None)
+      if (stscRuns.isEmpty || chunkOffsets.isEmpty) return None
+      // walk chunks in order, draining `sizes` per the applicable stsc run
+      val out = new Array[(Long, Long)](sizes.length)
+      var sample = 0
+      var run = 0
+      var chunk = 1
+      while (sample < sizes.length && chunk <= chunkOffsets.length) {
+        while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+        val perChunk = stscRuns(run)._2.toInt
+        var off = chunkOffsets(chunk - 1)
+        var j = 0
+        while (j < perChunk && sample < sizes.length) {
+          out(sample) = (off, sizes(sample))
+          off += sizes(sample)
+          sample += 1
+          j += 1
+        }
+        chunk += 1
+      }
+      if (sample < sizes.length) None else Some(out)
+    }
+
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
+      val b = r.bytes
+      val s = math.max(stride, 1)
+      try {
+        val moov = find(b, 0, b.length, List("moov")).getOrElse(
+          return StubDemuxer.frames(r, stride))
+        val traks = children(b, moov._1, moov._2).filter(_._1 == "trak")
+          .map(t => (t._2, t._3))
+        def handler(t: (Int, Int)): String =
+          find(b, t._1, t._2, List("mdia", "hdlr"))
+            .filter { case (f, u) => f + 12 <= u }
+            .map { case (f, _) => new String(b, f + 8, 4, "ISO-8859-1") }
+            .getOrElse("")
+        val trak = traks.find(handler(_) == "vide")
+          .orElse(traks.find(handler(_) == "soun"))
+          .orElse(traks.headOption)
+          .getOrElse(return StubDemuxer.frames(r, stride))
+        val ranges = sampleRanges(b, trak).getOrElse(
+          return StubDemuxer.frames(r, stride))
+        // sync samples (1-based in stss; absent → every sample is sync)
+        val sync = find(b, trak._1, trak._2, List("mdia", "minf", "stbl", "stss"))
+          .flatMap(r2 => u32Table(b, r2, skip = 0))
+          .map(_.map(_.toInt - 1).filter(i => i >= 0 && i < ranges.length))
+          .getOrElse(Array.range(0, ranges.length))
+        val frames = Iterator.range(0, sync.length, s).map(sync).flatMap { idx =>
+          val (off, len) = ranges(idx)
+          // drop samples pointing past a truncated mdat rather than clamp:
+          // a partial coded sample would hash to a meaningless value
+          if (off < 0 || len < 0 || off + len > b.length) None
+          else Some(Frame(r.media_id, idx, java.util.Arrays.hashCode(
+            java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt))))
+        }.toVector
+        if (frames.isEmpty) StubDemuxer.frames(r, stride) else frames.iterator
+      } catch {
+        case scala.util.control.NonFatal(_) => StubDemuxer.frames(r, stride)
+      }
+    }
+  }
+
   /** Container dispatch over the magic bytes: animated GIFs go through
-    * [[GifDemuxer]], RIFF/WAVE audio through [[AudioWavDemuxer]], anything
+    * [[GifDemuxer]], RIFF/WAVE audio through [[AudioWavDemuxer]], ISO-BMFF
+    * (`ftyp` at offset 4 — MP4/M4A/MOV) through [[Mp4Demuxer]], anything
     * else through [[StubDemuxer]] — so a MIXED media corpus flows through
     * ONE [[Demuxer]] seam and each payload gets the real parser the JDK
     * has for it. */
@@ -257,6 +417,7 @@ object Multimodal {
       if (startsWith(r.bytes, 0, "GIF8")) GifDemuxer.frames(r, stride)
       else if (startsWith(r.bytes, 0, "RIFF") && startsWith(r.bytes, 8, "WAVE"))
         AudioWavDemuxer.frames(r, stride)
+      else if (startsWith(r.bytes, 4, "ftyp")) Mp4Demuxer.frames(r, stride)
       else StubDemuxer.frames(r, stride)
   }
 

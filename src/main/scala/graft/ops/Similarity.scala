@@ -79,19 +79,92 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Distributed spherical k-means (Lloyd's) over an embedding column —
+    * the centroid trainer for [[ivfTopK]]: random pseudo-centroids give
+    * cells of wildly uneven quality; `iters` rounds of trained means lift
+    * recall-per-probe (measured in PERF.md §recall).
+    *
+    * Scale shape: each round is (a) a MAP-SIDE cell assignment — the k
+    * current centroids fold into the plan as literals, argmax over k dot
+    * products, no join, no broadcast variable — then (b) one aggregate of
+    * `posexplode`d (cell, dimIdx, value) rows. Partial aggregation means
+    * the exchange carries at most `partitions × k × dim` pre-combined
+    * rows, INDEPENDENT of corpus size; the driver holds only k×dim
+    * doubles. Init is deterministic farthest-point traversal (k-center
+    * greedy: each next seed is the vector most dissimilar to all chosen
+    * so far — ±1 random planes routinely drop two seeds into one cluster
+    * and Lloyd's cannot split the merged cell), costing k bounded
+    * one-row actions before the iterations start. Empty cells keep their
+    * previous centroid; means are L2-normalized each round (spherical
+    * k-means — consistent with cosine/dot cell scoring). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String,
+                      k: Int, iters: Int = 5, seed: Long = 42L,
+                      dim: Int = -1): Seq[Seq[Double]] = {
+    val d = if (dim > 0) dim else probeDim(corpus, vecCol)
+    if (d == 0) return Nil
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .cache()
+    def normalize(p: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(p.map(x => x * x).sum)
+      if (n > 0) p.map(_ / n) else p
+    }
+    def headVec(df: DataFrame): Option[Seq[Double]] =
+      df.limit(1).collect().headOption
+        .map(_.getSeq[Double](0).toVector)
+    // farthest-point init: seed 1 is the lexicographically-least vector
+    // (deterministic under any partitioning), each next seed minimizes its
+    // max cosine to the seeds chosen so far
+    var centroids = headVec(vecs.orderBy(col("__v").asc).select(col("__v")))
+      .map(v => Vector(normalize(v))).getOrElse(return Nil)
+    while (centroids.length < k) {
+      val sims = centroids.map(c =>
+        coalesce(cosine(col("__v"), array(c.map(lit): _*)), lit(-2.0)))
+      val worst = if (sims.length == 1) sims.head else greatest(sims: _*)
+      centroids = centroids ++ headVec(
+        vecs.orderBy(worst.asc, col("__v").asc).select(col("__v")))
+        .map(v => Vector(normalize(v)))
+        .getOrElse { vecs.unpersist(); return centroids } // < k distinct vectors
+    }
+    for (_ <- 0 until iters) {
+      val cell = -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(dot(col("__v"), array(ctr.map(lit): _*)).as("s"), lit(-i).as("ni"))
+      }: _*)).getField("ni")
+      val means = vecs.withColumn("__cell", cell)
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos").agg(avg("__x").as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val m = new Array[Double](d)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          c -> m.toSeq
+        }
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        means.get(i).map { m =>
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else prev
+        }.getOrElse(prev) // empty cell keeps its previous centroid
+      }
+    }
+    vecs.unpersist()
+    centroids
+  }
+
   /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
     * of `nCentroids` deterministic pseudo-centroids (seeded ±1 planes
-    * reused as centroid directions), queries probe their `nProbes`
+    * reused as centroid directions — or the [[kmeansCentroids]]-trained
+    * set when `centroids` is passed), queries probe their `nProbes`
     * nearest centroids, and exact cosine ranks within the probed cells.
     * The inverted-file analog of [[annTopK]]: same bucket-join shape,
     * cell assignment by nearest-centroid instead of hash prefix. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
-              dim: Int = -1,
+              dim: Int = -1, trained: Seq[Seq[Double]] = Nil,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
-    val centroids = randomPlanes(nCentroids, d, seed)
+    val centroids = if (trained.nonEmpty) trained else randomPlanes(nCentroids, d, seed)
     def cellScores(vec: Column): Seq[(Int, Column)] =
       centroids.zipWithIndex.map { case (ctr, i) =>
         i -> dot(vec, array(ctr.map(lit): _*))

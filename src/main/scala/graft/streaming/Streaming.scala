@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
-import graft.io.LakeZones
+import graft.io.{EsTransport, LakeZones, ServingSink}
 import graft.model.Schemas
 
 /** Structured Streaming surface — beyond reference parity (the reference
@@ -165,6 +165,41 @@ object Streaming {
         LakeZones.mergeUpsertByDay(batch, root, zone, name, keys, order): Unit
       }
       .start()
+
+  /** Streaming serving sink: each micro-batch bulk-indexes into
+    * Elasticsearch through [[graft.io.EsTransport]] — the streaming face
+    * of the reference's daily index job. The mapping is bootstrapped
+    * (200-skip/404-create) once per query on the first batch, then each
+    * batch ships partition-parallel chunked `_bulk` POSTs straight from
+    * the executors.
+    *
+    * Replay safety: `foreachBatch` is at-least-once; doc `_id`s are
+    * stable (built from `idCols`), so ES index-ops upsert and a
+    * redelivered batch rewrites the same documents — the same
+    * effectively-once argument as [[lakeSink]]. A per-item bulk error
+    * fails the batch and the checkpoint replays it, never a silent
+    * partial index. */
+  def esSink(stream: DataFrame, checkpointDir: String, index: String,
+             idCols: Seq[String], spec: ServingSink.FieldSpec,
+             cfg: EsTransport.Config,
+             clientFactory: () => EsTransport.EsClient = () => new EsTransport.HttpEsClient())
+      : StreamingQuery = {
+    // driver-side, once per query: transient so the closure checkpoint-
+    // restarts cleanly
+    var bootstrapped = false
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!bootstrapped) {
+          EsTransport.createIndexIfMissing(clientFactory(), cfg, index,
+            ServingSink.mappingJson(batch, spec))
+          bootstrapped = true
+        }
+        EsTransport.bulkIndexFrame(batch, index, idCols, cfg, clientFactory): Unit
+      }
+      .start()
+  }
 
   /** Incremental raw-zone ingestion: a file stream over the enveloped
     * JSON layout — new `date=` files are picked up per micro-batch and

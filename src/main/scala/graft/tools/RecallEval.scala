@@ -51,7 +51,8 @@ object RecallEval {
 
     // --- annTopK: SRP buckets, swept over planes/prefix/probes ---
     for ((nPlanes, prefixBits, nSeeds) <- Seq((16, 8, 2), (16, 6, 2), (16, 6, 4),
-                                              (8, 4, 2), (8, 4, 4), (8, 3, 4))) {
+                                              (8, 4, 2), (8, 4, 4), (8, 3, 4),
+                                              (8, 3, 8), (8, 2, 4), (8, 2, 8))) {
       val seeds = (0 until nSeeds).map(i => 42L + 1000L * i)
       val r = recallAt10(Similarity.annTopK(queries, corpus, k,
         nPlanes = nPlanes, prefixBits = prefixBits, seeds = seeds, dim = 64))
@@ -66,12 +67,32 @@ object RecallEval {
       println(f"RECALL ivfTopK cells=$nCells probes=$nProbes recall@10=$r%.3f")
     }
 
+    // --- ivfTopK with kmeansCentroids-trained cells: recall-per-probe ---
+    for (nCells <- Seq(8, 16)) {
+      val trained = Similarity.kmeansCentroids(
+        emb.select(col("v")), "v", k = nCells, iters = 5, dim = 64)
+      for (nProbes <- Seq(2, 4, 6, 8).filter(_ <= nCells)) {
+        val r = recallAt10(Similarity.ivfTopK(queries, corpus, k,
+          nProbes = nProbes, dim = 64, trained = trained))
+        println(f"RECALL ivfTopK-trained cells=$nCells probes=$nProbes recall@10=$r%.3f")
+      }
+    }
+
     // --- embeddingNearDups: pair recall vs all-pairs ground truth ---
-    // natural pairs at a threshold low enough to exist in the synthetic
-    // corpus; ground truth via a bounded self-join (2k vectors locally)
-    val thr = 0.8
-    val left = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val right = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    // the synthetic corpus has NO natural pairs at a useful threshold, so
+    // near-dups are PLANTED (same posture as ScaleStress): every 4th base
+    // vector gets a deterministically-jittered copy (cosine ≈0.97-0.99 for
+    // unit-ish 64-dim vectors), then ground truth is an all-pairs scan of
+    // the augmented corpus — bounded here (2.5k vectors), never at scale
+    val thr = 0.9
+    val aug = emb.union(
+      emb.filter(col("vec_id") % 4 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + (pmod(col("vec_id") * 31 + i, lit(7)) - 3) * 0.05))
+          .as("v"))).cache()
+    val left = aug.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val right = aug.select(col("vec_id").as("id_b"), col("v").as("vb"))
     val truePairs = left.join(right, col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= thr)
@@ -81,7 +102,7 @@ object RecallEval {
     for ((nPlanes, prefixBits, nSeeds) <- Seq((16, 8, 2), (16, 6, 2), (8, 4, 2),
                                               (8, 4, 4), (8, 3, 4))) {
       val seeds = (0 until nSeeds).map(i => 42L + 1000L * i)
-      val found = Similarity.embeddingNearDups(emb, "vec_id", "v",
+      val found = Similarity.embeddingNearDups(aug, "vec_id", "v",
         threshold = thr, nPlanes = nPlanes, prefixBits = prefixBits,
         seeds = seeds, dim = 64).select("id_a", "id_b")
       val hits = truePairs.join(found, Seq("id_a", "id_b")).count()

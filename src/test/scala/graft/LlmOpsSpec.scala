@@ -184,6 +184,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("kmeansCentroids: trained cells recover planted clusters; trained IVF beats 1-probe random") {
+    import spark.implicits._
+    // 3 planted clusters around orthogonal axes in dim 4, 40 points each,
+    // small deterministic jitter on the off-axis components
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val v = Array.fill(4)(0.05 * (((c * 40 + i) * 7 % 5) - 2))
+      v(c) = 1.0
+      (c * 40 + i).toLong -> v.toSeq
+    }
+    val df = pts.toDF("id", "v")
+    val trained = Similarity.kmeansCentroids(df, "v", k = 3, iters = 4, dim = 4)
+    assert(trained.length == 3)
+    // every planted cluster direction is some trained centroid's direction
+    for (axis <- 0 until 3) {
+      val best = trained.map { ctr =>
+        ctr(axis) / math.sqrt(ctr.map(x => x * x).sum)
+      }.max
+      assert(best > 0.95, s"axis $axis best centroid cosine $best")
+    }
+    // with trained centroids, ONE probe suffices: each query's true
+    // top-k lives in its own cluster's cell
+    val queries = df.filter(col("id") % 20 === 0)
+      .select(col("id").as("q_id"), col("v").as("q_vec"))
+    val corpus = df.select(col("id").as("c_id"), col("v").as("c_vec"))
+    val exact = Similarity.cosineTopK(queries, corpus, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 5, nProbes = 1,
+        dim = 4, trained = trained)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert((exact & ivf).size == exact.size,
+      s"trained 1-probe IVF missed ${exact.size - (exact & ivf).size} of ${exact.size}")
+    // stability: a different partitioning converges to the same centroids
+    // (avg() combine order shifts the low FP bits, so compare with tolerance)
+    val again = Similarity.kmeansCentroids(df.repartition(7), "v", k = 3,
+      iters = 4, dim = 4)
+    val maxDiff = trained.zip(again)
+      .flatMap { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) } }.max
+    assert(maxDiff < 1e-9, s"centroids drifted by $maxDiff across partitionings")
+  }
+
   test("splitAssign: deterministic, complete, and close to declared fractions") {
     import graft.ops.Sampling
     val keys = (0L until 2000L).toDF("k")
@@ -826,19 +869,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaWav(13L, wav2500.take(40)) == viaStub(13L, wav2500.take(40)))
   }
 
+  // minimal ISO-BMFF fixture, built box by box independent of the parser
+  // under test: ftyp + mdat (4 coded samples in 2 chunks) + moov with one
+  // 'vide' trak whose stbl (stsz/stsc/stco[/stss]) references the mdat
+  // samples by ABSOLUTE file offset — so any box-walk or table-expansion
+  // mis-parse shifts a sample range and breaks the golden hashes below
+  private def mp4Fixture(withStss: Boolean): (Array[Byte], Seq[Array[Byte]]) = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    val samples = Seq("AAAA", "BBBBB", "CC", "DDDDDD").map(_.getBytes("US-ASCII"))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0), "isom".getBytes("US-ASCII"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val chunk1 = ftyp.length + 8                      // samples 1-2
+    val chunk2 = chunk1 + samples(0).length + samples(1).length // samples 3-4
+    val stbl = box("stbl",
+      box("stsz", be32(0), be32(0), be32(4), samples.map(s => be32(s.length)).flatten.toArray),
+      box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1)), // chunks of 2 samples
+      box("stco", be32(0), be32(2), be32(chunk1), be32(chunk2)),
+      if (withStss) box("stss", be32(0), be32(2), be32(1), be32(3)) else Array.empty[Byte])
+    val trak = box("trak", box("mdia",
+      box("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII")),
+      box("minf", stbl)))
+    (ftyp ++ mdat ++ box("moov", trak), samples)
+  }
+
+  test("Mp4Demuxer extracts real sample byte ranges from the box tree (golden)") {
+    def h(bytes: Array[Byte]) = java.util.Arrays.hashCode(bytes)
+    // no stss → every sample is a sync sample, per spec
+    val (mp4All, samples) = mp4Fixture(withStss = false)
+    def demux(bytes: Array[Byte], stride: Int) = Multimodal.Mp4Demuxer.frames(
+      Multimodal.MediaRow(21L, "video/mp4", bytes), stride).toVector
+    val all = demux(mp4All, 1)
+    assert(all.map(_.frame_offset) == Vector(0, 1, 2, 3))
+    // golden: each hash is over the sample's coded bytes sliced out of mdat
+    assert(all.map(_.frame_hash) == samples.map(h).toVector)
+    assert(demux(mp4All, 3).map(_.frame_offset) == Vector(0, 3))
+    // stss [1,3] → only sync samples (keyframes) are eligible
+    val (mp4Sync, _) = mp4Fixture(withStss = true)
+    val sync = demux(mp4Sync, 1)
+    assert(sync.map(_.frame_offset) == Vector(0, 2))
+    assert(sync.map(_.frame_hash) == Vector(h(samples(0)), h(samples(2))))
+    assert(demux(mp4Sync, 2).map(_.frame_offset) == Vector(0))
+    // garbage and truncated payloads fall back to the stub, never throw
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    def viaStub(id: Long, bytes: Array[Byte]) = Multimodal.StubDemuxer.frames(
+      Multimodal.MediaRow(id, "x", bytes), 8).toVector
+    assert(Multimodal.Mp4Demuxer.frames(
+      Multimodal.MediaRow(22L, "x", garbage), 8).toVector == viaStub(22L, garbage))
+    assert(Multimodal.Mp4Demuxer.frames(
+      Multimodal.MediaRow(23L, "x", mp4All.take(30)), 8).toVector
+      == viaStub(23L, mp4All.take(30)))
+  }
+
   test("AutoDemuxer routes a mixed corpus by magic bytes through one seam") {
     import spark.implicits._
     val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
     val media = Seq(
       Multimodal.MediaRow(1L, "image/gif", gif2frames),
       Multimodal.MediaRow(2L, "audio/wav", wav2500),
-      Multimodal.MediaRow(3L, "application/octet-stream", garbage)
+      Multimodal.MediaRow(3L, "application/octet-stream", garbage),
+      Multimodal.MediaRow(4L, "video/mp4", mp4Fixture(withStss = false)._1)
     ).toDS()
     val byId = Multimodal.frameSample(media, stride = 1, Multimodal.AutoDemuxer)
       .groupBy("media_id").count().as[(Long, Long)].collect().toMap
     assert(byId == Map(1L -> 2L, // real GIF frames
                        2L -> 3L, // real PCM windows
-                       3L -> 29L)) // stub fallback: one per byte offset
+                       3L -> 29L, // stub fallback: one per byte offset
+                       4L -> 4L)) // real MP4 coded samples
   }
 
   test("dedupCorpusByPriority keeps the preferred source, not the smallest id") {

@@ -64,6 +64,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("esSink: micro-batches bulk-index over live HTTP; mapping bootstrapped once") {
+    import org.apache.spark.sql.functions._
+    FakeEs.withEs { (base, es) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_es_stream").toString
+      val ms = MemoryStream[(String, Long, Double)]
+      val stream = ms.toDF.toDF("day", "tmdb_id", "imdb_rating")
+        .select(to_date(col("day")).as("snapshot_date"),
+          col("tmdb_id"), col("imdb_rating"))
+      val q = Streaming.esSink(stream, s"$dir/ckpt", "movies_enriched_daily",
+        idCols = Seq("snapshot_date", "tmdb_id"),
+        spec = graft.io.ServingSink.movieFieldSpec,
+        cfg = graft.io.EsTransport.Config(base))
+      try {
+        ms.addData(("2026-03-01", 101L, 7.5), ("2026-03-01", 102L, 6.0))
+        q.processAllAvailable()
+        // mapping bootstrapped over the wire, docs bulked from executors
+        assert(es.indexes.keySet == Set("movies_enriched_daily"))
+        val lines1 = es.bulks.flatMap(_.split("\n").filter(_.nonEmpty))
+        assert(lines1.count(_.startsWith("""{"index":""")) == 2)
+        assert(lines1.exists(_.contains(""""_id":"2026-03-01_101"""")))
+        // a second batch re-bulks without re-PUTting the mapping; a
+        // redelivered key writes the SAME stable _id (ES-side upsert)
+        es.indexes("movies_enriched_daily") = "sentinel"
+        ms.addData(("2026-03-01", 101L, 9.9), ("2026-03-02", 103L, 5.0))
+        q.processAllAvailable()
+        assert(es.indexes("movies_enriched_daily") == "sentinel") // no re-PUT
+        val lines2 = es.bulks.flatMap(_.split("\n").filter(_.nonEmpty))
+        assert(lines2.count(_.startsWith("""{"index":""")) == 4)
+        assert(lines2.count(_.contains(""""_id":"2026-03-01_101"""")) == 2)
+      } finally q.stop()
+    }
+  }
+
   test("lakeSink: streaming micro-batches merge-upsert into the lake zones") {
     import org.apache.spark.sql.functions._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
