@@ -402,12 +402,91 @@ object Multimodal {
     }
   }
 
+  /** Real MPEG-audio demux — frame-sync byte parsing (no codec): an MP3
+    * stream is a sequence of self-describing frames, each opening with an
+    * 11-bit sync word and a header encoding version/layer/bitrate/
+    * sample-rate/padding, from which the frame's byte length follows
+    * arithmetically (`144 × bitrate ∕ sampleRate + padding` for Layer
+    * III). The demuxer scans to the first valid sync, then walks frame to
+    * frame — every `stride`-th frame becomes one [[Frame]]:
+    * `frame_offset` is the FRAME INDEX (same semantics as the other real
+    * demuxers), `frame_hash` the hash of the frame's full bytes (header +
+    * coded payload). A leading ID3v2 tag is skipped by its declared
+    * syncsafe length. Free-format frames (bitrate index 0), reserved
+    * header values, or a payload with no two consecutive valid frames
+    * fall back to [[StubDemuxer]] — scan noise can alias ONE sync word,
+    * but not two chained ones. */
+  object Mp3Demuxer extends Demuxer {
+    // MPEG-1 Layer III bitrates (kbps) and sample rates (Hz), index 0 and
+    // 15 (bitrate) / 3 (samplerate) are free-format/reserved → rejected
+    private val bitrates =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private val sampleRates = Array(44100, 48000, 32000, -1)
+
+    /** Frame length in bytes for a valid MPEG-1 Layer III header at
+      * `b(i..i+3)`; -1 when the 4 bytes are not such a header. */
+    private def frameLen(b: Array[Byte], i: Int): Int = {
+      if (i + 4 > b.length) return -1
+      val h = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if ((h >>> 21) != 0x7ff) return -1 // 11-bit sync
+      if (((h >>> 19) & 3) != 3) return -1 // MPEG-1 only
+      if (((h >>> 17) & 3) != 1) return -1 // Layer III only
+      val bitrate = bitrates((h >>> 12) & 0xf)
+      val rate = sampleRates((h >>> 10) & 3)
+      if (bitrate <= 0 || rate <= 0) return -1
+      val padding = (h >>> 9) & 1
+      144 * bitrate * 1000 / rate + padding
+    }
+
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
+      val b = r.bytes
+      val s = math.max(stride, 1)
+      try {
+        // skip a leading ID3v2 tag: "ID3" + ver(2) + flags + syncsafe u28
+        var start = 0
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+          val tagLen = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+            ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+          start = math.min(10 + tagLen, b.length)
+        }
+        // first offset where a frame AND its successor both parse —
+        // a single aliased sync word in junk bytes is not accepted
+        var at = start
+        while (at < b.length &&
+               !(frameLen(b, at) > 0 && {
+                 val n = at + frameLen(b, at)
+                 n == b.length || frameLen(b, n) > 0
+               })) at += 1
+        val offsets = Vector.newBuilder[Int]
+        var off = at
+        var len = if (off < b.length) frameLen(b, off) else -1
+        while (len > 0 && off + len <= b.length) {
+          offsets += off
+          off += len
+          len = frameLen(b, off)
+        }
+        val found = offsets.result()
+        if (found.isEmpty) StubDemuxer.frames(r, stride)
+        else Iterator.range(0, found.length, s).map { i =>
+          val from = found(i)
+          val until = from + frameLen(b, from)
+          Frame(r.media_id, i, java.util.Arrays.hashCode(
+            java.util.Arrays.copyOfRange(b, from, until)))
+        }.toVector.iterator
+      } catch {
+        case scala.util.control.NonFatal(_) => StubDemuxer.frames(r, stride)
+      }
+    }
+  }
+
   /** Container dispatch over the magic bytes: animated GIFs go through
     * [[GifDemuxer]], RIFF/WAVE audio through [[AudioWavDemuxer]], ISO-BMFF
-    * (`ftyp` at offset 4 — MP4/M4A/MOV) through [[Mp4Demuxer]], anything
-    * else through [[StubDemuxer]] — so a MIXED media corpus flows through
-    * ONE [[Demuxer]] seam and each payload gets the real parser the JDK
-    * has for it. */
+    * (`ftyp` at offset 4 — MP4/M4A/MOV) through [[Mp4Demuxer]], MPEG
+    * audio (ID3v2 tag or immediate frame sync) through [[Mp3Demuxer]],
+    * anything else through [[StubDemuxer]] — so a MIXED media corpus
+    * flows through ONE [[Demuxer]] seam and each payload gets the real
+    * parser the JDK has for it. */
   object AutoDemuxer extends Demuxer {
     private def startsWith(b: Array[Byte], at: Int, magic: String): Boolean =
       b.length >= at + magic.length &&
@@ -418,6 +497,10 @@ object Multimodal {
       else if (startsWith(r.bytes, 0, "RIFF") && startsWith(r.bytes, 8, "WAVE"))
         AudioWavDemuxer.frames(r, stride)
       else if (startsWith(r.bytes, 4, "ftyp")) Mp4Demuxer.frames(r, stride)
+      else if (startsWith(r.bytes, 0, "ID3") ||
+               (r.bytes.length >= 2 && (r.bytes(0) & 0xff) == 0xff &&
+                 (r.bytes(1) & 0xe0) == 0xe0))
+        Mp3Demuxer.frames(r, stride)
       else StubDemuxer.frames(r, stride)
   }
 

@@ -925,6 +925,71 @@ class LlmOpsSpec extends SparkSpec {
       == viaStub(23L, mp4All.take(30)))
   }
 
+  // 3 handcrafted MPEG-1 Layer III frames (128 kbps / 44.1 kHz: 417 bytes,
+  // +1 when the padding bit is set) behind a 27-byte ID3v2 tag — built from
+  // the header arithmetic directly, so a frame-length mis-parse desyncs the
+  // walk and breaks the golden hashes
+  private lazy val mp3frames: (Array[Byte], Seq[Array[Byte]]) = {
+    def frame(padding: Boolean, fill: Byte): Array[Byte] = {
+      val len = 144 * 128000 / 44100 + (if (padding) 1 else 0)
+      val f = Array.fill[Byte](len)(fill)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte // sync + MPEG-1 + Layer III
+      f(2) = (if (padding) 0x92 else 0x90).toByte // 128 kbps, 44.1 kHz
+      f(3) = 0x00
+      f
+    }
+    val frames = Seq(frame(false, 7), frame(true, 11), frame(false, 13))
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 17) ++
+      Array.fill[Byte](17)(99) // syncsafe tag length 17
+    (id3 ++ frames.flatten, frames)
+  }
+
+  test("Mp3Demuxer walks frame syncs behind an ID3 tag (golden)") {
+    val (mp3, frames) = mp3frames
+    def h(bytes: Array[Byte]) = java.util.Arrays.hashCode(bytes)
+    def demux(bytes: Array[Byte], stride: Int) = Multimodal.Mp3Demuxer.frames(
+      Multimodal.MediaRow(31L, "audio/mpeg", bytes), stride).toVector
+    val all = demux(mp3, 1)
+    assert(all.map(_.frame_offset) == Vector(0, 1, 2))
+    // each hash covers the frame's full bytes: header + coded payload
+    assert(all.map(_.frame_hash) == frames.map(h).toVector)
+    assert(demux(mp3, 2).map(_.frame_offset) == Vector(0, 2))
+    // a truncated final frame is dropped, not hashed short
+    assert(demux(mp3.dropRight(10), 1).map(_.frame_offset) == Vector(0, 1))
+    // garbage with an aliased single sync byte falls back to the stub
+    // (no second chained frame), as does plain garbage
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    junk(20) = 0xff.toByte; junk(21) = 0xfb.toByte; junk(22) = 0x90.toByte
+    def viaStub(id: Long, bytes: Array[Byte]) = Multimodal.StubDemuxer.frames(
+      Multimodal.MediaRow(id, "x", bytes), 4).toVector
+    assert(Multimodal.Mp3Demuxer.frames(
+      Multimodal.MediaRow(32L, "x", junk), 4).toVector == viaStub(32L, junk))
+  }
+
+  test("every demuxer survives random mutation and truncation of every fixture") {
+    val fixtures = Seq(gif2frames, wav2500, mp4Fixture(withStss = true)._1,
+      mp3frames._1)
+    val demuxers = Seq(Multimodal.GifDemuxer, Multimodal.AudioWavDemuxer,
+      Multimodal.Mp4Demuxer, Multimodal.Mp3Demuxer, Multimodal.AutoDemuxer)
+    val rnd = new scala.util.Random(20260812L)
+    for (fix <- fixtures; trial <- 0 until 40) {
+      val mutated = fix.clone()
+      // flip a few random bytes, then maybe truncate
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      val payload =
+        if (rnd.nextBoolean()) mutated.take(rnd.nextInt(mutated.length + 1))
+        else mutated
+      for (d <- demuxers) {
+        // contract: never throw, never hang — either real frames or the
+        // stub fallback, on ANY corrupted payload
+        val out = d.frames(
+          Multimodal.MediaRow(trial.toLong, "x", payload), 3).toVector
+        assert(out.forall(_.media_id == trial.toLong))
+      }
+    }
+  }
+
   test("AutoDemuxer routes a mixed corpus by magic bytes through one seam") {
     import spark.implicits._
     val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
@@ -932,14 +997,16 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.MediaRow(1L, "image/gif", gif2frames),
       Multimodal.MediaRow(2L, "audio/wav", wav2500),
       Multimodal.MediaRow(3L, "application/octet-stream", garbage),
-      Multimodal.MediaRow(4L, "video/mp4", mp4Fixture(withStss = false)._1)
+      Multimodal.MediaRow(4L, "video/mp4", mp4Fixture(withStss = false)._1),
+      Multimodal.MediaRow(5L, "audio/mpeg", mp3frames._1)
     ).toDS()
     val byId = Multimodal.frameSample(media, stride = 1, Multimodal.AutoDemuxer)
       .groupBy("media_id").count().as[(Long, Long)].collect().toMap
     assert(byId == Map(1L -> 2L, // real GIF frames
                        2L -> 3L, // real PCM windows
                        3L -> 29L, // stub fallback: one per byte offset
-                       4L -> 4L)) // real MP4 coded samples
+                       4L -> 4L, // real MP4 coded samples
+                       5L -> 3L)) // real MP3 frames
   }
 
   test("dedupCorpusByPriority keeps the preferred source, not the smallest id") {
