@@ -85,14 +85,23 @@ object Curate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 
-    // 3. transitive near-dup collapse
-    val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
-      threshold = cfg.nearDupThreshold, shingleN = cfg.shingleN,
-      k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows)
-    val nearDeduped = Dedup.survivorsTransitive(exact, pairs, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNear = nearDeduped.count()
-    exact.unpersist()
+    // 3. transitive near-dup collapse. Jaccard is bounded by 1, so a
+    // threshold above it provably admits no pair — short-circuit the whole
+    // MinHash→LSH→Jaccard→components machinery (the recipe's most
+    // expensive stages) instead of running it to compute an empty edge
+    // set. A threshold > 1 is the documented "near-dup stage off" knob.
+    val (nearDeduped, nNear) =
+      if (cfg.nearDupThreshold > 1.0) (exact, nExact)
+      else {
+        val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
+          threshold = cfg.nearDupThreshold, shingleN = cfg.shingleN,
+          k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows)
+        val nd = Dedup.survivorsTransitive(exact, pairs, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = nd.count()
+        exact.unpersist()
+        (nd, n)
+      }
 
     // 4. quality floor
     val quality = nearDeduped

@@ -127,6 +127,14 @@ object ScaleStress {
         embedNearDupsCarryVectors(e, threshold = 0.99, nPlanes = 8,
           prefixBits = 8, seeds = Seq(42L, 1042L), dim = 64).count()
       }
+      // k-means centroid training: the claim under test is that the
+      // per-round exchange is partitions × k × dim pre-combined rows —
+      // INDEPENDENT of corpus size — so shuffle bytes should stay ~flat
+      // as the corpus multiplies (only scan/walltime grows)
+      phase(s"${m}x_kmeans_train") {
+        Similarity.kmeansCentroids(e.select(col("v")), "v",
+          k = 16, iters = 3, dim = 64).length.toLong
+      }
       e.unpersist()
     }
     spark.stop()
