@@ -206,19 +206,31 @@ object Similarity {
     *
     * 100 TB posture: same inverted-file shape as [[ivfTopK]] — candidates
     * come only from probed cells, the join shuffles on the cell id,
-    * nothing broadcasts, nothing crosses the full corpus. */
+    * nothing broadcasts, nothing crosses the full corpus.
+    *
+    * `trained` accepts [[kmeansCentroids]] output: fractional components
+    * are rounded onto the SAME fixed-point scale as the vectors, so the
+    * cell scores stay exact longs and the bit-reproducibility contract
+    * survives training (with ±1 defaults the centroid scale is 1 — the
+    * historical scoring — so existing oracle results are unchanged). */
   def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
                        nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
                        quantScale: Double = 1048576.0, dim: Int = -1,
+                       trained: Seq[Seq[Double]] = Nil,
                        qId: String = "q_id", qVec: String = "q_vec",
                        cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
-    val centroids = randomPlanes(nCentroids, d, seed)
+    // integer centroid components: ±1 stay ±1; trained fractions round
+    // onto the vector fixed-point grid
+    val centroids: Seq[Seq[Long]] =
+      if (trained.nonEmpty) trained.map(_.map(x => math.round(x * quantScale)))
+      else randomPlanes(nCentroids, d, seed).map(_.map(_.toLong))
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
-    // integer centroid score: quantized components × ±1 — exact longs
-    def cellScore(vec: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(vec, array(ctr.map(x => lit(x.toLong)): _*), (a, b) => a * b),
+    // integer centroid score: quantized components × integer centroid —
+    // exact longs (quantScale² × dim ≈ 2^46 headroom)
+    def cellScore(vec: Column, ctr: Seq[Long]): Column =
+      aggregate(zip_with(vec, array(ctr.map(lit): _*), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
     val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
     val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))

@@ -218,6 +218,14 @@ class LlmOpsSpec extends SparkSpec {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     assert((exact & ivf).size == exact.size,
       s"trained 1-probe IVF missed ${exact.size - (exact & ivf).size} of ${exact.size}")
+    // the deterministic quantized flavor takes the same trained set
+    // (components rounded onto the vector fixed-point grid) with the
+    // same 1-probe exactness
+    val ivfQ = Similarity.ivfTopKQuantized(queries, corpus, 5, nProbes = 1,
+        dim = 4, trained = trained)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert((exact & ivfQ).size == exact.size,
+      s"trained 1-probe quantized IVF missed ${exact.size - (exact & ivfQ).size}")
     // stability: a different partitioning converges to the same centroids
     // (avg() combine order shifts the low FP bits, so compare with tolerance)
     val again = Similarity.kmeansCentroids(df.repartition(7), "v", k = 3,
