@@ -124,12 +124,25 @@ object EsTransport {
   def createIndexIfMissing(client: EsClient, cfg: Config, index: String,
                            mappingJson: String,
                            sleeper: Long => Unit = Thread.sleep): Boolean = {
-    val probe = try {
-      client.send("GET", s"${cfg.base}/$index", None, "application/json")
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        throw new java.io.IOException(s"ES probe failed for $index", e)
+    // the probe gets the same retry policy as every other exchange here
+    // (429 + transport failures, linear backoff) — but 404 is a MEANINGFUL
+    // answer, not an error, so sendWithRetry (which faults on non-2xx)
+    // doesn't fit; retry inline and surface the status
+    var attempt = 0
+    var probe: EsResponse = null
+    var last: Throwable = null
+    while (probe == null && attempt < cfg.maxAttempts) {
+      try {
+        val r = client.send("GET", s"${cfg.base}/$index", None, "application/json")
+        if (r.status == 429)
+          last = new java.io.IOException(s"HTTP 429 probing index $index")
+        else probe = r
+      } catch { case scala.util.control.NonFatal(e) => last = e }
+      attempt += 1
+      if (probe == null && attempt < cfg.maxAttempts) sleeper(cfg.backoffMs * attempt)
     }
+    if (probe == null)
+      throw new java.io.IOException(s"ES probe failed for $index", last)
     probe.status match {
       case 200 => false
       case 404 =>
@@ -151,10 +164,14 @@ object EsTransport {
     val json = JsonMethods.parse(r.body)
     json \ "errors" match {
       case JBool(true) =>
+        // items are keyed by their action verb — read whichever this
+        // payload used, not just "index", so create/update/delete bulks
+        // surface their diagnostics too
         val errors = (json \ "items").children.iterator
-          .map(item => item \ "index" \ "error")
-          .collect { case e if e != JNothing && e != JNull =>
-            JsonMethods.compact(JsonMethods.render(e)) }
+          .flatMap(item => Seq("index", "create", "update", "delete").iterator
+            .map(a => item \ a \ "error")
+            .find(e => e != JNothing && e != JNull))
+          .map(e => JsonMethods.compact(JsonMethods.render(e)))
           .take(5).toList
         throw new RuntimeException(s"Bulk indexing errors: $errors")
       case _ => ()

@@ -82,7 +82,16 @@ object LakeZones {
     * backup with a live partition is dropped, and orphaned staging dirs
     * are removed. Re-running the same batch then converges to the merged
     * state with no window where a day's rows are lost (golden-tested by
-    * simulating a crash between the two renames). */
+    * simulating a crash between the two renames).
+    *
+    * SINGLE WRITER per table, externally serialized — the same contract
+    * as the reference's daily Airflow DAG (one task writes a table at a
+    * time) and as Spark's own dynamic partition overwrite. Two
+    * concurrent merge-upserts on one table are not merely racy: the
+    * entry sweep treats the other run's staging/undo dirs as crash
+    * leftovers and repairs them away. Streaming callers get this for
+    * free (foreachBatch serializes batches per query); anything else
+    * must hold an external lock or write disjoint tables. */
   def mergeUpsertByDay(batch: DataFrame, root: String, zone: String, name: String,
                        keys: Seq[String],
                        order: Seq[org.apache.spark.sql.Column]): String = {

@@ -310,15 +310,21 @@ object Multimodal {
       val stbl = find(b, trak._1, trak._2, List("mdia", "minf", "stbl")).getOrElse(return None)
       val boxes = children(b, stbl._1, stbl._2).groupBy(_._1)
         .map { case (t, v) => t -> (v.head._2, v.head._3) }
-      // stsz: version+flags, sample_size (uniform when nonzero), sample_count
+      // stsz: version+flags, sample_size (uniform when nonzero), sample_count.
+      // The uniform-size path allocates from an attacker-controlled count, so
+      // bound it by what the payload could actually hold (n × uniform bytes
+      // must fit in the container) — an unchecked 2^31 count would OOM the
+      // task as an Error, past the NonFatal fallback.
       val sizes = boxes.get("stsz").flatMap { case (f, u) =>
         if (f + 12 > u) None
         else {
           val uniform = u32(b, f + 4)
           val n = u32(b, f + 8).toInt
           if (n < 0) None
-          else if (uniform != 0L) Some(Array.fill(n)(uniform))
-          else u32Table(b, (f, u), skip = 4).filter(_.length == n)
+          else if (uniform != 0L) {
+            if (n > b.length / uniform) None
+            else Some(Array.fill(n)(uniform))
+          } else u32Table(b, (f, u), skip = 4).filter(_.length == n)
         }
       }.getOrElse(return None)
       // chunk offsets: stco (u32) or co64 (u64)

@@ -94,37 +94,50 @@ object Similarity {
     * greedy: each next seed is the vector most dissimilar to all chosen
     * so far — ±1 random planes routinely drop two seeds into one cluster
     * and Lloyd's cannot split the merged cell), costing k bounded
-    * one-row actions before the iterations start. Empty cells keep their
-    * previous centroid; means are L2-normalized each round (spherical
-    * k-means — consistent with cosine/dot cell scoring). */
+    * one-row actions before the iterations start. Zero-norm vectors are
+    * excluded (no direction to cluster); a corpus with fewer than k
+    * distinct directions yields a SHORTER centroid list, never padded
+    * duplicates. Empty cells keep their previous centroid; means are
+    * L2-normalized each round (spherical k-means — consistent with
+    * cosine/dot cell scoring). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String,
                       k: Int, iters: Int = 5, seed: Long = 42L,
                       dim: Int = -1): Seq[Seq[Double]] = {
     val d = if (dim > 0) dim else probeDim(corpus, vecCol)
     if (d == 0) return Nil
-    val vecs = corpus.filter(col(vecCol).isNotNull)
+    // zero-norm vectors (failed-embed artifacts) carry no direction: they
+    // cosine-NULL against everything, so farthest-point init would rank
+    // them "most dissimilar" and burn seeds on them — drop them up front
+    val vecsAll = corpus.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .cache()
+    val vecs = vecsAll.filter(dot(col("__v"), col("__v")) > 0).cache()
     def normalize(p: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(p.map(x => x * x).sum)
       if (n > 0) p.map(_ / n) else p
     }
-    def headVec(df: DataFrame): Option[Seq[Double]] =
-      df.limit(1).collect().headOption
-        .map(_.getSeq[Double](0).toVector)
+    // (worstSim, vector) of the best next seed under `order`
+    def headScored(order: Column): Option[(Double, Seq[Double])] =
+      vecs.select(order.as("__s"), col("__v"))
+        .orderBy(col("__s").asc, col("__v").asc).limit(1).collect().headOption
+        .map(r => (r.getDouble(0), r.getSeq[Double](1).toVector))
     // farthest-point init: seed 1 is the lexicographically-least vector
     // (deterministic under any partitioning), each next seed minimizes its
-    // max cosine to the seeds chosen so far
-    var centroids = headVec(vecs.orderBy(col("__v").asc).select(col("__v")))
-      .map(v => Vector(normalize(v))).getOrElse(return Nil)
-    while (centroids.length < k) {
-      val sims = centroids.map(c =>
-        coalesce(cosine(col("__v"), array(c.map(lit): _*)), lit(-2.0)))
+    // max cosine to the seeds chosen so far; a best candidate at cosine 1
+    // is a duplicate of an existing seed — fewer than k distinct
+    // directions exist, so return the shorter list rather than padding
+    // with duplicates (callers size probes off centroids.length)
+    var centroids = headScored(lit(0.0))
+      .map { case (_, v) => Vector(normalize(v)) }
+      .getOrElse { vecs.unpersist(); return Nil } // empty / all-zero corpus
+    var exhausted = false
+    while (centroids.length < k && !exhausted) {
+      val sims = centroids.map(c => cosine(col("__v"), array(c.map(lit): _*)))
       val worst = if (sims.length == 1) sims.head else greatest(sims: _*)
-      centroids = centroids ++ headVec(
-        vecs.orderBy(worst.asc, col("__v").asc).select(col("__v")))
-        .map(v => Vector(normalize(v)))
-        .getOrElse { vecs.unpersist(); return centroids } // < k distinct vectors
+      headScored(worst) match {
+        case Some((s, v)) if s < 1.0 - 1e-12 =>
+          centroids = centroids :+ normalize(v).toVector
+        case _ => exhausted = true // only duplicates of existing seeds remain
+      }
     }
     for (_ <- 0 until iters) {
       val cell = -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
@@ -163,8 +176,11 @@ object Similarity {
               dim: Int = -1, trained: Seq[Seq[Double]] = Nil,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val d = if (dim > 0) dim else probeDim(corpus, cVec)
-    val centroids = if (trained.nonEmpty) trained else randomPlanes(nCentroids, d, seed)
+    // trained centroids carry the dimension — no probe action needed
+    val centroids =
+      if (trained.nonEmpty) trained
+      else randomPlanes(nCentroids,
+        if (dim > 0) dim else probeDim(corpus, cVec), seed)
     def cellScores(vec: Column): Seq[(Int, Column)] =
       centroids.zipWithIndex.map { case (ctr, i) =>
         i -> dot(vec, array(ctr.map(lit): _*))
@@ -219,12 +235,13 @@ object Similarity {
                        trained: Seq[Seq[Double]] = Nil,
                        qId: String = "q_id", qVec: String = "q_vec",
                        cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val d = if (dim > 0) dim else probeDim(corpus, cVec)
     // integer centroid components: ±1 stay ±1; trained fractions round
-    // onto the vector fixed-point grid
+    // onto the vector fixed-point grid (trained centroids carry the
+    // dimension — no probe action needed)
     val centroids: Seq[Seq[Long]] =
       if (trained.nonEmpty) trained.map(_.map(x => math.round(x * quantScale)))
-      else randomPlanes(nCentroids, d, seed).map(_.map(_.toLong))
+      else randomPlanes(nCentroids,
+        if (dim > 0) dim else probeDim(corpus, cVec), seed).map(_.map(_.toLong))
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
     // integer centroid score: quantized components × integer centroid —

@@ -69,6 +69,39 @@ class EsTransportSpec extends SparkSpec {
     }
   }
 
+  test("the existence probe retries 429s like every other exchange") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base, maxAttempts = 3, backoffMs = 10)
+      es.probe429Left = 2
+      val sleeps = mutable.Buffer[Long]()
+      // two 429s on the GET probe, then a clean 404 → PUT proceeds
+      assert(EsTransport.createIndexIfMissing(client, cfg, "movies", "{}",
+        sleeps.append(_)))
+      assert(sleeps.toSeq == Seq(10L, 20L))
+      assert(es.indexes.contains("movies"))
+      // exhausted retries surface as a loud probe failure
+      es.probe429Left = 99
+      intercept[java.io.IOException] {
+        EsTransport.createIndexIfMissing(client, cfg, "movies2", "{}", _ => ())
+      }
+    }
+  }
+
+  test("bulk errors surface for create/update/delete actions, not only index") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      es.bulkResponse =
+        """{"errors":true,"items":[{"create":{"_id":"a","status":409,"error":{"reason":"version conflict"}}},""" +
+          """{"update":{"_id":"b","status":404,"error":{"reason":"missing doc"}}}]}"""
+      val e = intercept[RuntimeException] {
+        EsTransport.bulkPost(client, Config(base), "{}\n{}\n")
+      }
+      assert(e.getMessage.contains("version conflict"))
+      assert(e.getMessage.contains("missing doc"))
+    }
+  }
+
   test("429 responses retry with linear backoff; other statuses fail fast") {
     withEs { (base, es) =>
       val client = new HttpEsClient()

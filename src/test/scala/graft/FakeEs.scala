@@ -11,6 +11,7 @@ class FakeEs(server: com.sun.net.httpserver.HttpServer) {
   val bulks = mutable.Buffer[String]() // captured _bulk payloads
   var bulkResponse: String = """{"errors":false,"items":[]}"""
   var bulk429Left = 0 // serve this many 429s before accepting
+  var probe429Left = 0 // serve this many 429s on GET /<index> probes
 
   server.createContext("/", ex => {
     val path = ex.getRequestURI.getPath
@@ -24,7 +25,8 @@ class FakeEs(server: com.sun.net.httpserver.HttpServer) {
           else { bulks.append(body); (200, bulkResponse) }
         case ("GET", p) =>
           val idx = p.stripPrefix("/")
-          if (indexes.contains(idx)) (200, s"""{"$idx":{}}""") else (404, "")
+          if (probe429Left > 0) { probe429Left -= 1; (429, "slow down") }
+          else if (indexes.contains(idx)) (200, s"""{"$idx":{}}""") else (404, "")
         case ("PUT", p) =>
           indexes(p.stripPrefix("/")) = body; (200, """{"acknowledged":true}""")
         case _ => (400, "bad")

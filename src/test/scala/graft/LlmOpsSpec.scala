@@ -233,6 +233,17 @@ class LlmOpsSpec extends SparkSpec {
     val maxDiff = trained.zip(again)
       .flatMap { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) } }.max
     assert(maxDiff < 1e-9, s"centroids drifted by $maxDiff across partitionings")
+    // zero-norm vectors (failed embeds) are excluded — they never become
+    // seeds and never poison a cell
+    val withZeros = df.union(Seq((900L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (901L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v"))
+    val t2 = Similarity.kmeansCentroids(withZeros, "v", k = 3, iters = 4, dim = 4)
+    assert(t2.length == 3 && t2.forall(c => c.map(x => x * x).sum > 0.5))
+    // fewer distinct directions than k → SHORTER list, not padded duplicates
+    val two = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val t3 = Similarity.kmeansCentroids(two, "v", k = 8, iters = 2, dim = 2)
+    assert(t3.length == 2, s"expected 2 distinct centroids, got ${t3.length}")
   }
 
   test("splitAssign: deterministic, complete, and close to declared fractions") {
@@ -931,6 +942,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.Mp4Demuxer.frames(
       Multimodal.MediaRow(23L, "x", mp4All.take(30)), 8).toVector
       == viaStub(23L, mp4All.take(30)))
+    // a hostile uniform-stsz claiming 2^31-1 samples must NOT allocate —
+    // the count is bounded by what the payload could hold, so this falls
+    // back to the stub instead of dying on an OutOfMemoryError the
+    // NonFatal contract can't catch
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def bx(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    val hostile = bx("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      bx("moov", bx("trak", bx("mdia",
+        bx("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII")),
+        bx("minf", bx("stbl",
+          bx("stsz", be32(0), be32(1), be32(Int.MaxValue)), // uniform=1, n=2^31-1
+          bx("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+          bx("stco", be32(0), be32(1), be32(0)))))))
+    assert(Multimodal.Mp4Demuxer.frames(
+      Multimodal.MediaRow(24L, "x", hostile), 8).toVector == viaStub(24L, hostile))
   }
 
   // 3 handcrafted MPEG-1 Layer III frames (128 kbps / 44.1 kHz: 417 bytes,
