@@ -144,6 +144,39 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"))
   }
 
+  /** Corpus composition report — ONE grouping-sets pass producing the
+    * per-`dimA` / per-`dimB` / per-(`dimA`,`dimB`) / grand-total summary a
+    * data team publishes with every corpus drop: doc count, token and
+    * char volume, quality mass. `gid` is the standard GROUPING() bitmask
+    * (leftmost dim = most significant bit), so the level of each row is
+    * explicit and the output is engine-portable (ANSI GROUPING SETS).
+    *
+    * Cross-engine stability: counts/token/char sums are integer; the
+    * quality column is [[qualityScore]]'s exact decimal(4,2), so its SUM
+    * is exact decimal arithmetic — no float summation order anywhere
+    * (the one double cast happens on the already-exact total).
+    *
+    * 100 TB posture: grouping sets expand map-side (one pass over the
+    * corpus, partial+final aggregation per set); the output is bounded
+    * by the dimension cardinalities, never the corpus. */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   dimA: String, dimB: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(dimA), col(dimB),
+        tokenCount(col(textCol)).as("__t"),
+        length(col(textCol)).cast("long").as("__c"),
+        qualityScore(col(textCol)).as("__q"))
+      .groupingSets(
+        Seq(Seq(col(dimA), col(dimB)), Seq(col(dimA)), Seq(col(dimB)), Seq()),
+        col(dimA), col(dimB))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("nb_docs"),
+        sum(col("__t")).cast("long").as("total_tokens"),
+        sum(col("__c")).as("total_chars"),
+        sum(col("__q")).cast("double").as("sum_quality"))
+      .select(col("gid"), col(dimA), col(dimB), col("nb_docs"),
+        col("total_tokens"), col("total_chars"), col("sum_quality"))
+
   /** C4-style boilerplate line removal: lines (newline-split, empties
     * dropped) occurring in more than `maxDocs` distinct docs corpus-wide
     * are deleted from every doc; surviving lines reassemble in original

@@ -573,6 +573,16 @@ object LlmQueries {
         sum(length(col("text")).cast("long")).as("total_chars")))
     }),
 
+    // Corpus composition report: one GROUPING SETS pass over source ×
+    // lang — the per-dimension and grand-total doc/token/char/quality
+    // accounting published with every corpus drop. Exact decimal quality
+    // sums, integer volumes: engine-portable to the bit.
+    "q65_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(
+          table(s, dir, "documents"), "text", "source", "lang")
+        .orderBy(col("gid"), asc_nulls_first("source"), asc_nulls_first("lang"))
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1520,6 +1530,36 @@ object LlmQueries {
         |  CAST((SELECT count(*) FROM sp WHERE split = 'val') AS BIGINT) AS nb_val,
         |  CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT) AS nb_test,
         |  CAST((SELECT sum(length(text)) FROM sp) AS BIGINT) AS total_chars""".stripMargin,
+
+    "q65_corpus_report" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    length(text) AS nchars,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','is'], t))) AS sw,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS np,
+        |    text
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, lang, ntok, nchars,
+        |    CAST((CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0
+        |          WHEN ntok >= 5 THEN 0.5 ELSE 0.0 END * 0.4
+        |     + CASE WHEN ntok > 0 AND CAST(sw AS DOUBLE) / ntok >= 0.05
+        |            THEN 1.0 ELSE 0.3 END * 0.4
+        |     + CASE WHEN (CASE WHEN length(text) > 0
+        |                       THEN CAST(np AS DOUBLE) / length(text)
+        |                       ELSE 0.0 END) <= 0.2
+        |            THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS q
+        |  FROM d)
+        |SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+        |  CAST(count(*) AS BIGINT) AS nb_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nchars) AS BIGINT) AS total_chars,
+        |  CAST(sum(q) AS DOUBLE) AS sum_quality
+        |FROM sc
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
 
     "q58_source_cap" ->
       """WITH r AS (

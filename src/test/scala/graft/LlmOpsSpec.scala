@@ -1047,6 +1047,34 @@ class LlmOpsSpec extends SparkSpec {
                        5L -> 3L)) // real MP3 frames
   }
 
+  test("corpusReport: grouping-sets levels are internally consistent") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "crawl", "en", "the cat sat on the mat and it is a fine day today ok"),
+      (2L, "crawl", "fr", "le chat"),
+      (3L, "curated", "en", "the dog ran far and it is a good day for a run now"),
+      (4L, "curated", "en", "x")
+    ).toDF("doc_id", "source", "lang", "text")
+    val rep = TextAnalysis.corpusReport(docs, "text", "source", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // gid: 0 = (source,lang), 1 = (source), 2 = (lang), 3 = grand total
+    assert(rep((3L, None, None))._1 == 4L)
+    assert(rep((1L, Some("crawl"), None))._1 == 2L)
+    assert(rep((2L, None, Some("en")))._1 == 3L)
+    assert(rep((0L, Some("curated"), Some("en")))._1 == 2L)
+    // every finer level sums exactly to the grand total, per measure
+    val total = rep((3L, None, None))
+    def sumLevel(gid: Long) = rep.collect { case ((g, _, _), v) if g == gid => v }
+      .foldLeft((0L, 0L, 0L, 0.0)) { case ((a, b, c, d), (w, x, y, z)) =>
+        (a + w, b + x, c + y, d + z) }
+    for (gid <- Seq(0L, 1L, 2L)) {
+      val (n, t, c, q) = sumLevel(gid)
+      assert((n, t, c) == ((total._1, total._2, total._3)), s"level $gid drifted")
+      assert(math.abs(q - total._4) < 1e-9, s"level $gid quality drifted")
+    }
+  }
+
   test("dedupCorpusByPriority keeps the preferred source, not the smallest id") {
     val df = Seq(
       (1L, "alpha beta gamma", "crawl"),
