@@ -46,7 +46,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("aggregates are partial+final (map-side combine before the exchange)") {
-    for (q <- Seq("q07_kpi_daily", "q01_agg_pricing"))
+    // q65's grouping sets must also pre-combine map-side after the Expand
+    for (q <- Seq("q07_kpi_daily", "q01_agg_pricing", "q65_corpus_report"))
       assert(plan(q).contains("partial_"),
         s"$q lost map-side partial aggregation")
   }
