@@ -583,6 +583,26 @@ object LlmQueries {
         .orderBy(col("gid"), asc_nulls_first("source"), asc_nulls_first("lang"))
     }),
 
+    // Duplicate-mass report: histogram of exact-dup family sizes (the
+    // dedup-ratio audit a corpus team reads before and after every dedup
+    // run). Families planted at two rates so the histogram has known
+    // bars: %21 ids appear 4×, other %7 ids 2×, the rest 1×.
+    "q66_dup_mass" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      def cp(mod: Int, off: Long) = d.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val corpus = d.unionByName(cp(7, 300000L))
+        .unionByName(cp(21, 400000L)).unionByName(cp(21, 500000L))
+      corpus
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size")
+        .agg(count(lit(1)).as("nb_families"))
+        .select(col("family_size"), col("nb_families"),
+          (col("family_size") * col("nb_families")).as("nb_docs"))
+        .orderBy("family_size")
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1560,6 +1580,21 @@ object LlmQueries {
         |FROM sc
         |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    "q66_dup_mass" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 400000, text FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id % 21 = 0),
+        |fam AS (
+        |  SELECT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp,
+        |         count(*) AS family_size
+        |  FROM corpus GROUP BY 1)
+        |SELECT CAST(family_size AS BIGINT) AS family_size,
+        |       CAST(count(*) AS BIGINT) AS nb_families,
+        |       CAST(family_size * count(*) AS BIGINT) AS nb_docs
+        |FROM fam GROUP BY family_size ORDER BY family_size""".stripMargin,
 
     "q58_source_cap" ->
       """WITH r AS (
