@@ -80,12 +80,15 @@ object EsTransport {
     def base: String = host.stripSuffix("/")
   }
 
-  /** Send with the ingestion retry policy: 2xx returns; 429 and transport
-    * exceptions retry with linear backoff; any other status fails fast
-    * (`raise_for_status` parity). */
+  /** Send with the ingestion retry policy: an `accept`ed status returns
+    * (default: any 2xx); 429 and transport exceptions retry with linear
+    * backoff; any other status fails fast (`raise_for_status` parity).
+    * `accept` lets probes treat e.g. 404 as an ANSWER rather than an
+    * error while keeping the one retry policy. */
   def sendWithRetry(client: EsClient, cfg: Config, method: String, url: String,
                     body: Option[String], contentType: String,
-                    sleeper: Long => Unit = Thread.sleep): EsResponse = {
+                    sleeper: Long => Unit = Thread.sleep,
+                    accept: Int => Boolean = _ / 100 == 2): EsResponse = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < cfg.maxAttempts) {
@@ -93,7 +96,7 @@ object EsTransport {
         try Some(client.send(method, url, body, contentType))
         catch { case scala.util.control.NonFatal(e) => last = e; None }
       resp match {
-        case Some(r) if r.status / 100 == 2 => return r
+        case Some(r) if accept(r.status) => return r
         case Some(r) if r.status != 429 => // fail fast, never retried
           throw new java.io.IOException(s"HTTP ${r.status} for $method $url")
         case Some(r) =>
@@ -124,32 +127,17 @@ object EsTransport {
   def createIndexIfMissing(client: EsClient, cfg: Config, index: String,
                            mappingJson: String,
                            sleeper: Long => Unit = Thread.sleep): Boolean = {
-    // the probe gets the same retry policy as every other exchange here
-    // (429 + transport failures, linear backoff) — but 404 is a MEANINGFUL
-    // answer, not an error, so sendWithRetry (which faults on non-2xx)
-    // doesn't fit; retry inline and surface the status
-    var attempt = 0
-    var probe: EsResponse = null
-    var last: Throwable = null
-    while (probe == null && attempt < cfg.maxAttempts) {
-      try {
-        val r = client.send("GET", s"${cfg.base}/$index", None, "application/json")
-        if (r.status == 429)
-          last = new java.io.IOException(s"HTTP 429 probing index $index")
-        else probe = r
-      } catch { case scala.util.control.NonFatal(e) => last = e }
-      attempt += 1
-      if (probe == null && attempt < cfg.maxAttempts) sleeper(cfg.backoffMs * attempt)
-    }
-    if (probe == null)
-      throw new java.io.IOException(s"ES probe failed for $index", last)
+    // same retry policy as every other exchange (429 + transport blips,
+    // linear backoff) — 404 is a MEANINGFUL answer here, not an error,
+    // so it joins the accepted set instead of faulting
+    val probe = sendWithRetry(client, cfg, "GET", s"${cfg.base}/$index",
+      None, "application/json", sleeper, accept = s => s == 200 || s == 404)
     probe.status match {
       case 200 => false
-      case 404 =>
+      case _ => // 404: create it
         sendWithRetry(client, cfg, "PUT", s"${cfg.base}/$index",
           Some(mappingJson), "application/json", sleeper)
         true
-      case s => throw new java.io.IOException(s"HTTP $s probing index $index")
     }
   }
 
