@@ -42,6 +42,9 @@ object Curate {
       minhashK: Int = 12,
       lshBands: Int = 3,
       lshRows: Int = 4,
+      // degenerate-key guard for the LSH stage (see Dedup.lshCandidates):
+      // buckets above this cardinality degrade clique→chain candidates
+      lshMaxBucket: Int = Int.MaxValue,
       qualityFloor: Double = 0.5,
       contaminationN: Int = 5,
       trainPct: Int = 80,
@@ -95,7 +98,8 @@ object Curate {
       else {
         val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
           threshold = cfg.nearDupThreshold, shingleN = cfg.shingleN,
-          k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows)
+          k = cfg.minhashK, bands = cfg.lshBands, rows = cfg.lshRows,
+          maxBucket = cfg.lshMaxBucket)
         val nd = Dedup.survivorsTransitive(exact, pairs, idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = nd.count()

@@ -106,10 +106,25 @@ object Dedup {
     * digest k times, higher-order funcs get no subexpression sharing),
     * band the signature, self-join each bucket, emit distinct (a < b)
     * pairs. Joins shuffle on the band key only — bucket sizes, not corpus
-    * size, bound the pair blow-up. */
+    * size, bound the pair blow-up.
+    *
+    * `maxBucket` is the degenerate-key guard: a boilerplate-heavy or
+    * adversarial corpus can put m docs in ONE band bucket, and the clique
+    * self-join then emits m² pairs — the one quadratic path in the
+    * pipeline. Buckets above the cap degrade to a consecutive-id CHAIN
+    * (m−1 pairs): downstream exact verification still scores every emitted
+    * pair, and a genuine boilerplate family stays one connected component
+    * for [[survivorsTransitive]], so collapse semantics survive while
+    * candidate volume turns linear. (Dropping the bucket outright would
+    * silently un-dedup the flood.) Pairs whose ONLY collision is an
+    * oversized bucket and that are not chain-adjacent are missed — the
+    * documented recall trade of any bucket cap. Default = no cap: the
+    * plan is byte-identical to the uncapped shape. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+                    shingleN: Int, k: Int, bands: Int, rows: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val hv = df
       .select(col(idCol).as("id"),
         explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
@@ -123,12 +138,67 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    cappedBucketSelfJoin(banded, maxBucket).distinct()
+  }
+
+  /** Self-join of a banded frame (id, band, key, carry…) with the
+    * per-bucket cardinality cap: buckets of size ≤ `maxBucket` pair as a
+    * clique, larger buckets as a consecutive-id chain. Both window
+    * functions and both joins key on (band, key) — one extra shuffle over
+    * the uncapped shape, reused across the four references. Emits
+    * (id_a < id_b) plus `c_a`/`c_b` for every carried column. */
+  private def cappedBucketSelfJoin(banded: DataFrame, maxBucket: Int,
+                                   carry: Seq[String] = Nil): DataFrame = {
+    val sameBucket =
+      col("a.band") === col("b.band") && col("a.key") === col("b.key")
+    def pairCols: Seq[Column] =
+      Seq(col("a.id").as("id_a"), col("b.id").as("id_b")) ++
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
+    if (maxBucket == Int.MaxValue)
+      banded.as("a")
+        .join(banded.as("b"), sameBucket && col("a.id") < col("b.id"))
+        .select(pairCols: _*)
+    else {
+      val w = Window.partitionBy("band", "key")
+      val sized = banded
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__rn", row_number().over(w.orderBy(col("id"))))
+      val small = sized.filter(col("__n") <= maxBucket)
+      val clique = small.as("a")
+        .join(small.as("b"), sameBucket && col("a.id") < col("b.id"))
+        .select(pairCols: _*)
+      // row_number is ordered by id, so rn adjacency implies id_a < id_b
+      val big = sized.filter(col("__n") > maxBucket)
+      val chain = big.as("a")
+        .join(big.as("b"), sameBucket && col("b.__rn") === col("a.__rn") + 1)
+        .select(pairCols: _*)
+      clique.unionByName(chain)
+    }
+  }
+
+  /** Diagnostic for the `maxBucket` guard: the LSH band buckets whose
+    * cardinality exceeds the cap under the given config, as
+    * (band, key, nb_docs) — the metric a pipeline logs alongside a capped
+    * run so degraded buckets are visible, not silent. Empty means the cap
+    * never engaged and the run was exactly the uncapped computation. */
+  def lshOversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, k: Int, bands: Int, rows: Int,
+                          maxBucket: Int): DataFrame = {
+    require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
+    val hv = df
+      .select(col(idCol).as("id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
+      .select(col("id"), baseHash(col("s")).as("hv"))
+    val aggs = (0 until k).map(j =>
+      min((col("hv") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"sig$j"))
+    val sig = hv.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*)
+    }
+    sig.select(col("id"), posexplode(array(bandCols: _*)))
+      .groupBy(col("pos").as("band"), col("col").as("key"))
+      .agg(count(lit(1)).as("nb_docs"))
+      .filter(col("nb_docs") > maxBucket)
   }
 
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct
@@ -183,12 +253,15 @@ object Dedup {
       .select("id_a", "id_b", "nb_inter", "containment_a", "containment_b")
   }
 
-  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+    * `maxBucket` (default unlimited) is the degenerate-key guard passed
+    * through to [[lshCandidates]]. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 3, k: Int = 12,
-                   bands: Int = 3, rows: Int = 4): DataFrame =
+                   bands: Int = 3, rows: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame =
     jaccardOnPairs(
-      lshCandidates(df, idCol, textCol, shingleN, k, bands, rows),
+      lshCandidates(df, idCol, textCol, shingleN, k, bands, rows, maxBucket),
       df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
 
@@ -313,10 +386,17 @@ object Dedup {
     * 100 TB posture: the join shuffles on (band, key) — bucket count is
     * bands × 2^width, so pair the 64-bit [[graft.functions.SimHash64Expr]]
     * hash with 16-bit bands (4 × 65536 buckets) at scale; the 16-bit demo
-    * surface (q50) uses 4-bit bands so its DuckDB oracle stays cheap. */
+    * surface (q50) uses 4-bit bands so its DuckDB oracle stays cheap.
+    *
+    * `maxBucket` caps per-bucket cardinality exactly as in
+    * [[lshCandidates]]: an oversized (band, key) bucket — e.g. every
+    * template page hashing to the same prefix — degrades from an m²
+    * clique to an m−1 consecutive-id chain; exact popcount still verifies
+    * every emitted pair. */
   def simhashNearDups(df: DataFrame, idCol: String, hashCol: String,
                       bands: Int = 4, width: Int = 16,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val mask = (1L << width) - 1
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -325,10 +405,10 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
       .select(col("id"), col("h"), explode(bandKeys).as("bk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb")).distinct()
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    cappedBucketSelfJoin(banded, maxBucket, carry = Seq("h"))
+      .select(col("id_a"), col("id_b"), col("h_a").as("ha"), col("h_b").as("hb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -137,6 +137,34 @@ object ScaleStress {
       }
       e.unpersist()
     }
+
+    // Hot-bucket stress (the adversarial case the multiplier sweep can't
+    // reach): plant f IDENTICAL boilerplate docs into the 1× corpus — all
+    // 3 band buckets collide, so the uncapped self-join emits 3 × C(f,2)
+    // pre-distinct pairs (quadratic in the flood), while maxBucket=64
+    // degrades each flooded bucket to the same f−1 consecutive-id chain
+    // (linear). Uncapped is measured only at the two smaller floods —
+    // 8000² /2 × 3 bands ≈ 96M pre-distinct rows is the blow-up under
+    // test, not a number worth producing; capped runs all three.
+    val boiler = "subscribe to our newsletter all rights reserved terms " +
+      "of service privacy policy contact us for more information today"
+    def flooded(f: Int): DataFrame =
+      corpus(1).unionByName(
+        spark.range(f).select((col("id") + 900000000L).as("doc_id"),
+          lit(boiler).as("text")))
+    Seq(500, 2000, 8000).foreach { f =>
+      val d = flooded(f).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== hot-bucket flood $f: ${d.count()} docs ===")
+      if (f <= 2000) phase(s"hotbucket_${f}_uncapped") {
+        Dedup.lshCandidates(d, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 3, rows = 4).count()
+      }
+      phase(s"hotbucket_${f}_capped64") {
+        Dedup.lshCandidates(d, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 3, rows = 4, maxBucket = 64).count()
+      }
+      d.unpersist()
+    }
     spark.stop()
   }
 

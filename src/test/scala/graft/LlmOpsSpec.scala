@@ -380,6 +380,55 @@ class LlmOpsSpec extends SparkSpec {
     info(s"planted-skew pairs=$nPairs, AQE skew marker in plan: ${plan.contains("skew=true")}")
   }
 
+  test("lshCandidates maxBucket: flooded bucket degrades clique to chain, collapse survives") {
+    val floodText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows =
+      (0L until 200L).map(i => (i, floodText)) ++
+      (230L until 260L).map(i => (i, s"doc$i speaks about matter$i concern$i " +
+        s"item${i * 7} and thing${i * 13} plus part${i * 29}"))
+    val df = rows.toDF("doc_id", "text")
+    val cand = Dedup.lshCandidates(df, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 3, rows = 4, maxBucket = 16)
+    val floodPairs = cand.filter(col("id_a") < 200 && col("id_b") < 200)
+    // 200 identical docs collide in all 3 bands; the cap turns each band's
+    // C(200,2) clique into the same 199-edge consecutive-id chain
+    assert(floodPairs.count() == 199)
+    assert(floodPairs.filter(col("id_b") =!= col("id_a") + 1).count() == 0)
+    // chain edges all verify at Jaccard 1.0 and the transitive collapse
+    // still folds the whole flood to ONE survivor — capping degrades pair
+    // volume, not dedup semantics, for a genuine boilerplate family
+    val verified = Dedup.jaccardOnPairs(floodPairs, df, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.9)
+    val survivors = Dedup.survivorsTransitive(df, verified, "doc_id")
+    assert(survivors.filter(col("doc_id") < 200).count() == 1)
+    assert(survivors.filter(col("doc_id") >= 230).count() == 30)
+    // the diagnostic surfaces exactly the 3 flooded band buckets
+    val over = Dedup.lshOversizedBuckets(df, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 3, rows = 4, maxBucket = 16)
+      .collect()
+    assert(over.length == 3 && over.forall(_.getLong(2) == 200L))
+    // small buckets are untouched: the 30 distinct docs still pair with
+    // nobody, same as the uncapped run
+    assert(cand.filter(col("id_a") >= 230 || col("id_b") >= 230).count() == 0)
+  }
+
+  test("simhashNearDups maxBucket: flooded hash bucket chains, popcount stays exact") {
+    // 100 identical 64-bit hashes flood all 4 bands; doc 100 differs only
+    // in the top band (2 bits) so it shares 3 of the 4 flooded buckets
+    val rows = (0L until 100L).map(i => (i, 0x0BCD1234FACE5678L)) :+
+      (100L, 0xABCD1234FACE5678L)
+    val df = rows.toDF("id", "h")
+    val out = Dedup.simhashNearDups(df, "id", "h",
+      bands = 4, width = 16, maxHamming = 3, maxBucket = 16)
+    // consecutive-id chains across the flooded buckets: (i, i+1) for
+    // i = 0..99, nothing else — 100 pairs instead of C(101,2) = 5050
+    assert(out.count() == 100)
+    assert(out.filter(col("id_b") =!= col("id_a") + 1).count() == 0)
+    val last = out.filter(col("id_a") === 99 && col("id_b") === 100).head()
+    assert(last.getInt(2) == 2) // exact hamming survives the chain path
+    assert(out.filter(col("id_b") < 100).agg(max("hamming")).head().getInt(0) == 0)
+  }
+
   test("curate is a fixpoint: re-curating a curated corpus changes nothing") {
     import graft.ops.Curate
     // seeded generator: stopword-dense sentences so the quality floor is
