@@ -118,9 +118,56 @@ object Pipeline {
 
   /** Backfill: run a range of snapshot dates sequentially (the engine's
     * equivalent of re-triggering the reference's daily DAG per day,
-    * `dags/movies_analytics.py:22-28`). Each day is independently
-    * idempotent — dynamic partition overwrite touches only its own
-    * partitions — so a failed backfill resumes by re-running. */
-  def backfill(spark: SparkSession, cfg: Config, dates: Seq[String]): Map[String, Result] =
-    dates.map(d => d -> run(spark, cfg.copy(snapshotDate = d))).toMap
+    * `dags/movies_analytics.py:22-28`), with the DAG's failure policy
+    * (`dags/movies_analytics.py:6-10`: `retries: 1`, `retry_delay`) —
+    * each failed day is retried `retries` more times after `retryDelayMs`
+    * before the backfill aborts.
+    *
+    * Resume contract: every completed day writes a marker under
+    * `<lakeRoot>/_backfill_done/`, and a re-run SKIPS marked days — a
+    * 400-day backfill that dies on day 250 reprocesses nothing on resume.
+    * (Each day is also independently idempotent — dynamic partition
+    * overwrite touches only its own partitions — so re-running an
+    * unmarked, half-written day is safe.) The returned map holds only the
+    * days this invocation actually ran; skipped days are absent.
+    *
+    * `sleeper` and `runDay` are injection seams for tests (fake clock,
+    * fault injection) — production callers take the defaults. */
+  def backfill(spark: SparkSession, cfg: Config, dates: Seq[String],
+               retries: Int = 1, retryDelayMs: Long = 30000L,
+               sleeper: Long => Unit = Thread.sleep,
+               runDay: (SparkSession, Config) => Result = run): Map[String, Result] = {
+    import org.apache.hadoop.fs.Path
+    import scala.util.control.NonFatal
+    val doneDir = new Path(cfg.lakeRoot, "_backfill_done")
+    val fs = doneDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done: Set[String] =
+      if (fs.exists(doneDir)) fs.listStatus(doneDir).map(_.getPath.getName).toSet
+      else Set.empty
+    dates.flatMap { d =>
+      if (done(d)) None
+      else {
+        var attempt = 0
+        var result: Option[Result] = None
+        var lastErr: Throwable = null
+        while (result.isEmpty && attempt <= retries) {
+          try result = Some(runDay(spark, cfg.copy(snapshotDate = d)))
+          catch {
+            case NonFatal(e) =>
+              lastErr = e
+              attempt += 1
+              if (attempt <= retries) sleeper(retryDelayMs)
+          }
+        }
+        result match {
+          case Some(r) =>
+            fs.create(new Path(doneDir, d), true).close()
+            Some(d -> r)
+          case None =>
+            throw new RuntimeException(
+              s"backfill day $d failed after ${retries + 1} attempts", lastErr)
+        }
+      }
+    }.toMap
+  }
 }

@@ -302,6 +302,58 @@ class PipelineSpec extends SparkSpec {
     assert(d1.count() == 5L)
   }
 
+  test("backfill: retry-once on a transient failure, resume skips completed days") {
+    import scala.collection.mutable
+    val base = java.nio.file.Files.createTempDirectory("graft-backfill-retry-")
+    val cfg = Pipeline.Config(base.resolve("raw").toString,
+      base.resolve("lake").toString, base.resolve("serving").toString,
+      "unused", "run-retry")
+    val ran = mutable.Buffer[String]()
+    val slept = mutable.Buffer[Long]()
+    val ok = Pipeline.Result(null, null, null, null, null, Map.empty)
+    var transient = Set("2026-03-02") // fails exactly once, then succeeds
+    def runDay(s: org.apache.spark.sql.SparkSession, c: Pipeline.Config): Pipeline.Result = {
+      ran += c.snapshotDate
+      if (transient(c.snapshotDate)) {
+        transient -= c.snapshotDate
+        throw new RuntimeException("transient API hiccup")
+      }
+      ok
+    }
+    val dates = Seq("2026-03-01", "2026-03-02", "2026-03-03")
+    // the injected one-shot failure converges within the run: day 2 runs
+    // twice (retry after the configured delay), days 1/3 once
+    val r1 = Pipeline.backfill(spark, cfg, dates, retries = 1,
+      retryDelayMs = 123L, sleeper = slept += _, runDay = runDay)
+    assert(ran.toSeq == Seq("2026-03-01", "2026-03-02", "2026-03-02", "2026-03-03"))
+    assert(slept.toSeq == Seq(123L))
+    assert(r1.keySet == dates.toSet)
+    // resume on the full range: every day is marked done — nothing reruns
+    ran.clear()
+    val r2 = Pipeline.backfill(spark, cfg, dates, sleeper = slept += _, runDay = runDay)
+    assert(ran.isEmpty && r2.isEmpty)
+    // a day that exhausts its retries aborts the backfill, leaves no
+    // marker, and never reprocesses the already-green days
+    var down = true
+    def runDay2(s: org.apache.spark.sql.SparkSession, c: Pipeline.Config): Pipeline.Result = {
+      ran += c.snapshotDate
+      if (c.snapshotDate == "2026-03-04" && down) throw new RuntimeException("es down")
+      ok
+    }
+    val e = intercept[RuntimeException] {
+      Pipeline.backfill(spark, cfg, dates :+ "2026-03-04", retries = 1,
+        retryDelayMs = 0L, sleeper = _ => (), runDay = runDay2)
+    }
+    assert(e.getMessage.contains("2026-03-04") && e.getMessage.contains("2 attempts"))
+    assert(ran.toSeq == Seq("2026-03-04", "2026-03-04"))
+    // once the outage clears, the resumed backfill runs ONLY the red day
+    down = false
+    ran.clear()
+    val r3 = Pipeline.backfill(spark, cfg, dates :+ "2026-03-04",
+      sleeper = _ => (), runDay = runDay2)
+    assert(ran.toSeq == Seq("2026-03-04") && r3.keySet == Set("2026-03-04"))
+  }
+
   test("merge-upsert: crash between backup and swap renames converges on re-run") {
     import org.apache.spark.sql.functions.{col, to_date}
     import graft.io.LakeZones
