@@ -110,12 +110,18 @@ object EsTransport {
   }
 
   /** Connection check (`es_ok`): GET the host root, return the reported
-    * cluster version. Throws if unreachable or non-2xx. */
+    * cluster version. Throws if unreachable or non-2xx. A 2xx whose body
+    * is not JSON (a proxy error page, a truncated stream) still counts as
+    * reachable — the version is just "unknown"; the ping's contract is
+    * liveness, not body shape. */
   def ping(client: EsClient, cfg: Config,
            sleeper: Long => Unit = Thread.sleep): String = {
     val r = sendWithRetry(client, cfg, "GET", cfg.base, None,
       "application/json", sleeper)
-    JsonMethods.parse(r.body) \ "version" \ "number" match {
+    val parsed =
+      try JsonMethods.parse(r.body)
+      catch { case scala.util.control.NonFatal(_) => JNothing }
+    parsed \ "version" \ "number" match {
       case JString(v) => v
       case _ => "unknown"
     }
@@ -144,22 +150,39 @@ object EsTransport {
   /** POST one NDJSON payload to `/_bulk` and enforce the reference's
     * error contract: HTTP error → throw (with 429 retry); HTTP 200 with
     * `errors: true` → collect the first 5 per-item `error` objects and
-    * throw — a partial bulk is a failed run, never silent. */
+    * throw — a partial bulk is a failed run, never silent.
+    *
+    * A 2xx whose body does NOT parse as JSON (truncated stream,
+    * misbehaving proxy) is ALSO a failure: without the body the
+    * `errors` flag is unreadable, and "assume it worked" is exactly the
+    * silent partial bulk this contract exists to prevent. The thrown
+    * message carries the status and a bounded body prefix — a 1000-task
+    * write surfaces a one-line diagnosis, not a JSON parser stack. */
   def bulkPost(client: EsClient, cfg: Config, payload: String,
                sleeper: Long => Unit = Thread.sleep): Unit = {
     val r = sendWithRetry(client, cfg, "POST", s"${cfg.base}/_bulk",
       Some(payload), "application/x-ndjson", sleeper)
-    val json = JsonMethods.parse(r.body)
+    val json =
+      try JsonMethods.parse(r.body)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new java.io.IOException(
+            s"_bulk returned HTTP ${r.status} with unparseable body " +
+              s"(${e.getClass.getSimpleName}): '${r.body.take(200)}'")
+      }
     json \ "errors" match {
       case JBool(true) =>
         // items are keyed by their action verb — read whichever this
         // payload used, not just "index", so create/update/delete bulks
         // surface their diagnostics too
+        // first 5 errors, each rendered to a bounded prefix — an ES that
+        // attaches a megabyte stack trace per item (or a million failed
+        // items) still produces a one-line exception message
         val errors = (json \ "items").children.iterator
           .flatMap(item => Seq("index", "create", "update", "delete").iterator
             .map(a => item \ a \ "error")
             .find(e => e != JNothing && e != JNull))
-          .map(e => JsonMethods.compact(JsonMethods.render(e)))
+          .map(e => JsonMethods.compact(JsonMethods.render(e)).take(500))
           .take(5).toList
         throw new RuntimeException(s"Bulk indexing errors: $errors")
       case _ => ()

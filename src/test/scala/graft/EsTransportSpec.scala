@@ -155,4 +155,44 @@ class EsTransportSpec extends SparkSpec {
       assert(allLines.count(_.startsWith("""{"index":""")) == 6) // 5 movies + 1 kpi
     }
   }
+
+  test("malformed _bulk bodies fail with a bounded one-line diagnosis, never a parser stack") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base)
+      // non-JSON 200 (a proxy error page behind a 2xx): the errors flag is
+      // unreadable, so the chunk FAILS — loudly, with the body prefix
+      es.bulkResponse = "<html>502 bad gateway</html>"
+      val e1 = intercept[java.io.IOException](EsTransport.bulkPost(client, cfg, "{}\n"))
+      assert(e1.getMessage.contains("unparseable body"))
+      assert(e1.getMessage.contains("<html>502"))
+      // truncated JSON stream mid-items
+      es.bulkResponse = """{"errors":true,"items":[{"index":{"_id":"1","error":{"ty"""
+      val e2 = intercept[java.io.IOException](EsTransport.bulkPost(client, cfg, "{}\n"))
+      assert(e2.getMessage.contains("unparseable body"))
+      // empty body behind a 200
+      es.bulkResponse = ""
+      val e3 = intercept[java.io.IOException](EsTransport.bulkPost(client, cfg, "{}\n"))
+      assert(e3.getMessage.contains("unparseable body"))
+      // a thousand failed items with 10 KB reasons each: the exception
+      // message stays bounded (first 5 errors, 500 chars each)
+      val pad = "x" * 10000
+      val items = (1 to 1000).map(i =>
+        s"""{"index":{"_id":"$i","status":400,"error":{"type":"boom","reason":"r$i $pad"}}}""")
+        .mkString("[", ",", "]")
+      es.bulkResponse = s"""{"errors":true,"items":$items}"""
+      val e4 = intercept[RuntimeException](EsTransport.bulkPost(client, cfg, "{}\n"))
+      assert(e4.getMessage.contains("boom"))
+      assert(e4.getMessage.length < 5000, s"message not bounded: ${e4.getMessage.length}")
+    }
+  }
+
+  test("ping tolerates a non-JSON 200 body: reachable host, unknown version") {
+    withEs { (base, es) =>
+      es.pingResponse = "everything is fine (but this is not json)"
+      assert(EsTransport.ping(new HttpEsClient(), Config(base)) == "unknown")
+      es.pingResponse = """{"version":"flat-string-not-object"}"""
+      assert(EsTransport.ping(new HttpEsClient(), Config(base)) == "unknown")
+    }
+  }
 }

@@ -9,6 +9,7 @@ import scala.collection.mutable
 class FakeEs(server: com.sun.net.httpserver.HttpServer) {
   val indexes = mutable.Map[String, String]() // index -> mapping body
   val bulks = mutable.Buffer[String]() // captured _bulk payloads
+  var pingResponse: String = """{"version":{"number":"8.9.9-test"}}"""
   var bulkResponse: String = """{"errors":false,"items":[]}"""
   var bulk429Left = 0 // serve this many 429s before accepting
   var probe429Left = 0 // serve this many 429s on GET /<index> probes
@@ -19,7 +20,7 @@ class FakeEs(server: com.sun.net.httpserver.HttpServer) {
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
     val (code, resp) = synchronized {
       (method, path) match {
-        case ("GET", "/") => (200, """{"version":{"number":"8.9.9-test"}}""")
+        case ("GET", "/") => (200, pingResponse)
         case ("POST", "/_bulk") =>
           if (bulk429Left > 0) { bulk429Left -= 1; (429, "slow down") }
           else { bulks.append(body); (200, bulkResponse) }
