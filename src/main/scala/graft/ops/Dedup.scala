@@ -123,8 +123,19 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, k: Int, bands: Int, rows: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
     require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
+    cappedBucketSelfJoin(
+      lshBandKeys(df, idCol, textCol, shingleN, k, bands, rows),
+      maxBucket).distinct()
+  }
+
+  /** (id, band, key) LSH band keys for every doc — the join-ready banded
+    * signature form. [[lshCandidates]] self-joins it; incremental curation
+    * ([[CurateIncremental]]) persists it as a lake table so tomorrow's
+    * delta probes today's corpus without recomputing its signatures. */
+  def lshBandKeys(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
     val hv = df
       .select(col(idCol).as("id"),
         explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
@@ -135,10 +146,8 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*)
     }
-    val banded = sig
-      .select(col("id"), posexplode(array(bandCols: _*)))
+    sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
-    cappedBucketSelfJoin(banded, maxBucket).distinct()
   }
 
   /** Self-join of a banded frame (id, band, key, carry…) with the
@@ -183,23 +192,11 @@ object Dedup {
     * never engaged and the run was exactly the uncapped computation. */
   def lshOversizedBuckets(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, k: Int, bands: Int, rows: Int,
-                          maxBucket: Int): DataFrame = {
-    require(bands * rows == k, s"bands*rows must equal k (got $bands*$rows != $k)")
-    val hv = df
-      .select(col(idCol).as("id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
-      .select(col("id"), baseHash(col("s")).as("hv"))
-    val aggs = (0 until k).map(j =>
-      min((col("hv") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"sig$j"))
-    val sig = hv.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      concat_ws("|", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*)
-    }
-    sig.select(col("id"), posexplode(array(bandCols: _*)))
-      .groupBy(col("pos").as("band"), col("col").as("key"))
+                          maxBucket: Int): DataFrame =
+    lshBandKeys(df, idCol, textCol, shingleN, k, bands, rows)
+      .groupBy("band", "key")
       .agg(count(lit(1)).as("nb_docs"))
       .filter(col("nb_docs") > maxBucket)
-  }
 
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct
     * shingle sets. Runs only on the candidate pairs (two broadcast-or-

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -601,6 +601,33 @@ object LlmQueries {
         .select(col("family_size"), col("nb_families"),
           (col("family_size") * col("nb_families")).as("nb_docs"))
         .orderBy("family_size")
+    }),
+
+    // Incremental curation, exact-dedup stage (CurateIncremental): even
+    // docs are yesterday's curated corpus whose FINGERPRINT TABLE is
+    // persisted to parquet and read back; today's delta (odd docs ∪
+    // re-crawls of every 6th doc ∪ in-delta copies of every odd %9 doc)
+    // dedups within itself (min id wins) then anti-joins the PERSISTED
+    // table — yesterday's corpus is probed, never re-hashed. Survivors:
+    // exactly the original odd docs.
+    "q67_delta_exact_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 2 === 0)
+      val delta = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft-q67-").toString
+      CurateIncremental.fingerprintTable(old, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/fingerprints")
+      val persisted = s.read.parquet(s"$root/fingerprints")
+      Dedup.dedupCorpus(delta, "text", "doc_id")
+        .withColumn("content_key", TextAnalysis.fingerprint(col("text")))
+        .join(persisted.select(col("content_key")).distinct(),
+          Seq("content_key"), "left_anti")
+        .select("doc_id", "content_key")
+        .orderBy("doc_id")
     }),
 
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
@@ -1595,6 +1622,30 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS nb_families,
         |       CAST(family_size * count(*) AS BIGINT) AS nb_docs
         |FROM fam GROUP BY family_size ORDER BY family_size""".stripMargin,
+
+    "q67_delta_exact_dedup" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |delta AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 9 = 0),
+        |fp AS (
+        |  SELECT DISTINCT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS content_key
+        |  FROM old),
+        |dfp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS content_key
+        |  FROM delta),
+        |surv AS (
+        |  SELECT content_key, min(doc_id) AS doc_id FROM dfp GROUP BY 1)
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.content_key
+        |FROM surv s
+        |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.content_key = s.content_key)
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_source_cap" ->
       """WITH r AS (

@@ -479,6 +479,107 @@ class LlmOpsSpec extends SparkSpec {
     once.release(); twice.release()
   }
 
+  test("curateDelta equals full re-curate on the union, probing persisted state") {
+    import graft.ops.{Curate, CurateIncremental}
+    val rnd = new scala.util.Random(4321)
+    val stop = Seq("the", "of", "and", "is", "a", "in", "to", "it")
+    val words = Seq("fox", "dog", "mill", "river", "village", "platform",
+      "service", "tools", "users", "meadow", "issue", "release", "page",
+      "team", "project", "result", "list", "plan", "bend", "children")
+    def gen(): String =
+      Seq.tabulate(24)(i => if (i % 2 == 0) stop(rnd.nextInt(stop.size))
+                            else words(rnd.nextInt(words.size))).mkString(" ")
+    val bench = Seq((999L, "holdout alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "split").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+
+    // day 0: full curate, persist the state tables through parquet
+    val baseTexts = Seq.fill(12)(gen())
+    val base = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val day0 = Curate.curate(base, bench, "doc_id", "text")
+    val day0Rows = rows(day0.corpus)
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-").toString
+    CurateIncremental.saveState(
+      CurateIncremental.buildState(day0.corpus, "doc_id", "text"), root)
+    day0.release()
+    val st = CurateIncremental.loadState(spark, root)
+
+    // day 1 delta (ingest-monotone ids): new uniques, an exact re-crawl of
+    // a persisted doc, a near-dup truncation of a persisted doc, an
+    // in-delta near-dup pair, an in-delta exact dup, a quality reject, and
+    // a benchmark leak — one planted row per eliminating stage
+    val deltaRows = scala.collection.mutable.Buffer[(Long, String)]()
+    def add(t: String): Unit = deltaRows.append((100L + deltaRows.size, t))
+    Seq.fill(5)(gen()).foreach(add)
+    add(baseTexts(0)) // re-crawl: persisted fingerprint must kill it
+    val t1 = baseTexts(1).split(" ")
+    add(t1.take(t1.length * 4 / 5).mkString(" ")) // near-dup of state doc
+    val fresh = gen()
+    add(fresh)
+    add(fresh + " extra words here") // near-dup within the delta
+    add("  " + fresh.replace(" ", "  ")) // exact dup within the delta
+    add("zz qq") // quality reject
+    add(baseTexts(2) + " holdout alpha beta gamma delta epsilon") // leak
+    val delta = deltaRows.toSeq.toDF("doc_id", "text")
+
+    val inc = CurateIncremental.curateDelta(delta, bench, "doc_id", "text", st)
+    val incRows = rows(inc.corpus)
+    assert(incRows.nonEmpty)
+    // the planted eliminations all fired
+    val incIds = incRows.map(_._1)
+    assert(!incIds.contains(105L), "re-crawl survived the persisted fingerprints")
+    assert(!incIds.contains(106L), "state near-dup survived the band-key probe")
+    assert(incIds.contains(107L) && !incIds.contains(108L) && !incIds.contains(109L),
+      s"in-delta dedup wrong: $incIds")
+    assert(!incIds.contains(110L) && !incIds.contains(111L))
+
+    // THE property: state ∪ delta-survivors == full re-curate of the union
+    val union = st.corpus.unionByName(delta)
+    val full = Curate.curate(union, bench, "doc_id", "text")
+    assert(rows(full.corpus) == day0Rows ++ incRows,
+      s"incremental diverged from full re-curate:\n full=${rows(full.corpus)}\n inc=${day0Rows ++ incRows}")
+    full.release()
+
+    // day 2: appendState makes day-1 survivors probe-able — a re-crawl of
+    // a day-1 survivor and a near-dup of it must now both die
+    CurateIncremental.appendState(inc.corpus, "doc_id", "text", root)
+    inc.release()
+    val st2 = CurateIncremental.loadState(spark, root)
+    val fr = fresh.split(" ")
+    val delta2 = Seq(
+      (200L, fresh),                                // exact re-crawl of day-1 survivor
+      (201L, fr.take(fr.length * 4 / 5).mkString(" ")), // near-dup of day-1 survivor
+      (202L, gen())                                 // genuinely new
+    ).toDF("doc_id", "text")
+    val inc2 = CurateIncremental.curateDelta(delta2, bench, "doc_id", "text", st2)
+    assert(rows(inc2.corpus).map(_._1) == Set(202L))
+    inc2.release()
+  }
+
+  test("curateDelta: the existing corpus wins a near-dup tie regardless of ids") {
+    import graft.ops.CurateIncremental
+    val bench = Seq((999L, "nothing shared with anything here at all today"))
+      .toDF("doc_id", "text")
+    // the persisted survivor has the LARGER id — a full re-curate would
+    // keep the newcomer (min id), but incremental semantics must keep the
+    // already-shipped doc and drop the newcomer
+    val kept = "the fox of the mill and the river is a village in the " +
+      "meadow to the team it is a plan of the page and the list is here"
+    val st = CurateIncremental.buildState(
+      Seq((50L, kept)).toDF("doc_id", "text"), "doc_id", "text")
+    // dropRight(3) keeps Jaccard at 0.89 and (checked) an LSH band
+    // collision under the default 3×4 config — take(4/5) missed all bands
+    val toks = kept.split(" ")
+    val delta = Seq((10L, toks.dropRight(3).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = CurateIncremental.curateDelta(delta, bench, "doc_id", "text", st)
+    assert(r.corpus.count() == 0, "newcomer with a smaller id displaced a shipped survivor")
+    r.release()
+  }
+
   test("curate: opt-in boilerplate and chunking stages bracket the pipeline") {
     import graft.ops.Curate
     val body1 = (1 to 30).map(i => s"alpha$i the of and is").mkString(" ")
