@@ -492,7 +492,15 @@ object Multimodal {
     * audio (ID3v2 tag or immediate frame sync) through [[Mp3Demuxer]],
     * anything else through [[StubDemuxer]] — so a MIXED media corpus
     * flows through ONE [[Demuxer]] seam and each payload gets the real
-    * parser the JDK has for it. */
+    * parser the JDK has for it.
+    *
+    * Scope note: [[Mp3Demuxer]] parses MPEG-1 Layer III only (32/44.1/
+    * 48 kHz — the overwhelming share of crawled MP3s). MPEG-2/2.5 and
+    * Layer I/II payloads (e.g. 22.05 kHz speech rips) route here by
+    * magic, fail the two-consecutive-valid-frames check, and fall back
+    * to [[StubDemuxer]]'s byte-offset windows — deterministic features,
+    * but NOT real frame hashes; check `frame_offset` semantics before
+    * treating low-rate MP3 hashes as frame-accurate. */
   object AutoDemuxer extends Demuxer {
     private def startsWith(b: Array[Byte], at: Int, magic: String): Boolean =
       b.length >= at + magic.length &&

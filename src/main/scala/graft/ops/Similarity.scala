@@ -90,11 +90,20 @@ object Similarity {
     * `posexplode`d (cell, dimIdx, value) rows. Partial aggregation means
     * the exchange carries at most `partitions × k × dim` pre-combined
     * rows, INDEPENDENT of corpus size; the driver holds only k×dim
-    * doubles. Init is deterministic farthest-point traversal (k-center
-    * greedy: each next seed is the vector most dissimilar to all chosen
-    * so far — ±1 random planes routinely drop two seeds into one cluster
-    * and Lloyd's cannot split the merged cell), costing k bounded
-    * one-row actions before the iterations start. Zero-norm vectors are
+    * doubles.
+    *
+    * Init is deterministic k-means‖ (Bahmani et al., VLDB'12): one
+    * bounded action picks the lexicographically-least vector, then
+    * ⌈log₂ k⌉ oversampling rounds each draw ~2k candidates with
+    * probability ∝ their spherical distance 1−maxCos to the candidates
+    * so far — "randomness" is a seeded xxhash64 of the vector itself, so
+    * the draw is identical at any partition count — and one weighting
+    * pass counts the corpus behind each candidate; the ≤1+2k·log₂k
+    * weighted candidates are then clustered on the driver (greedy
+    * k-center seeding + weighted Lloyd — k-center greedy on the FULL
+    * corpus was the r4–r6 init, O(k) sequential full scans; k-means‖
+    * needs O(log k) passes for the same no-merged-seeds guarantee, and
+    * `seed` now genuinely varies the draw). Zero-norm vectors are
     * excluded (no direction to cluster); a corpus with fewer than k
     * distinct directions yields a SHORTER centroid list, never padded
     * duplicates. Empty cells keep their previous centroid; means are
@@ -106,8 +115,8 @@ object Similarity {
     val d = if (dim > 0) dim else probeDim(corpus, vecCol)
     if (d == 0) return Nil
     // zero-norm vectors (failed-embed artifacts) carry no direction: they
-    // cosine-NULL against everything, so farthest-point init would rank
-    // them "most dissimilar" and burn seeds on them — drop them up front
+    // cosine-NULL against everything and oversampling would rank them
+    // "most distant" and burn draws on them — drop them up front
     val vecsAll = corpus.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
     val vecs = vecsAll.filter(dot(col("__v"), col("__v")) > 0).cache()
@@ -115,30 +124,79 @@ object Similarity {
       val n = math.sqrt(p.map(x => x * x).sum)
       if (n > 0) p.map(_ / n) else p
     }
-    // (worstSim, vector) of the best next seed under `order`
-    def headScored(order: Column): Option[(Double, Seq[Double])] =
-      vecs.select(order.as("__s"), col("__v"))
-        .orderBy(col("__s").asc, col("__v").asc).limit(1).collect().headOption
-        .map(r => (r.getDouble(0), r.getSeq[Double](1).toVector))
-    // farthest-point init: seed 1 is the lexicographically-least vector
-    // (deterministic under any partitioning), each next seed minimizes its
-    // max cosine to the seeds chosen so far; a best candidate at cosine 1
-    // is a duplicate of an existing seed — fewer than k distinct
-    // directions exist, so return the shorter list rather than padding
-    // with duplicates (callers size probes off centroids.length)
-    var centroids = headScored(lit(0.0))
-      .map { case (_, v) => Vector(normalize(v)) }
-      .getOrElse { vecs.unpersist(); return Nil } // empty / all-zero corpus
+    // the init works on the DISTINCT-vector frame with multiplicities:
+    // the per-row "coin" is a seeded hash of the vector itself (partition-
+    // independent), so duplicate vectors share one coin — drawing each
+    // distinct value with P = 1−(1−p)^m marginalizes the per-point
+    // independent coins of the paper exactly, where hashing raw rows
+    // would under-sample duplicate-heavy mass
+    val grouped = vecs.groupBy("__v").agg(count(lit(1)).as("__m")).cache()
+    // seed candidate: the lexicographically-least vector — deterministic
+    // under any partitioning, one bounded one-row action
+    val first = grouped.orderBy(col("__v").asc).limit(1).collect().headOption
+      .map(r => normalize(r.getSeq[Double](0).toVector).toVector)
+      .getOrElse { grouped.unpersist(); vecs.unpersist(); return Nil }
+    var cands = Vector(first)
+    def worstSim = {
+      val sims = cands.map(c => cosine(col("__v"), array(c.map(lit): _*)))
+      if (sims.length == 1) sims.head else greatest(sims: _*)
+    }
+    // oversampling rounds: ℓ = 2k expected draws per round, ⌈log₂ k⌉ rounds
+    val ell = 2.0 * k
+    val rounds = math.max(1, math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt)
+    var round = 0
+    var saturated = false
+    while (round < rounds && !saturated) {
+      val dist = lit(1.0) - worstSim // spherical distance proxy, ∈ [0, 2]
+      // one action: total distance mass φ over points (m-weighted)
+      val phi = grouped.agg(sum(dist * col("__m"))).head().getDouble(0)
+      if (phi <= 1e-12) saturated = true // every vector sits ON a candidate
+      else {
+        // seeded uniform in [0,1) from the vector's own components —
+        // identical at any partition count, varies with seed and round
+        val u = pmod(
+          xxhash64(concat_ws(",",
+            transform(col("__v"), x => x.cast("string"))), lit(seed + round)),
+          lit(1000000L)).cast("double") / 1000000.0
+        val pPoint = least(lit(1.0), dist * ell / phi)
+        val pValue = lit(1.0) - pow(lit(1.0) - pPoint, col("__m").cast("double"))
+        // one action: collect this round's draws (expected ≤ ℓ values)
+        val drawn = grouped.filter(u < pValue)
+          .select(col("__v")).collect()
+          .map(r => normalize(r.getSeq[Double](0).toVector).toVector)
+        val fresh = drawn.filterNot(v => cands.exists(c => sqDist(c, v) < 1e-24))
+          .distinct.sortBy(_.mkString(","))
+        if (fresh.isEmpty) saturated = true
+        else cands = cands ++ fresh
+      }
+      round += 1
+    }
+    // rescue for degenerate draws (tiny or duplicate-heavy corpora where
+    // oversampling under-delivered): greedy farthest-point one-row
+    // actions top the candidate set up to k — bounded by k and normally
+    // never taken at scale
     var exhausted = false
-    while (centroids.length < k && !exhausted) {
-      val sims = centroids.map(c => cosine(col("__v"), array(c.map(lit): _*)))
-      val worst = if (sims.length == 1) sims.head else greatest(sims: _*)
-      headScored(worst) match {
-        case Some((s, v)) if s < 1.0 - 1e-12 =>
-          centroids = centroids :+ normalize(v).toVector
-        case _ => exhausted = true // only duplicates of existing seeds remain
+    while (cands.length < k && !exhausted) {
+      val top = grouped.select((lit(1.0) - worstSim).as("__d"), col("__v"))
+        .orderBy(col("__d").desc, col("__v").asc).limit(1).collect().headOption
+      top match {
+        case Some(r) if r.getDouble(0) > 1e-12 =>
+          cands = cands :+ normalize(r.getSeq[Double](1).toVector).toVector
+        case _ => exhausted = true // only duplicates of candidates remain
       }
     }
+    // one action: weight every candidate by the point mass it would absorb
+    // (nearest-candidate argmax via array_max over (score, -index))
+    val cellExpr = -array_max(array(cands.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("__v"), array(c.map(lit): _*)).as("s"), lit(-i).as("ni"))
+    }: _*)).getField("ni")
+    val weights = grouped.select(cellExpr.as("__cell"), col("__m"))
+      .groupBy("__cell").agg(sum("__m").as("__w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    grouped.unpersist()
+    var centroids = weightedKCenterLloyd(
+      cands.zipWithIndex.map { case (c, i) => (c, weights.getOrElse(i, 0L)) },
+      k)
     for (_ <- 0 until iters) {
       val cell = -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
         struct(dot(col("__v"), array(ctr.map(lit): _*)).as("s"), lit(-i).as("ni"))
@@ -162,6 +220,62 @@ object Similarity {
     }
     vecs.unpersist()
     centroids
+  }
+
+  private def sqDist(a: Seq[Double], b: Seq[Double]): Double =
+    a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Driver-side weighted spherical k-means over the tiny k-means‖
+    * candidate set (≤ 1 + 2k·⌈log₂k⌉ rows): greedy k-center seeding —
+    * the farthest-point rule that used to run as k DISTRIBUTED full
+    * scans, now over candidates only — then weighted Lloyd to a
+    * fixpoint. Deterministic throughout: candidates are processed in
+    * (weight desc, lexicographic) order and every argmax tie breaks on
+    * the first index. Identical centroids collapse, so fewer than k
+    * distinct directions yield a shorter list. */
+  private[ops] def weightedKCenterLloyd(cands: Seq[(Seq[Double], Long)],
+                                        k: Int): Seq[Seq[Double]] = {
+    def dotD(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def normalize(p: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(dotD(p, p)); if (n > 0) p.map(_ / n) else p
+    }
+    // a zero-count candidate is still a real data vector — floor at 1
+    val pts = cands.map { case (v, w) => (normalize(v), math.max(w, 1L)) }
+    if (pts.isEmpty) return Nil
+    val ordered = pts.sortBy { case (v, w) => (-w, v.mkString(",")) }
+    var seeds = Vector(ordered.head._1)
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
+      val (bestV, bestD) = ordered.iterator.map { case (v, _) =>
+        (v, 1.0 - seeds.iterator.map(s => dotD(v, s)).max)
+      }.maxBy(_._2)
+      if (bestD < 1e-12) exhausted = true else seeds = seeds :+ bestV
+    }
+    var ctrs: Seq[Seq[Double]] = seeds
+    var it = 0
+    var changed = true
+    while (changed && it < 30) {
+      val assign = pts.map { case (v, w) =>
+        val best = ctrs.indices.maxBy(i => (dotD(v, ctrs(i)), -i))
+        (best, v, w)
+      }
+      val next = ctrs.indices.map { i =>
+        val mine = assign.filter(_._1 == i)
+        if (mine.isEmpty) ctrs(i)
+        else {
+          val tw = mine.map(_._3).sum.toDouble
+          normalize(mine
+            .map { case (_, v, w) => v.map(_ * w) }
+            .reduce((a, b) => a.lazyZip(b).map(_ + _))
+            .map(_ / tw))
+        }
+      }
+      changed = ctrs.lazyZip(next).exists((a, b) => sqDist(a, b) > 1e-18)
+      ctrs = next
+      it += 1
+    }
+    ctrs.distinct
   }
 
   /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
@@ -226,9 +340,13 @@ object Similarity {
     *
     * `trained` accepts [[kmeansCentroids]] output: fractional components
     * are rounded onto the SAME fixed-point scale as the vectors, so the
-    * cell scores stay exact longs and the bit-reproducibility contract
-    * survives training (with ±1 defaults the centroid scale is 1 — the
-    * historical scoring — so existing oracle results are unchanged). */
+    * cell scores stay exact longs and results are bit-reproducible GIVEN
+    * A FIXED trained list (with ±1 defaults the centroid scale is 1 — the
+    * historical scoring — so existing oracle results are unchanged).
+    * Re-TRAINING is only partition-stable to ~1e-9 (avg combine order),
+    * so a component near a rounding boundary could flip between training
+    * runs — persist the trained list once via [[IndexStore]] and load it
+    * everywhere the index is queried; the lake table is the fixed set. */
   def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
                        nCentroids: Int = 16, nProbes: Int = 4, seed: Long = 42L,
                        quantScale: Double = 1048576.0, dim: Int = -1,

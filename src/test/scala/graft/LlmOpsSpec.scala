@@ -246,6 +246,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(t3.length == 2, s"expected 2 distinct centroids, got ${t3.length}")
   }
 
+  test("k-means|| init: O(log k) scans, not k — job count bounded and k-independent") {
+    import spark.implicits._
+    // 2000 distinct vectors so oversampling always delivers ≥ k candidates
+    // and the farthest-point rescue path never fires
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 37 + j * 101)).toSeq)
+    }
+    val df = pts.toDF("id", "v")
+    df.count() // absorb source materialization outside the window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val ctrs = Similarity.kmeansCentroids(df, "v", k = 32, iters = 1, dim = 8)
+      Thread.sleep(1000) // drain the async listener bus
+      assert(ctrs.length == 32)
+      // init actions = 1 seed + ⌈log₂32⌉ rounds × (φ + draw) + 1 weighting
+      // = 12, each 1–3 AQE jobs ⇒ ~22–26 jobs including one Lloyd round.
+      // The r4–r6 farthest-point init alone was k+1 = 33 sequential scan
+      // ACTIONS (≥ 33 jobs) before Lloyd ever started — sub-k is the claim
+      assert(jobs < 32, s"k-means|| launched $jobs jobs; farthest-point needed ≥ 33")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("IndexStore round-trip: loaded centroids/codebooks are identical and give identical top-k") {
+    import spark.implicits._
+    val pts = for { c <- 0 until 3; i <- 0 until 40 } yield {
+      val v = Array.fill(4)(0.05 * (((c * 40 + i) * 7 % 5) - 2))
+      v(c) = 1.0
+      (c * 40 + i).toLong -> v.toSeq
+    }
+    val df = pts.toDF("id", "v")
+    val trained = Similarity.kmeansCentroids(df, "v", k = 3, iters = 4, dim = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-").toString
+    graft.ops.IndexStore.saveCentroids(spark, trained, s"$root/centroids")
+    val loaded = graft.ops.IndexStore.loadCentroids(spark, s"$root/centroids")
+    // bit-exact round trip — this IS the fixed-set reproducibility contract
+    assert(loaded == trained.map(_.toVector).toVector)
+    val queries = df.filter(col("id") % 20 === 0)
+      .select(col("id").as("q_id"), col("v").as("q_vec"))
+    val corpus = df.select(col("id").as("c_id"), col("v").as("c_vec"))
+    def topk(ctrs: Seq[Seq[Double]]) =
+      Similarity.ivfTopKQuantized(queries, corpus, 5, nProbes = 1,
+          dim = 4, trained = ctrs)
+        .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(topk(loaded) == topk(trained))
+    // PQ codebooks round-trip the same way
+    val books = Similarity.pqCodebooks(nBlocks = 2, codebookSize = 4,
+      subDim = 2, seed = 11L)
+    graft.ops.IndexStore.savePqCodebooks(spark, books, s"$root/books")
+    val loadedBooks = graft.ops.IndexStore.loadPqCodebooks(spark, s"$root/books")
+    assert(loadedBooks == books.map(_.map(_.toVector).toVector).toVector)
+  }
+
   test("splitAssign: deterministic, complete, and close to declared fractions") {
     import graft.ops.Sampling
     val keys = (0L until 2000L).toDF("k")
