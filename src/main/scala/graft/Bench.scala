@@ -12,8 +12,43 @@ import org.apache.spark.sql.SparkSession
   *    round-over-round;
   *  - failures are reported per-query in an "errors" object instead of
   *    being swallowed into a fake timing.
+  *
+  * r7: the JSON also carries per-query shuffle READ/WRITE bytes
+  * (`"shuffle":{"q01…":{"read":N,"write":N},…}`), captured on the
+  * warm-up pass via a stage-metrics listener — shuffle bytes are
+  * deterministic on this corpus (PERF.md §scale-stress measured
+  * identical bytes across runs) where wall carries up to ~7× VM noise,
+  * so a round-over-round regression is attributable from the BENCH file
+  * alone: bytes moved → the plan changed; bytes flat → it's the host.
+  * Only the warm-up pass pays the listener-drain waits; timed passes
+  * are untouched.
   */
 object Bench {
+
+  private class ShuffleMetrics extends org.apache.spark.scheduler.SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        written += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+    /** Poll until the async listener bus goes quiet (counters stable for
+      * one interval) — bounded, normally one interval. */
+    def drain(): Unit = {
+      var last = (-1L, -1L)
+      var waited = 0
+      while ((read, written) != last && waited < 2000) {
+        last = (read, written)
+        Thread.sleep(50)
+        waited += 50
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,7 +75,19 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce) // warm-up: JVM, codegen, parquet footers, page cache
+    // warm-up: JVM, codegen, parquet footers, page cache — and the
+    // shuffle-byte capture (bytes are run-invariant, so the warm pass is
+    // as good as a timed one and keeps drain waits off the timings)
+    val metrics = new ShuffleMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val shuffleBytes = names.map { n =>
+      metrics.drain()
+      val (r0, w0) = (metrics.read, metrics.written)
+      val ok = runOnce(n).isRight
+      metrics.drain()
+      n -> (ok, metrics.read - r0, metrics.written - w0)
+    }.toMap
+    spark.sparkContext.removeSparkListener(metrics)
     // two timed passes, keep the min — the host's multi-core throughput is
     // noisy (PERF.md), and min-of-n is the standard noise-robust statistic
     val pass1 = names.map(n => n -> runOnce(n)).toMap
@@ -61,8 +108,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
+    val shuffle = names.flatMap { n =>
+      shuffleBytes.get(n).collect { case (true, r, w) =>
+        s""""${esc(n)}":{"read":$r,"write":$w}"""
+      }
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle":$shuffle,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

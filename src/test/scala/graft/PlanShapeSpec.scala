@@ -52,6 +52,73 @@ class PlanShapeSpec extends SparkSpec {
         s"$q lost map-side partial aggregation")
   }
 
+  test("similarity candidate exchanges are id-only (no vector payloads ride the shuffles)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // the r5 invariant, now enforced: candidate generation exchanges bare
+    // ids/buckets; a vector moves only through the single id-keyed confirm
+    // join (one array column per exchange, never a (va, vb) pair) and the
+    // pair-dedup exchange — hash-partitioned on BOTH pair ids — carries no
+    // array at all. A refactor back to the r4 carry-vectors shape (2×0.5 KiB
+    // arrays per candidate row through distinct(), measured 2× slower at 30×
+    // in PERF.md §scale-stress) fails here instead of in a 100 TB run.
+    graft.plans.GraftExtensions.install(spark)
+    // at sf0.001 every input is one partition and every join broadcasts —
+    // no shuffle plans at all, and the invariant under test is vacuous.
+    // Plan the AT-SCALE shape instead: no auto-broadcast, split the scans
+    // (planning only; nothing executes at these settings)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    // exchanges are inserted by EnsureRequirements, which only runs in the
+    // prepared (executed) plan — AQE wraps that in an opaque adaptive node,
+    // so plan without it for the inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairIdSets = Seq(Set("id_a", "id_b"), Set("q_id", "c_id"))
+      for (q <- Seq("q41_ann_bucketed", "q42_ivf_ann", "q43_embed_neardup",
+                    "q52_pq_adc", "q53_ivf_pq")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty, s"$q planned no shuffle exchange at all?")
+        shuffles.foreach { e =>
+          val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.size <= 1,
+            s"$q exchange carries ${arrays.map(_.name).mkString(",")} — vectors ride a candidate shuffle")
+          val partCols = e.outputPartitioning match {
+            case h: HashPartitioning =>
+              h.expressions.flatMap(_.references.map(_.name)).toSet
+            case _ => Set.empty[String]
+          }
+          if (pairIdSets.exists(_.subsetOf(partCols)))
+            assert(arrays.isEmpty,
+              s"$q pair-dedup exchange on $partCols carries ${arrays.map(_.name).mkString(",")}")
+        }
+      }
+      // positive control: the r4 carry-vectors shape IS caught by this
+      // detector — quantized vectors riding the pair distinct()
+      import spark.implicits._
+      val base = Seq((1L, Seq(1L, 2L)), (2L, Seq(1L, 2L))).toDF("id", "v")
+        .select(col("id"), col("v"), pmod(col("id"), lit(2)).as("bucket"))
+      val carry = base.as("a").join(base.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .distinct()
+      val caught = carry.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .exists(_.output.count(_.dataType.isInstanceOf[ArrayType]) >= 2)
+      assert(caught, "detector failed to flag the carry-vectors shape")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct
