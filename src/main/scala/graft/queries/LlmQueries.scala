@@ -630,6 +630,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental curation, near-dup stage (CurateIncremental): the even
+    // docs' LSH BAND-KEY TABLE is persisted to parquet and read back;
+    // today's delta (odd docs as candidate noise ∪ 80%-truncations of
+    // every 4th doc — near-dups of persisted content) computes band keys
+    // for ITSELF only and probes the persisted table on (band, key);
+    // exact 3-gram Jaccard ≥ 0.5 confirms the cross candidates. The
+    // state is scanned, never re-signed — the daily shape of curateDelta.
+    "q68_delta_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 2 === 0)
+      val trunc = d.filter(col("doc_id") % 4 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .withColumn("keep_n",
+          greatest(floor(size(col("toks")) * 4 / 5).cast("int"), lit(3)))
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(1), col("keep_n"))).as("text"))
+      val delta = d.filter(col("doc_id") % 2 === 1).unionByName(trunc)
+      val root = java.nio.file.Files.createTempDirectory("graft-q68-").toString
+      Dedup.lshBandKeys(old, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 3, rows = 4)
+        .write.mode("overwrite").parquet(s"$root/band_keys")
+      val persisted = s.read.parquet(s"$root/band_keys")
+      val deltaBands = Dedup.lshBandKeys(delta, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 3, rows = 4)
+      val cross = persisted.as("o")
+        .join(deltaBands.as("n"),
+          col("o.band") === col("n.band") && col("o.key") === col("n.key"))
+        .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
+        .distinct()
+      Dedup.jaccardOnPairs(cross, old.unionByName(delta), "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1646,6 +1680,64 @@ object LlmQueries {
         |FROM surv s
         |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.content_key = s.content_key)
         |ORDER BY doc_id""".stripMargin,
+
+    "q68_delta_neardup" -> {
+      // same interpolated permutation constants as q20 — no drift possible
+      val sigExprs = (0 until 12).map { j =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % 2147483647), 'min')"
+      }.mkString(",\n        |      ")
+      s"""WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks, true AS is_old FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |         toks[1:greatest(CAST(floor(len(toks) * 4 / 5) AS INT), 3)],
+        |         false
+        |  FROM base WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, toks, false FROM base WHERE doc_id % 2 = 1),
+        |sh AS (
+        |  SELECT doc_id, is_old,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM corpus),
+        |hv AS (
+        |  SELECT doc_id, is_old, sh,
+        |    list_transform(sh, s ->
+        |      list_aggregate(list_transform(range(12), i ->
+        |        (CASE WHEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) <= 57
+        |              THEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 48
+        |              ELSE ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 87 END)
+        |        * CAST(pow(16, 11 - i) AS BIGINT)), 'sum') % 2147483647) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, is_old, sh,
+        |    [$sigExprs] AS sig
+        |  FROM hv),
+        |banded AS (
+        |  SELECT doc_id, is_old, b.band,
+        |         array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], '|') AS key
+        |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key
+        |  WHERE a.is_old AND NOT b.is_old),
+        |jac AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_inter,
+        |    len(sa.sh) + len(sb.sh)
+        |      - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_union
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) AS jaccard
+        |FROM jac
+        |WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q58_source_cap" ->
       """WITH r AS (
