@@ -121,6 +121,47 @@ object CurateIncremental {
         .write.mode("append").parquet(s"${stateDir(root)}/band_keys")
     }
 
+  /** Day-0 bootstrap — the first of the two calls a daily pipeline
+    * makes: full-curate `docs` ([[Curate.curate]]) and persist the
+    * survivors' state tables under `root`, ready for [[daily]] deltas.
+    * Chunking must stay off here: the state must be DOCUMENT-level
+    * (chunk downstream of curation instead). */
+  def bootstrap(docs: DataFrame, benchmark: DataFrame,
+                idCol: String, textCol: String, root: String,
+                cfg: Curate.Config = Curate.Config()): Curate.Result = {
+    require(cfg.chunk.isEmpty,
+      "state must be document-level — chunk downstream of curation")
+    val r = Curate.curate(docs, benchmark, idCol, textCol, cfg)
+    saveState(buildState(r.corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, cfg), root)
+    r
+  }
+
+  /** The daily increment — load the state under `root`, curate the delta
+    * against it, append the delta's survivors to the state tables, and
+    * return those survivors (the rows to append to the serving corpus).
+    * Day N's survivors are probe-able by day N+1 automatically. */
+  def daily(delta: DataFrame, benchmark: DataFrame,
+            idCol: String, textCol: String, root: String,
+            cfg: Curate.Config = Curate.Config()): Curate.Result = {
+    require(cfg.chunk.isEmpty,
+      "state must be document-level — chunk downstream of curation")
+    val st = loadState(delta.sparkSession, root)
+    val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
+    // pin the survivors EAGERLY before appendState mutates the dirs their
+    // lineage reads: the append's refreshByPath drops the result's cache,
+    // and an unpinned corpus re-read by the CALLER would recompute
+    // against the updated state — every survivor would anti-join against
+    // its own just-appended fingerprint and vanish
+    val rdd = r.corpus.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    val corpus = delta.sparkSession.createDataFrame(rdd, r.corpus.schema)
+    appendState(corpus, idCol, textCol, root, cfg)
+    Curate.Result(corpus, r.stats,
+      () => { r.release(); rdd.unpersist(blocking = false); () })
+  }
+
   /** Curate a delta against the persisted state. Output: the DELTA's
     * survivors (text redacted, `split` assigned) — the rows to append to
     * the lake; the existing corpus is untouched by construction. Stats

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Curate, CurateIncremental, Dedup, Similarity}
 
 /** Scale-stress harness for the dedup/near-dup family (the evidence behind
   * the "amortizes at 100×" claims in PERF.md): builds a multiplied
@@ -38,7 +38,10 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
+    // `--only-inc` skips ahead to the incremental-curation section
+    val onlyInc = args.contains("--only-inc")
+    val rest = args.drop(1).filterNot(_ == "--only-inc")
+    val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,7 +79,7 @@ object ScaleStress {
         s"stages=${metrics.stages - s0}")
     }
 
-    mults.foreach { m =>
+    if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== corpus ${m}x: ${d.count()} docs ===")
 
@@ -152,7 +155,7 @@ object ScaleStress {
       corpus(1).unionByName(
         spark.range(f).select((col("id") + 900000000L).as("doc_id"),
           lit(boiler).as("text")))
-    Seq(500, 2000, 8000).foreach { f =>
+    if (!onlyInc) Seq(500, 2000, 8000).foreach { f =>
       val d = flooded(f).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== hot-bucket flood $f: ${d.count()} docs ===")
       if (f <= 2000) phase(s"hotbucket_${f}_uncapped") {
@@ -165,6 +168,88 @@ object ScaleStress {
       }
       d.unpersist()
     }
+
+    // Incremental curation: a FIXED daily delta against a GROWING
+    // persisted corpus — the claim under test is that curateDelta's cost
+    // is delta-bound (the state is probed via its persisted fingerprint/
+    // band-key tables, never re-hashed or re-signed) while a full
+    // re-curate of the union re-pays the whole corpus every day. The
+    // multiplied corpus here uses per-copy token SCRAMBLING (seeded-hash
+    // sort), not the near-dup noising above, so the "state" is genuinely
+    // dup-free, as a curated corpus would be — the full-recurate side
+    // isn't padded with collapse work the incremental side skips.
+    def scrambled(df: DataFrame, key: Int, idOff: Long): DataFrame = {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val shuffledToks = transform(
+        sort_array(transform(toks,
+          t => struct(xxhash64(t, lit(key)).as("h"), t.as("t")))),
+        s => s.getField("t"))
+      df.select((col("doc_id") + idOff).as("doc_id"),
+        concat_ws(" ", shuffledToks).as("text"))
+    }
+    val base1 = graft.sources.Testdata.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    def dupFreeCorpus(m: Int): DataFrame =
+      (0 until m).map { k =>
+        if (k == 0) base1 else scrambled(base1, k, k * 10000000L)
+      }.reduce(_ unionByName _)
+    // the fixed delta: exact re-crawls + near-dup truncations of state
+    // docs + genuinely new docs (~375 rows at sf0.1, same at every m)
+    val recrawl = base1.filter(col("doc_id") % 40 === 5)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    val nearDup = base1.filter(col("doc_id") % 40 === 1)
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("keep_n",
+        greatest(floor(size(col("toks")) * 4 / 5).cast("int"), lit(3)))
+      .select((col("doc_id") + 910000000L).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), lit(1), col("keep_n"))).as("text"))
+    val novel = scrambled(base1.filter(col("doc_id") % 40 === 3), 999, 920000000L)
+    val delta = recrawl.unionByName(nearDup).unionByName(novel)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val benchDocs = spark.createDataFrame(Seq((1L, "holdout xyzzy plugh"))
+    ).toDF("doc_id", "text")
+    println(s"=== incremental curation: fixed delta ${delta.count()} docs ===")
+    mults.foreach { m =>
+      // UNMEASURED setup: the state must be a genuinely CURATED corpus
+      // (a fixpoint of the full recipe) — the scrambled multiplied corpus
+      // has accidental near-dups among repetitive docs, and leaving them
+      // in would bill the full-recurate side for collapse work a real
+      // already-curated state never re-pays
+      val setup = Curate.curate(dupFreeCorpus(m), benchDocs, "doc_id", "text")
+      val stateCorpus = setup.corpus.select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== curated state corpus ${m}x: ${stateCorpus.count()} docs ===")
+      setup.release()
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-incstress-$m").toString
+      // measured setup: derive + persist the state tables — paid ONCE per
+      // corpus, amortized across every future delta
+      phase(s"${m}x_inc_state_build") {
+        CurateIncremental.saveState(
+          CurateIncremental.buildState(stateCorpus, "doc_id", "text"), root)
+        stateCorpus.count()
+      }
+      val st = CurateIncremental.loadState(spark, root)
+      phase(s"${m}x_inc_curate_delta") {
+        val r = CurateIncremental.curateDelta(
+          delta, benchDocs, "doc_id", "text", st)
+        val n = r.corpus.count()
+        r.release()
+        n
+      }
+      // the daily alternative under comparison: re-curate state ∪ delta
+      // from scratch (state is a fixpoint, so the OUTPUT matches state ∪
+      // delta-survivors — the cost difference is pure re-verification)
+      phase(s"${m}x_full_recurate_union") {
+        val r = Curate.curate(
+          stateCorpus.unionByName(delta), benchDocs, "doc_id", "text")
+        val n = r.corpus.count()
+        r.release()
+        n
+      }
+      stateCorpus.unpersist()
+    }
+    delta.unpersist()
     spark.stop()
   }
 

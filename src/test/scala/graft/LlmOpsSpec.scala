@@ -617,6 +617,36 @@ class LlmOpsSpec extends SparkSpec {
     inc2.release()
   }
 
+  test("bootstrap + daily: the two-call operational surface maintains state across days") {
+    import graft.ops.CurateIncremental
+    val bench = Seq((999L, "benchmark holdout nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // every trigram contains an i-unique token, so distinct docs share no
+    // shingles and survive near-dup intact; stopword density clears the
+    // quality floor
+    val mk = (i: Long) => s"the alpha$i of the beta$i and the gamma$i is " +
+      s"a delta$i in the epsilon$i to the zeta$i it is a eta$i of the theta$i"
+    val root = java.nio.file.Files.createTempDirectory("graft-daily-").toString
+    val day0 = CurateIncremental.bootstrap(
+      (0L until 6L).map(i => (i, mk(i))).toDF("doc_id", "text"),
+      bench, "doc_id", "text", root)
+    assert(day0.corpus.count() == 6)
+    day0.release()
+    // day 1: one new doc + one re-crawl of a day-0 survivor
+    val day1 = CurateIncremental.daily(
+      Seq((100L, mk(100L)), (101L, mk(2L))).toDF("doc_id", "text"),
+      bench, "doc_id", "text", root)
+    assert(day1.corpus.select("doc_id").as[Long].collect().toSet == Set(100L))
+    day1.release()
+    // day 2: a re-crawl of DAY 1's survivor must now die too — daily()
+    // appended day 1's state without any manual bookkeeping
+    val day2 = CurateIncremental.daily(
+      Seq((200L, mk(100L)), (201L, mk(201L))).toDF("doc_id", "text"),
+      bench, "doc_id", "text", root)
+    assert(day2.corpus.select("doc_id").as[Long].collect().toSet == Set(201L))
+    day2.release()
+  }
+
   test("curateDelta: the existing corpus wins a near-dup tie regardless of ids") {
     import graft.ops.CurateIncremental
     val bench = Seq((999L, "nothing shared with anything here at all today"))
