@@ -144,6 +144,27 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming INCREMENTAL exact dedup — the streaming face of
+    * [[graft.ops.CurateIncremental]]'s exact stage: arriving docs dedup
+    * within the stream (watermark-bounded state, as [[dedupStream]]) AND
+    * against the persisted corpus fingerprint table via a stream-static
+    * anti-join, so a re-crawl of anything the lake already holds never
+    * reaches the sink. The static side is the fingerprint table AS OF
+    * QUERY START — a pipeline that appends state nightly
+    * ([[graft.ops.CurateIncremental.appendState]]) restarts the query on
+    * the same checkpoint to pick the additions up (exactly-once carries
+    * over; the join is stateless on the static side). */
+  def incrementalDedupStream(stream: DataFrame, textCol: String, tsCol: String,
+                             fingerprints: DataFrame,
+                             watermark: String = "1 day"): DataFrame =
+    stream
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .join(fingerprints.select(col("content_key").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   /** Stream → lake zone: every micro-batch merge-upserts into the same
     * partitioned Parquet layout the batch pipeline writes
     * ([[LakeZones.mergeUpsertByDay]]), so incremental results land beside

@@ -41,6 +41,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream: re-crawls of persisted content never reach the sink") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the persisted corpus state: fingerprints of two already-curated docs
+    val persisted = graft.ops.CurateIncremental.fingerprintTable(
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = Streaming.incrementalDedupStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), "text", "ts", persisted)
+    val q = out.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (100L, ts("2026-03-01 10:00:00"), "alpha beta gamma delta"), // re-crawl
+        (101L, ts("2026-03-01 10:01:00"), "brand new document here"),
+        (102L, ts("2026-03-01 10:02:00"), "ALPHA  beta   gamma delta"), // re-crawl, noised
+        (103L, ts("2026-03-01 10:03:00"), "brand new document here")) // in-stream dup
+      q.processAllAvailable()
+      val ids = spark.table("inc_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(101L), s"survivors: $ids")
+      // a later micro-batch repeating survived content is still deduped
+      // (watermark state), and fresh content still flows
+      ms.addData(
+        (104L, ts("2026-03-01 10:04:00"), "brand new document here"),
+        (105L, ts("2026-03-01 10:05:00"), "another novel doc entirely"))
+      q.processAllAvailable()
+      val ids2 = spark.table("inc_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids2 == Set(101L, 105L), s"survivors after batch 2: $ids2")
+    } finally q.stop()
+  }
+
   test("rawFileStream: new raw-zone files arrive as micro-batches") {
     val cfg = MovieFixtures.tempConfig()
     val stream = Streaming.rawFileStream(spark, cfg.rawRoot, "omdb", "ratings",
