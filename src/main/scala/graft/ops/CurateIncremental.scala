@@ -191,7 +191,13 @@ object CurateIncremental {
 
     // 3. near-dup collapse: delta-vs-delta candidates from the delta's own
     // LSH buckets, delta-vs-state candidates from probing the persisted
-    // band keys; exact Jaccard confirms both kinds
+    // band keys; exact Jaccard confirms both kinds. Degenerate-key
+    // posture: the delta self-join takes cfg.lshMaxBucket; the CROSS join
+    // is linear, not quadratic, in a delta-side flood (m_delta × the
+    // state bucket's cardinality, and the state is curated — its exact
+    // dups are gone and near-dup families are collapsed, so state
+    // buckets are false-positive-sized, not boilerplate-sized; identical
+    // delta docs additionally collapse in stage 2 before LSH runs)
     val (nearDeduped, nNear) =
       if (cfg.nearDupThreshold > 1.0) (exact, nExact)
       else {
