@@ -1,6 +1,8 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -11,14 +13,15 @@ import org.apache.spark.storage.StorageLevel
   * lake tables written once and PROBED daily, never recomputed:
   *
   *  - exact dedup: the delta dedups within itself, then anti-joins its
-  *    fingerprints against the persisted fingerprint table — one shuffle
-  *    on the content key, state side never re-hashed;
+  *    fingerprints against the persisted fingerprint table. The state
+  *    table is BUCKETED by `content_key`, so the probe plans NO exchange
+  *    on the state side — only the (small) delta shuffles, into the
+  *    bucket count; the corpus-scale table is never re-partitioned;
   *  - near-dup: delta band keys (computed for the delta only) join the
-  *    persisted band-key table on (band, key) — the same bucket-keyed
-  *    shuffle as [[Dedup.lshCandidates]], with the corpus side read from
-  *    parquet instead of re-signed. Exact Jaccard confirms candidates,
-  *    re-shingling ONLY the state docs a candidate pair references
-  *    (the [[Dedup.jaccardOnPairs]] semi-join shape);
+  *    persisted band-key table on (band, key) — bucketed by exactly that
+  *    pair, so again only the delta side shuffles. Exact Jaccard confirms
+  *    candidates, re-shingling ONLY the state docs a candidate pair
+  *    references (the [[Dedup.jaccardOnPairs]] semi-join shape);
   *  - survivor policy: the EXISTING corpus always wins — a delta doc in
   *    any near-dup component that touches a persisted survivor is
   *    dropped, whatever its id; delta-only components keep their min id
@@ -34,6 +37,17 @@ import org.apache.spark.storage.StorageLevel
   * Boilerplate removal is corpus-global (line frequencies shift with
   * every delta) and is rejected here — run it in the periodic full
   * re-curate, not the daily increment.
+  *
+  * '''Durability.''' Every state overwrite (snapshot, compaction) writes
+  * to a sibling temp directory and atomically swaps it in — the live
+  * directory is never deleted before its replacement exists on disk, and
+  * a half-finished swap is rolled forward by [[loadState]]. Appends write
+  * the INDEX tables before the corpus table: a crash mid-append leaves
+  * fingerprints/band keys for docs absent from the corpus, so the re-run
+  * of that day OVER-DROPS (its re-crawled docs die at the probe) instead
+  * of silently re-admitting duplicates — the fail-safe direction for a
+  * dedup state. Daily appends add one file per bucket per day;
+  * [[compactState]] rewrites each table back to one file per bucket.
   *
   * Contract: state and delta ids are disjoint (enforce upstream with
   * ingest-assigned monotone ids). After a delta lands, [[appendState]]
@@ -63,63 +77,284 @@ object CurateIncremental {
         cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows))
 
   private def stateDir(root: String) = s"$root/curate_state"
+  private def corpusDir(root: String) = s"${stateDir(root)}/corpus"
+  private def fpsDir(root: String) = s"${stateDir(root)}/fingerprints"
+  private def bksDir(root: String) = s"${stateDir(root)}/band_keys"
+  private val FpsBucketCols = Seq("content_key")
+  private val BksBucketCols = Seq("band", "key")
+
+  // ---------------------------------------------------------------------
+  // Bucketed-table plumbing. Bucket metadata lives in the session catalog,
+  // which is in-memory: a fresh session re-registers each table over its
+  // existing files via DDL (CREATE TABLE … CLUSTERED BY … LOCATION) so the
+  // bucket spec — and the exchange-free probe plan it buys — survives
+  // restarts. The bucket count is pinned in a sidecar file so appends and
+  // re-registration always agree with the files on disk.
+  // ---------------------------------------------------------------------
+
+  private def metaPath(root: String) = new Path(s"${stateDir(root)}/_graft_state.json")
+
+  private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMeta(spark: SparkSession, root: String, buckets: Int): Unit = {
+    val p = metaPath(root)
+    val out = hadoopFs(spark, p).create(p, true)
+    try out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Bucket count of a persisted state; None = pre-bucketing legacy
+    * layout (plain parquet dirs), which every reader still accepts. */
+  private[graft] def readMeta(spark: SparkSession, root: String): Option[Int] = {
+    val p = metaPath(root)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }
+  }
+
+  /** Catalog table name for a state table — deterministic in the
+    * directory path, so two states in one session never collide. */
+  private[graft] def tableName(prefix: String, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    s"graft_${prefix}_" + md.take(5).map("%02x".format(_)).mkString
+  }
+
+  /** Atomically replace `live` with `tmp`: live → live.old, tmp → live,
+    * delete live.old. The live data is never deleted before its
+    * replacement is complete on disk; a crash between the renames leaves
+    * `.old` for [[recoverSwap]] to roll back. */
+  private def swapInto(fs: FileSystem, tmp: Path, live: Path): Unit = {
+    val old = new Path(live.toString + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      sys.error(s"state swap: could not move $live aside")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(old)) fs.rename(old, live) // restore the previous state
+      sys.error(s"state swap: could not move $tmp into place")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Roll a half-finished [[swapInto]] back: if the live dir is missing
+    * but its `.old` sibling exists, the crash hit between the two
+    * renames — restore the previous snapshot. */
+  private def recoverSwap(fs: FileSystem, live: Path): Unit = {
+    val old = new Path(live.toString + ".old")
+    if (!fs.exists(live) && fs.exists(old)) { fs.rename(old, live); () }
+  }
+
+  private def registerBucketed(spark: SparkSession, dir: String, table: String,
+                               buckets: Int, bucketCols: Seq[String]): Unit = {
+    val schema = spark.read.parquet(dir).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING PARQUET
+         |CLUSTERED BY (${bucketCols.mkString(", ")})
+         |SORTED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+    ()
+  }
+
+  /** Make `table` resolve to the bucketed files at `dir` — reuse a live
+    * catalog entry when it already points there, re-register via DDL
+    * otherwise (fresh session, or the name is held by another root). */
+  private def ensureRegistered(spark: SparkSession, dir: String, table: String,
+                               buckets: Int, bucketCols: Seq[String]): Unit = {
+    recoverSwap(hadoopFs(spark, new Path(dir)), new Path(dir))
+    val cat = spark.sessionState.catalog
+    val ident = TableIdentifier(table)
+    val current =
+      if (cat.tableExists(ident))
+        Some(new Path(cat.getTableMetadata(ident).location).toUri.getPath)
+      else None
+    if (current.contains(new Path(dir).toUri.getPath))
+      spark.catalog.refreshTable(table)
+    else registerBucketed(spark, dir, table, buckets, bucketCols)
+  }
+
+  /** Snapshot-write `df` as a bucketed table at `dir`: write to a temp
+    * sibling (never into the live dir — `df`'s lineage may read it),
+    * swap atomically, re-register the catalog entry over the new files.
+    * `repartition` on the bucket columns aligns write partitions with
+    * buckets (same murmur3 hash), so each bucket lands in exactly one
+    * file instead of one per task. */
+  private def writeBucketedSnapshot(df: DataFrame, dir: String, table: String,
+                                    buckets: Int, bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val live = new Path(dir)
+    val fs = hadoopFs(spark, live)
+    recoverSwap(fs, live)
+    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    // df is fully resolved (its file listing is captured), so dropping the
+    // catalog entry first is safe — and saveAsTable must not see a live
+    // entry pointing at a different path than the temp target
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", tmp.toString).mode("overwrite").saveAsTable(table)
+    swapInto(fs, tmp, live)
+    registerBucketed(spark, dir, table, buckets, bucketCols)
+  }
+
+  /** Plain-parquet snapshot with the same temp-sibling + swap discipline. */
+  private def writePlainSnapshot(df: DataFrame, dir: String, partitions: Int): Unit = {
+    val spark = df.sparkSession
+    val live = new Path(dir)
+    val fs = hadoopFs(spark, live)
+    recoverSwap(fs, live)
+    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    df.repartition(partitions).write.mode("overwrite").parquet(tmp.toString)
+    swapInto(fs, tmp, live)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  private def appendBucketed(df: DataFrame, dir: String, table: String,
+                             buckets: Int, bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    ensureRegistered(spark, dir, table, buckets, bucketCols)
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", dir).mode("append").saveAsTable(table)
+  }
+
+  private def defaultBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
 
   /** Pin a frame's rows before writing INTO its own input directories:
-    * the state writes mutate the very parquet dirs a [[curateDelta]]
-    * result's lineage reads, and Spark's post-write `refreshByPath`
-    * drops the dependent cache — without pinning, the second and third
-    * table writes would silently RECOMPUTE the survivors against the
-    * half-updated state (observed: a survivor present in the corpus
-    * table but missing from the fingerprint table). A localCheckpoint
-    * cuts the lineage at materialization, so every write sees the same
-    * rows and none re-reads the mutated dirs. */
-  private def pinned(df: DataFrame, eager: Boolean = false)
-                    (writes: DataFrame => Unit): Unit = {
+    * the append-mode state writes mutate the very parquet dirs a
+    * [[curateDelta]] result's lineage reads, and Spark's post-write
+    * refresh drops the dependent cache — without pinning, the second and
+    * third table writes would silently RECOMPUTE the survivors against
+    * the half-updated state (observed: a survivor present in one table
+    * but missing from the next). A localCheckpoint cuts the lineage at
+    * materialization, so every write sees the same rows and none
+    * re-reads the mutated dirs. (Snapshot writes don't need this — they
+    * write to a temp sibling and swap, never into a live input dir.) */
+  private def pinned(df: DataFrame)(writes: DataFrame => Unit): Unit = {
     val rdd = df.rdd
     rdd.localCheckpoint()
-    if (eager) rdd.count() // materialize BEFORE any write mutates an input
     try writes(df.sparkSession.createDataFrame(rdd, df.schema))
     finally { rdd.unpersist(blocking = false); () }
   }
 
-  /** Persist the state as three snappy-parquet lake tables under
-    * `<root>/curate_state/`. Overwrites — this is the post-full-curate
-    * snapshot; daily increments go through [[appendState]]. All three
-    * frames are pinned EAGERLY: in a load→transform→save flow they read
-    * the very dirs the overwrite deletes, so each must be materialized
-    * before the first delete (one extra pass per table, once per
-    * snapshot). */
-  def saveState(st: State, root: String): Unit =
-    pinned(st.corpus, eager = true) { corpus =>
-      pinned(st.fingerprints, eager = true) { fps =>
-        pinned(st.bandKeys, eager = true) { bks =>
-          corpus.write.mode("overwrite").parquet(s"${stateDir(root)}/corpus")
-          fps.write.mode("overwrite").parquet(s"${stateDir(root)}/fingerprints")
-          bks.write.mode("overwrite").parquet(s"${stateDir(root)}/band_keys")
-        }
-      }
-    }
+  /** Persist the state under `<root>/curate_state/`: the corpus as plain
+    * parquet, the two index tables BUCKETED (fingerprints by
+    * `content_key`, band keys by `(band, key)`) so the daily probes plan
+    * no state-side exchange. Overwrites — this is the post-full-curate
+    * snapshot; daily increments go through [[appendState]]. Each table
+    * writes to a temp sibling and swaps in atomically, index tables
+    * before corpus (a crash mid-snapshot over-drops, never re-admits).
+    * `buckets` ≤ 0 means the session's `spark.sql.shuffle.partitions`;
+    * at 100 TB pick a count where one bucket's fingerprints fit an
+    * executor (the count is pinned in the state's sidecar thereafter). */
+  def saveState(st: State, root: String, buckets: Int = 0): Unit = {
+    val spark = st.corpus.sparkSession
+    val n = if (buckets > 0) buckets else defaultBuckets(spark)
+    writeBucketedSnapshot(st.fingerprints, fpsDir(root),
+      tableName("fps", fpsDir(root)), n, FpsBucketCols)
+    writeBucketedSnapshot(st.bandKeys, bksDir(root),
+      tableName("bks", bksDir(root)), n, BksBucketCols)
+    writePlainSnapshot(st.corpus, corpusDir(root), n)
+    writeMeta(spark, root, n)
+  }
 
-  def loadState(spark: SparkSession, root: String): State =
-    State(
-      spark.read.parquet(s"${stateDir(root)}/corpus"),
-      spark.read.parquet(s"${stateDir(root)}/fingerprints"),
-      spark.read.parquet(s"${stateDir(root)}/band_keys"))
+  /** Load a persisted state. The index tables come back as CATALOG
+    * tables (re-registered via DDL when the session is fresh), so their
+    * bucket spec — and the exchange-free probe plan — survives session
+    * restarts. A legacy plain-parquet state (no sidecar) still loads,
+    * just without the bucketing guarantee. */
+  def loadState(spark: SparkSession, root: String): State = {
+    recoverSwap(hadoopFs(spark, new Path(corpusDir(root))), new Path(corpusDir(root)))
+    readMeta(spark, root) match {
+      case Some(n) =>
+        ensureRegistered(spark, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
+        ensureRegistered(spark, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
+        State(
+          spark.read.parquet(corpusDir(root)),
+          spark.table(tableName("fps", fpsDir(root))),
+          spark.table(tableName("bks", bksDir(root))))
+      case None =>
+        State(
+          spark.read.parquet(corpusDir(root)),
+          spark.read.parquet(fpsDir(root)),
+          spark.read.parquet(bksDir(root)))
+    }
+  }
 
   /** Append a delta's survivors (a [[curateDelta]] result corpus) to the
-    * persisted state tables, so the next delta probes them too. The
+    * persisted state tables, so the next delta probes them too. Write
+    * order is INDEX TABLES FIRST, corpus last: a crash between the
+    * writes then leaves fingerprints/band keys whose docs are missing
+    * from the corpus, and the re-run of the day OVER-DROPS (its
+    * re-crawled copies die at the probe) — never the reverse, which
+    * would silently re-admit duplicates of served docs forever. The
     * survivors are pinned first — their lineage reads the same dirs
-    * these writes mutate (see [[pinned]]). */
+    * these writes mutate (see `pinned`). */
   def appendState(survivors: DataFrame, idCol: String, textCol: String,
                   root: String, cfg: Curate.Config = Curate.Config()): Unit =
+    appendStateHooked(survivors, idCol, textCol, root, cfg, () => ())
+
+  /** [[appendState]] with a fault-injection point between the index
+    * writes and the corpus write — test-only seam for the
+    * crash-ordering contract. */
+  private[graft] def appendStateHooked(survivors: DataFrame, idCol: String,
+                                       textCol: String, root: String,
+                                       cfg: Curate.Config,
+                                       afterIndexWrites: () => Unit): Unit = {
+    val spark = survivors.sparkSession
+    val buckets = readMeta(spark, root)
     pinned(survivors.select(col(idCol), col(textCol))) { slim =>
-      slim.write.mode("append").parquet(s"${stateDir(root)}/corpus")
-      fingerprintTable(slim, idCol, textCol)
-        .write.mode("append").parquet(s"${stateDir(root)}/fingerprints")
-      Dedup.lshBandKeys(slim, idCol, textCol,
-          cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
-        .write.mode("append").parquet(s"${stateDir(root)}/band_keys")
+      val fps = fingerprintTable(slim, idCol, textCol)
+      val bks = Dedup.lshBandKeys(slim, idCol, textCol,
+        cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
+      buckets match {
+        case Some(n) =>
+          appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
+          appendBucketed(bks, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
+        case None => // legacy layout keeps the same crash-safe ordering
+          fps.write.mode("append").parquet(fpsDir(root))
+          bks.write.mode("append").parquet(bksDir(root))
+      }
+      afterIndexWrites()
+      slim.write.mode("append").parquet(corpusDir(root))
     }
+  }
+
+  /** Rewrite every state table back to one file per bucket (corpus: one
+    * file per partition). Daily appends add a file per bucket per day;
+    * run this weekly-ish so probe scans stay a bounded file count. Each
+    * rewrite reads the live table, writes the compacted copy to a temp
+    * sibling, and atomically swaps — the live state is never the write
+    * target of its own scan, and a crash at any point leaves either the
+    * old or the new files, both complete. */
+  def compactState(spark: SparkSession, root: String): Unit = {
+    val n = readMeta(spark, root).getOrElse(sys.error(
+      s"no bucketed state sidecar under $root — compactState requires a " +
+        "state written by saveState"))
+    val fpsT = tableName("fps", fpsDir(root))
+    val bksT = tableName("bks", bksDir(root))
+    // read PATH-based, not via the catalog table: a catalog scan reports
+    // the bucket distribution, so the planner ELIDES the aligning
+    // repartition — and then disables bucketed reading for a bare
+    // scan→write ("Bucketed: false (disabled by query planner)"), leaving
+    // file-split partitions that fan out one file per task×bucket, the
+    // exact small-file state compaction exists to undo. A path read has
+    // no partitioning claim, so the repartition executes and each bucket
+    // lands in exactly one file.
+    writeBucketedSnapshot(spark.read.parquet(fpsDir(root)), fpsDir(root), fpsT, n, FpsBucketCols)
+    writeBucketedSnapshot(spark.read.parquet(bksDir(root)), bksDir(root), bksT, n, BksBucketCols)
+    writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
+  }
 
   /** Day-0 bootstrap — the first of the two calls a daily pipeline
     * makes: full-curate `docs` ([[Curate.curate]]) and persist the
@@ -149,7 +384,7 @@ object CurateIncremental {
     val st = loadState(delta.sparkSession, root)
     val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
     // pin the survivors EAGERLY before appendState mutates the dirs their
-    // lineage reads: the append's refreshByPath drops the result's cache,
+    // lineage reads: the append's refresh drops the result's cache,
     // and an unpinned corpus re-read by the CALLER would recompute
     // against the updated state — every survivor would anti-join against
     // its own just-appended fingerprint and vanish
@@ -161,6 +396,30 @@ object CurateIncremental {
     Curate.Result(corpus, r.stats,
       () => { r.release(); rdd.unpersist(blocking = false); () })
   }
+
+  /** The daily exact-dedup probe: anti-join the (already within-delta
+    * deduped) delta's fingerprints against the persisted table. With a
+    * [[saveState]]-written state the table is bucketed by `content_key`:
+    * the `distinct` and the anti-join both reuse the bucket hash, so the
+    * plan has NO state-side exchange — only the delta shuffles. */
+  private[graft] def fingerprintProbe(deltaDeduped: DataFrame, idCol: String,
+                                      textCol: String, st: State): DataFrame =
+    deltaDeduped
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(st.fingerprints.select(col("content_key").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /** The daily near-dup probe: delta band keys against the persisted
+    * band-key table on (band, key) — the table's bucket columns, so the
+    * corpus-scale side again plans no exchange. Emits candidate
+    * (id_a = state doc, id_b = delta doc) pairs for exact confirm. */
+  private[graft] def bandKeyProbe(deltaBands: DataFrame, st: State): DataFrame =
+    st.bandKeys.as("o")
+      .join(deltaBands.as("n"),
+        col("o.band") === col("n.band") && col("o.key") === col("n.key"))
+      .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
+      .distinct()
 
   /** Curate a delta against the persisted state. Output: the DELTA's
     * survivors (text redacted, `split` assigned) — the rows to append to
@@ -180,12 +439,10 @@ object CurateIncremental {
 
     // 2. exact dedup: within the delta, then against the persisted
     // fingerprint table (probe side is the delta — the state table is
-    // never re-hashed)
-    val exact = Dedup.dedupCorpus(redacted, textCol, idCol)
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .join(st.fingerprints.select(col("content_key").as("__fp")).distinct(),
-        Seq("__fp"), "left_anti")
-      .drop("__fp")
+    // never re-hashed, and never re-partitioned either: see
+    // [[fingerprintProbe]])
+    val exact = fingerprintProbe(
+        Dedup.dedupCorpus(redacted, textCol, idCol), idCol, textCol, st)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 
@@ -205,11 +462,7 @@ object CurateIncremental {
           cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows, cfg.lshMaxBucket)
         val deltaBands = Dedup.lshBandKeys(exact, idCol, textCol,
           cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
-        val crossPairs = st.bandKeys.as("o")
-          .join(deltaBands.as("n"),
-            col("o.band") === col("n.band") && col("o.key") === col("n.key"))
-          .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
-          .distinct()
+        val crossPairs = bandKeyProbe(deltaBands, st)
         // Jaccard re-shingles only docs referenced by a candidate pair
         // (semi-join inside jaccardOnPairs) — the state corpus is scanned,
         // not re-signed

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curate, CurateIncremental}
+
+/** Durability and scale-shape contracts of the persisted curation state
+  * (bucketed tables, crash ordering, compaction) — the operability layer
+  * under [[graft.ops.CurateIncremental]]. Correctness of the curation
+  * semantics themselves lives in LlmOpsSpec; this spec covers what
+  * happens AROUND the happy path: a crash mid-append, a fresh session
+  * re-attaching to existing files, a week of small-file appends. */
+class CurateStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, seed: String): (Long, String) =
+    (id, (0 until 12).map(i => s"$seed tok$i word${i % 5}").mkString(" "))
+
+  private def docsDf(pairs: Seq[(Long, String)]) = pairs.toDF("doc_id", "text")
+
+  private val bench = Seq((9000L, "benchmark heldout question answer")).toDF("doc_id", "text")
+
+  private def partFiles(dir: String): Int =
+    Option(new java.io.File(dir).list()).map(_.count(_.startsWith("part-"))).getOrElse(0)
+
+  test("appendState crash between index and corpus writes over-drops, never re-admits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-crash-").toString
+    val base = docsDf(Seq(doc(1, "alpha"), doc(2, "beta")))
+    CurateIncremental.bootstrap(base, bench, "doc_id", "text", root).release()
+
+    // day 1 survivors appended with a crash injected AFTER the index
+    // writes, BEFORE the corpus write — the worst spot: the doc's
+    // fingerprint is durable but its text is not
+    val day1 = docsDf(Seq(doc(10, "gamma")))
+    val boom = intercept[RuntimeException] {
+      CurateIncremental.appendStateHooked(day1, "doc_id", "text", root,
+        Curate.Config(), () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.fingerprints.filter(col("id") === 10).count() == 1,
+      "index write must be durable before the crash point")
+    assert(st.corpus.filter(col("doc_id") === 10).count() == 0,
+      "corpus write must NOT have happened before the crash point")
+
+    // the re-run of the failed day re-crawls the same content under a new
+    // id: it must DIE at the fingerprint probe (over-drop) — the ordering
+    // guarantees a crash never silently re-admits a duplicate
+    val rerun = docsDf(Seq(doc(11, "gamma")))
+    val r = CurateIncremental.curateDelta(rerun, bench, "doc_id", "text", st)
+    assert(r.corpus.count() == 0,
+      "re-crawl of a crash-lost doc must be over-dropped by the orphan fingerprint")
+    r.release()
+  }
+
+  test("fresh session re-registers bucketed state tables via DDL over existing files") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl-").toString
+    val base = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "delta")))
+    CurateIncremental.saveState(
+      CurateIncremental.buildState(base, "doc_id", "text"), root, buckets = 4)
+
+    // simulate a fresh session: drop the in-memory catalog entries, so
+    // only the files + sidecar remain — exactly what a restarted job sees
+    for (p <- Seq("fps", "bks")) {
+      val dir = s"$root/curate_state/" +
+        (if (p == "fps") "fingerprints" else "band_keys")
+      spark.sql(s"DROP TABLE IF EXISTS ${CurateIncremental.tableName(p, dir)}")
+    }
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.fingerprints.count() == 3 && st.corpus.count() == 3)
+
+    // the re-registered table must still carry its bucket spec — that is
+    // the entire point of the DDL round-trip
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = st.fingerprints.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.exists(
+      b => b.numBuckets == 4 && b.bucketColumnNames == Seq("content_key"))),
+      "fingerprint scan lost its bucket spec after DDL re-registration")
+
+    // and a daily against the re-attached state still dedups
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(20, "alpha"), doc(21, "zeta"))), bench, "doc_id", "text", root)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(21L),
+      "re-crawl of doc 1's content must die at the probe; fresh doc survives")
+    r.release()
+  }
+
+  test("compactState rewrites a week of appends back to one file per bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    CurateIncremental.bootstrap(
+      docsDf(Seq(doc(1, "alpha"), doc(2, "beta"))), bench, "doc_id", "text", root,
+      Curate.Config()).release()
+    // three daily appends — each adds a file per bucket per table
+    for (day <- 1 to 3) {
+      val r = CurateIncremental.daily(
+        docsDf(Seq(doc(100L + day, s"day$day"))), bench, "doc_id", "text", root)
+      r.release()
+    }
+    val fpsDir = s"$root/curate_state/fingerprints"
+    val bksDir = s"$root/curate_state/band_keys"
+    val before = partFiles(fpsDir)
+    assert(before > 4, s"expected >4 fingerprint files after 3 appends, got $before")
+
+    val st0 = CurateIncremental.loadState(spark, root)
+    val (nFps, nBks, nCorpus) =
+      (st0.fingerprints.count(), st0.bandKeys.count(), st0.corpus.count())
+
+    CurateIncremental.compactState(spark, root)
+
+    // one file per bucket (4 test buckets; empty buckets write nothing)
+    assert(partFiles(fpsDir) <= 4 && partFiles(fpsDir) < before,
+      s"fingerprints not compacted: ${partFiles(fpsDir)} files")
+    assert(partFiles(bksDir) <= 4, s"band_keys not compacted: ${partFiles(bksDir)} files")
+    // no temp or .old residue from the swap
+    val residue = new java.io.File(s"$root/curate_state").list()
+      .filter(n => n.contains(".tmp-") || n.endsWith(".old"))
+    assert(residue.isEmpty, s"swap residue left behind: ${residue.mkString(",")}")
+
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.fingerprints.count() == nFps && st.bandKeys.count() == nBks &&
+      st.corpus.count() == nCorpus, "compaction changed row counts")
+
+    // state still functions: re-crawls of pre- and post-compaction docs die
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(200, "alpha"), doc(201, "day2"), doc(202, "omega"))),
+      bench, "doc_id", "text", root)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(202L))
+    r.release()
+  }
+}

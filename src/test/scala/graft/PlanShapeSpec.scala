@@ -119,6 +119,74 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental-curation probes plan ZERO exchange on the bucketed state side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ops.{CurateIncremental, Dedup}
+    import spark.implicits._
+    // a state persisted by saveState: fingerprints bucketed by content_key,
+    // band keys by (band, key) — the corpus-scale tables a daily delta
+    // probes. At 100 TB the probe must NOT re-shuffle them: the bucket
+    // hash IS the join distribution, so only the (small) delta shuffles.
+    val docs = (1L to 30L)
+      .map(i => (i, (0 until 12).map(j => s"doc$i tok$j word${j % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-").toString
+    CurateIncremental.saveState(
+      CurateIncremental.buildState(docs, "doc_id", "text"), root, buckets = 4)
+    val st = CurateIncremental.loadState(spark, root)
+    val stateDir = s"$root/curate_state"
+
+    val delta = (100L to 120L)
+      .map(i => (i, (0 until 12).map(j => s"new$i tok$j word${j % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // plan the at-scale shape: no auto-broadcast (a 100 TB delta side is
+    // not broadcastable), AQE off so EnsureRequirements' exchanges are
+    // inspectable (see the similarity test above)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probes = Seq(
+        "fingerprintProbe" ->
+          CurateIncremental.fingerprintProbe(delta, "doc_id", "text", st),
+        "bandKeyProbe" -> CurateIncremental.bandKeyProbe(
+          Dedup.lshBandKeys(delta, "doc_id", "text", 5, 12, 3, 4), st))
+      // an exchange "re-shuffles the state" only if the state scan feeds
+      // it WITHOUT an intervening join: post-join exchanges (candidate-
+      // pair distinct) carry pair-sized data, not the corpus-scale table
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def isStateScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(stateDir))
+        case _ => false
+      }
+      def stateFeedsDirectly(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isStateScan(f)
+        case _: BaseJoinExec => false
+        case other => other.children.exists(stateFeedsDirectly)
+      }
+      for ((name, probe) <- probes) {
+        val plan = probe.queryExecution.executedPlan
+        val stateScans = plan.collect {
+          case f: FileSourceScanExec if isStateScan(f) => f
+        }
+        assert(stateScans.nonEmpty && stateScans.forall(_.relation.bucketSpec.isDefined),
+          s"$name does not scan the state through its bucketed table:\n$plan")
+        val stateShuffles = plan.collect { case e: ShuffleExchangeExec => e }
+          .filter(e => e.children.exists(stateFeedsDirectly))
+        assert(stateShuffles.isEmpty,
+          s"$name re-shuffles the corpus-scale state side:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct
