@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -58,8 +58,26 @@ object CurateIncremental {
 
   /** The persisted curation state: the curated corpus (id, text — text
     * already PII-redacted by the curate run that produced it) plus its
-    * two derived index tables. */
-  case class State(corpus: DataFrame, fingerprints: DataFrame, bandKeys: DataFrame)
+    * derived index tables. `embeddings` (id, v — FIXED-POINT quantized
+    * vectors, the bit-reproducible confirm side) and `srpBuckets`
+    * (id, seed, bucket — the SRP sketch index the daily delta probes) are
+    * present when the corpus carries an embedding column and the
+    * embedding near-dup stage is curated incrementally too. */
+  case class State(corpus: DataFrame, fingerprints: DataFrame, bandKeys: DataFrame,
+                   embeddings: Option[DataFrame] = None,
+                   srpBuckets: Option[DataFrame] = None)
+
+  /** Knobs of the incremental embedding near-dup stage — mirrors the
+    * arguments of [[Similarity.embeddingNearDupsQuantized]], whose exact
+    * integer sketch/cosine math this stage reuses so state written by one
+    * session confirms bit-identically in any other. */
+  case class EmbedConfig(
+      threshold: Double = 0.99,
+      nPlanes: Int = 8,
+      prefixBits: Int = 8,
+      seeds: Seq[Long] = Seq(42L, 1042L),
+      quantScale: Double = 1048576.0,
+      dim: Int = -1)
 
   /** (id, content_key) for every doc — the exact-dedup index table. */
   def fingerprintTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -76,12 +94,47 @@ object CurateIncremental {
       Dedup.lshBandKeys(curated, idCol, textCol,
         cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows))
 
+  /** Fixed-point quantization of an embedding column — the same rounding
+    * as [[Similarity.embeddingNearDupsQuantized]], so sketch bits and
+    * cosine sums computed from the persisted vectors are exact integers
+    * identical to what the original session computed. */
+  private def quantVec(vec: Column, ecfg: EmbedConfig): Column =
+    transform(vec, x => round(x.cast("double") * ecfg.quantScale).cast("long"))
+
+  /** (id, seed, bucket) SRP sketch rows for every doc, one per seed —
+    * the embedding analog of [[Dedup.lshBandKeys]]: join-ready bucket
+    * keys the incremental layer persists so tomorrow's delta probes
+    * today's corpus without re-sketching it. */
+  def srpSketchTable(df: DataFrame, idCol: String, vecCol: String,
+                     ecfg: EmbedConfig = EmbedConfig()): DataFrame = {
+    val d = if (ecfg.dim > 0) ecfg.dim else Similarity.probeDim(df, vecCol)
+    val mask = (1L << ecfg.prefixBits) - 1
+    val base = df.select(col(idCol).as("id"), quantVec(col(vecCol), ecfg).as("v"))
+    ecfg.seeds.map { seed =>
+      val planes = Similarity.randomPlanes(ecfg.nPlanes, d, seed)
+      base.select(col("id"), lit(seed).as("seed"),
+        Similarity.srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Extend a (text) state with the embedding-stage tables derived from
+    * the same curated corpus: quantized vectors + SRP sketch index. */
+  def withEmbeddings(st: State, embs: DataFrame, idCol: String, vecCol: String,
+                     ecfg: EmbedConfig = EmbedConfig()): State =
+    st.copy(
+      embeddings = Some(embs.select(col(idCol).as("id"),
+        quantVec(col(vecCol), ecfg).as("v"))),
+      srpBuckets = Some(srpSketchTable(embs, idCol, vecCol, ecfg)))
+
   private def stateDir(root: String) = s"$root/curate_state"
   private def corpusDir(root: String) = s"${stateDir(root)}/corpus"
   private def fpsDir(root: String) = s"${stateDir(root)}/fingerprints"
   private def bksDir(root: String) = s"${stateDir(root)}/band_keys"
+  private def embDir(root: String) = s"${stateDir(root)}/emb_vectors"
+  private def srpDir(root: String) = s"${stateDir(root)}/srp_buckets"
   private val FpsBucketCols = Seq("content_key")
   private val BksBucketCols = Seq("band", "key")
+  private val SrpBucketCols = Seq("seed", "bucket")
 
   // ---------------------------------------------------------------------
   // Bucketed-table plumbing. Bucket metadata lives in the session catalog,
@@ -264,6 +317,11 @@ object CurateIncremental {
       tableName("fps", fpsDir(root)), n, FpsBucketCols)
     writeBucketedSnapshot(st.bandKeys, bksDir(root),
       tableName("bks", bksDir(root)), n, BksBucketCols)
+    for (srp <- st.srpBuckets)
+      writeBucketedSnapshot(srp, srpDir(root),
+        tableName("srp", srpDir(root)), n, SrpBucketCols)
+    for (emb <- st.embeddings)
+      writePlainSnapshot(emb, embDir(root), n)
     writePlainSnapshot(st.corpus, corpusDir(root), n)
     writeMeta(spark, root, n)
   }
@@ -275,19 +333,29 @@ object CurateIncremental {
     * just without the bucketing guarantee. */
   def loadState(spark: SparkSession, root: String): State = {
     recoverSwap(hadoopFs(spark, new Path(corpusDir(root))), new Path(corpusDir(root)))
+    recoverSwap(hadoopFs(spark, new Path(embDir(root))), new Path(embDir(root)))
+    // the embedding stage is optional — its tables exist iff the state
+    // was written with them
+    val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
     readMeta(spark, root) match {
       case Some(n) =>
         ensureRegistered(spark, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
         ensureRegistered(spark, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
+        if (hasEmb)
+          ensureRegistered(spark, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
         State(
           spark.read.parquet(corpusDir(root)),
           spark.table(tableName("fps", fpsDir(root))),
-          spark.table(tableName("bks", bksDir(root))))
+          spark.table(tableName("bks", bksDir(root))),
+          if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
+          if (hasEmb) Some(spark.table(tableName("srp", srpDir(root)))) else None)
       case None =>
         State(
           spark.read.parquet(corpusDir(root)),
           spark.read.parquet(fpsDir(root)),
-          spark.read.parquet(bksDir(root)))
+          spark.read.parquet(bksDir(root)),
+          if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
+          if (hasEmb) Some(spark.read.parquet(srpDir(root))) else None)
     }
   }
 
@@ -330,6 +398,31 @@ object CurateIncremental {
     }
   }
 
+  /** Append an embedding delta's survivors to the embedding state
+    * tables. Same crash ordering as [[appendState]]: the SRP sketch
+    * INDEX first, the vector (confirm) table last — a crash between them
+    * leaves orphan sketches whose candidates can't confirm, affecting
+    * only never-served docs; completed appends are fully probe-able. In
+    * a combined text+embedding pipeline call this BEFORE [[appendState]]
+    * so the text corpus append stays the overall serving marker. */
+  def appendEmbedState(survivors: DataFrame, idCol: String, vecCol: String,
+                       root: String, ecfg: EmbedConfig = EmbedConfig()): Unit = {
+    val spark = survivors.sparkSession
+    val buckets = readMeta(spark, root)
+    pinned(survivors.select(col(idCol).as("id"),
+      quantVec(col(vecCol), ecfg).as("v"))) { slim =>
+      val sketches = srpSketchTable(slim, "id", "v",
+        ecfg.copy(quantScale = 1.0)) // already quantized — don't rescale
+      buckets match {
+        case Some(n) =>
+          appendBucketed(sketches, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
+        case None =>
+          sketches.write.mode("append").parquet(srpDir(root))
+      }
+      slim.write.mode("append").parquet(embDir(root))
+    }
+  }
+
   /** Rewrite every state table back to one file per bucket (corpus: one
     * file per partition). Daily appends add a file per bucket per day;
     * run this weekly-ish so probe scans stay a bounded file count. Each
@@ -353,6 +446,11 @@ object CurateIncremental {
     // lands in exactly one file.
     writeBucketedSnapshot(spark.read.parquet(fpsDir(root)), fpsDir(root), fpsT, n, FpsBucketCols)
     writeBucketedSnapshot(spark.read.parquet(bksDir(root)), bksDir(root), bksT, n, BksBucketCols)
+    if (hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))) {
+      writeBucketedSnapshot(spark.read.parquet(srpDir(root)), srpDir(root),
+        tableName("srp", srpDir(root)), n, SrpBucketCols)
+      writePlainSnapshot(spark.read.parquet(embDir(root)), embDir(root), n)
+    }
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
@@ -420,6 +518,68 @@ object CurateIncremental {
         col("o.band") === col("n.band") && col("o.key") === col("n.key"))
       .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
       .distinct()
+
+  /** The daily embedding probe: delta SRP sketches against the persisted
+    * sketch table on (seed, bucket) — its bucket columns, so the
+    * corpus-scale side plans no exchange; the exchanges carry only
+    * (id, seed, bucket) and candidate id pairs, never vectors. */
+  private[graft] def embeddingProbe(deltaSketches: DataFrame, st: State): DataFrame =
+    st.srpBuckets.getOrElse(sys.error("state has no SRP sketch table")).as("o")
+      .join(deltaSketches.as("n"),
+        col("o.seed") === col("n.seed") && col("o.bucket") === col("n.bucket"))
+      .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
+      .distinct()
+
+  /** Curate an embedding delta against the persisted state — the
+    * embedding analog of [[curateDelta]]'s near-dup stage. Candidates:
+    * delta-vs-delta from the delta's own SRP buckets, delta-vs-state from
+    * probing the persisted sketch table ([[embeddingProbe]]); exact
+    * integer cosine (the [[Similarity.embeddingNearDupsQuantized]] math,
+    * state side read from the persisted quantized vectors — never
+    * re-sketched, never re-quantized) confirms both kinds; survivor
+    * policy is corpus-wins / min-id, exactly as in the text stage.
+    * Returns the delta rows that survive. */
+  def curateDeltaEmbeddings(delta: DataFrame, idCol: String, vecCol: String,
+                            st: State,
+                            ecfg: EmbedConfig = EmbedConfig()): DataFrame = {
+    val stEmb = st.embeddings.getOrElse(sys.error("state has no embedding table"))
+    val dq = delta.select(col(idCol).as("id"), quantVec(col(vecCol), ecfg).as("v"))
+    val sketches = srpSketchTable(delta, idCol, vecCol, ecfg)
+    // delta-vs-delta: per-(seed, bucket) self-join — one row per seed per
+    // doc, so this is exactly the union of per-seed bucket self-joins
+    val selfPairs = sketches.as("a")
+      .join(sketches.as("b"),
+        col("a.seed") === col("b.seed") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = selfPairs.unionByName(embeddingProbe(sketches, st)).distinct()
+    // confirm on the candidate set only, vectors joined back by id (the
+    // jaccardOnPairs shape — id-only candidate exchanges)
+    val lookup = dq.unionByName(stEmb.select(col("id"), col("v")))
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val confirmed = pairs
+      .join(lookup.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(lookup.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("dot_i", dotL(col("va"), col("vb")))
+      .withColumn("na2", dotL(col("va"), col("va")))
+      .withColumn("nb2", dotL(col("vb"), col("vb")))
+      .withColumn("cosine",
+        when(col("na2") > 0 && col("nb2") > 0,
+          col("dot_i").cast("double")
+            / sqrt(col("na2").cast("double") * col("nb2").cast("double"))))
+      .filter(col("cosine") >= ecfg.threshold)
+      .select("id_a", "id_b")
+    // existing corpus wins; delta-only components keep their min id
+    val comp = Dedup.components(confirmed)
+    val stateLbls = comp.join(stEmb.select(col("id")), Seq("id"), "left_semi")
+      .select(col("lbl")).distinct()
+    val dups = comp.join(stateLbls, Seq("lbl"), "left_semi").select(col("id"))
+      .unionByName(comp.filter(col("lbl") < col("id")).select(col("id")))
+      .distinct()
+      .withColumnRenamed("id", "__dup")
+    delta.join(dups, delta(idCol) === col("__dup"), "left_anti")
+  }
 
   /** Curate a delta against the persisted state. Output: the DELTA's
     * survivors (text redacted, `split` assigned) — the rows to append to

@@ -86,6 +86,83 @@ class CurateStateSpec extends SparkSpec {
     r.release()
   }
 
+  // deterministic pseudo-random unit-ish vectors: distinct docs land far
+  // apart in cosine; planted near-dups are scalar multiples (cosine 1
+  // before quantization, ~0.9999 after). NOTE: the formula is periodic in
+  // i mod 19 — ids used within one test must have distinct residues or
+  // they are genuine exact duplicates
+  private def vec(i: Long, dim: Int = 16): Seq[Double] =
+    (0 until dim).map(j => (((i * 31 + j * 17 + 7) % 19) - 9).toDouble / 9.0)
+
+  private def jitter(v: Seq[Double]): Seq[Double] = v.map(_ * 1.0009765625)
+
+  private def embDf(rows: Seq[(Long, Seq[Double])]) = rows.toDF("doc_id", "v")
+
+  test("incremental embedding curation equals full re-curate of the union") {
+    import graft.ops.{Dedup, Similarity}
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    // day 0: docs 1..8 plus jittered copies of 2 and 5 → full curate
+    // keeps min ids
+    val day0 = embDf((1L to 8L).map(i => (i, vec(i))) ++
+      Seq((20L, jitter(vec(2))), (21L, jitter(vec(5)))))
+    def fullCurate(df: org.apache.spark.sql.DataFrame) =
+      Dedup.survivorsTransitive(df,
+        Similarity.embeddingNearDupsQuantized(df, "doc_id", "v",
+          ecfg.threshold, ecfg.nPlanes, ecfg.prefixBits, ecfg.seeds,
+          ecfg.quantScale, ecfg.dim), "doc_id")
+    val curated0 = fullCurate(day0)
+    assert(curated0.select("doc_id").as[Long].collect().toSet == (1L to 8L).toSet)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-embinc-").toString
+    val textSide = curated0.select(col("doc_id"), lit("stub text").as("text"))
+    CurateIncremental.saveState(
+      CurateIncremental.withEmbeddings(
+        CurateIncremental.buildState(textSide, "doc_id", "text"),
+        curated0, "doc_id", "v", ecfg),
+      root, buckets = 4)
+
+    // day 1 delta: fresh docs 30..33, a jitter of state doc 3 (must die —
+    // corpus wins), and an in-delta jitter pair (31, 40) (min id 31 wins)
+    val delta = embDf(Seq((30L, vec(30)), (31L, vec(31)), (32L, vec(32)),
+      (33L, jitter(vec(3))), (40L, jitter(vec(31)))))
+    val st = CurateIncremental.loadState(spark, root)
+    val inc = CurateIncremental.curateDeltaEmbeddings(delta, "doc_id", "v", st, ecfg)
+    val incIds = inc.select("doc_id").as[Long].collect().toSet
+
+    val full = fullCurate(day0.unionByName(delta))
+      .select("doc_id").as[Long].collect().toSet
+    assert((1L to 8L).toSet ++ incIds == full,
+      s"state ∪ incremental = ${(1L to 8L).toSet ++ incIds} but full re-curate = $full")
+    assert(incIds == Set(30L, 31L, 32L))
+  }
+
+  test("appendEmbedState makes day-1 embedding survivors probe-able on day 2") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-embapp-").toString
+    val day0 = embDf(Seq((1L, vec(1)), (2L, vec(2))))
+    CurateIncremental.saveState(
+      CurateIncremental.withEmbeddings(
+        CurateIncremental.buildState(
+          day0.select(col("doc_id"), lit("t").as("text")), "doc_id", "text"),
+        day0, "doc_id", "v", ecfg),
+      root, buckets = 4)
+
+    val st1 = CurateIncremental.loadState(spark, root)
+    val day1 = embDf(Seq((10L, vec(10))))
+    val s1 = CurateIncremental.curateDeltaEmbeddings(day1, "doc_id", "v", st1, ecfg)
+    assert(s1.count() == 1)
+    CurateIncremental.appendEmbedState(s1, "doc_id", "v", root, ecfg)
+
+    // day 2: a jitter of day 1's survivor must now die at the probe —
+    // through a freshly loaded state (fresh-session shape)
+    val st2 = CurateIncremental.loadState(spark, root)
+    assert(st2.embeddings.get.count() == 3 && st2.srpBuckets.get.count() == 6,
+      "embedding state tables must have grown by the appended survivor")
+    val day2 = embDf(Seq((20L, jitter(vec(10))), (17L, vec(17))))
+    val s2 = CurateIncremental.curateDeltaEmbeddings(day2, "doc_id", "v", st2, ecfg)
+    assert(s2.select("doc_id").as[Long].collect().toSet == Set(17L))
+  }
+
   test("compactState rewrites a week of appends back to one file per bucket") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
     CurateIncremental.bootstrap(

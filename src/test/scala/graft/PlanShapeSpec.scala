@@ -131,15 +131,25 @@ class PlanShapeSpec extends SparkSpec {
     val docs = (1L to 30L)
       .map(i => (i, (0 until 12).map(j => s"doc$i tok$j word${j % 5}").mkString(" ")))
       .toDF("doc_id", "text")
+    val embs = (1L to 30L)
+      .map(i => (i, (0 until 16).map(j => (((i * 31 + j * 17) % 19) - 9).toDouble)))
+      .toDF("doc_id", "v")
+    val ecfg = CurateIncremental.EmbedConfig(dim = 16)
     val root = java.nio.file.Files.createTempDirectory("graft-planshape-").toString
     CurateIncremental.saveState(
-      CurateIncremental.buildState(docs, "doc_id", "text"), root, buckets = 4)
+      CurateIncremental.withEmbeddings(
+        CurateIncremental.buildState(docs, "doc_id", "text"),
+        embs, "doc_id", "v", ecfg),
+      root, buckets = 4)
     val st = CurateIncremental.loadState(spark, root)
     val stateDir = s"$root/curate_state"
 
     val delta = (100L to 120L)
       .map(i => (i, (0 until 12).map(j => s"new$i tok$j word${j % 5}").mkString(" ")))
       .toDF("doc_id", "text")
+    val deltaEmbs = (100L to 120L)
+      .map(i => (i, (0 until 16).map(j => (((i * 29 + j * 13) % 19) - 9).toDouble)))
+      .toDF("doc_id", "v")
 
     // plan the at-scale shape: no auto-broadcast (a 100 TB delta side is
     // not broadcastable), AQE off so EnsureRequirements' exchanges are
@@ -153,7 +163,9 @@ class PlanShapeSpec extends SparkSpec {
         "fingerprintProbe" ->
           CurateIncremental.fingerprintProbe(delta, "doc_id", "text", st),
         "bandKeyProbe" -> CurateIncremental.bandKeyProbe(
-          Dedup.lshBandKeys(delta, "doc_id", "text", 5, 12, 3, 4), st))
+          Dedup.lshBandKeys(delta, "doc_id", "text", 5, 12, 3, 4), st),
+        "embeddingProbe" -> CurateIncremental.embeddingProbe(
+          CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st))
       // an exchange "re-shuffles the state" only if the state scan feeds
       // it WITHOUT an intervening join: post-join exchanges (candidate-
       // pair distinct) carry pair-sized data, not the corpus-scale table
