@@ -407,6 +407,57 @@ object Similarity {
                   seed: Long): Seq[Seq[Seq[Double]]] =
     (0 until nBlocks).map(b => randomPlanes(codebookSize, subDim, seed + b))
 
+  /** Train per-block PQ codebooks on the corpus: block b of every vector
+    * (dim/nBlocks entries) is clustered with the same deterministic
+    * k-means‖ machinery as the IVF cells ([[kmeansCentroids]], seeded
+    * seed+b so blocks differ), then each unit sub-centroid is rescaled to
+    * the least-squares magnitude of its cell — s = mean projection of the
+    * cell's sub-vectors onto the direction, the optimal per-codeword
+    * scalar — so codewords carry magnitude, which spherical centroids
+    * alone would lose and ADC reconstruction needs. Driver-side result
+    * ([[pqCodebooks]] shape); persist via
+    * [[IndexStore.savePqCodebooks]]. A degenerate block (fewer distinct
+    * directions than `codebookSize`) yields a shorter book, never padded
+    * duplicates. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String,
+                       nBlocks: Int, codebookSize: Int, iters: Int = 5,
+                       seed: Long = 11L, dim: Int = -1): Seq[Seq[Seq[Double]]] = {
+    val d = if (dim > 0) dim else probeDim(corpus, vecCol)
+    require(d % nBlocks == 0, s"dim $d not divisible into $nBlocks blocks")
+    val w = d / nBlocks
+    val dv = corpus.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until nBlocks).map { b =>
+        val blk = dv.select(slice(col("__v"), b * w + 1, w).as("__blk"))
+        val dirs = kmeansCentroids(blk, "__blk", codebookSize,
+          iters, seed + b, w)
+        if (dirs.isEmpty) Seq.empty[Seq[Double]]
+        else {
+          // one bounded pass per block: cell assignment by max projection
+          // (argmax via the struct/array_max idiom), then per-cell mean
+          // projection = the least-squares codeword magnitude
+          val projs = array(dirs.map(c =>
+            dot(col("__blk"), array(c.map(lit): _*))): _*)
+          val cell = (-array_max(array(dirs.zipWithIndex.map { case (c, i) =>
+            struct(dot(col("__blk"), array(c.map(lit): _*)).as("s"),
+              lit(-i).as("ni")) }: _*)).getField("ni")).cast("int")
+          val scales = blk
+            .withColumn("__cell", cell)
+            .withColumn("__proj", element_at(projs, col("__cell") + 1))
+            .groupBy("__cell").agg(avg("__proj").as("__s"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          dirs.zipWithIndex.map { case (c, i) =>
+            val s = scales.getOrElse(i, 1.0)
+            if (s > 0) c.map(_ * s) else c // degenerate cell: keep the unit direction
+          }
+        }
+      }
+    } finally { dv.unpersist(); () }
+  }
+
   /** Product-quantization top-k with asymmetric-distance scoring — the
     * standard memory-compression ANN: each corpus vector is reduced to
     * `nBlocks` small codes (nearest ±1 sub-centroid per block, exact
@@ -420,34 +471,60 @@ object Similarity {
     * join is against the CODES, with the bounded query side broadcast.
     * Compose with [[annTopKQuantized]]-style buckets when the query side
     * is corpus-sized. */
+  /** Integer codebooks for the PQ scoring expressions: trained books
+    * (fractional doubles) quantize by `quantScale` like the vectors;
+    * the seeded ±1 books stay ±1 (their entries are already exact).
+    * The score unit differs accordingly — scale² vs scale — which only
+    * affects the display column, never the ranking. */
+  private def intBooks(trained: Seq[Seq[Seq[Double]]], nBlocks: Int,
+                       codebookSize: Int, w: Int, seed: Long,
+                       quantScale: Double): (Seq[Seq[Seq[Long]]], Double) =
+    if (trained.nonEmpty) {
+      require(trained.length == nBlocks,
+        s"trained books cover ${trained.length} blocks, expected $nBlocks")
+      (trained.map(_.map(_.map(x => math.round(x * quantScale)))),
+        quantScale * quantScale)
+    } else
+      (pqCodebooks(nBlocks, codebookSize, w, seed).map(_.map(_.map(_.toLong))),
+        quantScale)
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              nBlocks: Int = 8, codebookSize: Int = 8, seed: Long = 11L,
              quantScale: Double = 1048576.0, dim: Int = -1,
+             trained: Seq[Seq[Seq[Double]]] = Nil,
              qId: String = "q_id", qVec: String = "q_vec",
              cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
     require(d % nBlocks == 0, s"dim $d not divisible into $nBlocks blocks")
     val w = d / nBlocks
-    val books = pqCodebooks(nBlocks, codebookSize, w, seed)
+    val (books, scoreDiv) =
+      intBooks(trained, nBlocks, codebookSize, w, seed, quantScale)
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
-    def dotLit(block: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(block, array(ctr.map(x => lit(x.toLong)): _*),
+    def dotLit(block: Column, ctr: Seq[Long]): Column =
+      aggregate(zip_with(block, array(ctr.map(lit): _*),
         (a, b) => a * b), lit(0L), (acc, x) => acc + x)
     val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
-    // corpus → codes only (the vector is dropped — that IS the point)
+    // corpus → codes only (the vector is dropped — that IS the point).
+    // Code assignment is nearest-codeword by Euclidean distance:
+    // argmax(2·dot − ‖c‖²). For the ±1 books every ‖c‖² = w, so this is
+    // the historical max-dot rule shifted by a constant — identical
+    // codes, identical ties (q52/q53 oracles unaffected); for trained
+    // books with varying magnitudes the norm term is what makes the
+    // assignment correct.
     val cCoded = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
       .withColumn("__codes", array((0 until nBlocks).map { b =>
         val cBlock = slice(col("__cv"), b * w + 1, w)
         -array_max(array(books(b).zipWithIndex.map { case (ctr, j) =>
-          struct(dotLit(cBlock, ctr).as("s"), lit(-j).as("nj")) }: _*))
+          struct((dotLit(cBlock, ctr) * 2 - lit(ctr.map(x => x * x).sum)).as("s"),
+            lit(-j).as("nj")) }: _*))
           .getField("nj")
       }: _*))
       .drop("__cv")
     val scoreI = (0 until nBlocks).map { b =>
       val qBlock = slice(col("__qv"), b * w + 1, w)
       val ctrTable = array(books(b).map(ctr =>
-        array(ctr.map(x => lit(x.toLong)): _*)): _*)
+        array(ctr.map(lit): _*)): _*)
       aggregate(zip_with(qBlock,
         element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
         (a, c) => a * c), lit(0L), (acc, x) => acc + x)
@@ -461,7 +538,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("rank"),
-        (col("score_i").cast("double") / quantScale).as("score"))
+        (col("score_i").cast("double") / scoreDiv).as("score"))
   }
 
   /** IVF-PQ top-k — the standard big-corpus ANN architecture, composed
@@ -476,30 +553,38 @@ object Similarity {
                 nCentroids: Int = 16, nProbes: Int = 4, cellSeed: Long = 42L,
                 nBlocks: Int = 8, codebookSize: Int = 8, pqSeed: Long = 11L,
                 quantScale: Double = 1048576.0, dim: Int = -1,
+                trained: Seq[Seq[Seq[Double]]] = Nil,
                 qId: String = "q_id", qVec: String = "q_vec",
                 cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
     require(d % nBlocks == 0, s"dim $d not divisible into $nBlocks blocks")
     val w = d / nBlocks
     val centroids = randomPlanes(nCentroids, d, cellSeed)
-    val books = pqCodebooks(nBlocks, codebookSize, w, pqSeed)
+    val (books, scoreDiv) =
+      intBooks(trained, nBlocks, codebookSize, w, pqSeed, quantScale)
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * quantScale).cast("long"))
-    def dotLit(vec: Column, ctr: Seq[Double]): Column =
+    def dotCell(vec: Column, ctr: Seq[Double]): Column =
       aggregate(zip_with(vec, array(ctr.map(x => lit(x.toLong)): _*),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    def dotLit(vec: Column, ctr: Seq[Long]): Column =
+      aggregate(zip_with(vec, array(ctr.map(lit): _*),
         (a, b) => a * b), lit(0L), (acc, x) => acc + x)
     val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
     val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
-    // corpus: best cell + PQ codes, full vector dropped
+    // corpus: best cell + PQ codes, full vector dropped. Code assignment
+    // is distance-correct argmax(2·dot − ‖c‖²) — a constant shift for the
+    // ±1 books (see pqTopK), required for trained books.
     val cCoded = c
       .withColumn("__cell",
         -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(dotLit(col("__cv"), ctr).as("s"), lit(-i).as("ni")) }: _*))
+          struct(dotCell(col("__cv"), ctr).as("s"), lit(-i).as("ni")) }: _*))
           .getField("ni"))
       .withColumn("__codes", array((0 until nBlocks).map { b =>
         val cBlock = slice(col("__cv"), b * w + 1, w)
         -array_max(array(books(b).zipWithIndex.map { case (ctr, j) =>
-          struct(dotLit(cBlock, ctr).as("s"), lit(-j).as("nj")) }: _*))
+          struct((dotLit(cBlock, ctr) * 2 - lit(ctr.map(x => x * x).sum)).as("s"),
+            lit(-j).as("nj")) }: _*))
           .getField("nj")
       }: _*))
       .drop("__cv")
@@ -507,13 +592,13 @@ object Similarity {
     val qCells = q.withColumn("__cell",
       explode(transform(slice(
         sort_array(array(centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(dotLit(col("__qv"), ctr).as("s"), lit(-i).as("ni")) }: _*),
+          struct(dotCell(col("__qv"), ctr).as("s"), lit(-i).as("ni")) }: _*),
           asc = false),
         1, nProbes), s => -s.getField("ni"))))
     val scoreI = (0 until nBlocks).map { b =>
       val qBlock = slice(col("__qv"), b * w + 1, w)
       val ctrTable = array(books(b).map(ctr =>
-        array(ctr.map(x => lit(x.toLong)): _*)): _*)
+        array(ctr.map(lit): _*)): _*)
       aggregate(zip_with(qBlock,
         element_at(ctrTable, element_at(col("__codes"), b + 1) + 1),
         (a, x) => a * x), lit(0L), (acc, x) => acc + x)
@@ -527,7 +612,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("rank"),
-        (col("score_i").cast("double") / quantScale).as("score"))
+        (col("score_i").cast("double") / scoreDiv).as("score"))
   }
 
   /** Deterministic quantized embedding near-dup pairs — the

@@ -78,6 +78,25 @@ object RecallEval {
       }
     }
 
+    // --- pqTopK / ivfPqTopK: seeded ±1 codebooks vs trained (equal
+    // settings otherwise — the trained-vs-fixed delta IS the number) ---
+    val trainedBooks = Similarity.trainPqCodebooks(
+      emb.select(col("v")), "v", nBlocks = 8, codebookSize = 8,
+      iters = 5, dim = 64)
+    val bookFlavors: Seq[(String, Seq[Seq[Seq[Double]]])] =
+      Seq("fixed" -> Nil, "trained" -> trainedBooks)
+    for ((label, tb) <- bookFlavors) {
+      val r = recallAt10(Similarity.pqTopK(queries, corpus, k,
+        nBlocks = 8, codebookSize = 8, dim = 64, trained = tb))
+      println(f"RECALL pqTopK blocks=8 codebook=8 books=$label recall@10=$r%.3f")
+    }
+    for ((label, tb) <- bookFlavors; nProbes <- Seq(4, 8)) {
+      val r = recallAt10(Similarity.ivfPqTopK(queries, corpus, k,
+        nCentroids = 16, nProbes = nProbes, nBlocks = 8, codebookSize = 8,
+        dim = 64, trained = tb))
+      println(f"RECALL ivfPqTopK cells=16 probes=$nProbes books=$label recall@10=$r%.3f")
+    }
+
     // --- embeddingNearDups: pair recall vs all-pairs ground truth ---
     // the synthetic corpus has NO natural pairs at a useful threshold, so
     // near-dups are PLANTED (same posture as ScaleStress): every 4th base

@@ -887,6 +887,60 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("trainPqCodebooks: codewords carry cell magnitude; trained ADC >= fixed on clustered data") {
+    import graft.ops.Similarity
+    // block 0 of every vector is exactly (3, 0); block 1 is (0, 1) or
+    // (0, 2). Spherical k-means finds the directions; the least-squares
+    // rescale must recover the magnitudes (3 resp. 1.5 = mean of {1,2}).
+    val tiny = (0 until 8).map(i => (i.toLong, Seq(3.0, 0.0, 0.0, (i % 2 + 1).toDouble)))
+      .toDF("id", "v")
+    val tinyBooks = Similarity.trainPqCodebooks(tiny, "v",
+      nBlocks = 2, codebookSize = 2, iters = 3, dim = 4)
+    assert(tinyBooks.length == 2)
+    // one distinct direction per block → a SHORTER book, never padding
+    assert(tinyBooks(0).length == 1 &&
+      math.abs(tinyBooks(0).head.head - 3.0) < 1e-9 &&
+      math.abs(tinyBooks(0).head(1)) < 1e-9,
+      s"block-0 codeword should be (3, 0): ${tinyBooks(0)}")
+    assert(tinyBooks(1).length == 1 &&
+      math.abs(tinyBooks(1).head(1) - 1.5) < 1e-9,
+      s"block-1 codeword should be (0, 1.5): ${tinyBooks(1)}")
+
+    // clustered corpus: 3 axis-aligned clusters with distinct magnitudes
+    // and small deterministic jitter — the structure ±1 codebooks cannot
+    // represent but trained ones can
+    val pts = for { c <- 0 until 3; i <- 0 until 20 } yield {
+      val v = Array.tabulate(8)(j => 0.05 * (((c * 20 + i) * 7 + j) % 5 - 2))
+      v(c) = (c + 1).toDouble
+      ((c * 20 + i).toLong, v.toSeq)
+    }
+    val df = pts.toDF("id", "v")
+    val corpus = df.select(col("id").as("c_id"), col("v").as("c_vec"))
+    val queries = df.filter(col("id") % 10 === 0)
+      .select(col("id").as("q_id"), col("v").as("q_vec"))
+    val truth = Similarity.cosineTopK(queries, corpus, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val books = Similarity.trainPqCodebooks(df, "v",
+      nBlocks = 2, codebookSize = 4, iters = 4, dim = 8)
+    def recall(tb: Seq[Seq[Seq[Double]]]) = {
+      val got = Similarity.pqTopK(queries, corpus, 5,
+          nBlocks = 2, codebookSize = 4, dim = 8, trained = tb)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val (rFixed, rTrained) = (recall(Nil), recall(books))
+    assert(rTrained >= rFixed,
+      s"trained books recall $rTrained < fixed ±1 recall $rFixed")
+
+    // trained books round-trip bit-exact through IndexStore and give
+    // identical rankings — the artifact contract for an offline trainer
+    val root = java.nio.file.Files.createTempDirectory("graft-pqtrain-").toString
+    graft.ops.IndexStore.savePqCodebooks(spark, books, s"$root/books")
+    val loaded = graft.ops.IndexStore.loadPqCodebooks(spark, s"$root/books")
+    assert(loaded == books.map(_.map(_.toVector).toVector).toVector)
+    assert(recall(loaded) == rTrained)
+  }
+
   test("ivfPqTopK: copy reaches its query through a shared cell, maximal ADC score") {
     import graft.ops.Similarity
     // parallel copy: scale-invariant cell assignment puts it in the
