@@ -581,6 +581,88 @@ object CurateIncremental {
     delta.join(dups, delta(idCol) === col("__dup"), "left_anti")
   }
 
+  /** The periodic FULL re-curate — the third call of the operational
+    * surface (bootstrap / daily×N / refresh): re-run the complete
+    * [[Curate.curate]] recipe over the persisted corpus ∪ `pending`,
+    * INCLUDING the corpus-global stages the daily increment must skip
+    * (boilerplate removal via `cfg.boilerplateMaxDocs`), then rebuild
+    * and re-persist the state tables from the result. Run it weekly-ish,
+    * or whenever a config change invalidates the persisted artifacts.
+    * With ingest-monotone ids this equals the bootstrap that would have
+    * seen all the data at once (unit-tested: bootstrap → daily×2 →
+    * refresh == one full curate of the union).
+    *
+    * If the state carries the embedding tables, `pendingVecs` (the
+    * pending docs' id + `vecCol` vectors) must be supplied: the full
+    * embedding near-dup collapse then runs across the union (state
+    * vectors read from the persisted quantized table — never
+    * re-quantized), the corpus drops embedding-dups too, and the
+    * embedding tables are rebuilt in sync with the corpus. */
+  def refresh(pending: DataFrame, benchmark: DataFrame,
+              idCol: String, textCol: String, root: String,
+              cfg: Curate.Config = Curate.Config(),
+              pendingVecs: Option[DataFrame] = None, vecCol: String = "v",
+              ecfg: EmbedConfig = EmbedConfig()): Curate.Result = {
+    require(cfg.chunk.isEmpty,
+      "state must be document-level — chunk downstream of curation")
+    val spark = pending.sparkSession
+    val st = loadState(spark, root)
+    require(st.embeddings.isEmpty || pendingVecs.nonEmpty,
+      "state carries embedding tables — refresh needs pendingVecs to keep them in sync")
+    val union = st.corpus.select(col(idCol), col(textCol))
+      .unionByName(pending.select(col(idCol), col(textCol)))
+    val r = Curate.curate(union, benchmark, idCol, textCol, cfg)
+
+    // optional embedding stage: full near-dup collapse over the union's
+    // vectors (persisted quantized state ∪ freshly-quantized pending),
+    // restricted to the text survivors — the composed daily flow's
+    // text-then-embeddings order, corpus-wide
+    val (curated, embState) = (st.embeddings, pendingVecs) match {
+      case (Some(stEmb), Some(pv)) =>
+        val allVecs = stEmb.select(col("id"), col("v"))
+          .unionByName(pv.select(col(idCol).as("id"),
+            quantVec(col(vecCol), ecfg).as("v")))
+        val survivorVecs = allVecs.join(
+          r.corpus.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        // vectors are already quantized — sketch and confirm at scale 1
+        val pairs = Similarity.embeddingNearDupsQuantized(survivorVecs, "id", "v",
+          ecfg.threshold, ecfg.nPlanes, ecfg.prefixBits, ecfg.seeds,
+          quantScale = 1.0, dim = ecfg.dim)
+        val embSurvivors = Dedup.survivorsTransitive(survivorVecs, pairs, "id")
+        (r.corpus.join(embSurvivors.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+          Some(embSurvivors))
+      case _ => (r.corpus, None)
+    }
+
+    // pin the result before saveState: the snapshot writes go to temp
+    // siblings (never into their own input dirs), but the SWAP replaces
+    // the dirs this frame's lineage reads — an unpinned caller re-read
+    // would recompute against the new state
+    val rdd = curated.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    val corpus = spark.createDataFrame(rdd, curated.schema)
+    val newState = buildState(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, cfg)
+    val newStateFull = embState match {
+      case Some(vecs) =>
+        val pinnedVecs = {
+          val vr = vecs.select(col("id"), col("v")).rdd
+          vr.localCheckpoint(); vr.count()
+          spark.createDataFrame(vr, vecs.select(col("id"), col("v")).schema)
+        }
+        newState.copy(
+          embeddings = Some(pinnedVecs),
+          srpBuckets = Some(srpSketchTable(pinnedVecs, "id", "v",
+            ecfg.copy(quantScale = 1.0))))
+      case None => newState
+    }
+    saveState(newStateFull, root,
+      buckets = readMeta(spark, root).getOrElse(defaultBuckets(spark)))
+    Curate.Result(corpus, r.stats,
+      () => { r.release(); rdd.unpersist(blocking = false); () })
+  }
+
   /** Curate a delta against the persisted state. Output: the DELTA's
     * survivors (text redacted, `split` assigned) — the rows to append to
     * the lake; the existing corpus is untouched by construction. Stats

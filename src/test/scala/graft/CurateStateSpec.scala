@@ -163,6 +163,67 @@ class CurateStateSpec extends SparkSpec {
     assert(s2.select("doc_id").as[Long].collect().toSet == Set(17L))
   }
 
+  test("refresh: bootstrap -> daily x2 -> refresh equals one full curate of the union") {
+    import graft.ops.Curate
+    val root = java.nio.file.Files.createTempDirectory("graft-refresh-").toString
+    val day0 = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")))
+    val day1 = docsDf(Seq(doc(10, "delta"), doc(11, "alpha")))   // 11 re-crawls 1
+    val day2 = docsDf(Seq(doc(20, "epsilon"), doc(21, "delta"))) // 21 re-crawls 10
+    val pending = docsDf(Seq(doc(30, "zeta"), doc(31, "epsilon"))) // 31 re-crawls 20
+
+    CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root).release()
+    CurateIncremental.daily(day1, bench, "doc_id", "text", root).release()
+    CurateIncremental.daily(day2, bench, "doc_id", "text", root).release()
+    val ref = CurateIncremental.refresh(pending, bench, "doc_id", "text", root)
+    val got = ref.corpus.select("doc_id", "text", "split")
+      .as[(Long, String, String)].collect().toSet
+
+    val full = Curate.curate(
+      day0.unionByName(day1).unionByName(day2).unionByName(pending),
+      bench, "doc_id", "text")
+    val want = full.corpus.select("doc_id", "text", "split")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want, s"refresh corpus != full curate of the union")
+    full.release(); ref.release()
+
+    // the rebuilt state is consistent and still functions: a daily after
+    // refresh dedups re-crawls of both old and pending content
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.count() == want.size &&
+      st.fingerprints.count() == want.size)
+    val day3 = CurateIncremental.daily(
+      docsDf(Seq(doc(40, "alpha"), doc(41, "zeta"), doc(42, "omega"))),
+      bench, "doc_id", "text", root)
+    assert(day3.corpus.select("doc_id").as[Long].collect().toSet == Set(42L))
+    day3.release()
+  }
+
+  test("refresh runs the corpus-global boilerplate stage the daily increment must skip") {
+    import graft.ops.Curate
+    val root = java.nio.file.Files.createTempDirectory("graft-refreshbp-").toString
+    def twoLine(id: Long, seed: String) =
+      (id, (0 until 10).map(i => s"$seed word$i tok${i % 3}").mkString(" ") +
+        "\nSHARED FOOTER line all pages carry")
+    val day0 = Seq(twoLine(1, "alpha"), twoLine(2, "beta")).toDF("doc_id", "text")
+    CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root).release()
+    CurateIncremental.daily(Seq(twoLine(10, "gamma")).toDF("doc_id", "text"),
+      bench, "doc_id", "text", root).release()
+
+    val ref = CurateIncremental.refresh(
+      Seq(twoLine(20, "delta")).toDF("doc_id", "text"), bench, "doc_id", "text",
+      root, Curate.Config(boilerplateMaxDocs = Some(2)))
+    val texts = ref.corpus.select("text").as[String].collect()
+    assert(texts.length == 4 && texts.forall(!_.contains("SHARED FOOTER")),
+      "refresh must strip the corpus-frequent footer line")
+    ref.release()
+    // and the rebuilt fingerprints index the STRIPPED text: a re-crawl of
+    // a doc (footer included) is caught as a near/exact dup of the
+    // stripped survivor only if fingerprints match the stored corpus —
+    // assert state and corpus agree instead of guessing semantics
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.count() == 4 && st.fingerprints.count() == 4)
+  }
+
   test("compactState rewrites a week of appends back to one file per bucket") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
     CurateIncremental.bootstrap(
