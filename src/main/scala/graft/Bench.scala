@@ -28,6 +28,11 @@ object Bench {
   private class ShuffleMetrics extends org.apache.spark.scheduler.SparkListener {
     @volatile var read = 0L
     @volatile var written = 0L
+    @volatile var submitted = 0L
+    @volatile var completed = 0L
+    override def onStageSubmitted(
+        ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      submitted += 1
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -35,17 +40,27 @@ object Bench {
         read += m.shuffleReadMetrics.totalBytesRead
         written += m.shuffleWriteMetrics.bytesWritten
       }
+      completed += 1
     }
-    /** Poll until the async listener bus goes quiet (counters stable for
-      * one interval) — bounded, normally one interval. */
+    /** Poll until every submitted stage has completed AND the async bus
+      * has gone quiet (counters stable for one interval) — the balance
+      * check catches a straggler stage that would otherwise get its
+      * bytes attributed to the NEXT query. Bounded; a timeout with
+      * unbalanced counts is LOGGED so a silently-skewed byte map cannot
+      * masquerade as a clean run. */
     def drain(): Unit = {
-      var last = (-1L, -1L)
+      var last = (-1L, -1L, -1L, -1L)
       var waited = 0
-      while ((read, written) != last && waited < 2000) {
-        last = (read, written)
+      while (((read, written, submitted, completed) != last || submitted != completed)
+        && waited < 10000) {
+        last = (read, written, submitted, completed)
         Thread.sleep(50)
         waited += 50
       }
+      if (submitted != completed)
+        System.err.println(s"[bench] drain timeout after ${waited}ms with " +
+          s"$submitted stages submitted vs $completed completed — the next " +
+          "query's shuffle bytes may include this straggler")
     }
   }
 

@@ -119,7 +119,8 @@ object Pipeline {
   /** Backfill: run a range of snapshot dates sequentially (the engine's
     * equivalent of re-triggering the reference's daily DAG per day,
     * `dags/movies_analytics.py:22-28`), with the DAG's failure policy
-    * (`dags/movies_analytics.py:6-10`: `retries: 1`, `retry_delay`) —
+    * (`dags/movies_analytics.py:6-10`: `retries: 1`,
+    * `retry_delay=timedelta(minutes=3)` — hence the 180 000 ms default) —
     * each failed day is retried `retries` more times after `retryDelayMs`
     * before the backfill aborts.
     *
@@ -130,11 +131,15 @@ object Pipeline {
     * overwrite touches only its own partitions — so re-running an
     * unmarked, half-written day is safe.) The returned map holds only the
     * days this invocation actually ran; skipped days are absent.
+    * INTENTIONAL reprocessing after a code or config change: pass
+    * `force = true` (markers for the requested dates are ignored and
+    * rewritten) or clear markers first with [[clearBackfillMarkers]].
     *
     * `sleeper` and `runDay` are injection seams for tests (fake clock,
     * fault injection) — production callers take the defaults. */
   def backfill(spark: SparkSession, cfg: Config, dates: Seq[String],
-               retries: Int = 1, retryDelayMs: Long = 30000L,
+               retries: Int = 1, retryDelayMs: Long = 180000L,
+               force: Boolean = false,
                sleeper: Long => Unit = Thread.sleep,
                runDay: (SparkSession, Config) => Result = run): Map[String, Result] = {
     import org.apache.hadoop.fs.Path
@@ -142,8 +147,8 @@ object Pipeline {
     val doneDir = new Path(cfg.lakeRoot, "_backfill_done")
     val fs = doneDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done: Set[String] =
-      if (fs.exists(doneDir)) fs.listStatus(doneDir).map(_.getPath.getName).toSet
-      else Set.empty
+      if (force || !fs.exists(doneDir)) Set.empty
+      else fs.listStatus(doneDir).map(_.getPath.getName).toSet
     dates.flatMap { d =>
       if (done(d)) None
       else {
@@ -169,5 +174,22 @@ object Pipeline {
         }
       }
     }.toMap
+  }
+
+  /** Invalidate `_backfill_done` markers so the next [[backfill]]
+    * reprocesses those days — the explicit "my code changed, recompute"
+    * path. `dates` empty clears every marker. Returns the dates whose
+    * markers were actually removed. */
+  def clearBackfillMarkers(spark: SparkSession, cfg: Config,
+                           dates: Seq[String] = Nil): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val doneDir = new Path(cfg.lakeRoot, "_backfill_done")
+    val fs = doneDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(doneDir)) Nil
+    else {
+      val present = fs.listStatus(doneDir).map(_.getPath.getName).toSeq
+      val targets = if (dates.isEmpty) present else present.filter(dates.contains)
+      targets.filter(d => fs.delete(new Path(doneDir, d), false))
+    }
   }
 }

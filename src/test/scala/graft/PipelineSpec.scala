@@ -352,6 +352,27 @@ class PipelineSpec extends SparkSpec {
     val r3 = Pipeline.backfill(spark, cfg, dates :+ "2026-03-04",
       sleeper = _ => (), runDay = runDay2)
     assert(ran.toSeq == Seq("2026-03-04") && r3.keySet == Set("2026-03-04"))
+
+    // INTENTIONAL reprocessing after a code change — force ignores the
+    // markers (and leaves them rewritten), clearBackfillMarkers
+    // invalidates selectively
+    ran.clear()
+    val r4 = Pipeline.backfill(spark, cfg, Seq("2026-03-01"), force = true,
+      sleeper = _ => (), runDay = runDay2)
+    assert(ran.toSeq == Seq("2026-03-01") && r4.keySet == Set("2026-03-01"))
+    val cleared = Pipeline.clearBackfillMarkers(spark, cfg, Seq("2026-03-02"))
+    assert(cleared == Seq("2026-03-02"))
+    ran.clear()
+    val r5 = Pipeline.backfill(spark, cfg, dates, sleeper = _ => (), runDay = runDay2)
+    assert(ran.toSeq == Seq("2026-03-02") && r5.keySet == Set("2026-03-02"),
+      "only the cleared day may rerun")
+    // clearing everything re-arms the full range
+    val all = Pipeline.clearBackfillMarkers(spark, cfg)
+    assert(all.toSet == (dates :+ "2026-03-04").toSet)
+    ran.clear()
+    assert(Pipeline.backfill(spark, cfg, dates, sleeper = _ => (),
+      runDay = runDay2).keySet == dates.toSet)
+    assert(ran.toSeq == dates)
   }
 
   test("merge-upsert: crash between backup and swap renames converges on re-run") {
