@@ -423,26 +423,54 @@ object Multimodal {
     * fall back to [[StubDemuxer]] — scan noise can alias ONE sync word,
     * but not two chained ones. */
   object Mp3Demuxer extends Demuxer {
-    // MPEG-1 Layer III bitrates (kbps) and sample rates (Hz), index 0 and
-    // 15 (bitrate) / 3 (samplerate) are free-format/reserved → rejected
-    private val bitrates =
-      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
-    private val sampleRates = Array(44100, 48000, 32000, -1)
+    // bitrate tables (kbps) per ISO 11172-3 / 13818-3, indexed
+    // [version group][layer][bitrate index]: group 0 = MPEG-1,
+    // group 1 = MPEG-2 and MPEG-2.5 (which share one table); layer
+    // rows are I, II, III. Index 0 is free-format, 15 reserved → -1.
+    private val bitrateTables: Array[Array[Array[Int]]] = Array(
+      Array(
+        Array(-1, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, -1),
+        Array(-1, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, -1),
+        Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)),
+      Array(
+        Array(-1, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, -1),
+        Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1),
+        Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)))
+    // sample rates (Hz) indexed by the RAW 2-bit version field (0 =
+    // MPEG-2.5, 1 = reserved, 2 = MPEG-2, 3 = MPEG-1), then the 2-bit
+    // rate index (3 reserved)
+    private val sampleRateTables: Array[Array[Int]] = Array(
+      Array(11025, 12000, 8000, -1),
+      Array(-1, -1, -1, -1),
+      Array(22050, 24000, 16000, -1),
+      Array(44100, 48000, 32000, -1))
 
-    /** Frame length in bytes for a valid MPEG-1 Layer III header at
-      * `b(i..i+3)`; -1 when the 4 bytes are not such a header. */
+    /** Frame length in bytes for a valid MPEG audio header at
+      * `b(i..i+3)` — MPEG-1/2/2.5, Layer I/II/III; -1 when the 4 bytes
+      * are not such a header. Layer I counts in 4-byte slots
+      * ((12·br∕rate + pad)·4); Layer II/III are 144·br∕rate + pad,
+      * except MPEG-2/2.5 Layer III, whose 576-sample frames halve the
+      * constant to 72. */
     private def frameLen(b: Array[Byte], i: Int): Int = {
       if (i + 4 > b.length) return -1
       val h = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
         ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       if ((h >>> 21) != 0x7ff) return -1 // 11-bit sync
-      if (((h >>> 19) & 3) != 3) return -1 // MPEG-1 only
-      if (((h >>> 17) & 3) != 1) return -1 // Layer III only
-      val bitrate = bitrates((h >>> 12) & 0xf)
-      val rate = sampleRates((h >>> 10) & 3)
+      val ver = (h >>> 19) & 3
+      if (ver == 1) return -1 // reserved version
+      val layerBits = (h >>> 17) & 3 // 3 = I, 2 = II, 1 = III
+      if (layerBits == 0) return -1 // reserved layer
+      val vg = if (ver == 3) 0 else 1
+      val bitrate = bitrateTables(vg)(3 - layerBits)((h >>> 12) & 0xf)
+      val rate = sampleRateTables(ver)((h >>> 10) & 3)
       if (bitrate <= 0 || rate <= 0) return -1
       val padding = (h >>> 9) & 1
-      144 * bitrate * 1000 / rate + padding
+      val br = bitrate * 1000
+      layerBits match {
+        case 3 => (12 * br / rate + padding) * 4
+        case 2 => 144 * br / rate + padding
+        case _ => (if (vg == 0) 144 else 72) * br / rate + padding
+      }
     }
 
     override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
@@ -494,13 +522,13 @@ object Multimodal {
     * flows through ONE [[Demuxer]] seam and each payload gets the real
     * parser the JDK has for it.
     *
-    * Scope note: [[Mp3Demuxer]] parses MPEG-1 Layer III only (32/44.1/
-    * 48 kHz — the overwhelming share of crawled MP3s). MPEG-2/2.5 and
-    * Layer I/II payloads (e.g. 22.05 kHz speech rips) route here by
-    * magic, fail the two-consecutive-valid-frames check, and fall back
-    * to [[StubDemuxer]]'s byte-offset windows — deterministic features,
-    * but NOT real frame hashes; check `frame_offset` semantics before
-    * treating low-rate MP3 hashes as frame-accurate. */
+    * Scope note: [[Mp3Demuxer]] parses the full MPEG audio family —
+    * MPEG-1, MPEG-2 and MPEG-2.5, Layers I/II/III (so 8–48 kHz,
+    * including 22.05 kHz speech rips), with the per-version/per-layer
+    * bitrate tables and frame-length formulas of ISO 11172-3/13818-3.
+    * Free-format streams (bitrate index 0) remain out of scope and fall
+    * back to [[StubDemuxer]]'s byte-offset windows — deterministic
+    * features, but NOT real frame hashes. */
   object AutoDemuxer extends Demuxer {
     private def startsWith(b: Array[Byte], at: Int, magic: String): Boolean =
       b.length >= at + magic.length &&

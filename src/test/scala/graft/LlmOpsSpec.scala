@@ -1296,9 +1296,75 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.MediaRow(32L, "x", junk), 4).toVector == viaStub(32L, junk))
   }
 
+  // MPEG-2 Layer III @ 22.05 kHz (the speech-rip rate), 64 kbps: the
+  // 576-sample frames use the halved constant 72·br∕rate = 208 bytes
+  private lazy val mp3Mpeg2Frames: (Array[Byte], Seq[Array[Byte]]) = {
+    def frame(padding: Boolean, fill: Byte): Array[Byte] = {
+      val len = 72 * 64000 / 22050 + (if (padding) 1 else 0)
+      val f = Array.fill[Byte](len)(fill)
+      f(0) = 0xff.toByte; f(1) = 0xf3.toByte // sync + MPEG-2 + Layer III
+      f(2) = (if (padding) 0x82 else 0x80).toByte // 64 kbps, 22.05 kHz
+      f(3) = 0x00
+      f
+    }
+    val frames = Seq(frame(false, 3), frame(true, 5), frame(false, 9))
+    (frames.flatten.toArray, frames)
+  }
+
+  test("Mp3Demuxer parses MPEG-2 22.05 kHz, Layer II, and Layer I frames (golden)") {
+    def h(bytes: Array[Byte]) = java.util.Arrays.hashCode(bytes)
+    def demux(id: Long, bytes: Array[Byte]) = Multimodal.Mp3Demuxer.frames(
+      Multimodal.MediaRow(id, "audio/mpeg", bytes), 1).toVector
+
+    // MPEG-2 Layer III @ 22.05 kHz — 208-byte frames (72·64000∕22050)
+    val (m2, m2frames) = mp3Mpeg2Frames
+    assert(m2frames.head.length == 208)
+    val gotM2 = demux(41L, m2)
+    assert(gotM2.map(_.frame_offset) == Vector(0, 1, 2))
+    assert(gotM2.map(_.frame_hash) == m2frames.map(h).toVector)
+
+    // MPEG-1 Layer II @ 48 kHz 192 kbps — 576-byte frames (144·192000∕48000)
+    def l2frame(fill: Byte): Array[Byte] = {
+      val f = Array.fill[Byte](576)(fill)
+      f(0) = 0xff.toByte; f(1) = 0xfd.toByte // sync + MPEG-1 + Layer II
+      f(2) = 0xa4.toByte // 192 kbps, 48 kHz
+      f(3) = 0x00
+      f
+    }
+    val l2 = Seq(l2frame(17), l2frame(19))
+    val gotL2 = demux(42L, l2.flatten.toArray)
+    assert(gotL2.map(_.frame_offset) == Vector(0, 1))
+    assert(gotL2.map(_.frame_hash) == l2.map(h).toVector)
+
+    // MPEG-1 Layer I @ 44.1 kHz 256 kbps — slot-padded length
+    // (12·256000∕44100)·4 = 276 bytes
+    def l1frame(fill: Byte): Array[Byte] = {
+      val f = Array.fill[Byte](276)(fill)
+      f(0) = 0xff.toByte; f(1) = 0xff.toByte // sync + MPEG-1 + Layer I
+      f(2) = 0x80.toByte // 256 kbps, 44.1 kHz
+      f(3) = 0x00
+      f
+    }
+    val l1 = Seq(l1frame(23), l1frame(29))
+    val gotL1 = demux(43L, l1.flatten.toArray)
+    assert(gotL1.map(_.frame_offset) == Vector(0, 1))
+    assert(gotL1.map(_.frame_hash) == l1.map(h).toVector)
+
+    // reserved version bits (01) still reject: force EVERY frame header
+    // in the MPEG-2 fixture to the reserved version (frames are 208,
+    // 209, 208 bytes → headers at 0, 208, 417) and the walk must fall
+    // back to the stub — no chained valid pair remains
+    val bad = m2.clone()
+    for (off <- Seq(0, 208, 417))
+      bad(off + 1) = 0xeb.toByte // sync + reserved version + Layer III
+    val viaStub = Multimodal.StubDemuxer.frames(
+      Multimodal.MediaRow(44L, "x", bad), 1).toVector
+    assert(demux(44L, bad) == viaStub)
+  }
+
   test("every demuxer survives random mutation and truncation of every fixture") {
     val fixtures = Seq(gif2frames, wav2500, mp4Fixture(withStss = true)._1,
-      mp3frames._1)
+      mp3frames._1, mp3Mpeg2Frames._1)
     val demuxers = Seq(Multimodal.GifDemuxer, Multimodal.AudioWavDemuxer,
       Multimodal.Mp4Demuxer, Multimodal.Mp3Demuxer, Multimodal.AutoDemuxer)
     val rnd = new scala.util.Random(20260812L)
