@@ -454,6 +454,33 @@ object CurateIncremental {
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
+  /** Sweep crash residue out of the state root: orphan `.tmp-*` snapshot
+    * targets (a crash BEFORE [[swapInto]] leaves the half-written temp
+    * sibling on disk forever — no reader ever looks at it, but at a
+    * weekly compaction cadence the dead bytes rival the live state) and
+    * stray `.old` dirs whose live dir exists (a crash inside swapInto
+    * after the forward rename but before the cleanup delete). Any
+    * half-finished swap is rolled FORWARD first, so a `.old` that is the
+    * only surviving copy of a table is restored, never deleted. Returns
+    * the paths removed; safe to run any time — live tables are untouched. */
+  def vacuumState(spark: SparkSession, root: String): Seq[String] = {
+    val sd = new Path(stateDir(root))
+    val fs = hadoopFs(spark, sd)
+    if (!fs.exists(sd)) Seq.empty
+    else {
+      for (d <- Seq(corpusDir(root), fpsDir(root), bksDir(root),
+                    embDir(root), srpDir(root)))
+        recoverSwap(fs, new Path(d))
+      val stray = fs.listStatus(sd).map(_.getPath).filter { p =>
+        val n = p.getName
+        n.contains(".tmp-") ||
+          (n.endsWith(".old") && fs.exists(new Path(sd, n.stripSuffix(".old"))))
+      }
+      stray.foreach(fs.delete(_, true))
+      stray.map(_.toString).toSeq
+    }
+  }
+
   /** Day-0 bootstrap — the first of the two calls a daily pipeline
     * makes: full-curate `docs` ([[Curate.curate]]) and persist the
     * survivors' state tables under `root`, ready for [[daily]] deltas.

@@ -224,6 +224,41 @@ class CurateStateSpec extends SparkSpec {
     assert(st.corpus.count() == 4 && st.fingerprints.count() == 4)
   }
 
+  test("vacuumState removes crash residue but rolls a half-swap forward first") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum-").toString
+    CurateIncremental.bootstrap(
+      docsDf(Seq(doc(1, "alpha"), doc(2, "beta"))), bench, "doc_id", "text", root)
+      .release()
+    val sd = new java.io.File(s"$root/curate_state")
+
+    // crash residue: an orphan temp target (crash before the swap) and a
+    // stray .old next to a live dir (crash after the forward rename)
+    val tmp = new java.io.File(sd, "fingerprints.tmp-deadbeef")
+    assert(tmp.mkdir() && new java.io.File(tmp, "part-junk.parquet").createNewFile())
+    val old = new java.io.File(sd, "band_keys.old")
+    assert(old.mkdir())
+    // half-finished swap: live corpus moved aside, replacement missing —
+    // the one case where .old IS the state and must be restored, not swept
+    val corpus = new java.io.File(sd, "corpus")
+    val corpusOld = new java.io.File(sd, "corpus.old")
+    assert(corpus.renameTo(corpusOld))
+
+    val removed = CurateIncremental.vacuumState(spark, root)
+    assert(removed.exists(_.endsWith("fingerprints.tmp-deadbeef")) &&
+      removed.exists(_.endsWith("band_keys.old")) && removed.size == 2,
+      s"unexpected vacuum set: $removed")
+    assert(corpus.isDirectory && !corpusOld.exists,
+      "half-swapped corpus must be rolled forward, not deleted")
+
+    // the vacuumed state is intact and still functions
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(10, "alpha"), doc(11, "omega"))), bench, "doc_id", "text", root)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(11L))
+    r.release()
+    // idempotent: a second sweep finds nothing
+    assert(CurateIncremental.vacuumState(spark, root).isEmpty)
+  }
+
   test("compactState rewrites a week of appends back to one file per bucket") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
     CurateIncremental.bootstrap(

@@ -119,15 +119,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("incremental-curation probes plan ZERO exchange on the bucketed state side") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  /** A state persisted by saveState (fingerprints bucketed by content_key,
+    * band keys by (band, key), SRP sketches by (seed, bucket)) plus a
+    * day-1 delta, wired into the three daily probes — the fixture behind
+    * both the AQE-off (planned shape) and AQE-on (executed shape) tests.
+    * Returns the state dir (for scan attribution) and the named probes. */
+  private def probeFixture(): (String, Seq[(String, org.apache.spark.sql.DataFrame)]) = {
     import graft.ops.{CurateIncremental, Dedup}
     import spark.implicits._
-    // a state persisted by saveState: fingerprints bucketed by content_key,
-    // band keys by (band, key) — the corpus-scale tables a daily delta
-    // probes. At 100 TB the probe must NOT re-shuffle them: the bucket
-    // hash IS the join distribution, so only the (small) delta shuffles.
     val docs = (1L to 30L)
       .map(i => (i, (0 until 12).map(j => s"doc$i tok$j word${j % 5}").mkString(" ")))
       .toDF("doc_id", "text")
@@ -142,14 +141,42 @@ class PlanShapeSpec extends SparkSpec {
         embs, "doc_id", "v", ecfg),
       root, buckets = 4)
     val st = CurateIncremental.loadState(spark, root)
-    val stateDir = s"$root/curate_state"
 
-    val delta = (100L to 120L)
-      .map(i => (i, (0 until 12).map(j => s"new$i tok$j word${j % 5}").mkString(" ")))
+    // the delta mixes fresh docs with re-crawls of state docs 1..6 under
+    // new ids: every probe then produces BOTH matches and non-matches, so
+    // AQE's empty-relation propagation cannot collapse the join away (the
+    // AQE-on test below inspects the executed plan, which only retains
+    // stages that did real work)
+    val delta = ((100L to 120L)
+      .map(i => (i, (0 until 12).map(j => s"new$i tok$j word${j % 5}").mkString(" "))) ++
+      (1L to 6L)
+        .map(i => (200L + i, (0 until 12).map(j => s"doc$i tok$j word${j % 5}").mkString(" "))))
       .toDF("doc_id", "text")
-    val deltaEmbs = (100L to 120L)
-      .map(i => (i, (0 until 16).map(j => (((i * 29 + j * 13) % 19) - 9).toDouble)))
+    val deltaEmbs = ((100L to 120L)
+      .map(i => (i, (0 until 16).map(j => (((i * 29 + j * 13) % 19) - 9).toDouble))) ++
+      (1L to 6L)
+        .map(i => (200L + i, (0 until 16).map(j => (((i * 31 + j * 17) % 19) - 9).toDouble))))
       .toDF("doc_id", "v")
+    (s"$root/curate_state", Seq(
+      "fingerprintProbe" ->
+        CurateIncremental.fingerprintProbe(delta, "doc_id", "text", st),
+      // delta band keys use the SAME LSH params buildState's default
+      // Curate.Config used (shingleN=3) — mismatched params join to empty,
+      // and AQE's empty-relation propagation would erase the join under test
+      "bandKeyProbe" -> CurateIncremental.bandKeyProbe(
+        Dedup.lshBandKeys(delta, "doc_id", "text", 3, 12, 3, 4), st),
+      "embeddingProbe" -> CurateIncremental.embeddingProbe(
+        CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st)))
+  }
+
+  test("incremental-curation probes plan ZERO exchange on the bucketed state side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // a state persisted by saveState: fingerprints bucketed by content_key,
+    // band keys by (band, key) — the corpus-scale tables a daily delta
+    // probes. At 100 TB the probe must NOT re-shuffle them: the bucket
+    // hash IS the join distribution, so only the (small) delta shuffles.
+    val (stateDir, probes) = probeFixture()
 
     // plan the at-scale shape: no auto-broadcast (a 100 TB delta side is
     // not broadcastable), AQE off so EnsureRequirements' exchanges are
@@ -159,13 +186,6 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val probes = Seq(
-        "fingerprintProbe" ->
-          CurateIncremental.fingerprintProbe(delta, "doc_id", "text", st),
-        "bandKeyProbe" -> CurateIncremental.bandKeyProbe(
-          Dedup.lshBandKeys(delta, "doc_id", "text", 5, 12, 3, 4), st),
-        "embeddingProbe" -> CurateIncremental.embeddingProbe(
-          CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st))
       // an exchange "re-shuffles the state" only if the state scan feeds
       // it WITHOUT an intervening join: post-join exchanges (candidate-
       // pair distinct) carry pair-sized data, not the corpus-scale table
@@ -192,6 +212,66 @@ class PlanShapeSpec extends SparkSpec {
           .filter(e => e.children.exists(stateFeedsDirectly))
         assert(stateShuffles.isEmpty,
           s"$name re-shuffles the corpus-scale state side:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("bucketed probe shape survives AQE ON: executed adaptive plan keeps zero state-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // the AQE-off test above inspects EnsureRequirements' static output;
+    // production runs AQE ON, where the plan is re-planned stage by stage
+    // at runtime. Bucketed scans carry their distribution into the adaptive
+    // re-plan too — assert that by EXECUTING the probes (AQE finalizes its
+    // stages only on run) and walking the final adaptive plan, descending
+    // through query-stage and reused-exchange wrappers that hide exchanges
+    // from a naive collect.
+    val (stateDir, probes) = probeFixture()
+    def isStateScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(stateDir))
+      case _ => false
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    def stateFeedsDirectly(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => isStateScan(f)
+      case _: BaseJoinExec => false
+      case a: AdaptiveSparkPlanExec => stateFeedsDirectly(a.executedPlan)
+      case q: QueryStageExec => stateFeedsDirectly(q.plan)
+      case r: ReusedExchangeExec => stateFeedsDirectly(r.child)
+      case other => other.children.exists(stateFeedsDirectly)
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      for ((name, probe) <- probes) {
+        probe.collect() // run it — only then is every adaptive stage final
+        val plan = probe.queryExecution.executedPlan
+        assert(plan.isInstanceOf[AdaptiveSparkPlanExec],
+          s"$name did not plan adaptively with AQE on:\n$plan")
+        val nodes = expand(plan)
+        val stateScans = nodes.collect { case f: FileSourceScanExec if isStateScan(f) => f }
+        assert(stateScans.nonEmpty && stateScans.forall(_.relation.bucketSpec.isDefined),
+          s"$name lost its bucketed state scan under AQE:\n$plan")
+        val bad = nodes.collect { case e: ShuffleExchangeExec => e }
+          .filter(_.children.exists(stateFeedsDirectly))
+        assert(bad.isEmpty,
+          s"$name re-shuffles the corpus-scale state side under AQE:\n$plan")
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
