@@ -485,41 +485,120 @@ object CurateIncremental {
     * makes: full-curate `docs` ([[Curate.curate]]) and persist the
     * survivors' state tables under `root`, ready for [[daily]] deltas.
     * Chunking must stay off here: the state must be DOCUMENT-level
-    * (chunk downstream of curation instead). */
+    * (chunk downstream of curation instead).
+    *
+    * With `vecs` (the docs' id + `vecCol` embedding vectors) the
+    * embedding near-dup stage joins the recipe: a full
+    * [[Similarity.embeddingNearDupsQuantized]] collapse over the TEXT
+    * survivors' vectors (the text-then-embeddings order [[daily]] and
+    * [[refresh]] keep), and the state persists the quantized vector +
+    * SRP sketch tables so every subsequent delta probes them. */
   def bootstrap(docs: DataFrame, benchmark: DataFrame,
                 idCol: String, textCol: String, root: String,
-                cfg: Curate.Config = Curate.Config()): Curate.Result = {
+                cfg: Curate.Config = Curate.Config(),
+                vecs: Option[DataFrame] = None, vecCol: String = "v",
+                ecfg: EmbedConfig = EmbedConfig()): Curate.Result = {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
     val r = Curate.curate(docs, benchmark, idCol, textCol, cfg)
-    saveState(buildState(r.corpus.select(col(idCol), col(textCol)),
-      idCol, textCol, cfg), root)
-    r
+    vecs match {
+      case None =>
+        saveState(buildState(r.corpus.select(col(idCol), col(textCol)),
+          idCol, textCol, cfg), root)
+        r
+      case Some(v) =>
+        val survivorVecs = v.select(col(idCol), col(vecCol))
+          .join(r.corpus.select(col(idCol)), Seq(idCol), "left_semi")
+        val pairs = Similarity.embeddingNearDupsQuantized(survivorVecs,
+          idCol, vecCol, ecfg.threshold, ecfg.nPlanes, ecfg.prefixBits,
+          ecfg.seeds, ecfg.quantScale, ecfg.dim)
+        val embSurvivors = Dedup.survivorsTransitive(survivorVecs, pairs, idCol)
+        val corpus = r.corpus.join(embSurvivors.select(col(idCol)),
+          Seq(idCol), "left_semi")
+        // pin before saveState mutates nothing these frames read (they
+        // read the INPUT, not the state) — but the caller's re-reads of
+        // the returned corpus must not race the freshly-written state
+        // either; cheap at bootstrap cardinality and symmetric with daily
+        val rdd = corpus.rdd
+        rdd.localCheckpoint(); rdd.count()
+        val pinnedCorpus = docs.sparkSession.createDataFrame(rdd, corpus.schema)
+        saveState(
+          withEmbeddings(
+            buildState(pinnedCorpus.select(col(idCol), col(textCol)), idCol, textCol, cfg),
+            embSurvivors.select(col(idCol), col(vecCol)), idCol, vecCol, ecfg),
+          root)
+        Curate.Result(pinnedCorpus, r.stats,
+          () => { r.release(); rdd.unpersist(blocking = false); () })
+    }
   }
 
   /** The daily increment — load the state under `root`, curate the delta
     * against it, append the delta's survivors to the state tables, and
     * return those survivors (the rows to append to the serving corpus).
-    * Day N's survivors are probe-able by day N+1 automatically. */
+    * Day N's survivors are probe-able by day N+1 automatically.
+    *
+    * A state that carries the embedding tables REQUIRES `deltaVecs` (the
+    * delta docs' id + `vecCol` vectors): the text survivors then pass
+    * through [[curateDeltaEmbeddings]] (probing the persisted sketch and
+    * vector tables), and the embedding tables are appended in sync with
+    * the corpus — without this a daily would silently desynchronize the
+    * embedding state from the corpus it indexes. */
   def daily(delta: DataFrame, benchmark: DataFrame,
             idCol: String, textCol: String, root: String,
-            cfg: Curate.Config = Curate.Config()): Curate.Result = {
+            cfg: Curate.Config = Curate.Config(),
+            deltaVecs: Option[DataFrame] = None, vecCol: String = "v",
+            ecfg: EmbedConfig = EmbedConfig()): Curate.Result = {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
-    val st = loadState(delta.sparkSession, root)
+    val spark = delta.sparkSession
+    val st = loadState(spark, root)
+    require(st.embeddings.isEmpty || deltaVecs.nonEmpty,
+      "state carries embedding tables — daily needs deltaVecs to keep them in sync")
     val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
-    // pin the survivors EAGERLY before appendState mutates the dirs their
-    // lineage reads: the append's refresh drops the result's cache,
-    // and an unpinned corpus re-read by the CALLER would recompute
-    // against the updated state — every survivor would anti-join against
-    // its own just-appended fingerprint and vanish
-    val rdd = r.corpus.rdd
-    rdd.localCheckpoint()
-    rdd.count()
-    val corpus = delta.sparkSession.createDataFrame(rdd, r.corpus.schema)
-    appendState(corpus, idCol, textCol, root, cfg)
-    Curate.Result(corpus, r.stats,
-      () => { r.release(); rdd.unpersist(blocking = false); () })
+
+    (st.embeddings, deltaVecs) match {
+      case (Some(_), Some(dv)) =>
+        // embedding stage on the text survivors only (the recipe's
+        // text-then-embeddings order): delta-vs-delta + delta-vs-state
+        // candidates from the persisted sketch table, integer-cosine
+        // confirm against the persisted vectors
+        val survivorVecs = dv.select(col(idCol), col(vecCol))
+          .join(r.corpus.select(col(idCol)), Seq(idCol), "left_semi")
+        val embSurv = curateDeltaEmbeddings(survivorVecs, idCol, vecCol, st, ecfg)
+        // pin BOTH results before ANY append: the corpus lineage reads the
+        // text-state dirs and the embedding survivors' lineage reads the
+        // sketch/vector dirs — each append below mutates what the other
+        // (and the caller's re-reads) would otherwise recompute against
+        val embRdd = embSurv.rdd
+        embRdd.localCheckpoint(); embRdd.count()
+        val pinnedEmb = spark.createDataFrame(embRdd, embSurv.schema)
+        val corpus0 = r.corpus.join(pinnedEmb.select(col(idCol)), Seq(idCol), "left_semi")
+        val rdd = corpus0.rdd
+        rdd.localCheckpoint(); rdd.count()
+        val corpus = spark.createDataFrame(rdd, corpus0.schema)
+        // embedding tables first, text corpus last — the corpus append
+        // stays the overall serving marker (see [[appendEmbedState]])
+        appendEmbedState(pinnedEmb, idCol, vecCol, root, ecfg)
+        appendState(corpus, idCol, textCol, root, cfg)
+        Curate.Result(corpus, r.stats, () => {
+          r.release()
+          embRdd.unpersist(blocking = false)
+          rdd.unpersist(blocking = false); ()
+        })
+      case _ =>
+        // pin the survivors EAGERLY before appendState mutates the dirs
+        // their lineage reads: the append's refresh drops the result's
+        // cache, and an unpinned corpus re-read by the CALLER would
+        // recompute against the updated state — every survivor would
+        // anti-join against its own just-appended fingerprint and vanish
+        val rdd = r.corpus.rdd
+        rdd.localCheckpoint()
+        rdd.count()
+        val corpus = spark.createDataFrame(rdd, r.corpus.schema)
+        appendState(corpus, idCol, textCol, root, cfg)
+        Curate.Result(corpus, r.stats,
+          () => { r.release(); rdd.unpersist(blocking = false); () })
+    }
   }
 
   /** The daily exact-dedup probe: anti-join the (already within-delta

@@ -165,6 +165,45 @@ object Streaming {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
+  /** Streaming incremental CURATION — the full daily-delta recipe as a
+    * sink: each micro-batch runs [[graft.ops.CurateIncremental.daily]]
+    * (PII redaction, exact dedup + persisted-fingerprint probe, LSH
+    * near-dup + persisted band-key probe with exact-Jaccard confirm,
+    * quality floor, decontamination, split assignment) against the state
+    * under `root`, appends the batch's survivors to the state tables, and
+    * lands them in `outDir`. Where [[incrementalDedupStream]] gives the
+    * stateless exact-dedup guarantee row by row, this gives the WHOLE
+    * curation contract per micro-batch, sharing the batch path's code and
+    * crash ordering verbatim — near-dup needs joins and components, which
+    * are batch ops, so `foreachBatch` is the idiomatic seam (and it
+    * serializes batches within the query, so the state mutation needs no
+    * external lock). Batch N's survivors are probe-able by batch N+1.
+    *
+    * Replay safety: `foreachBatch` is at-least-once. `daily` appends
+    * state BEFORE the sink write, so a re-delivered batch's docs die at
+    * the fingerprint probe and the sink never double-lands a survivor —
+    * the over-drop direction ([[graft.ops.CurateIncremental.appendState]]).
+    * Survivors of a batch that crashed between the state append and the
+    * sink write are absent from `outDir` but present in the state corpus;
+    * `outDir` can be repaired by diffing it against the corpus table. */
+  def curateSink(stream: DataFrame, benchmark: DataFrame,
+                 idCol: String, textCol: String, root: String, outDir: String,
+                 checkpointDir: String,
+                 cfg: graft.ops.Curate.Config = graft.ops.Curate.Config()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.ops.CurateIncremental.daily(
+            batch.select(col(idCol), col(textCol)), benchmark, idCol, textCol,
+            root, cfg)
+          try r.corpus.write.mode("append").parquet(outDir)
+          finally r.release()
+        }
+      }
+      .start()
+
   /** Stream → lake zone: every micro-batch merge-upserts into the same
     * partitioned Parquet layout the batch pipeline writes
     * ([[LakeZones.mergeUpsertByDay]]), so incremental results land beside

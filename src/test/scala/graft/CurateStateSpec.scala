@@ -163,6 +163,60 @@ class CurateStateSpec extends SparkSpec {
     assert(s2.select("doc_id").as[Long].collect().toSet == Set(17L))
   }
 
+  test("bootstrap/daily with embeddings: the operational surface keeps the embedding stage in sync") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-embdaily-").toString
+
+    // day 0: five distinct docs, plus doc 22 whose TEXT is fresh but whose
+    // vector is a jitter of doc 2's — only the embedding stage can kill it
+    val day0Ids = (1L to 5L)
+    val day0 = docsDf(day0Ids.map(i => doc(i, s"seed$i")) :+ doc(22, "odd"))
+    val day0Vecs = embDf(day0Ids.map(i => (i, vec(i))) :+ ((22L, jitter(vec(2)))))
+    val boot = CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root,
+      Curate.Config(), vecs = Some(day0Vecs))
+    assert(boot.corpus.select("doc_id").as[Long].collect().toSet == day0Ids.toSet,
+      "bootstrap must drop the embedding near-dup the text stages cannot see")
+    boot.release()
+    val st0 = CurateIncremental.loadState(spark, root)
+    assert(st0.embeddings.get.count() == 5 && st0.srpBuckets.get.count() == 10,
+      "persisted embedding tables must hold exactly the survivors")
+
+    // a daily that omits deltaVecs on an embedding-carrying state must
+    // refuse instead of silently desynchronizing the embedding tables
+    val noVecs = intercept[IllegalArgumentException] {
+      CurateIncremental.daily(docsDf(Seq(doc(90, "ninety"))), bench,
+        "doc_id", "text", root)
+    }
+    assert(noVecs.getMessage.contains("deltaVecs"))
+
+    // day 1: a fresh doc, a text re-crawl (text probe kills it), and a
+    // fresh-text doc whose vector jitters state doc 3's (embedding probe
+    // kills it)
+    val day1 = docsDf(Seq(doc(30, "thirty"), doc(31, "seed1"), doc(32, "thirtytwo")))
+    val day1Vecs = embDf(Seq((30L, vec(30)), (31L, vec(31)), (32L, jitter(vec(3)))))
+    val r1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root,
+      Curate.Config(), deltaVecs = Some(day1Vecs))
+    assert(r1.corpus.select("doc_id").as[Long].collect().toSet == Set(30L),
+      "text re-crawl and embedding near-dup must both die")
+    r1.release()
+
+    // day 2 through a fresh load: the appended embedding state must kill a
+    // jitter of day 1's survivor, and the tables grew in lockstep
+    val st1 = CurateIncremental.loadState(spark, root)
+    assert(st1.corpus.count() == 6 && st1.embeddings.get.count() == 6 &&
+      st1.srpBuckets.get.count() == 12,
+      "corpus and embedding tables must grow in lockstep")
+    val day2 = docsDf(Seq(doc(40, "forty"), doc(41, "fortyone")))
+    // NOTE: vec() is periodic mod 19 — vec(41) would EQUAL vec(3), so doc
+    // 41 takes generator index 33 (residue 14, unused) for a fresh vector
+    val day2Vecs = embDf(Seq((40L, jitter(vec(30))), (41L, vec(33))))
+    val r2 = CurateIncremental.daily(day2, bench, "doc_id", "text", root,
+      Curate.Config(), deltaVecs = Some(day2Vecs))
+    assert(r2.corpus.select("doc_id").as[Long].collect().toSet == Set(41L),
+      "day-1 survivor's vector must be probe-able on day 2")
+    r2.release()
+  }
+
   test("refresh: bootstrap -> daily x2 -> refresh equals one full curate of the union") {
     import graft.ops.Curate
     val root = java.nio.file.Files.createTempDirectory("graft-refresh-").toString

@@ -73,6 +73,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateSink: micro-batches run the full incremental curation against persisted state") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.CurateIncremental
+    val rnd = new scala.util.Random(7777)
+    val stop = Seq("the", "of", "and", "is", "a", "in", "to", "it")
+    val words = Seq("fox", "dog", "mill", "river", "village", "platform",
+      "service", "tools", "users", "meadow", "issue", "release", "page",
+      "team", "project", "result", "list", "plan", "bend", "children")
+    def gen(): String =
+      Seq.tabulate(24)(i => if (i % 2 == 0) stop(rnd.nextInt(stop.size))
+                            else words(rnd.nextInt(words.size))).mkString(" ")
+    val bench = Seq((999L, "holdout alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+
+    // day-0 state from a full curate (the streaming query then extends it)
+    val baseTexts = Seq.fill(6)(gen())
+    val base = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-scur-").toString
+    val boot = CurateIncremental.bootstrap(base, bench, "doc_id", "text", root)
+    val nBase = boot.corpus.count()
+    boot.release()
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scur-out-")
+      .toString + "/survivors"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scur-ck-").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.curateSink(ms.toDF.toDF("doc_id", "text"), bench,
+      "doc_id", "text", root, outDir, ckpt)
+    try {
+      // batch 1: an exact re-crawl of state content, a near-dup truncation
+      // of state content, and a fresh doc — only the fresh doc may land
+      val fresh1 = gen()
+      val t0 = baseTexts(0).split(" ")
+      ms.addData((100L, baseTexts(1)),
+        (101L, t0.take(t0.length * 4 / 5).mkString(" ")),
+        (102L, fresh1))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(102L), s"batch-1 survivors: $out1")
+
+      // batch 2: batch 1's survivor is now persisted state — its exact
+      // re-crawl and a near-dup of it both die; fresh content still flows
+      val f1 = fresh1.split(" ")
+      ms.addData((200L, fresh1),
+        (201L, f1.take(f1.length * 4 / 5).mkString(" ")),
+        (202L, gen()))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(102L, 202L), s"cumulative survivors: $out2")
+    } finally q.stop()
+
+    // the state corpus grew by exactly the landed survivors, so a batch
+    // restart (or the daily batch job itself) picks up where the stream left
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.count() == nBase + 2 && st.fingerprints.count() == nBase + 2)
+  }
+
   test("rawFileStream: new raw-zone files arrive as micro-batches") {
     val cfg = MovieFixtures.tempConfig()
     val stream = Streaming.rawFileStream(spark, cfg.rawRoot, "omdb", "ratings",
