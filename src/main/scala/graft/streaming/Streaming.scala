@@ -185,11 +185,22 @@ object Streaming {
     * the over-drop direction ([[graft.ops.CurateIncremental.appendState]]).
     * Survivors of a batch that crashed between the state append and the
     * sink write are absent from `outDir` but present in the state corpus;
-    * `outDir` can be repaired by diffing it against the corpus table. */
+    * `outDir` can be repaired by diffing it against the corpus table.
+    *
+    * A state that carries the embedding tables needs `vecCol` — the
+    * stream's embedding column: each batch then also runs the embedding
+    * near-dup stage against the persisted sketch/vector tables, exactly
+    * like the batch `daily` (which refuses a vec-less delta on an
+    * embedding-carrying state rather than desynchronizing it — a
+    * `curateSink` without `vecCol` on such a state fails its first
+    * batch for the same reason). */
   def curateSink(stream: DataFrame, benchmark: DataFrame,
                  idCol: String, textCol: String, root: String, outDir: String,
                  checkpointDir: String,
-                 cfg: graft.ops.Curate.Config = graft.ops.Curate.Config()): StreamingQuery =
+                 cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
+                 vecCol: Option[String] = None,
+                 ecfg: graft.ops.CurateIncremental.EmbedConfig =
+                   graft.ops.CurateIncremental.EmbedConfig()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -197,7 +208,9 @@ object Streaming {
         if (!batch.isEmpty) {
           val r = graft.ops.CurateIncremental.daily(
             batch.select(col(idCol), col(textCol)), benchmark, idCol, textCol,
-            root, cfg)
+            root, cfg,
+            deltaVecs = vecCol.map(v => batch.select(col(idCol), col(v))),
+            vecCol = vecCol.getOrElse("v"), ecfg = ecfg)
           try r.corpus.write.mode("append").parquet(outDir)
           finally r.release()
         }

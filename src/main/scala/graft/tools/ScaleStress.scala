@@ -247,6 +247,55 @@ object ScaleStress {
         r.release()
         n
       }
+
+      // ---- embedding analog of the same question. One synthetic vector
+      // per state doc (deterministic hash of doc_id — scrambled copies get
+      // distinct vectors, so the state is embedding-dup-free like a curated
+      // corpus); the fixed vector delta plants scalar-multiple near-dups of
+      // BASE-copy vectors (cosine exactly 1) plus fresh vectors. 16 SRP
+      // bits (nPlanes=prefixBits=16): probe cost is delta×occupancy, and
+      // occupancy = state/2^bits — at a bigger corpus you add bits, the
+      // same dial as LSH bands. dim 16 keeps the confirm cheap; the cost
+      // driver under test is candidate volume, not dot-product width.
+      val ecfg = CurateIncremental.EmbedConfig(
+        nPlanes = 16, prefixBits = 16, dim = 16)
+      def docVecs(df: DataFrame, idOff: Long, mult: Double): DataFrame =
+        df.select((col("doc_id") + idOff).as("id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            ((pmod(xxhash64(col("doc_id"), j), lit(2001L)) - lit(1000L))
+              .cast("double") / 1000.0) * mult).as("v"))
+      val deltaVecs = docVecs(base1.filter(col("doc_id") % 40 === 7),
+          930000000L, 1.0009765625) // near-dups of state base-copy vectors
+        .unionByName(docVecs(base1.filter(col("doc_id") % 40 === 9)
+          .select((col("doc_id") + 940000000L).as("doc_id")), 0L, 1.0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      deltaVecs.count()
+      // measured: extend the persisted state with the embedding tables
+      // (quantized vectors + bucketed SRP sketch) — paid once per corpus
+      phase(s"${m}x_inc_embed_state_build") {
+        CurateIncremental.appendEmbedState(
+          docVecs(stateCorpus, 0L, 1.0), "id", "v", root, ecfg)
+        stateCorpus.count()
+      }
+      val stE = CurateIncremental.loadState(spark, root)
+      // measured: the daily embedding delta — sketch the delta, probe the
+      // bucketed state sketch (zero state-side exchange), confirm with
+      // integer cosine against the persisted vectors
+      phase(s"${m}x_inc_embed_delta") {
+        CurateIncremental.curateDeltaEmbeddings(
+          deltaVecs, "id", "v", stE, ecfg).count()
+      }
+      // the alternative: full near-dup collapse over state ∪ delta vectors
+      phase(s"${m}x_full_embed_recollapse_union") {
+        val union = stE.embeddings.get
+          .unionByName(deltaVecs.select(col("id"),
+            transform(col("v"), x => round(x * ecfg.quantScale).cast("long")).as("v")))
+        Dedup.survivorsTransitive(union,
+          Similarity.embeddingNearDupsQuantized(union, "id", "v",
+            ecfg.threshold, ecfg.nPlanes, ecfg.prefixBits, ecfg.seeds,
+            quantScale = 1.0, dim = ecfg.dim), "id").count()
+      }
+      deltaVecs.unpersist()
       stateCorpus.unpersist()
     }
     delta.unpersist()

@@ -252,6 +252,52 @@ class CurateStateSpec extends SparkSpec {
     day3.release()
   }
 
+  test("refresh with embeddings rebuilds the embedding state from the union") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-refemb-").toString
+    val day0 = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")))
+    CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root,
+      Curate.Config(), vecs = Some(embDf(Seq((1L, vec(1)), (2L, vec(2)),
+        (3L, vec(3))))), ecfg = ecfg).release()
+    CurateIncremental.daily(docsDf(Seq(doc(10, "delta"))), bench,
+      "doc_id", "text", root, Curate.Config(),
+      deltaVecs = Some(embDf(Seq((10L, vec(10))))), ecfg = ecfg).release()
+
+    // a refresh that omits pendingVecs on an embedding-carrying state
+    // must refuse, mirroring daily's contract
+    val noVecs = intercept[IllegalArgumentException] {
+      CurateIncremental.refresh(docsDf(Seq(doc(90, "ninety"))), bench,
+        "doc_id", "text", root)
+    }
+    assert(noVecs.getMessage.contains("pendingVecs"))
+
+    // pending: 20 fresh; 21 fresh TEXT whose vector jitters state doc 2's
+    // (only the corpus-wide embedding collapse can kill it — min id 2
+    // wins); 22 re-crawls doc 1's text (the full text recipe kills it)
+    val pending = docsDf(Seq(doc(20, "epsilon"), doc(21, "zeta"), doc(22, "alpha")))
+    val pendingVecs = embDf(Seq((20L, vec(4)), (21L, jitter(vec(2))), (22L, vec(5))))
+    val ref = CurateIncremental.refresh(pending, bench, "doc_id", "text", root,
+      Curate.Config(), pendingVecs = Some(pendingVecs), ecfg = ecfg)
+    assert(ref.corpus.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 10L, 20L),
+      "refresh must keep union survivors of both the text and embedding stages")
+    ref.release()
+
+    // the rebuilt embedding state indexes exactly the corpus and still
+    // functions: a daily jitter of a PENDING survivor's vector dies
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.embeddings.get.count() == 5 && st.srpBuckets.get.count() == 10,
+      "rebuilt embedding tables must hold exactly the refreshed corpus")
+    val day3 = CurateIncremental.daily(
+      docsDf(Seq(doc(30, "omega"), doc(31, "sigma"))), bench,
+      "doc_id", "text", root, Curate.Config(),
+      deltaVecs = Some(embDf(Seq((30L, jitter(vec(4))), (31L, vec(6))))),
+      ecfg = ecfg)
+    assert(day3.corpus.select("doc_id").as[Long].collect().toSet == Set(31L),
+      "refreshed embedding state must make pending survivors probe-able")
+    day3.release()
+  }
+
   test("refresh runs the corpus-global boilerplate stage the daily increment must skip") {
     import graft.ops.Curate
     val root = java.nio.file.Files.createTempDirectory("graft-refreshbp-").toString

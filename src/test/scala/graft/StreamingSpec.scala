@@ -131,6 +131,60 @@ class StreamingSpec extends SparkSpec {
     assert(st.corpus.count() == nBase + 2 && st.fingerprints.count() == nBase + 2)
   }
 
+  test("curateSink with vecCol: micro-batches run the embedding stage against persisted state") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.CurateIncremental
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    // deterministic far-apart vectors (periodic mod 19 — keep generator
+    // indices' residues distinct); a planted near-dup is a scalar multiple
+    def vec(i: Long): Seq[Double] =
+      (0 until 16).map(j => (((i * 31 + j * 17 + 7) % 19) - 9).toDouble / 9.0)
+    def jitter(v: Seq[Double]): Seq[Double] = v.map(_ * 1.0009765625)
+    val rnd = new scala.util.Random(4242)
+    val words = Seq("fox", "dog", "mill", "river", "village", "platform",
+      "service", "tools", "users", "meadow", "issue", "release", "page",
+      "team", "project", "result", "list", "plan", "bend", "children")
+    def gen(): String =
+      Seq.tabulate(24)(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val bench = Seq((999L, "holdout alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+
+    val base = (1L to 4L).map(i => (i, gen())).toDF("doc_id", "text")
+    val baseVecs = (1L to 4L).map(i => (i, vec(i))).toDF("doc_id", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft-scurv-").toString
+    val boot = CurateIncremental.bootstrap(base, bench, "doc_id", "text", root,
+      graft.ops.Curate.Config(), vecs = Some(baseVecs), ecfg = ecfg)
+    val nBase = boot.corpus.count()
+    boot.release()
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scurv-out-")
+      .toString + "/survivors"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scurv-ck-").toString
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    val q = Streaming.curateSink(ms.toDF.toDF("doc_id", "text", "v"), bench,
+      "doc_id", "text", root, outDir, ckpt,
+      vecCol = Some("v"), ecfg = ecfg)
+    try {
+      // batch 1: fresh text whose vector jitters state doc 2's (only the
+      // embedding probe can kill it) + a genuinely fresh doc
+      ms.addData((100L, gen(), jitter(vec(2))), (101L, gen(), vec(7)))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(101L), s"batch-1 survivors: $out1")
+
+      // batch 2: batch 1's survivor vector is now persisted state — its
+      // jitter dies; fresh content still flows
+      ms.addData((200L, gen(), jitter(vec(7))), (201L, gen(), vec(8)))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(101L, 201L), s"cumulative survivors: $out2")
+    } finally q.stop()
+
+    // corpus and embedding tables grew in lockstep with the landed survivors
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.count() == nBase + 2 && st.embeddings.get.count() == nBase + 2)
+  }
+
   test("rawFileStream: new raw-zone files arrive as micro-batches") {
     val cfg = MovieFixtures.tempConfig()
     val stream = Streaming.rawFileStream(spark, cfg.rawRoot, "omdb", "ratings",
