@@ -404,7 +404,12 @@ object CurateIncremental {
     * leaves orphan sketches whose candidates can't confirm, affecting
     * only never-served docs; completed appends are fully probe-able. In
     * a combined text+embedding pipeline call this BEFORE [[appendState]]
-    * so the text corpus append stays the overall serving marker. */
+    * so the text corpus append stays the overall serving marker.
+    *
+    * On a state WITHOUT embedding tables the first call creates them
+    * (bucketed like [[saveState]] would) — the backfill path that
+    * upgrades an already-curated text corpus to an embedding-carrying
+    * state; subsequent [[daily]] calls then require vectors. */
   def appendEmbedState(survivors: DataFrame, idCol: String, vecCol: String,
                        root: String, ecfg: EmbedConfig = EmbedConfig()): Unit = {
     val spark = survivors.sparkSession
@@ -415,7 +420,12 @@ object CurateIncremental {
         ecfg.copy(quantScale = 1.0)) // already quantized — don't rescale
       buckets match {
         case Some(n) =>
-          appendBucketed(sketches, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
+          val dir = new Path(srpDir(root))
+          recoverSwap(hadoopFs(spark, dir), dir)
+          if (hadoopFs(spark, dir).exists(dir))
+            appendBucketed(sketches, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
+          else // first embedding append: create the bucketed table
+            writeBucketedSnapshot(sketches, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
         case None =>
           sketches.write.mode("append").parquet(srpDir(root))
       }

@@ -252,6 +252,35 @@ class CurateStateSpec extends SparkSpec {
     day3.release()
   }
 
+  test("appendEmbedState backfills embedding tables onto a text-only state") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-embback-").toString
+    val base = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")))
+    CurateIncremental.bootstrap(base, bench, "doc_id", "text", root).release()
+    assert(CurateIncremental.loadState(spark, root).embeddings.isEmpty,
+      "a vec-less bootstrap must not create embedding tables")
+
+    // backfill: index the existing corpus' vectors in one call — the
+    // upgrade path for a corpus curated before embeddings existed
+    CurateIncremental.appendEmbedState(
+      embDf(Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))), "doc_id", "v",
+      root, ecfg)
+
+    // the upgraded state carries the embedding tables, and a daily jitter
+    // of backfilled content dies at the probe
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.embeddings.get.count() == 3 && st.srpBuckets.get.count() == 6,
+      "backfill must index exactly the supplied vectors")
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(10, "kappa"), doc(11, "lambda"))), bench,
+      "doc_id", "text", root, Curate.Config(),
+      deltaVecs = Some(embDf(Seq((10L, jitter(vec(2))), (11L, vec(7))))),
+      ecfg = ecfg)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(11L),
+      "backfilled vectors must be probe-able by the next daily")
+    r.release()
+  }
+
   test("refresh with embeddings rebuilds the embedding state from the union") {
     val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
     val root = java.nio.file.Files.createTempDirectory("graft-refemb-").toString
