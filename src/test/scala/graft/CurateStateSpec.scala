@@ -430,4 +430,43 @@ class CurateStateSpec extends SparkSpec {
     assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(202L))
     r.release()
   }
+
+  test("compactState rewrites the embedding tables alongside the text tables") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-compemb-").toString
+    CurateIncremental.bootstrap(
+      docsDf(Seq(doc(1, "alpha"), doc(2, "beta"))), bench, "doc_id", "text", root,
+      Curate.Config(), vecs = Some(embDf(Seq((1L, vec(1)), (2L, vec(2))))),
+      ecfg = ecfg).release()
+    for (day <- 1 to 3) {
+      CurateIncremental.daily(
+        docsDf(Seq(doc(100L + day, s"day$day"))), bench, "doc_id", "text", root,
+        Curate.Config(),
+        deltaVecs = Some(embDf(Seq((100L + day, vec(10L + day))))),
+        ecfg = ecfg).release()
+    }
+    val srpDir = s"$root/curate_state/srp_buckets"
+    val before = partFiles(srpDir)
+    assert(before > 4, s"expected >4 srp files after 3 appends, got $before")
+    val st0 = CurateIncremental.loadState(spark, root)
+    val (nSrp, nEmb) = (st0.srpBuckets.get.count(), st0.embeddings.get.count())
+
+    CurateIncremental.compactState(spark, root)
+
+    assert(partFiles(srpDir) <= 4 && partFiles(srpDir) < before,
+      s"srp_buckets not compacted: ${partFiles(srpDir)} files")
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.srpBuckets.get.count() == nSrp && st.embeddings.get.count() == nEmb,
+      "compaction changed embedding row counts")
+
+    // the compacted embedding state still probes: jitters of a bootstrap
+    // vector and a day-2 appended vector both die, fresh content lands
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(200, "twohundred"), doc(201, "twohundredone"),
+        doc(202, "omega"))), bench, "doc_id", "text", root, Curate.Config(),
+      deltaVecs = Some(embDf(Seq((200L, jitter(vec(2))), (201L, jitter(vec(12)))
+        , (202L, vec(5))))), ecfg = ecfg)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(202L))
+    r.release()
+  }
 }
