@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF ANN index — the lake-resident, incrementally-appendable
+  * face of [[Similarity.ivfTopKQuantized]]. The in-query operator
+  * re-assigns every corpus vector to its cell on every call; at corpus
+  * scale that re-pays the full corpus scan + cell scoring per query
+  * batch, which is exactly the cost an inverted file exists to amortize.
+  * This index persists the assignment once:
+  *
+  *  - `centroids/` — the trained cell directions ([[IndexStore]] layout,
+  *    tiny, loaded to the driver and folded into literals);
+  *  - `postings/` — (cell, id, v) with v FIXED-POINT QUANTIZED, BUCKETED
+  *    by `cell`: a query batch explodes into its probed cells and joins —
+  *    the corpus-scale side plans NO exchange (same discipline as the
+  *    [[CurateIncremental]] state tables, via [[BucketedTables]]), only
+  *    the query batch shuffles;
+  *  - `_graft_ann.json` — bucket count + quantization scale, so appends
+  *    and fresh sessions agree with the files on disk.
+  *
+  * All scoring is exact integer arithmetic on the quantized grid
+  * ([[Similarity.ivfTopKQuantized]]'s math verbatim), so [[topK]]
+  * results are bit-identical to the in-query operator given the same
+  * centroid list — the equality the spec asserts — and independent of
+  * partitioning, session, or append history.
+  *
+  * Daily flow: [[build]] once (trains k-means‖ cells unless a trained
+  * list is passed), [[append]] each day's curated survivors (assignment
+  * is map-side: centroids are literals, no shuffle beyond the bucketed
+  * write's aligning repartition), [[compact]] weekly-ish to fold the
+  * per-day files back to one per bucket. Vectors removed from the corpus
+  * are not supported — rebuild (the index serves retrieval, not truth;
+  * the corpus table is truth). */
+object AnnIndex {
+
+  /** Index-time knobs, pinned at [[build]]: `nCells` cell count (at
+    * corpus scale pick ~sqrt(N) so probes touch N/nCells·nProbes rows),
+    * `kmeansIters`/`seed` for training, `quantScale` the fixed-point
+    * grid (must match query-time vectors; persisted in the sidecar),
+    * `dim` to skip the dimension probe. */
+  case class Config(
+      nCells: Int = 16,
+      kmeansIters: Int = 5,
+      seed: Long = 42L,
+      quantScale: Double = 1048576.0,
+      dim: Int = -1)
+
+  private def indexDir(root: String) = s"$root/ann_index"
+  private def centroidsDir(root: String) = s"${indexDir(root)}/centroids"
+  private def postingsDir(root: String) = s"${indexDir(root)}/postings"
+  private def metaPath(root: String) = new Path(s"${indexDir(root)}/_graft_ann.json")
+  private val PostBucketCols = Seq("cell")
+  private[graft] def postTable(root: String) =
+    BucketedTables.tableName("ann", postingsDir(root))
+
+  private def quant(c: Column, scale: Double): Column =
+    transform(c, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Centroids onto the vector grid — [[Similarity.ivfTopKQuantized]]'s
+    * rounding, so cell scores are the same exact longs. */
+  private def quantCentroids(cs: Seq[Seq[Double]], scale: Double): Seq[Seq[Long]] =
+    cs.map(_.map(x => math.round(x * scale)))
+
+  private def cellScore(vec: Column, ctr: Seq[Long]): Column =
+    aggregate(zip_with(vec, array(ctr.map(lit): _*), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Single best cell: array_max over (score, -index) structs — ties to
+    * the lowest index; NOT a when() reduce (2^n tree growth). */
+  private def bestCell(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    -array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(cellScore(vec, ctr).as("s"), lit(-i).as("ni")) }: _*))
+      .getField("ni")
+
+  private def readMeta(spark: SparkSession, root: String): (Int, Double) = {
+    val body = BucketedTables.readJsonSidecar(spark, metaPath(root))
+      .getOrElse(sys.error(s"no ANN index sidecar under $root — run build first"))
+    (BucketedTables.jsonInt(body, "buckets").get,
+      BucketedTables.jsonDouble(body, "quantScale").get)
+  }
+
+  /** Build the index under `root`: train `cfg.nCells` spherical k-means‖
+    * centroids on the corpus (or take `trained` as-is — e.g. a list
+    * already persisted via [[IndexStore]]), assign every vector map-side,
+    * persist centroids + cell-bucketed quantized postings + sidecar.
+    * Overwrites atomically (temp-sibling + swap); `buckets` ≤ 0 takes
+    * the session's shuffle partitions. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, root: String,
+            cfg: Config = Config(), buckets: Int = 0,
+            trained: Seq[Seq[Double]] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    val centroids =
+      if (trained.nonEmpty) trained
+      else Similarity.kmeansCentroids(corpus, vecCol, cfg.nCells,
+        cfg.kmeansIters, cfg.seed, cfg.dim)
+    require(centroids.nonEmpty, "ANN index build: no centroids (empty corpus?)")
+    val n = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    IndexStore.saveCentroids(spark, centroids, centroidsDir(root))
+    val qc = quantCentroids(centroids, cfg.quantScale)
+    val postings = corpus
+      .select(col(idCol).as("id"), quant(col(vecCol), cfg.quantScale).as("v"))
+      .withColumn("cell", bestCell(col("v"), qc))
+    BucketedTables.writeBucketedSnapshot(postings, postingsDir(root),
+      postTable(root), n, PostBucketCols)
+    BucketedTables.writeJsonSidecar(spark, metaPath(root),
+      s"""{"buckets": $n, "quantScale": ${cfg.quantScale}}""")
+  }
+
+  /** Append a delta's vectors to the postings — no retraining: the delta
+    * is assigned against the PERSISTED centroids (driver-side literals,
+    * so assignment is map-side; the only shuffle is the bucketed write's
+    * aligning repartition, sized to the delta). The daily companion of
+    * [[CurateIncremental.daily]]: feed it the day's curated survivors. */
+  def append(delta: DataFrame, idCol: String, vecCol: String,
+             root: String): Unit = {
+    val spark = delta.sparkSession
+    val (n, scale) = readMeta(spark, root)
+    val qc = quantCentroids(
+      IndexStore.loadCentroids(spark, centroidsDir(root)), scale)
+    val postings = delta
+      .select(col(idCol).as("id"), quant(col(vecCol), scale).as("v"))
+      .withColumn("cell", bestCell(col("v"), qc))
+    BucketedTables.appendBucketed(postings, postingsDir(root),
+      postTable(root), n, PostBucketCols)
+  }
+
+  /** Top-k neighbors of each query against the PERSISTED index:
+    * queries score the centroid literals map-side, explode into their
+    * `nProbes` best cells, and join the bucketed postings on `cell` —
+    * the corpus side is read in place (no exchange), candidates are
+    * ranked by exact integer dot. Output matches
+    * [[Similarity.ivfTopKQuantized]]: (qId, cId, rank, dot) —
+    * bit-identical to it for the same centroid list. */
+  def topK(queries: DataFrame, root: String, k: Int, nProbes: Int = 4,
+           qId: String = "q_id", qVec: String = "q_vec",
+           cId: String = "c_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val (n, scale) = readMeta(spark, root)
+    val qc = quantCentroids(
+      IndexStore.loadCentroids(spark, centroidsDir(root)), scale)
+    BucketedTables.ensureRegistered(spark, postingsDir(root),
+      postTable(root), n, PostBucketCols)
+    val postings = spark.table(postTable(root))
+      .select(col("cell"), col("id").as(cId), col("v").as("__cv"))
+    val q = queries.select(col(qId), quant(col(qVec), scale).as("__qv"))
+    val qCells = q.withColumn("cell",
+      explode(transform(slice(
+        sort_array(array(qc.zipWithIndex.map { case (ctr, i) =>
+          struct(cellScore(col("__qv"), ctr).as("s"), lit(-i).as("ni")) }: _*),
+          asc = false),
+        1, nProbes), s => -s.getField("ni"))))
+    val scored = qCells.join(postings, Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId),
+        aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_i"))
+    val w = Window.partitionBy(qId).orderBy(col("dot_i").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"),
+        (col("dot_i").cast("double") / (scale * scale)).as("dot"))
+  }
+
+  /** Rewrite the postings back to one file per bucket (daily appends add
+    * one per bucket per day). Path-based read — a catalog scan's bucket
+    * claim makes the planner elide the aligning repartition and disable
+    * bucketed output (see [[BucketedTables]] callers). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val (n, _) = readMeta(spark, root)
+    BucketedTables.writeBucketedSnapshot(
+      spark.read.parquet(postingsDir(root)), postingsDir(root),
+      postTable(root), n, PostBucketCols)
+  }
+}

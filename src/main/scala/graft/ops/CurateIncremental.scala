@@ -147,138 +147,21 @@ object CurateIncremental {
 
   private def metaPath(root: String) = new Path(s"${stateDir(root)}/_graft_state.json")
 
-  private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+  import BucketedTables.{hadoopFs, swapInto, recoverSwap, ensureRegistered,
+    writeBucketedSnapshot, writePlainSnapshot, appendBucketed}
 
-  private def writeMeta(spark: SparkSession, root: String, buckets: Int): Unit = {
-    val p = metaPath(root)
-    val out = hadoopFs(spark, p).create(p, true)
-    try out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeMeta(spark: SparkSession, root: String, buckets: Int): Unit =
+    BucketedTables.writeJsonSidecar(spark, metaPath(root),
+      s"""{"buckets": $buckets}""")
 
   /** Bucket count of a persisted state; None = pre-bucketing legacy
     * layout (plain parquet dirs), which every reader still accepts. */
-  private[graft] def readMeta(spark: SparkSession, root: String): Option[Int] = {
-    val p = metaPath(root)
-    val fs = hadoopFs(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
-    }
-  }
+  private[graft] def readMeta(spark: SparkSession, root: String): Option[Int] =
+    BucketedTables.readJsonSidecar(spark, metaPath(root))
+      .flatMap(BucketedTables.jsonInt(_, "buckets"))
 
-  /** Catalog table name for a state table — deterministic in the
-    * directory path, so two states in one session never collide. */
-  private[graft] def tableName(prefix: String, dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    s"graft_${prefix}_" + md.take(5).map("%02x".format(_)).mkString
-  }
-
-  /** Atomically replace `live` with `tmp`: live → live.old, tmp → live,
-    * delete live.old. The live data is never deleted before its
-    * replacement is complete on disk; a crash between the renames leaves
-    * `.old` for [[recoverSwap]] to roll back. */
-  private def swapInto(fs: FileSystem, tmp: Path, live: Path): Unit = {
-    val old = new Path(live.toString + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live) && !fs.rename(live, old))
-      sys.error(s"state swap: could not move $live aside")
-    if (!fs.rename(tmp, live)) {
-      if (fs.exists(old)) fs.rename(old, live) // restore the previous state
-      sys.error(s"state swap: could not move $tmp into place")
-    }
-    fs.delete(old, true)
-    ()
-  }
-
-  /** Roll a half-finished [[swapInto]] back: if the live dir is missing
-    * but its `.old` sibling exists, the crash hit between the two
-    * renames — restore the previous snapshot. */
-  private def recoverSwap(fs: FileSystem, live: Path): Unit = {
-    val old = new Path(live.toString + ".old")
-    if (!fs.exists(live) && fs.exists(old)) { fs.rename(old, live); () }
-  }
-
-  private def registerBucketed(spark: SparkSession, dir: String, table: String,
-                               buckets: Int, bucketCols: Seq[String]): Unit = {
-    val schema = spark.read.parquet(dir).schema.toDDL
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(
-      s"""CREATE TABLE $table ($schema) USING PARQUET
-         |CLUSTERED BY (${bucketCols.mkString(", ")})
-         |SORTED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS
-         |LOCATION '$dir'""".stripMargin)
-    ()
-  }
-
-  /** Make `table` resolve to the bucketed files at `dir` — reuse a live
-    * catalog entry when it already points there, re-register via DDL
-    * otherwise (fresh session, or the name is held by another root). */
-  private def ensureRegistered(spark: SparkSession, dir: String, table: String,
-                               buckets: Int, bucketCols: Seq[String]): Unit = {
-    recoverSwap(hadoopFs(spark, new Path(dir)), new Path(dir))
-    val cat = spark.sessionState.catalog
-    val ident = TableIdentifier(table)
-    val current =
-      if (cat.tableExists(ident))
-        Some(new Path(cat.getTableMetadata(ident).location).toUri.getPath)
-      else None
-    if (current.contains(new Path(dir).toUri.getPath))
-      spark.catalog.refreshTable(table)
-    else registerBucketed(spark, dir, table, buckets, bucketCols)
-  }
-
-  /** Snapshot-write `df` as a bucketed table at `dir`: write to a temp
-    * sibling (never into the live dir — `df`'s lineage may read it),
-    * swap atomically, re-register the catalog entry over the new files.
-    * `repartition` on the bucket columns aligns write partitions with
-    * buckets (same murmur3 hash), so each bucket lands in exactly one
-    * file instead of one per task. */
-  private def writeBucketedSnapshot(df: DataFrame, dir: String, table: String,
-                                    buckets: Int, bucketCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val live = new Path(dir)
-    val fs = hadoopFs(spark, live)
-    recoverSwap(fs, live)
-    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    // df is fully resolved (its file listing is captured), so dropping the
-    // catalog entry first is safe — and saveAsTable must not see a live
-    // entry pointing at a different path than the temp target
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.repartition(buckets, bucketCols.map(col): _*)
-      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .option("path", tmp.toString).mode("overwrite").saveAsTable(table)
-    swapInto(fs, tmp, live)
-    registerBucketed(spark, dir, table, buckets, bucketCols)
-  }
-
-  /** Plain-parquet snapshot with the same temp-sibling + swap discipline. */
-  private def writePlainSnapshot(df: DataFrame, dir: String, partitions: Int): Unit = {
-    val spark = df.sparkSession
-    val live = new Path(dir)
-    val fs = hadoopFs(spark, live)
-    recoverSwap(fs, live)
-    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    df.repartition(partitions).write.mode("overwrite").parquet(tmp.toString)
-    swapInto(fs, tmp, live)
-    spark.catalog.refreshByPath(dir)
-  }
-
-  private def appendBucketed(df: DataFrame, dir: String, table: String,
-                             buckets: Int, bucketCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    ensureRegistered(spark, dir, table, buckets, bucketCols)
-    df.repartition(buckets, bucketCols.map(col): _*)
-      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .option("path", dir).mode("append").saveAsTable(table)
-  }
+  private[graft] def tableName(prefix: String, dir: String): String =
+    BucketedTables.tableName(prefix, dir)
 
   private def defaultBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -77,6 +77,47 @@ object LlmQueries {
       write(dir)
       dir
     })
+
+  /** Shared oracle of q42 (in-query IVF) and q70 (persisted-index probe):
+    * the index changes where the corpus vectors are read from, never what
+    * comes back, so both replay the SAME seeded ±1 centroid literals
+    * (Similarity.randomPlanes(16, 64, 7L)) — cell assignment cannot
+    * drift. (AnnIndex scales the centroid literals by quantScale; argmax
+    * and its ties are invariant under a shared positive factor.) */
+  private lazy val ivfAnnOracleSql: String = {
+    val ctrRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
+      case (ctr, i) =>
+        val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+        s"($i, $lst)"
+    }.mkString(",\n      |    ")
+    s"""WITH v AS (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |ctr(i, p) AS (VALUES
+      |    $ctrRows),
+      |cells AS (
+      |  SELECT v.id, v.v, ctr.i,
+      |    list_aggregate(list_transform(range(64), j -> v.v[j+1] * ctr.p[j+1]), 'sum') AS s
+      |  FROM v, ctr),
+      |rc AS (
+      |  SELECT id, v, i,
+      |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
+      |  FROM cells),
+      |c_cell AS (SELECT id, v, i AS cell FROM rc WHERE r = 1),
+      |q_cell AS (SELECT id, v, i AS cell FROM rc
+      |           WHERE r <= 4 AND id < 500 AND id % 50 = 0),
+      |scored AS (
+      |  SELECT q.id AS q_id, c.id AS c_id,
+      |    list_aggregate(list_transform(range(64), j -> q.v[j+1] * c.v[j+1]), 'sum') AS dot_i
+      |  FROM q_cell q JOIN c_cell c ON q.cell = c.cell AND q.id != c.id),
+      |ranked AS (
+      |  SELECT q_id, c_id, dot_i,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -745,6 +786,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Persisted ANN index (AnnIndex): the cell-bucketed postings table
+    // under a lake root is the query's INPUT CONTRACT (cachedFixture,
+    // like q67-q69's curate state). The fixture BUILDS on the even ids
+    // and APPENDS the odd ids — the daily path: assignment against the
+    // persisted centroids, no retrain — so the probe exercises both
+    // write paths; with the same ±1 seeded centroids as q42 the probe
+    // must return exactly q42's rows, so the oracle IS q42's SQL.
+    "q70_ann_index_probe" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val root = cachedFixture("q70", dir) { r =>
+        AnnIndex.build(c.filter(col("c_id") % 2 === 0), "c_id", "c_vec", r,
+          AnnIndex.Config(dim = 64),
+          trained = Similarity.randomPlanes(16, 64, 7L))
+        AnnIndex.append(c.filter(col("c_id") % 2 === 1), "c_id", "c_vec", r)
+      }
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      AnnIndex.topK(q, root, k = 10, nProbes = 4).orderBy("q_id", "rank")
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1103,43 +1165,12 @@ object LlmQueries {
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
 
-    "q42_ivf_ann" -> {
-      // interpolate the SAME seeded ±1 centroid literals the Spark
-      // operator derives (Similarity.randomPlanes(16, 64, 7L)) — cell
-      // assignment cannot drift
-      val ctrRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
-        case (ctr, i) =>
-          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
-          s"($i, $lst)"
-      }.mkString(",\n        |    ")
-      s"""WITH v AS (
-        |  SELECT vec_id AS id,
-        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |ctr(i, p) AS (VALUES
-        |    $ctrRows),
-        |cells AS (
-        |  SELECT v.id, v.v, ctr.i,
-        |    list_aggregate(list_transform(range(64), j -> v.v[j+1] * ctr.p[j+1]), 'sum') AS s
-        |  FROM v, ctr),
-        |rc AS (
-        |  SELECT id, v, i,
-        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
-        |  FROM cells),
-        |c_cell AS (SELECT id, v, i AS cell FROM rc WHERE r = 1),
-        |q_cell AS (SELECT id, v, i AS cell FROM rc
-        |           WHERE r <= 4 AND id < 500 AND id % 50 = 0),
-        |scored AS (
-        |  SELECT q.id AS q_id, c.id AS c_id,
-        |    list_aggregate(list_transform(range(64), j -> q.v[j+1] * c.v[j+1]), 'sum') AS dot_i
-        |  FROM q_cell q JOIN c_cell c ON q.cell = c.cell AND q.id != c.id),
-        |ranked AS (
-        |  SELECT q_id, c_id, dot_i,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
-        |  FROM scored)
-        |SELECT q_id, c_id, rank, CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    },
+    "q42_ivf_ann" -> ivfAnnOracleSql,
+
+    // the persisted-index probe is CONTRACTUALLY q42: same centroids,
+    // same k/nProbes/scale — the index must change where the corpus
+    // vectors are read from, never what comes back
+    "q70_ann_index_probe" -> ivfAnnOracleSql,
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnIndex, IndexStore, Similarity}
+
+/** Contracts of the persisted IVF ANN index: bit-equality with the
+  * in-query operator it amortizes, append-without-retrain, compaction
+  * row identity, and the zero-exchange probe shape on the bucketed
+  * postings side. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic UNIT 16-dim vectors; mod 97 > the id range, so corpus
+  // directions are pairwise distinct (mod 19 would alias i and i+19),
+  // and unit norm makes raw-dot ranking equal cosine ranking — the
+  // self-query assertion below needs both (the operator ranks by dot,
+  // the contract real embedding pipelines meet by normalizing)
+  private def vec(i: Long): Seq[Double] = {
+    val raw = (0 until 16).map(j => (((i * 31 + j * 17 + 7) % 97) - 48).toDouble)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  private val cfg = AnnIndex.Config(nCells = 6, kmeansIters = 3, dim = 16)
+
+  private def corpusDf(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("c_id", "c_vec")
+  private def queriesDf(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("q_id", "q_vec")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "c_id", "rank", "dot")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  test("topK over the persisted index equals the in-query IVF operator bit-for-bit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-").toString
+    val corpus = corpusDf(1L to 80L)
+    val queries = queriesDf(Seq(201L, 202L, 203L))
+    AnnIndex.build(corpus, "c_id", "c_vec", root, cfg, buckets = 4)
+
+    val trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids")
+    assert(trained.nonEmpty && trained.head.size == 16)
+    val expected = rows(Similarity.ivfTopKQuantized(
+      queries, corpus, k = 5, nProbes = 2, trained = trained))
+    val got = rows(AnnIndex.topK(queries, root, k = 5, nProbes = 2))
+    assert(got == expected,
+      s"persisted probe diverged from in-query IVF:\n got=$got\n exp=$expected")
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("append assigns against persisted centroids — equality holds over the union") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annapp-").toString
+    val day0 = corpusDf(1L to 50L)
+    AnnIndex.build(day0, "c_id", "c_vec", root, cfg, buckets = 4)
+    val trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids")
+
+    // two daily appends — no retrain, the centroid list stays day-0's
+    AnnIndex.append(corpusDf(51L to 65L), "c_id", "c_vec", root)
+    AnnIndex.append(corpusDf(66L to 80L), "c_id", "c_vec", root)
+
+    val queries = queriesDf(Seq(301L, 302L))
+    val expected = rows(Similarity.ivfTopKQuantized(
+      queries, corpusDf(1L to 80L), k = 4, nProbes = 2, trained = trained))
+    val got = rows(AnnIndex.topK(queries, root, k = 4, nProbes = 2))
+    assert(got == expected,
+      "appended postings must probe identically to a full in-query pass " +
+        s"with the day-0 centroids:\n got=$got\n exp=$expected")
+
+    // appended vectors are actually retrievable: a query AT an appended
+    // vector's position must rank it first (dot with itself is maximal
+    // within its cell; id 70 was appended on day 2)
+    val self = AnnIndex.topK(queriesDf(Seq(70L)).withColumn("q_id", lit(9970L)),
+      root, k = 1, nProbes = 1)
+      .select("c_id").as[Long].collect()
+    assert(self.headOption.contains(70L),
+      s"self-query must retrieve the appended vector, got ${self.toSeq}")
+  }
+
+  test("compact folds per-day files to one per bucket without changing results") {
+    val root = java.nio.file.Files.createTempDirectory("graft-anncomp-").toString
+    AnnIndex.build(corpusDf(1L to 40L), "c_id", "c_vec", root, cfg, buckets = 4)
+    for (d <- 0 until 3)
+      AnnIndex.append(corpusDf((41L + 10 * d) to (50L + 10 * d)), "c_id", "c_vec", root)
+    val dir = s"$root/ann_index/postings"
+    def partFiles(): Int =
+      Option(new java.io.File(dir).list()).map(_.count(_.startsWith("part-"))).getOrElse(0)
+    val before = partFiles()
+    assert(before > 4, s"expected >4 posting files after 3 appends, got $before")
+    val queries = queriesDf(Seq(401L, 402L))
+    val preCompact = rows(AnnIndex.topK(queries, root, k = 3, nProbes = 2))
+
+    AnnIndex.compact(spark, root)
+
+    assert(partFiles() <= 4 && partFiles() < before,
+      s"postings not compacted: ${partFiles()} files")
+    assert(rows(AnnIndex.topK(queries, root, k = 3, nProbes = 2)) == preCompact,
+      "compaction changed probe results")
+  }
+
+  test("probe plans zero exchange on the postings side, through a fresh registration") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = java.nio.file.Files.createTempDirectory("graft-annplan-").toString
+    AnnIndex.build(corpusDf(1L to 60L), "c_id", "c_vec", root, cfg, buckets = 4)
+    // a fresh session wouldn't hold the catalog entry — drop it so topK
+    // must re-register the bucketed table over the existing files
+    spark.sql(s"DROP TABLE IF EXISTS ${AnnIndex.postTable(root)}")
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = AnnIndex.topK(queriesDf(Seq(501L)), root, k = 3, nProbes = 2)
+      val plan = probe.queryExecution.executedPlan
+      def isPostingsScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(root))
+        case _ => false
+      }
+      def postingsFeedDirectly(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isPostingsScan(f)
+        case _: BaseJoinExec => false
+        case other => other.children.exists(postingsFeedDirectly)
+      }
+      val scans = plan.collect { case f: FileSourceScanExec if isPostingsScan(f) => f }
+      assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+        s"probe does not scan postings through the bucketed table:\n$plan")
+      val bad = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.children.exists(postingsFeedDirectly))
+      assert(bad.isEmpty, s"probe re-shuffles the corpus-scale postings:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
