@@ -431,4 +431,69 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).as("nb_shared")) // grams are distinct per doc already
   }
+
+  /** Exact-substring span dedup — the within-document flavor of dedup the
+    * whole-doc operators above cannot express: a k-token window whose text
+    * occurs verbatim anywhere else in the corpus is removed from every
+    * occurrence EXCEPT the canonical one (lexicographically least
+    * (id, position)), and the surviving tokens are re-joined. This is the
+    * distributed re-expression of suffix-array substring dedup (reference
+    * corpora dedup this way to kill boilerplate shared across otherwise
+    * distinct pages); a window-hash equi-group replaces the suffix array,
+    * trading "any length ≥ k" for "aligned k-windows" — overlapping
+    * duplicated windows merge back into maximal spans via position union,
+    * so a shared run of m ≥ k tokens is removed in full (its m−k+1
+    * windows all collide).
+    *
+    * Scale shape: windows are hashed map-side (one md5 per window; the
+    * full 128-bit hex is the group key — a 31-bit reduction would
+    * manufacture false duplicate pairs at corpus scale); the duplicate
+    * scan shuffles (hash, id, pos) triples only, never text; marked span
+    * starts return to their doc via one int-only shuffle keyed by id; the
+    * final join back to the corpus is AQE-broadcastable whenever few docs
+    * are affected (the common case) and falls back to a key shuffle
+    * otherwise. Token removal is a map-side higher-order filter: cost
+    * O(len · covered) per AFFECTED doc only, bounded by doc length —
+    * chunk pathological megadocs upstream (Packing.chunk) as usual.
+    *
+    * Returns every input row with `clean_text` (textCol with duplicated
+    * spans removed — possibly empty) and `nb_removed` (tokens dropped).
+    * Docs shorter than k tokens pass through untouched. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    require(k >= 2, "span window must cover at least 2 tokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // (id, pos, h): one row per k-token window, hashed before the shuffle
+    val wins = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))).as("h"))))
+        .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    // canonical occurrence = least (id, pos) per hash; every later
+    // occurrence of a duplicated hash is a span to remove. One shuffle
+    // on h serves both window functions.
+    val byHash = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
+    val marked = wins
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+    // per-doc covered token positions (ints only through the shuffle)
+    val covered = marked
+      .groupBy(col(idCol))
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (k - 1)))))).as("__covered"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("__cov",
+        coalesce(col("__covered"), array().cast("array<int>")))
+      .withColumn("__kept", filter(TextAnalysis.tokens(col(textCol)),
+        (t, i) => !array_contains(col("__cov"), (i + 1).cast("int"))))
+      .withColumn("clean_text", concat_ws(" ", col("__kept")))
+      .withColumn("nb_removed",
+        size(TextAnalysis.tokens(col(textCol))) - size(col("__kept")))
+      .drop("__covered", "__cov", "__kept")
+  }
 }

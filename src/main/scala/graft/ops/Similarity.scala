@@ -666,6 +666,65 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style clustered semantic dedup: assign every vector to its
+    * ONE nearest-centroid cell (the [[ivfTopKQuantized]] assignment —
+    * seeded ±1 pseudo-centroids, or trained/persisted centroids rounded
+    * onto the same fixed-point grid; first-max tie-break), then confirm
+    * near-duplicates with exact integer cosine WITHIN each cell only.
+    * This is the cluster-then-dedup recipe (SemDeDup): against
+    * [[embeddingNearDupsQuantized]] the candidates come from a spatial
+    * partition instead of hyperplane buckets — denser recall inside a
+    * cell, the documented miss for pairs straddling a cell boundary, and
+    * candidate volume Σ|cell|² bounded by choosing nCentroids ≈
+    * corpus ∕ target-cell-size (reuse the corpus's persisted IVF
+    * centroids via [[IndexStore]] so the dedup geometry matches the
+    * serving index and training happens once).
+    *
+    * 100 TB posture: the cell self-join shuffles (id, cell) pairs only;
+    * vectors return via two id-keyed joins onto the candidate set; the
+    * cosine is exact integer arithmetic surfaced as one pinned IEEE
+    * expression, so any engine reproduces it bit-for-bit. Returns
+    * (id_a < id_b, cosine ≥ threshold). */
+  def semanticNearDupsQuantized(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, nCentroids: Int = 16,
+                                seed: Long = 42L,
+                                quantScale: Double = 1048576.0, dim: Int = -1,
+                                trained: Seq[Seq[Double]] = Nil): DataFrame = {
+    val centroids: Seq[Seq[Long]] =
+      if (trained.nonEmpty) trained.map(_.map(x => math.round(x * quantScale)))
+      else randomPlanes(nCentroids,
+        if (dim > 0) dim else probeDim(df, vecCol), seed).map(_.map(_.toLong))
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def cellScore(vec: Column, ctr: Seq[Long]): Column =
+      aggregate(zip_with(vec, array(ctr.map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
+    // single best cell per vector — array_max over (score, -index)
+    // structs (ties → lowest centroid index); never a when() reduce
+    val cells = base.select(col("id"),
+      (-array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(cellScore(col("v"), ctr).as("s"), lit(-i).as("ni")) }: _*))
+        .getField("ni")).as("cell"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("dot_i", dotL(col("va"), col("vb")))
+      .withColumn("na2", dotL(col("va"), col("va")))
+      .withColumn("nb2", dotL(col("vb"), col("vb")))
+      .withColumn("cosine",
+        when(col("na2") > 0 && col("nb2") > 0,
+          col("dot_i").cast("double")
+            / sqrt(col("na2").cast("double") * col("nb2").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (multi
     * -probe), exact cosine ≥ threshold confirmation — the embedding-space
     * dedup family (never all-pairs). Returns (id_a < id_b, cosine). */

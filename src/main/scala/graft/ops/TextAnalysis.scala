@@ -122,6 +122,47 @@ object TextAnalysis {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
 
+  /** Corpus-LM quality proxy (the CCNet/Gopher filtering idea without an
+    * external language model): the share of a document's token bigrams
+    * whose corpus-wide occurrence count reaches `minCount`. Fluent text
+    * re-uses the corpus's frequent transitions; word salad, mangled
+    * encodings, and lorem-style filler do not — so a low `common_ratio`
+    * is the perplexity-shaped signal a quality gate thresholds on,
+    * computed from the corpus itself (no model download, no UDF, exact
+    * integer counts so any engine reproduces it bit-for-bit).
+    *
+    * 100 TB posture: the "LM" is a partial+final count keyed by the
+    * bigram string; scoring joins occurrences to counts on that same key
+    * (co-partitioned with the agg — one exchange serves both) and
+    * re-aggregates per doc carrying (id, flag) pairs only. Nothing is
+    * collected to the driver; the model IS the shuffled count table.
+    *
+    * Returns one row per input doc: (idCol, nb_bigrams, nb_common,
+    * common_ratio) — the ratio an IEEE division of exact longs, NULL for
+    * docs with fewer than two tokens. */
+  def bigramCommonRatio(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(ngrams(col("__t"), 2)).as("g"))
+    val counts = bg.groupBy("g").agg(count(lit(1)).as("__c"))
+    val per = bg.join(counts, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("nb_bigrams"),
+        sum(when(col("__c") >= minCount, 1L).otherwise(0L)).as("nb_common"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb_bigrams"), lit(0L)).as("nb_bigrams"),
+        coalesce(col("nb_common"), lit(0L)).as("nb_common"))
+      .withColumn("common_ratio",
+        when(col("nb_bigrams") > 0,
+          col("nb_common").cast("double") / col("nb_bigrams").cast("double")))
+  }
+
   /** Corpus term weighting — the log-free TF-IDF variant
     * weight = tf × N ∕ df (rarity-scaled term frequency). Log-free
     * because libm log is not bit-identical across engines, while

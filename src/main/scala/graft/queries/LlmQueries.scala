@@ -355,6 +355,26 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-style clustered semantic dedup: the same planted corpus as
+    // q43 (scaled copies of every 25th vector), but candidates come from
+    // the corpus's IVF cell partition (q42's seeded centroids, argmax
+    // assignment) instead of SRP buckets — cluster first, dedup within
+    // clusters, exact integer cosine ≥ 0.99 confirms. Pairs that straddle
+    // a cell boundary are the recipe's documented miss; both engines
+    // replay the identical assignment so the output is still exact.
+    "q73_semantic_dedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(col("id") % 25 === 0)
+        .select((col("id") + 100000).as("id"),
+          transform(col("v"), x => x * 1.0009765625).as("v"))
+      val corpus = base.unionByName(copies)
+      Similarity.semanticNearDupsQuantized(corpus, "id", "v",
+          threshold = 0.99, nCentroids = 16, seed = 7L, dim = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Deterministic train/val/test split: hash-bucket assignment (first
     // two md5 hex digits of doc_id, never rand()) → per-split per-lang
     // token accounting. The reproducibility contract for corpus splits:
@@ -807,6 +827,48 @@ object LlmQueries {
       AnnIndex.topK(q, root, k = 10, nProbes = 4).orderBy("q_id", "rank")
     }),
 
+    // Exact-substring span dedup (the suffix-array dedup mode, as aligned
+    // k=10 windows): corpus ∪ a "franken" doc per every 11th doc — 8 own
+    // prefix tokens + 20 tokens borrowed verbatim from the next doc + 8
+    // own tail tokens. Every k-window fully inside a borrowed run of
+    // ≥ k tokens collides with the neighbor's windows, so span dedup
+    // strips the borrowed run from the franken doc (the neighbor, with
+    // the smaller id, is canonical and keeps its text) while the unique
+    // prefix/tail survive. Output: affected docs only.
+    "q71_span_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val base = d.select(col("doc_id"), docTokens(col("text")).as("toks"))
+      val own = base.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val next = base
+        .select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
+      val fr = own.join(next, Seq("a_id"))
+        .select((col("a_id") + 100000).as("doc_id"),
+          concat_ws(" ", concat(
+            slice(col("a_toks"), 1, 8),
+            slice(col("b_toks"), 3, 20),
+            slice(col("a_toks"), -8, 8))).as("text"))
+      val corpus = d.unionByName(fr)
+      Dedup.spanDedup(corpus, "doc_id", "text", k = 10)
+        .filter(col("nb_removed") > 0)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nb_tokens"),
+          col("nb_removed").cast("long").as("nb_removed"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-LM quality proxy (CCNet-style, model-free): per-doc share of
+    // token bigrams whose corpus-wide count ≥ 5 — the perplexity-shaped
+    // signal a quality gate thresholds on, as exact integer counts and
+    // one IEEE division. The "language model" is the corpus's own bigram
+    // count table, never collected.
+    "q72_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramCommonRatio(
+          table(s, dir, "documents"), "doc_id", "text", minCount = 5L)
+        .orderBy("doc_id")
+    }),
+
     // Per-source volume cap: at most 15 docs per source, picked by md5-hash
     // rank — the deterministic "uniform" clip of over-represented domains
     // that precedes fraction tuning in mixture construction. The oracle
@@ -1171,6 +1233,117 @@ object LlmQueries {
     // same k/nProbes/scale — the index must change where the corpus
     // vectors are read from, never what comes back
     "q70_ann_index_probe" -> ivfAnnOracleSql,
+
+    "q71_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |fr AS (
+        |  SELECT a.doc_id + 100000 AS doc_id,
+        |         a.toks[1:8] || b.toks[3:22] || a.toks[-8:] AS toks
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 11 = 0),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL SELECT doc_id, toks FROM fr),
+        |win AS (
+        |  SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+        |         md5(array_to_string(toks[i + 1 : i + 10], ' ')) AS h
+        |  FROM corpus, unnest(range(len(toks) - 9)) t(i)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY h) AS cnt,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |spans AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + j AS p
+        |  FROM spans, range(10) r(j)),
+        |tokpos AS (
+        |  SELECT doc_id, i + 1 AS p, toks[i + 1] AS tok, len(toks) AS nb
+        |  FROM corpus, unnest(range(len(toks))) t(i)),
+        |agg AS (
+        |  SELECT t.doc_id,
+        |    max(t.nb) AS nb_tokens,
+        |    count(*) FILTER (WHERE cv.p IS NULL) AS nb_kept,
+        |    coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+        |             FILTER (WHERE cv.p IS NULL), '') AS clean_text
+        |  FROM tokpos t LEFT JOIN covered cv
+        |    ON cv.doc_id = t.doc_id AND cv.p = t.p
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(nb_tokens AS BIGINT) AS nb_tokens,
+        |  CAST(nb_tokens - nb_kept AS BIGINT) AS nb_removed, clean_text
+        |FROM agg WHERE nb_kept < nb_tokens ORDER BY doc_id""".stripMargin,
+
+    "q72_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+        |  FROM base, unnest(range(len(toks) - 1)) t(i)),
+        |cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, count(*) AS nb_bigrams,
+        |    sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS nb_common
+        |  FROM bg JOIN cnt USING (g) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(per.nb_bigrams, 0) AS BIGINT) AS nb_bigrams,
+        |  CAST(coalesce(per.nb_common, 0) AS BIGINT) AS nb_common,
+        |  CASE WHEN coalesce(per.nb_bigrams, 0) > 0
+        |       THEN CAST(per.nb_common AS DOUBLE) / CAST(per.nb_bigrams AS DOUBLE)
+        |  END AS common_ratio
+        |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q73_semantic_dedup" -> {
+      // the SAME seeded ±1 centroid literals as q42/q70
+      // (Similarity.randomPlanes(16, 64, 7L)) — cell assignment cannot drift
+      val ctrRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
+        case (ctr, i) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($i, $lst)"
+      }.mkString(",\n        |    ")
+      s"""WITH base AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT id, dv FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, list_transform(dv, x -> x * 1.0009765625)
+        |  FROM base WHERE id % 25 = 0),
+        |qv AS (
+        |  SELECT id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM corpus),
+        |ctr(i, p) AS (VALUES
+        |    $ctrRows),
+        |cells AS (
+        |  SELECT qv.id, qv.v, ctr.i,
+        |    list_aggregate(list_transform(range(64), j -> qv.v[j+1] * ctr.p[j+1]), 'sum') AS s
+        |  FROM qv, ctr),
+        |rc AS (
+        |  SELECT id, v, i,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
+        |  FROM cells),
+        |cc AS (SELECT id, v, i AS cell FROM rc WHERE r = 1),
+        |cand AS (
+        |  SELECT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+        |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.id < b.id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_aggregate(list_transform(range(64), j -> va[j+1] * vb[j+1]), 'sum') AS dot_i,
+        |    list_aggregate(list_transform(range(64), j -> va[j+1] * va[j+1]), 'sum') AS na2,
+        |    list_aggregate(list_transform(range(64), j -> vb[j+1] * vb[j+1]), 'sum') AS nb2
+        |  FROM cand),
+        |cos AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na2 > 0 AND nb2 > 0
+        |         THEN CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+        |    END AS cosine
+        |  FROM scored)
+        |SELECT id_a, id_b, cosine FROM cos
+        |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

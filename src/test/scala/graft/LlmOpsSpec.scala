@@ -1507,4 +1507,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
     assert(d1.map(_._3).sum == 12 + 3 * 2) // coverage: n + (chunks-1)*overlap
   }
+
+  test("spanDedup: canonical occurrence keeps its text, later copies lose the span") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")      // 12-token run
+    val subK = (1 to 9).map(i => s"t$i").mkString(" ")         // 9 < k: too short
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, shared),                                            // canonical
+      (2L, s"u1 u2 u3 $shared v1 v2 v3"),                      // later copy
+      (3L, s"a1 a2 $subK a3 a4"),                              // sub-k dup: kept
+      (4L, s"b1 b2 $subK b3 b4"),
+      (5L, s"$rep $rep"),                                      // within-doc repeat
+      (6L, "x1 x2")                                            // shorter than k
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", k = 10)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("nb_removed"))).toMap
+    assert(out.size == 6) // every row comes back, affected or not
+    assert(out(1L) == (shared, 0)) // least (id, pos) is canonical
+    // doc 2: the 12 borrowed tokens go (3 overlapping windows merge into
+    // one maximal span); the unique flanks survive
+    assert(out(2L) == ("u1 u2 u3 v1 v2 v3", 12))
+    // a 9-token shared run never fills a k=10 window: both docs untouched
+    assert(out(3L)._2 == 0 && out(4L)._2 == 0)
+    // within-doc repetition: first occurrence canonical, second removed
+    assert(out(5L) == (rep, 10))
+    assert(out(6L) == ("x1 x2", 0)) // sub-k doc passes through
+  }
+
+  test("bigramCommonRatio: corpus-frequent transitions score high, word salad low") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "zz qq ww"),    // bigrams unique corpus-wide
+      (5L, "solo")         // <2 tokens: NULL ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCommonRatio(df, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("nb_bigrams"), r.getAs[Long]("nb_common"),
+         Option(r.getAs[java.lang.Double]("common_ratio")))).toMap
+    assert(out.size == 5)
+    // "the cat" occurs 3×, "cat sat" 2×, "cat ran" 1×
+    assert(out(1L) == (2L, 2L, Some(1.0)))
+    assert(out(2L) == (2L, 1L, Some(0.5)))
+    assert(out(4L) == (2L, 0L, Some(0.0)))
+    assert(out(5L) == (0L, 0L, None))
+  }
+
+  test("semanticNearDups: same-cell planted pair found, cross-cell twin is the documented miss") {
+    // centroid 0 = +1⁸, centroid 1 alternates: v1/v2 share cell 0,
+    // v3 is near the cell-1 axis; v4 duplicates v1
+    val c0 = Seq.fill(8)(1.0)
+    val c1 = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val df = Seq(
+      (1L, c0.map(_ * 0.5)),
+      (4L, c0.map(_ * 0.5001)),          // jittered copy of v1
+      (3L, c1.map(_ * 0.7))              // alone in its cell: no pair
+    ).toDF("id", "v")
+    val out = Similarity.semanticNearDupsQuantized(df, "id", "v",
+        threshold = 0.99, trained = Seq(c0, c1), dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 4L)))
+  }
 }
