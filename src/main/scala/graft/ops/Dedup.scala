@@ -446,9 +446,11 @@ object Dedup {
     * windows all collide).
     *
     * Scale shape: windows are hashed map-side (one md5 per window; the
-    * full 128-bit hex is the group key — a 31-bit reduction would
-    * manufacture false duplicate pairs at corpus scale); the duplicate
-    * scan shuffles (hash, id, pos) triples only, never text; marked span
+    * full 128 bits as a 16-byte BINARY group key — a 31-bit reduction
+    * would manufacture false duplicate pairs at corpus scale, and the
+    * hex string would double the width of the op's dominant shuffle);
+    * the duplicate scan shuffles (hash, id, pos) triples only, never
+    * text; marked span
     * starts return to their doc via one int-only shuffle keyed by id; the
     * final join back to the corpus is AQE-broadcastable whenever few docs
     * are affected (the common case) and falls back to a key shuffle
@@ -470,7 +472,7 @@ object Dedup {
       .select(col(idCol), explode(
         transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
           i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))).as("h"))))
+            unhex(md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))).as("h"))))
         .as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
     // canonical occurrence = least (id, pos) per hash; every later

@@ -755,6 +755,45 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic decontamination: corpus rows whose embedding cosine against
+    * ANY benchmark vector reaches `threshold` — the embedding-space
+    * complement of [[Dedup.ngramOverlap]]: a paraphrased or re-worded eval
+    * item shares no verbatim n-grams with its source but stays nearly
+    * collinear in embedding space, so the n-gram gate misses exactly what
+    * this one catches (and vice versa — run both).
+    *
+    * 100 TB posture, same as the n-gram gate: the benchmark side (an eval
+    * suite) is bounded by construction, so its quantized vectors BROADCAST
+    * and each corpus partition streams past them map-side — corpus vectors
+    * never shuffle; the only exchange is the final per-id partial+final
+    * aggregate. Scoring quantizes both sides onto a fixed-point grid and
+    * accumulates exact integer dot/norms, surfaced as one pinned IEEE
+    * division — bit-reproducible in any engine. Returns (idCol,
+    * nb_matches, max_cosine) for contaminated corpus rows only. */
+  def semanticOverlap(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, vecCol: String, threshold: Double,
+                      quantScale: Double = 1048576.0): DataFrame = {
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val bench = benchmark
+      .select(quant(col(vecCol)).as("__bv"))
+      .withColumn("__nb2", dotL(col("__bv"), col("__bv")))
+      .filter(col("__nb2") > 0)
+    corpus
+      .select(col(idCol), quant(col(vecCol)).as("__cv"))
+      .withColumn("__na2", dotL(col("__cv"), col("__cv")))
+      .filter(col("__na2") > 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("__cos",
+        dotL(col("__cv"), col("__bv")).cast("double")
+          / sqrt(col("__na2").cast("double") * col("__nb2").cast("double")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb_matches"), max(col("__cos")).as("max_cosine"))
+  }
+
   /** ANN top-k: bucket corpus and queries by the first `prefixBits` of the
     * SRP sketch, rank by exact cosine within the bucket only. Recall is
     * traded for a shuffle keyed on the bucket instead of a cross join —

@@ -375,6 +375,22 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Semantic decontamination: the embedding-space complement of q47's
+    // n-gram gate. The "benchmark" is a scaled copy of every 40th corpus
+    // vector (a paraphrase stand-in — collinear with its source, background
+    // cosine against everything else); the bounded benchmark side
+    // broadcasts, each corpus partition streams past it map-side, and
+    // exact integer cosine ≥ 0.99 flags the contaminated sources.
+    "q74_semantic_decon" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bench = base.filter(col("id") % 40 === 0)
+        .select(transform(col("v"), x => x * 1.0009765625).as("v"))
+      Similarity.semanticOverlap(base, bench, "id", "v", threshold = 0.99)
+        .orderBy("id")
+    }),
+
     // Deterministic train/val/test split: hash-bucket assignment (first
     // two md5 hex digits of doc_id, never rand()) → per-split per-lang
     // token accounting. The reproducibility contract for corpus splits:
@@ -1344,6 +1360,37 @@ object LlmQueries {
         |SELECT id_a, id_b, cosine FROM cos
         |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q74_semantic_decon" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT list_transform(dv,
+        |           x -> CAST(round(x * 1.0009765625 * 1048576) AS BIGINT)) AS bv
+        |  FROM base WHERE id % 40 = 0),
+        |bn AS (
+        |  SELECT bv, list_aggregate(
+        |    list_transform(range(64), j -> bv[j+1] * bv[j+1]), 'sum') AS nb2
+        |  FROM bench),
+        |bnn AS (SELECT bv, nb2 FROM bn WHERE nb2 > 0),
+        |qv AS (
+        |  SELECT id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM base),
+        |cn AS (
+        |  SELECT id, v, list_aggregate(
+        |    list_transform(range(64), j -> v[j+1] * v[j+1]), 'sum') AS na2
+        |  FROM qv),
+        |cnn AS (SELECT id, v, na2 FROM cn WHERE na2 > 0),
+        |scored AS (
+        |  SELECT c.id,
+        |    CAST(list_aggregate(
+        |      list_transform(range(64), j -> c.v[j+1] * b.bv[j+1]), 'sum') AS DOUBLE)
+        |      / sqrt(CAST(c.na2 AS DOUBLE) * CAST(b.nb2 AS DOUBLE)) AS cos
+        |  FROM cnn c, bnn b)
+        |SELECT id, CAST(count(*) AS BIGINT) AS nb_matches, max(cos) AS max_cosine
+        |FROM scored WHERE cos >= 0.99
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

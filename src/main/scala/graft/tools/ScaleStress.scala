@@ -38,9 +38,11 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // `--only-inc` skips ahead to the incremental-curation section
+    // `--only-inc` skips ahead to the incremental-curation section;
+    // `--only-span` runs just the span-dedup sweep
     val onlyInc = args.contains("--only-inc")
-    val rest = args.drop(1).filterNot(_ == "--only-inc")
+    val onlySpan = args.contains("--only-span")
+    val rest = args.drop(1).filterNot(a => a == "--only-inc" || a == "--only-span")
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -78,6 +80,22 @@ object ScaleStress {
         f"shuffleWriteMiB=${(metrics.written - w0) / 1048576.0}%.1f " +
         s"stages=${metrics.stages - s0}")
     }
+
+    // Exact-substring span dedup: window-hash rows = corpus tokens, so
+    // the op's dominant shuffle should grow LINEARLY with the multiplier;
+    // every non-base copy shares its full base text verbatim (a run far
+    // above k), so affected docs = (m−1)·base and each loses its whole
+    // borrowed run — the worst-case covered-position volume.
+    if (onlySpan || !onlyInc) mults.foreach { m =>
+      val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== span corpus ${m}x: ${d.count()} docs ===")
+      phase(s"${m}x_q71_span_dedup") {
+        Dedup.spanDedup(d, "doc_id", "text", k = 10)
+          .filter(col("nb_removed") > 0).count()
+      }
+      d.unpersist()
+    }
+    if (onlySpan) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)

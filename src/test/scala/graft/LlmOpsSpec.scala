@@ -1569,4 +1569,20 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 4L)))
   }
+
+  test("semanticOverlap: planted paraphrase flagged, dissimilar corpus clean, zero vectors dropped") {
+    val a = Seq(0.5, 0.5, 0.5, 0.5)
+    val corpus = Seq(
+      (1L, a),                                  // source of the leaked item
+      (2L, Seq(0.9, -0.1, 0.02, -0.5)),         // cosine ~0.15 vs bench: clean
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))             // zero norm: never scored
+    ).toDF("id", "v")
+    val bench = Seq(
+      Tuple1(a.map(_ * 1.001)),                 // paraphrase stand-in of doc 1
+      Tuple1(Seq(0.0, 0.0, 0.0, 0.0))           // zero bench vector: dropped
+    ).toDF("v")
+    val out = Similarity.semanticOverlap(corpus, bench, "id", "v", 0.99)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("nb_matches")))
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
 }
