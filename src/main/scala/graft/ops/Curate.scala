@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *      scores the text that actually ships),
   *   2. exact dedup (cheapest filter first: one content-hash shuffle),
   *   3. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
+  *   3½. (opt-in) exact-substring span dedup ([[Dedup.spanDedup]] — after
+  *      the doc-level collapses so whole-doc dups never read as spans;
+  *      docs emptied by it are dropped),
   *   4. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
+  *   4½. (opt-in) corpus-LM bigram floor ([[TextAnalysis.bigramCommonRatio]]
+  *      — the corpus as its own LM; salad and too-short docs drop),
   *   5. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
   *   6. deterministic split assignment ([[Sampling.splitAssign]]),
   *   7. (opt-in) sliding-window chunking ([[Packing.chunkTokens]] — LAST,
@@ -50,6 +55,17 @@ object Curate {
       trainPct: Int = 80,
       valPct: Int = 10,
       boilerplateMaxDocs: Option[Long] = None,
+      // opt-in exact-substring span dedup after the doc-level collapses
+      // (window size k): cross-doc verbatim runs ≥ k are removed from all
+      // but their canonical occurrence; docs left empty are dropped. One
+      // pass: removal can create new token adjacencies at the seam, so a
+      // corpus needing exhaustive span removal re-runs until nb_removed=0
+      // (the default recipe's fixpoint property is for spanDedupK=None).
+      spanDedupK: Option[Int] = None,
+      // opt-in corpus-LM quality proxy floor: (minCount, floor) keeps docs
+      // whose share of corpus-frequent bigrams reaches the floor; docs too
+      // short to score (< 2 tokens) are dropped with the salad
+      bigramLmFloor: Option[(Long, Double)] = None,
       chunk: Option[(Int, Int)] = None)
 
   /** `release()` drops the cached stage backing `corpus` — call it after
@@ -107,9 +123,41 @@ object Curate {
         (nd, n)
       }
 
+    // 3.5 (opt-in) exact-substring span dedup: verbatim cross-doc runs the
+    // LINE-based boilerplate stage can't see (mid-line quotes, templated
+    // sentences) are stripped from every non-canonical occurrence; docs
+    // reduced to nothing are dropped. Runs AFTER the doc-level collapses so
+    // whole-doc duplicates never masquerade as giant spans.
+    val spanned = cfg.spanDedupK match {
+      case Some(k) =>
+        val sd = Dedup.spanDedup(nearDeduped, idCol, textCol, k)
+          .withColumn(textCol, col("clean_text"))
+          .drop("clean_text", "nb_removed")
+          .filter(TextAnalysis.tokenCount(col(textCol)) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sd.count()
+        nearDeduped.unpersist()
+        sd
+      case None => nearDeduped
+    }
+
     // 4. quality floor
-    val quality = nearDeduped
+    val qualityBase = spanned
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
+
+    // 4.5 (opt-in) corpus-LM quality proxy: the corpus is its own language
+    // model — docs whose share of corpus-frequent bigrams falls below the
+    // floor (word salad, mangled encodings) drop, as do docs too short to
+    // score (NULL ratio fails the >= filter by design)
+    val quality = cfg.bigramLmFloor match {
+      case Some((minCount, floor)) =>
+        val keep = TextAnalysis
+          .bigramCommonRatio(qualityBase, idCol, textCol, minCount)
+          .filter(col("common_ratio") >= floor)
+          .select(col(idCol))
+        qualityBase.join(keep, Seq(idCol), "left_semi")
+      case None => qualityBase
+    }
     // 5. decontamination: drop docs sharing any n-gram with the benchmark.
     // The corpus side was redacted in stage 1, so the benchmark side gets
     // the SAME redaction first — otherwise every gram spanning an email/
@@ -124,7 +172,7 @@ object Curate {
       .join(contaminated, quality(idCol) === col("__contaminated_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nClean = clean.count()
-    nearDeduped.unpersist()
+    spanned.unpersist() // == nearDeduped when the span stage is off
 
     // 6. assign splits (text already redacted before dedup)
     val curated = clean

@@ -649,15 +649,18 @@ object Similarity {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }.reduce(_ unionByName _).distinct()
-    val candidates = pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    candidates
+    // norms fold once per VECTOR before the candidate join (ids are
+    // linear, candidates are not) — each candidate pair then pays exactly
+    // one fold, the dot; the integers are identical either way
+    val withNorm = base.withColumn("n2", dotL(col("v"), col("v")))
+    pairs
+      .join(withNorm.select(col("id").as("id_a"),
+        col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"),
+        col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
       .withColumn("dot_i", dotL(col("va"), col("vb")))
-      .withColumn("na2", dotL(col("va"), col("va")))
-      .withColumn("nb2", dotL(col("vb"), col("vb")))
       .withColumn("cosine",
         when(col("na2") > 0 && col("nb2") > 0,
           col("dot_i").cast("double")
@@ -711,12 +714,17 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // norms are per-VECTOR, so fold them once per id before the candidate
+    // join — a pair then pays one fold (the dot), not three (same exact
+    // integers either way; candidates within a cell are quadratic, ids
+    // are linear)
+    val withNorm = base.withColumn("n2", dotL(col("v"), col("v")))
     pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(withNorm.select(col("id").as("id_a"),
+        col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"),
+        col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
       .withColumn("dot_i", dotL(col("va"), col("vb")))
-      .withColumn("na2", dotL(col("va"), col("va")))
-      .withColumn("nb2", dotL(col("vb"), col("vb")))
       .withColumn("cosine",
         when(col("na2") > 0 && col("nb2") > 0,
           col("dot_i").cast("double")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -370,8 +370,11 @@ object LlmQueries {
         .select((col("id") + 100000).as("id"),
           transform(col("v"), x => x * 1.0009765625).as("v"))
       val corpus = base.unionByName(copies)
+      // nCentroids follows the op's own sizing rule (corpus ∕ target cell
+      // size): 64 cells keep candidate volume Σ|cell|² ~tens of pairs per
+      // vector; 16 cells at sf0.1 meant ~325-vector cells and 1.7M pairs
       Similarity.semanticNearDupsQuantized(corpus, "id", "v",
-          threshold = 0.99, nCentroids = 16, seed = 7L, dim = 64)
+          threshold = 0.99, nCentroids = 64, seed = 7L, dim = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -389,6 +392,19 @@ object LlmQueries {
         .select(transform(col("v"), x => x * 1.0009765625).as("v"))
       Similarity.semanticOverlap(base, bench, "id", "v", threshold = 0.99)
         .orderBy("id")
+    }),
+
+    // BPE vocabulary induction, round 0: the corpus-scale half of
+    // tokenizer training — ONE pass to the distinct-word frequency table,
+    // then adjacent-character pair counts weighted by word frequency (the
+    // BPE objective the first merge argmaxes over). Deterministic
+    // tiebreak (count desc, then pair) so the top-30 is stable on any
+    // partitioning; the iterative trainer (Vocab.bpeTrain) is unit-tested
+    // since its per-round argmax is a driver rule, not a frame.
+    "q75_bpe_pairs" -> ((s, dir) => {
+      Vocab.pairCounts(Vocab.wordTable(table(s, dir, "documents"), "text"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(30)
     }),
 
     // Deterministic train/val/test split: hash-bucket assignment (first
@@ -1313,9 +1329,9 @@ object LlmQueries {
         |ORDER BY b.doc_id""".stripMargin,
 
     "q73_semantic_dedup" -> {
-      // the SAME seeded ±1 centroid literals as q42/q70
-      // (Similarity.randomPlanes(16, 64, 7L)) — cell assignment cannot drift
-      val ctrRows = Similarity.randomPlanes(16, 64, 7L).zipWithIndex.map {
+      // the SAME seeded ±1 centroid literals as the Spark side
+      // (Similarity.randomPlanes(64, 64, 7L)) — cell assignment cannot drift
+      val ctrRows = Similarity.randomPlanes(64, 64, 7L).zipWithIndex.map {
         case (ctr, i) =>
           val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
           s"($i, $lst)"
@@ -1391,6 +1407,20 @@ object LlmQueries {
         |SELECT id, CAST(count(*) AS BIGINT) AS nb_matches, max(cos) AS max_cosine
         |FROM scored WHERE cos >= 0.99
         |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q75_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+        |p AS (
+        |  SELECT substring(word, CAST(i + 1 AS INT), 1) AS a,
+        |         substring(word, CAST(i + 2 AS INT), 1) AS b, freq
+        |  FROM wf, unnest(range(length(word) - 1)) t(i)
+        |  WHERE length(word) >= 2)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY a, b
+        |ORDER BY pair_count DESC, a, b LIMIT 30""".stripMargin,
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

@@ -1585,4 +1585,89 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("nb_matches")))
     assert(out.toSeq == Seq((1L, 1L)))
   }
+
+  test("curate: opt-in span-dedup stage strips the borrowed run, default leaves it") {
+    import graft.ops.Curate
+    val run = "the quick brown fox jumps over the lazy dog near the river bank"
+    val doc1 = s"a long opening about the state of the project and the team $run"
+    // doc 2 borrows the 13-token run verbatim; its flanks are unique, so
+    // Jaccard vs doc 1 stays below the near-dup threshold and only the
+    // span stage can see the overlap
+    val doc2 = s"totally different intro with many other words here $run " +
+      "and a closing thought about the plans of the group for the year"
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout nothing shared")).toDF("doc_id", "text")
+    val withSpan = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(spanDedupK = Some(10)))
+    val spanOut = withSpan.corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spanOut.keySet == Set(1L, 2L)) // nothing dropped, text rewritten
+    assert(spanOut(1L).contains(run))     // canonical (least id) keeps it
+    assert(!spanOut(2L).contains("quick brown fox"), spanOut(2L))
+    assert(spanOut(2L).contains("totally different intro")
+      && spanOut(2L).contains("closing thought")) // unique flanks survive
+    withSpan.release()
+    val default = Curate.curate(docs, bench, "doc_id", "text")
+    val defOut = default.corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(defOut(2L).contains(run)) // stage is opt-in
+    default.release()
+  }
+
+  test("curate: opt-in bigram-LM floor drops word salad the char-level score passes") {
+    import graft.ops.Curate
+    val phrase = "the users of the service are happy with the results"
+    // four distinct prose docs share a 10-token phrase (below spanDedup's
+    // reach — that stage is off here anyway — but its bigrams repeat 4x),
+    // Jaccard pairwise < 0.5 so near-dup keeps all four
+    val prose = Seq(
+      (1L, s"alpha notes about features $phrase and more remarks follow"),
+      (2L, s"beta report on tooling $phrase plus extra comments too"),
+      (3L, s"gamma summary of changes $phrase with final thoughts added"),
+      (4L, s"delta review of options $phrase and closing words here"))
+    // the salad passes qualityScore (length ok, stopwords present, no
+    // punctuation) but none of its bigrams repeat anywhere in the corpus
+    val salad = (5L, "of zq the vx and plw of mnb the qrs and wtv the zzk " +
+      "plus ooo of rrr the nnn and mmm")
+    val docs = (prose :+ salad).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout nothing shared")).toDF("doc_id", "text")
+    val r = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(bigramLmFloor = Some((2L, 0.25))))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), ids.toString)
+    r.release()
+    val rDef = Curate.curate(docs, bench, "doc_id", "text")
+    val idsDef = rDef.corpus.select("doc_id").as[Long].collect().toSet
+    assert(idsDef.contains(5L)) // the floor is opt-in
+    rDef.release()
+  }
+
+  test("bpeTrain: deterministic merge sequence, greedy application, early stop") {
+    import graft.ops.Vocab
+    // words: aaab x3, ab x1. Round 1: (a,a)=6 beats (a,b)=4 -> merge aa
+    // (greedy: aaab segments [aa, a, b]). Round 2: (a,b)=4 beats
+    // (aa,a)=3 -> merge ab. Round 3: (aa,ab)=3 -> merge aaab. Round 4:
+    // no pair repeats -> early stop despite merges=10.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val rules = Vocab.bpeTrain(docs, "text", merges = 10)
+    assert(rules == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), rules.toString)
+  }
+
+  test("bpe encode: learned rules segment unseen words greedily, map-side") {
+    import graft.ops.Vocab
+    val rules = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val docs = Seq((1L, "aaab ab aaa")).toDF("doc_id", "text")
+    val out = Vocab.encode(docs, "text", rules).select("bpe_tokens").head()
+      .getSeq[String](0)
+    // aaab -> [aaab]; ab -> [ab]; aaa -> (a,a) greedy left-to-right [aa, a]
+    assert(out == Seq("aaab", "ab", "aa", "a"), out.toString)
+  }
+
+  test("bpe pairCounts: frequency-weighted adjacent pairs over distinct words") {
+    import graft.ops.Vocab
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val pc = Vocab.pairCounts(Vocab.wordTable(docs, "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pc == Map(("a", "a") -> 6L, ("a", "b") -> 4L), pc.toString)
+  }
 }

@@ -119,6 +119,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination broadcasts the benchmark side; corpus vectors never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    graft.plans.GraftExtensions.install(spark)
+    // same at-scale planning settings as the id-only test: without them
+    // everything fits one partition and the invariant is vacuous. The
+    // benchmark side must broadcast BY HINT (threshold −1 disables the
+    // automatic pick), and no exchange may carry a vector payload — the
+    // aggregate exchange moves (id, partial count/max) rows only.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q74_semantic_decon")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+        s"q74 lost its broadcast cross join:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "q74 planned no aggregate exchange at all?")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"q74 exchange carries a vector payload: ${e.output.map(_.name).mkString(",")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   /** A state persisted by saveState (fingerprints bucketed by content_key,
     * band keys by (band, key), SRP sketches by (seed, bucket)) plus a
     * day-1 delta, wired into the three daily probes — the fixture behind
