@@ -89,7 +89,15 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=q73,q40 benches just the named (prefix-matched)
+    // queries — the profiling loop for a single regression
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) =>
+        val want = f.split(",").map(_.trim).filter(_.nonEmpty)
+        allNames.filter(n => want.exists(n.startsWith))
+      case None => allNames
+    }
     // warm-up: JVM, codegen, parquet footers, page cache — and the
     // shuffle-byte capture (bytes are run-invariant, so the warm pass is
     // as good as a timed one and keeps drain waits off the timings)

@@ -705,10 +705,18 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
     // single best cell per vector — array_max over (score, -index)
     // structs (ties → lowest centroid index); never a when() reduce
-    val cells = base.select(col("id"),
+    val cells0 = base.select(col("id"),
       (-array_max(array(centroids.zipWithIndex.map { case (ctr, i) =>
         struct(cellScore(col("v"), ctr).as("s"), lit(-i).as("ni")) }: _*))
         .getField("ni")).as("cell"))
+    // The assignment is the op's hottest expression (nCentroids folds per
+    // row, interpreted HOFs) and feeds BOTH sides of the self-join;
+    // without a lineage cut the planner duplicates it per join side AND
+    // pushes an isnotnull(cell) copy into the scan filter — 4 evaluations
+    // per row (measured 4× the op's wall). Materialize the skinny
+    // (id, cell) frame once instead: two longs per vector, bounded at any
+    // corpus size the (id, cell) shuffle itself can handle.
+    val cells = cells0.localCheckpoint()
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

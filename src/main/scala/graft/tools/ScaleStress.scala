@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{Curate, CurateIncremental, Dedup, Similarity}
+import graft.ops.{Curate, CurateIncremental, Dedup, Similarity, Vocab}
 
 /** Scale-stress harness for the dedup/near-dup family (the evidence behind
   * the "amortizes at 100×" claims in PERF.md): builds a multiplied
@@ -39,10 +39,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // `--only-inc` skips ahead to the incremental-curation section;
-    // `--only-span` runs just the span-dedup sweep
+    // `--only-span` / `--only-vocab` run just that sweep
     val onlyInc = args.contains("--only-inc")
     val onlySpan = args.contains("--only-span")
-    val rest = args.drop(1).filterNot(a => a == "--only-inc" || a == "--only-span")
+    val onlyVocab = args.contains("--only-vocab")
+    val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -86,7 +87,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || !onlyInc) mults.foreach { m =>
+    if (onlySpan || (!onlyInc && !onlyVocab)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -95,7 +96,21 @@ object ScaleStress {
       }
       d.unpersist()
     }
-    if (onlySpan) { spark.stop(); return }
+
+    // BPE vocab induction: the corpus-scale cost is ONE word-frequency
+    // pass; training rounds run over the distinct-word table, whose size
+    // is vocabulary-bound — the multiplied corpus adds copies of the SAME
+    // words (plus m−1 marker tokens), so per-round cost should stay ~flat
+    // as the corpus multiplies.
+    if (onlyVocab || (!onlyInc && !onlySpan)) mults.foreach { m =>
+      val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
+      phase(s"${m}x_vocab_bpe_train8") {
+        Vocab.bpeTrain(d, "text", merges = 8).length.toLong
+      }
+      d.unpersist()
+    }
+    if (onlySpan || onlyVocab) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
