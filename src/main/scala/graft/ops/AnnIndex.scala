@@ -176,4 +176,23 @@ object AnnIndex {
       spark.read.parquet(postingsDir(root)), postingsDir(root),
       postTable(root), n, PostBucketCols)
   }
+
+  /** Remove vectors from the index (the takedown path — a served corpus
+    * that honors removal must sweep its ANN index too, or deleted
+    * content keeps surfacing as a neighbor id). Path-based anti-join
+    * rewrite of the postings through the temp-sibling → atomic-swap
+    * discipline; centroids are untouched (they are geometry, not
+    * content). Returns the number of postings removed. */
+  def remove(ids: DataFrame, idCol: String, root: String): Long = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).as("__del_id")).distinct().localCheckpoint()
+    val (n, _) = readMeta(spark, root)
+    val posts = spark.read.parquet(postingsDir(root))
+    val removed = posts.join(del, posts("id") === col("__del_id"), "left_semi").count()
+    BucketedTables.writeBucketedSnapshot(
+      posts.join(del, posts("id") === col("__del_id"), "left_anti"),
+      postingsDir(root), postTable(root), n, PostBucketCols)
+    del.unpersist()
+    removed
+  }
 }

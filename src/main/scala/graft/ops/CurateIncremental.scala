@@ -316,6 +316,66 @@ object CurateIncremental {
     }
   }
 
+  /** Take down documents: remove every trace of `ids` from the persisted
+    * state — corpus text, fingerprints, band keys and (when present) the
+    * embedding vector + SRP sketch tables. The operational face of a
+    * copyright / PII / right-to-be-forgotten request against a curated
+    * corpus, so the write ORDER is the REVERSE of [[appendState]], for
+    * the same fail-safe logic pointed the other way: the CORPUS rewrites
+    * FIRST — a crash mid-removal must leave the served text GONE (the
+    * compliance obligation) even if stale index rows survive. Stale
+    * index rows only OVER-DROP future re-crawls of the removed content
+    * (conservative, self-healing: re-running the removal sweeps them).
+    * After a completed removal the content is fully re-admittable — a
+    * fresh crawl of the same text probes clean, which is the correct
+    * takedown semantics (the corpus no longer holds it).
+    *
+    * Every rewrite is a path-based anti-join snapshot through the
+    * temp-sibling → atomic-swap discipline (bucketed tables keep their
+    * one-file-per-bucket layout); nothing is appended, so no pinning is
+    * needed beyond the ids frame itself, which is materialized up front
+    * (it may derive from the very corpus scan being swapped out).
+    * Returns the number of corpus docs removed. */
+  def removeFromState(ids: DataFrame, idCol: String, root: String): Long =
+    removeFromStateHooked(ids, idCol, root, () => ())
+
+  /** [[removeFromState]] with a fault-injection point between the corpus
+    * rewrite and the index rewrites — test-only seam for the
+    * crash-ordering contract. */
+  private[graft] def removeFromStateHooked(ids: DataFrame, idCol: String,
+                                           root: String,
+                                           afterCorpusWrite: () => Unit): Long = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).as("__del_id")).distinct().localCheckpoint()
+    val meta = readMeta(spark, root)
+    val n = meta.getOrElse(defaultBuckets(spark))
+    val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
+    def sweep(df: DataFrame, joinCol: String): DataFrame =
+      df.join(del, df(joinCol) === col("__del_id"), "left_anti")
+    def sweepBucketed(dir: String, prefix: String, cols: Seq[String]): Unit =
+      meta match {
+        case Some(b) => writeBucketedSnapshot(
+          sweep(spark.read.parquet(dir), "id"), dir, tableName(prefix, dir), b, cols)
+        case None => // legacy plain layout stays plain
+          writePlainSnapshot(sweep(spark.read.parquet(dir), "id"), dir, n)
+      }
+    // corpus first: its id column keeps the caller's name — the one table
+    // whose schema is the user's
+    val corpus0 = spark.read.parquet(corpusDir(root))
+    val corpusIdCol = corpus0.columns.head
+    val removed = corpus0.join(del, corpus0(corpusIdCol) === col("__del_id"),
+      "left_semi").count()
+    writePlainSnapshot(sweep(corpus0, corpusIdCol), corpusDir(root), n)
+    afterCorpusWrite()
+    if (hasEmb) writePlainSnapshot(
+      sweep(spark.read.parquet(embDir(root)), "id"), embDir(root), n)
+    sweepBucketed(fpsDir(root), "fps", FpsBucketCols)
+    sweepBucketed(bksDir(root), "bks", BksBucketCols)
+    if (hasEmb) sweepBucketed(srpDir(root), "srp", SrpBucketCols)
+    del.unpersist()
+    removed
+  }
+
   /** Rewrite every state table back to one file per bucket (corpus: one
     * file per partition). Daily appends add a file per bucket per day;
     * run this weekly-ish so probe scans stay a bounded file count. Each

@@ -135,4 +135,31 @@ class AnnIndexSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("remove sweeps a vector out of the postings and out of every neighbor list") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annrm-").toString
+    val corpus = corpusDf(1L to 80L)
+    AnnIndex.build(corpus, "c_id", "c_vec", root, cfg, buckets = 4)
+
+    // query with vector 7's own direction: pre-removal, 7 is its top hit
+    val qSelf = Seq((207L, vec(7))).toDF("q_id", "q_vec")
+    val before = rows(AnnIndex.topK(qSelf, root, k = 5, nProbes = 6))
+    assert(before.exists(_._2 == 7L), "sanity: 7 must be a neighbor before removal")
+
+    val removed = AnnIndex.remove(Seq(7L).toDF("c_id"), "c_id", root)
+    assert(removed == 1L)
+    val after = rows(AnnIndex.topK(qSelf, root, k = 5, nProbes = 6))
+    assert(!after.exists(_._2 == 7L),
+      "a removed vector must never surface as a neighbor")
+    assert(after.groupBy(_._1).forall(_._2.size == 5),
+      "remaining postings still fill the top-k")
+    // and the swept postings match the index built without the vector
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-annrm2-").toString
+    AnnIndex.build(corpusDf((1L to 80L).filterNot(_ == 7L)), "c_id", "c_vec",
+      rebuilt, cfg, buckets = 4,
+      trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids"))
+    assert(rows(AnnIndex.topK(qSelf, root, k = 5, nProbes = 6))
+      == rows(AnnIndex.topK(qSelf, rebuilt, k = 5, nProbes = 6)),
+      "remove must equal building the index without the removed vector")
+  }
 }

@@ -469,4 +469,79 @@ class CurateStateSpec extends SparkSpec {
     assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(202L))
     r.release()
   }
+
+  test("removeFromState sweeps every table and the content becomes re-admittable") {
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown-").toString
+    val base = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")))
+    CurateIncremental.bootstrap(base, bench, "doc_id", "text", root,
+      Curate.Config(), vecs = Some(embDf(Seq((1L, vec(1)), (2L, vec(2)),
+        (3L, vec(3))))), ecfg = ecfg).release()
+
+    // before the takedown: a re-crawl of doc 2 (new id, same text) and a
+    // jitter of its vector both die at the probes
+    val st0 = CurateIncremental.loadState(spark, root)
+    val pre = CurateIncremental.curateDelta(
+      docsDf(Seq(doc(20, "beta"))), bench, "doc_id", "text", st0)
+    assert(pre.corpus.count() == 0, "identical content must dedup pre-removal")
+    pre.release()
+
+    val removed = CurateIncremental.removeFromState(
+      Seq(2L).toDF("doc_id"), "doc_id", root)
+    assert(removed == 1L, s"one corpus doc expected removed, got $removed")
+
+    // every trace is gone from every table
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.filter(col("doc_id") === 2).count() == 0)
+    assert(st.fingerprints.filter(col("id") === 2).count() == 0)
+    assert(st.bandKeys.filter(col("id") === 2).count() == 0)
+    assert(st.embeddings.get.filter(col("id") === 2).count() == 0)
+    assert(st.srpBuckets.get.filter(col("id") === 2).count() == 0)
+    assert(st.corpus.count() == 2, "other docs untouched")
+
+    // the takedown semantics: the same content is now ADMITTABLE again —
+    // the corpus no longer holds it, so nothing should block a fresh crawl
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(21, "beta"))), bench, "doc_id", "text", root,
+      Curate.Config(), deltaVecs = Some(embDf(Seq((21L, vec(2))))), ecfg = ecfg)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(21L),
+      "removed content must be re-admittable after a completed takedown")
+    r.release()
+  }
+
+  test("removeFromState crash after the corpus write: text gone, stale index over-drops, re-run heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown-crash-").toString
+    val base = docsDf(Seq(doc(1, "alpha"), doc(2, "beta")))
+    CurateIncremental.bootstrap(base, bench, "doc_id", "text", root).release()
+
+    val boom = intercept[RuntimeException] {
+      CurateIncremental.removeFromStateHooked(Seq(2L).toDF("doc_id"),
+        "doc_id", root, () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+
+    // the compliance direction: served text is GONE even though the crash
+    // left the index rows behind
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.filter(col("doc_id") === 2).count() == 0,
+      "corpus rewrite must be durable before the crash point")
+    assert(st.fingerprints.filter(col("id") === 2).count() == 1,
+      "index rows survive the crash (the safe, over-dropping direction)")
+
+    // stale fingerprint over-drops a re-crawl — conservative, never serving
+    val blocked = CurateIncremental.curateDelta(
+      docsDf(Seq(doc(20, "beta"))), bench, "doc_id", "text", st)
+    assert(blocked.corpus.count() == 0,
+      "stale index must over-drop, not re-admit")
+    blocked.release()
+
+    // re-running the removal completes the sweep and heals admissibility
+    CurateIncremental.removeFromState(Seq(2L).toDF("doc_id"), "doc_id", root)
+    val st2 = CurateIncremental.loadState(spark, root)
+    assert(st2.fingerprints.filter(col("id") === 2).count() == 0)
+    val ok = CurateIncremental.curateDelta(
+      docsDf(Seq(doc(21, "beta"))), bench, "doc_id", "text", st2)
+    assert(ok.corpus.count() == 1, "completed takedown re-admits the content")
+    ok.release()
+  }
 }
