@@ -127,17 +127,42 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.collect { case (k, Right(v)) => s""""${esc(k)}":$v""" }
+    // The harness stores only a ~2000-char tail of stdout (BENCH_r08/r09:
+    // "parsed": null both rounds) — a 75-query line with the full shuffle
+    // map is ~8 KB and never survives. The PRINTED line is therefore
+    // compact: qNN keys (names share no prefix collisions; guarded below),
+    // millisecond-rounded seconds, no shuffle map. The full-fidelity JSON
+    // (full names, full precision, per-query shuffle bytes, errors) goes to
+    // bench_full.json in the working directory for CompareBench / triage.
+    val short: Map[String, String] = {
+      val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+      val collide = pref.values.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
+      pref.map { case (n, p) => n -> (if (collide(p)) n else p) }
+    }
+    def sec3(v: Double): String = f"$v%.3f"
+    val qs = results.collect { case (k, Right(v)) => s""""${esc(short(k))}":${sec3(v)}""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => s""""${esc(k)}":"${esc(e)}"""" }
+    val errs = results.collect { case (k, Left(e)) => s""""${esc(short(k))}":"${esc(e.take(80))}"""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val fullQs = results.collect { case (k, Right(v)) => s""""${esc(k)}":$v""" }
+      .mkString("{", ",", "}")
+    val fullErrs = results.collect { case (k, Left(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val shuffle = names.flatMap { n =>
       shuffleBytes.get(n).collect { case (true, r, w) =>
         s""""${esc(n)}":{"read":$r,"write":$w}"""
       }
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle":$shuffle,"sf":"${esc(sfDir)}"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"shuffle":$shuffle,"sf":"${esc(sfDir)}"}"""
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+      System.err.println(s"[bench] full per-query JSON (incl. shuffle bytes) -> ${new java.io.File("bench_full.json").getAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -11,25 +11,29 @@ class CompareBenchSpec extends AnyFunSuite {
       """"shuffle":{"q01_agg":{"read":4291,"write":2937},""" +
       """"q40_dedup":{"read":3641684,"write":1771567}},"sf":"/x"}"""
 
-  test("parses the raw Bench JSON line") {
+  test("parses the raw Bench JSON line, normalizing keys to the qNN prefix") {
     val r = CompareBench.parse(benchLine)
-    assert(r.wall == Map("q01_agg" -> 1.5, "q40_dedup" -> 6.0))
-    assert(r.read == Map("q01_agg" -> 4291L, "q40_dedup" -> 3641684L))
-    assert(r.write("q40_dedup") == 1771567L)
+    assert(r.wall == Map("q01" -> 1.5, "q40" -> 6.0))
+    assert(r.read == Map("q01" -> 4291L, "q40" -> 3641684L))
+    assert(r.write("q40") == 1771567L)
+    // r10+ Bench prints short keys already — same normalized result
+    val shortLine =
+      """{"metric":"total","value":12.5,"unit":"sec","queries":{"q01":1.5,"q40":6.0},"sf":"/x"}"""
+    assert(CompareBench.parse(shortLine).wall == r.wall)
   }
 
   test("parses a driver wrapper, including a truncated tail") {
     val wrapped =
       s"""{"n":8,"rc":0,"tail":"${benchLine.replace("\\", "\\\\").replace("\"", "\\\"")}\\n","parsed":null}"""
     val r = CompareBench.parse(wrapped)
-    assert(r.wall("q40_dedup") == 6.0 && r.read("q40_dedup") == 3641684L)
+    assert(r.wall("q40") == 6.0 && r.read("q40") == 3641684L)
     // a truncated tail loses the queries map and the first shuffle
     // entries — whatever byte entries survive must still parse
     val cut = wrapped.substring(0, wrapped.indexOf("q40_dedup") - 1)
     val truncated =
       """{"n":8,"rc":0,"tail":"},\"q40_dedup\":{\"read\":3641684,\"write\":1771567}},\"sf\":1}\n","parsed":null}"""
     val rt = CompareBench.parse(truncated)
-    assert(rt.wall.isEmpty && rt.read == Map("q40_dedup" -> 3641684L))
+    assert(rt.wall.isEmpty && rt.read == Map("q40" -> 3641684L))
     assert(cut.nonEmpty) // silence unused warning path
   }
 
