@@ -83,6 +83,60 @@ object Sampling {
         min(col(idCol)).as("min_id"))
       .filter(col("nb_docs") > 1 && col("nb_splits") > 1)
 
+  /** Deterministic corpus shuffle + sharding — the terminal "shuffle and
+    * shard" step that fixes a training-data read order: every row gets a
+    * shard ∈ [0, nShards) and a dense position within its shard, both
+    * derived from md5(key) so the permutation is reproducible across
+    * runs, engines, and input partitionings (re-running a backfill must
+    * not reorder the corpus a trainer already consumed).
+    *
+    * 100 TB posture: ONE shuffle, keyed on the shard column; the
+    * within-shard position is a per-shard `row_number` window, so shard
+    * count is the scale lever — size it to the output-file target
+    * (e.g. ~100k shards of ~1 GB at 100 TB) and each window partition
+    * stays file-sized. Shard spread uses 16 bits of the hash (65,536
+    * lanes), so shard populations stay even up to that shard count. */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536] (got $nShards)")
+    val h = md5(col(keyCol).cast("string"))
+    // first 4 hex digits → [0, 65536): the same digit arithmetic as
+    // hashBucket, widened (portable — no engine-specific hex parsing)
+    val h16 = (0 until 4).map(i =>
+      hexDigitVal(substring(h, i + 1, 1)) * (1 << (4 * (3 - i)))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("shard", pmod(h16, lit(nShards)))
+      .withColumn("pos", row_number().over(w) - 1)
+  }
+
+  /** Temperature-balanced mixture (α = 1/2): per-source keep fraction
+    * f_s = √(c_min / c_s), where c_s is the source's observed row count —
+    * the standard temperature-resampling rule used to flatten skewed
+    * multilingual / multi-domain mixtures (sampling share ∝ c_s^α): the
+    * rarest source keeps everything, a source 100× larger keeps 10%.
+    * α is pinned to 1/2 because √ and ÷ are the IEEE correctly-rounded
+    * operations — f_s is bit-identical in every engine, which a general
+    * pow(α) cannot promise; the keep test then floors 256·f onto the
+    * [[hashBucket]] grid, inheriting its determinism.
+    *
+    * 100 TB posture: one partial+final count aggregate (rows = number of
+    * sources, not corpus rows) broadcast back onto the corpus; the keep
+    * filter itself is map-side — no corpus-scale shuffle anywhere. */
+  def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
+    // global min as a broadcast 1-row cross join — the frames here are
+    // dimension-sized (one row per source), never corpus-sized
+    val minC = counts.agg(min(col("__c")).as("__cmin"))
+    val cuts = counts.crossJoin(broadcast(minC))
+      .withColumn("__cut",
+        floor(lit(256) * sqrt(col("__cmin").cast("double") / col("__c").cast("double"))))
+      .select(col(sourceCol), col("__cut"))
+    df.join(broadcast(cuts), Seq(sourceCol))
+      .filter(hashBucket(col(keyCol)) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Deterministic per-source mixture sampling: each row keeps or drops by
     * its hash bucket against its source's fraction — how a training mix
     * downsamples over-represented domains. The per-source cut is a chained

@@ -63,6 +63,34 @@ object Similarity {
       .select(qId, cId, "rank", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training pairs: per query, the
+    * top-k most-similar corpus rows from a DIFFERENT group — the nearest
+    * vectors that are NOT positives, which is exactly what an embedding
+    * model trains against. `group` is whatever defines a positive set:
+    * a class label, a near-dup cluster id, a source document.
+    *
+    * Same broadcast-bounded shape and CONTRACT as [[cosineTopK]] (fixed
+    * query cardinality; corpus never shuffles); the group exclusion is
+    * applied BEFORE the per-query ranking window, so same-group rows
+    * never occupy candidate slots. NULL groups are treated as distinct
+    * from everything, including other NULLs (a row with no positive set
+    * can only serve as a negative). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qId: String = "q_id", qVec: String = "q_vec",
+                    qGroup: String = "q_group",
+                    cId: String = "c_id", cVec: String = "c_vec",
+                    cGroup: String = "c_group"): DataFrame = {
+    val differentGroup =
+      col(qGroup).isNull || col(cGroup).isNull || col(qGroup) =!= col(cGroup)
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col(qId) =!= col(cId) && differentGroup)
+      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(qId, qGroup, cId, cGroup, "rank", "cosine")
+  }
+
   /** Deterministic signed-random-projection planes: `nPlanes` × `dim`
     * ±1 entries from a seeded PRNG (driver-side constants, folded into
     * the plan as literals — broadcast for free). */

@@ -407,6 +407,71 @@ object LlmQueries {
         .limit(30)
     }),
 
+    // Terminal shuffle+shard: the deterministic training-order write —
+    // per-shard populations and order-fingerprints (not the full listing,
+    // which at 100 TB is the corpus itself; the md5-of-ordered-ids digest
+    // pins the exact within-shard ORDER, so any permutation drift
+    // hash-mismatches). One shard-keyed shuffle; see Sampling.shuffleShard.
+    "q76_shuffle_shard" -> ((s, dir) => {
+      Sampling.shuffleShard(
+          table(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("nb_docs"),
+          min(col("doc_id")).as("first_doc"),
+          // aggregate in pos order (list ordering inside groupBy is not
+          // deterministic) — collect (pos, id), sort by pos, digest ids
+          md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(pos, doc_id))), x -> CAST(x.doc_id AS STRING))")))
+            .as("order_digest"))
+        .orderBy("shard")
+    }),
+
+    // Temperature-balanced mixture (α=1/2): per-source keep fraction
+    // √(c_min/c_s) — the multilingual-mixture flattening rule. Output is
+    // the per-source accounting a mixture report needs: raw count, the
+    // realized hash-grid cut, kept count. Map-side keep filter; the only
+    // aggregates are dimension-sized. See Sampling.temperatureSample.
+    "q77_temperature_mix" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val kept = Sampling.temperatureSample(d, "doc_id", "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("nb_kept"))
+      d.groupBy(col("source")).agg(count(lit(1)).as("nb_total"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("nb_total"),
+          coalesce(col("nb_kept"), lit(0L)).as("nb_kept"))
+        .orderBy("source")
+    }),
+
+    // Hard-negative mining: per query vector, the 5 nearest DIFFERENT-
+    // label vectors (the contrastive-training negative-selection step).
+    // Same bounded-query-side broadcast + exact fixed-point integer dot
+    // as q22 (IEEE float cosine is not order-independent, integer sums
+    // are), with the label exclusion applied before the ranking window.
+    // The float-cosine operator surface is Similarity.hardNegatives
+    // (unit-tested); this oracle flavor pins the selection semantics.
+    "q78_hard_negatives" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val quantArr = transform(col("embedding"),
+        x => round(x.cast("double") * 1048576.0).cast("long"))
+      val q = e.filter(col("vec_id") < 500 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), quantArr.as("qv"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("c_id"), quantArr.as("cv"),
+        col("label").as("c_label"))
+      val dots = broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("c_id") && col("c_label") =!= col("q_label"))
+        .withColumn("dot_i",
+          aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+      val w = Window.partitionBy("q_id").orderBy(col("dot_i").desc, col("c_id").asc)
+      dots.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+          col("rank"),
+          (col("dot_i").cast("double") / 1099511627776.0).as("dot"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Deterministic train/val/test split: hash-bucket assignment (first
     // two md5 hex digits of doc_id, never rand()) → per-split per-lang
     // token accounting. The reproducibility contract for corpus splits:
@@ -1421,6 +1486,76 @@ object LlmQueries {
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY a, b
         |ORDER BY pair_count DESC, a, b LIMIT 30""".stripMargin,
+
+    // the same 16-bit hash spread + shard modulo + md5-rank order as
+    // Sampling.shuffleShard; the per-shard digest hashes ids in pos order
+    "q76_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |v AS (
+        |  SELECT doc_id, hx,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS h16
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, hx, CAST(h16 % 8 AS INT) AS shard FROM v),
+        |p AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS pos
+        |  FROM s)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS nb_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_digest
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // √(c_min/c_s) keep fraction floored onto the 256-bucket hash grid —
+    // both sqrt and the division are IEEE correctly-rounded, so the cut
+    // is bit-identical cross-engine (the reason α is pinned to 1/2)
+    "q77_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |cut AS (
+        |  SELECT source, c,
+        |    CAST(floor(256 * sqrt(CAST((SELECT min(c) FROM c) AS DOUBLE)
+        |                          / CAST(c AS DOUBLE))) AS BIGINT) AS cut
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, count(*) AS nb_kept
+        |  FROM documents d JOIN cut ON d.source = cut.source
+        |  WHERE (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)
+        |      < cut.cut
+        |  GROUP BY 1)
+        |SELECT cut.source, CAST(cut.c AS BIGINT) AS nb_total,
+        |       CAST(coalesce(k.nb_kept, 0) AS BIGINT) AS nb_kept
+        |FROM cut LEFT JOIN k ON cut.source = k.source
+        |ORDER BY cut.source""".stripMargin,
+
+    // q22's exact fixed-point dot, restricted to different-label
+    // candidates — the hard-negative selection semantics
+    "q78_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS e
+        |           FROM embeddings WHERE vec_id < 500 AND vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS e FROM embeddings),
+        |dots AS (
+        |  SELECT q_id, q_label, c_id, c_label,
+        |    sum(CAST(round(CAST(q.e[t.i + 1] AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(round(CAST(c.e[t.i + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS dot_i
+        |  FROM q, c, range(64) t(i)
+        |  WHERE q_id != c_id AND c_label != q_label
+        |  GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT q_id, q_label, c_id, c_label, dot_i,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_i DESC, c_id) AS INT) AS rank
+        |  FROM dots)
+        |SELECT q_id, q_label, c_id, c_label, rank,
+        |       CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

@@ -327,6 +327,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(s1 == s2 && s1.size > 300 && s1.size < 700, s"sample size ${s1.size}")
   }
 
+  test("shuffleShard: complete permutation, dense per-shard positions, partition-stable") {
+    import graft.ops.Sampling
+    val keys = (0L until 2000L).toDF("k")
+    val out = Sampling.shuffleShard(keys, "k", 8)
+      .select("k", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 2000)
+    // every shard's positions are exactly 0..n-1 (dense, no gaps/dupes)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length),
+        s"shard $shard positions not dense")
+    }
+    // shards are reasonably even under the 16-bit hash spread
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.min > 150 && sizes.values.max < 350, sizes.toMap.toString)
+    // identical (shard, pos) assignment at a different partitioning
+    val again = Sampling.shuffleShard(keys.repartition(13), "k", 8)
+      .select("k", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("temperatureSample: rarest source keeps all, dominant source shrinks toward sqrt rule") {
+    import graft.ops.Sampling
+    // sources with 100 / 400 / 1600 rows: keep fractions 1, 1/2, 1/4
+    val df = ((0L until 100L).map(i => (i, "rare")) ++
+      (100L until 500L).map(i => (i, "mid")) ++
+      (500L until 2100L).map(i => (i, "big"))).toDF("k", "src")
+    val kept = Sampling.temperatureSample(df, "k", "src")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 100L, s"rare source must keep everything: $kept")
+    // hash-grid realization of 1/2 and 1/4 with sampling wobble
+    assert(math.abs(kept("mid") - 200.0) < 60, kept.toString)
+    assert(math.abs(kept("big") - 400.0) < 100, kept.toString)
+    // partition-stability: same surviving key set
+    val a = Sampling.temperatureSample(df, "k", "src").select("k")
+      .as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(11), "k", "src").select("k")
+      .as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("hardNegatives: nearest different-group vectors only, same-group never ranks") {
+    import graft.ops.Similarity
+    // groups 0/1 in distinct directions plus a near-query same-group decoy
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0), // same group as query, nearest — excluded
+      (2L, Seq(0.9, 0.1, 0.0), 1), // nearest different-group
+      (3L, Seq(0.0, 1.0, 0.0), 1),
+      (4L, Seq(0.0, 0.0, 1.0), 1),
+      (5L, Seq(-1.0, 0.0, 0.0), 0)
+    ).toDF("c_id", "c_vec", "c_group")
+    val queries = Seq((100L, Seq(1.0, 0.0, 0.0), 0))
+      .toDF("q_id", "q_vec", "q_group")
+    val out = Similarity.hardNegatives(queries, corpus, k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getInt(4)))
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)), out.toSeq.toString)
+    // NULL group is distinct from everything including NULL: all rows rank
+    val nullCorpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), Option.empty[Int]),
+      (2L, Seq(0.5, 0.5, 0.0), Option(0))
+    ).toDF("c_id", "c_vec", "c_group")
+    val nullQ = Seq((100L, Seq(1.0, 0.0, 0.0), Option.empty[Int]))
+      .toDF("q_id", "q_vec", "q_group")
+    val nOut = Similarity.hardNegatives(nullQ, nullCorpus, k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(nOut == Set(1L, 2L))
+  }
+
   test("redactPii / matchCount / ngrams: patterns and slices are exact") {
     import graft.ops.TextAnalysis
     val df = Seq(
