@@ -498,4 +498,39 @@ object Dedup {
         size(TextAnalysis.tokens(col(textCol))) - size(col("__kept")))
       .drop("__covered", "__cov", "__kept")
   }
+
+  /** Winnowed-fingerprint candidate pairs: docs sharing at least
+    * `minShared` winnowed k-gram fingerprints
+    * ([[TextAnalysis.winnowedFingerprints]]), with the shared count —
+    * the MOSS-style plagiarism/borrowed-span detector. Where [[spanDedup]]
+    * indexes EVERY k-gram window (exact, token-linear state),
+    * winnowing samples ~2∕(w+1) of them with the guarantee that any
+    * shared run of ≥ w+k-1 tokens still collides — the dial for
+    * span-level matching when the exhaustive index is too heavy.
+    *
+    * Shape: fingerprints computed map-side, exploded to (fp, id) pairs
+    * (a hash + a long — no text rides any shuffle); fingerprints seen in
+    * more than `maxDf` docs are dropped before pairing (corpus-frequent
+    * boilerplate spans otherwise flood their bucket quadratically — the
+    * same cap rationale as `lshCandidates.maxBucket`, and ubiquitous
+    * spans are boilerplate, not borrowing); then a self-join per
+    * fingerprint and a partial+final count per (a, b). */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 10): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"minShared >= 1 and maxDf >= 2 required (got $minShared, $maxDf)")
+    val fps = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.winnowedFingerprints(
+          TextAnalysis.tokens(col(textCol)), k, w)).as("fp"))
+    val rare = Window.partitionBy("fp")
+    val pairs = fps
+      .withColumn("__df", count(lit(1)).over(rare))
+      .filter(col("__df") <= maxDf)
+    pairs.as("a").join(pairs.as("b"), Seq("fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("nb_shared"))
+      .filter(col("nb_shared") >= minShared)
+  }
 }

@@ -122,6 +122,34 @@ object TextAnalysis {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
 
+  /** Winnowed k-gram fingerprints (the MOSS winnowing scheme, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03): hash every k-token shingle, slide a
+    * window of `w` consecutive hashes, keep each window's minimum, then
+    * de-duplicate. The guarantee that makes it the right SAMPLED
+    * fingerprint for span-level matching: any shared token run of at
+    * least w+k-1 tokens contributes at least one shared fingerprint,
+    * while only ~2/(w+1) of the gram hashes are stored — a tunable
+    * density/recall dial an exhaustive gram set (q47's decontamination)
+    * does not have.
+    *
+    * Pure map-side columnar expression — no shuffle, no UDF; hashes are
+    * md5 hex, whose lexicographic min is identical in every engine.
+    * Docs shorter than w+k-1 tokens yield their single minimum gram
+    * hash (all-gram window), and shorter than k tokens yield empty. */
+  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k w=$w)")
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val mins = when(size(grams) >= w,
+      transform(sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+      .when(size(grams) > 0, array(array_min(grams)))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(mins)
+  }
+
   /** Corpus-LM quality proxy (the CCNet/Gopher filtering idea without an
     * external language model): the share of a document's token bigrams
     * whose corpus-wide occurrence count reaches `minCount`. Fluent text

@@ -472,6 +472,30 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Winnowed-fingerprint borrowing detection (MOSS winnowing): q71's
+    // planted borrowed-run corpus through the SAMPLED fingerprint index —
+    // every (source, frankendoc) pair must surface with its shared-
+    // fingerprint count even though only ~2/(w+1) of gram hashes are kept.
+    "q79_winnowed_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val base = d.select(col("doc_id"), docTokens(col("text")).as("toks"))
+      val own = base.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val next = base
+        .select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
+      val fr = own.join(next, Seq("a_id"))
+        .select((col("a_id") + 100000).as("doc_id"),
+          concat_ws(" ", concat(
+            slice(col("a_toks"), 1, 8),
+            slice(col("b_toks"), 3, 20),
+            slice(col("a_toks"), -8, 8))).as("text"))
+      val corpus = d.unionByName(fr)
+      Dedup.winnowedPairs(corpus, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 10)
+        .select(col("a_id"), col("b_id"), col("nb_shared").cast("long").as("nb_shared"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Deterministic train/val/test split: hash-bucket assignment (first
     // two md5 hex digits of doc_id, never rand()) → per-split per-lang
     // token accounting. The reproducibility contract for corpus splits:
@@ -1556,6 +1580,45 @@ object LlmQueries {
         |SELECT q_id, q_label, c_id, c_label, rank,
         |       CAST(dot_i AS DOUBLE) / 1099511627776.0 AS dot
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // the same winnow: md5 k-gram hashes, w-window lexicographic min,
+    // distinct per doc, document-frequency cap, per-fingerprint self-join
+    "q79_winnowed_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |fr AS (
+        |  SELECT a.doc_id + 100000 AS doc_id,
+        |         a.toks[1:8] || b.toks[3:22] || a.toks[-8:] AS toks
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 11 = 0),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL SELECT doc_id, toks FROM fr),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_transform(range(len(toks) - 4),
+        |                i -> md5(array_to_string(toks[i+1:i+5], ' ')))
+        |         ELSE [] END AS grams
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4
+        |         THEN list_transform(range(len(grams) - 3),
+        |                j -> list_aggregate(grams[j+1:j+4], 'min'))
+        |         WHEN len(grams) > 0 THEN [list_aggregate(grams, 'min')]
+        |         ELSE [] END AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id AS id, unnest(list_distinct(fps)) AS fp FROM m),
+        |r AS (
+        |  SELECT id, fp FROM (
+        |    SELECT id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f)
+        |  WHERE df <= 10)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS nb_shared
+        |FROM r a JOIN r b ON a.fp = b.fp AND a.id < b.id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q43_embed_neardup" -> {
       // interpolate the SAME seeded ±1 plane literals

@@ -398,6 +398,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(nOut == Set(1L, 2L))
   }
 
+  test("winnowing: w+k-1 guarantee, short-doc degradation, df cap suppresses boilerplate") {
+    import graft.ops.{Dedup, TextAnalysis}
+    def fps(text: String, k: Int, w: Int): Set[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.winnowedFingerprints(
+          TextAnalysis.tokens(col("t")), k, w).as("f"))
+        .head().getSeq[String](0).toSet
+    // shorter than k tokens -> no fingerprints; k..k+w-2 grams -> the one min
+    assert(fps("a b c", 5, 4).isEmpty)
+    assert(fps("a b c d e f", 5, 4).size == 1) // 2 grams, 1 window-min degrade
+    // the winnowing guarantee: a shared run of exactly w+k-1 = 8 tokens
+    // must yield at least one shared fingerprint
+    val run = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val docA = s"alpha beta gamma $run delta epsilon zeta"
+    val docB = s"one two three four $run five six seven"
+    assert(fps(docA, 5, 4).intersect(fps(docB, 5, 4)).nonEmpty)
+    // pair detection: borrowed 16-token run found; unrelated doc silent
+    val longRun = (0 until 16).map(i => s"copy$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 $longRun u4 u5 u6"),
+      (2L, s"v1 v2 v3 v4 $longRun v5 v6"),
+      (3L, "totally unrelated words that never repeat anything at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(corpus, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // df cap: a span in MORE than maxDf docs is boilerplate, not borrowing
+    // (identical docs, so every fingerprint has df = 12 > maxDf exactly)
+    val flood = (0 until 12).map(i => (i.toLong, longRun)).toDF("doc_id", "text")
+    val capped = Dedup.winnowedPairs(flood, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 10)
+    assert(capped.count() == 0, "flooded fingerprints must be dropped by the df cap")
+  }
+
   test("redactPii / matchCount / ngrams: patterns and slices are exact") {
     import graft.ops.TextAnalysis
     val df = Seq(
