@@ -202,6 +202,75 @@ class PlanShapeSpec extends SparkSpec {
         CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st)))
   }
 
+  test("r10 ops: shard exchange is reused, mixtures broadcast, no text rides a shuffle") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    graft.plans.GraftExtensions.install(spark)
+    // at-scale planning settings (see the id-only test above): no
+    // auto-broadcast — surviving broadcasts are BY HINT — split scans,
+    // AQE off so EnsureRequirements' exchanges are inspectable
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def hashShuffles(name: String) = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      (plan, plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning]))
+    }
+    try {
+      // q76: ONE hash exchange total — the shard shuffle. The per-shard
+      // window and the groupBy(shard) aggregate must share it (the window's
+      // output partitioning satisfies the aggregate's requirement); a
+      // second hash exchange means the terminal write started paying the
+      // corpus twice.
+      val (p76, s76) = hashShuffles("q76_shuffle_shard")
+      assert(s76.size == 1, s"q76 planned ${s76.size} hash exchanges, want 1:\n$p76")
+      // q77: the per-source cut reaches the corpus through a BY-HINT
+      // broadcast (threshold is -1 here), so the corpus-scale keep filter
+      // is map-side; only dimension-sized aggregates shuffle.
+      val (p77, _) = hashShuffles("q77_temperature_mix")
+      assert(p77.toString.contains("BroadcastHashJoin"),
+        s"q77 lost its broadcast cut join:\n$p77")
+      // q78: the bounded query side broadcasts (nested-loop by hint);
+      // corpus vectors must not ride a hash exchange — only the per-q_id
+      // ranking window shuffles candidate rows.
+      val (p78, s78) = hashShuffles("q78_hard_negatives")
+      assert(p78.toString.contains("BroadcastNestedLoopJoin"),
+        s"q78 lost its broadcast query side:\n$p78")
+      assert(s78.forall(e => !e.output.exists(_.name == "cv")),
+        s"q78 shuffles corpus vectors:\n$p78")
+      // winnowedPairs (q79's operator, planned on the raw corpus — the
+      // q79 QUERY also shuffles its planted-frankendoc construction,
+      // which is fixture, not operator): fingerprints and ids only — no
+      // exchange output may carry the text column or a token array.
+      val wp = graft.ops.Dedup.winnowedPairs(
+        graft.sources.Testdata.table(spark, sf, "documents")
+          .select("doc_id", "text"),
+        "doc_id", "text", k = 5, w = 4, minShared = 2, maxDf = 10)
+      val p79 = wp.queryExecution.executedPlan
+      val s79 = p79.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      assert(s79.nonEmpty, s"winnowedPairs planned no hash exchange at all?\n$p79")
+      s79.foreach { e =>
+        val bad = e.output.filter(a => a.name == "text" ||
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(bad.isEmpty,
+          s"winnowedPairs exchange carries ${bad.map(_.name).mkString(",")}:\n$p79")
+        e.output.filter(_.dataType == StringType).foreach(a =>
+          assert(a.name == "fp" || a.name.startsWith("__"),
+            s"winnowedPairs exchange carries string column ${a.name} (text leak?):\n$p79"))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("incremental-curation probes plan ZERO exchange on the bucketed state side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
