@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *   4½. (opt-in) corpus-LM bigram floor ([[TextAnalysis.bigramCommonRatio]]
   *      — the corpus as its own LM; salad and too-short docs drop),
   *   5. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
+  *   5½. (opt-in) temperature mixture balancing
+  *      ([[Sampling.temperatureSample]] — AFTER cleaning so junk never
+  *      consumes a dominant source's budget, BEFORE splits so every
+  *      split sees the same balanced mixture),
   *   6. deterministic split assignment ([[Sampling.splitAssign]]),
   *   7. (opt-in) sliding-window chunking ([[Packing.chunkTokens]] — LAST,
   *      over redacted survivors only; chunks inherit the doc's split so a
@@ -37,7 +41,11 @@ import org.apache.spark.sql.functions._
   * patterns) and the LSH/minhash machinery deterministic, the whole
   * recipe is a FIXPOINT: curating an already-curated corpus eliminates
   * nothing and changes no text or split (property-tested). That is the
-  * contract an incrementally re-run pipeline relies on.
+  * contract an incrementally re-run pipeline relies on. (The opt-in
+  * temperature stage is the documented exception, like spanDedupK: the
+  * √-rule moves counts TOWARD balance each application — c_s →
+  * √(c_s·c_min) — so re-curating with it on keeps shaving the dominant
+  * sources; the fixpoint property holds for the default Config.)
   */
 object Curate {
 
@@ -66,6 +74,10 @@ object Curate {
       // whose share of corpus-frequent bigrams reaches the floor; docs too
       // short to score (< 2 tokens) are dropped with the salad
       bigramLmFloor: Option[(Long, Double)] = None,
+      // opt-in α=1/2 temperature mixture balancing keyed on this source
+      // column (Sampling.temperatureSample): dominant sources are
+      // down-sampled toward √-balance after cleaning, before splits
+      temperatureBalanceCol: Option[String] = None,
       chunk: Option[(Int, Int)] = None)
 
   /** `release()` drops the cached stage backing `corpus` — call it after
@@ -174,8 +186,17 @@ object Curate {
     val nClean = clean.count()
     spanned.unpersist() // == nearDeduped when the span stage is off
 
+    // 5.5 (opt-in) temperature mixture balancing: the √(c_min/c_s) keep
+    // rule over CLEAN counts (post-dedup/quality/decontam), so a source's
+    // budget is spent on text that survived — and before splits, so the
+    // balanced mixture is what train/val/test all sample from
+    val balanced = cfg.temperatureBalanceCol match {
+      case Some(srcCol) => Sampling.temperatureSample(clean, idCol, srcCol)
+      case None => clean
+    }
+
     // 6. assign splits (text already redacted before dedup)
-    val curated = clean
+    val curated = balanced
       .withColumn("split",
         Sampling.splitAssign(col(idCol), cfg.trainPct, cfg.valPct))
 

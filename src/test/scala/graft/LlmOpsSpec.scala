@@ -805,6 +805,34 @@ class LlmOpsSpec extends SparkSpec {
     r.release()
   }
 
+  test("curate: opt-in temperature stage balances sources; default leaves counts alone") {
+    import graft.ops.Curate
+    // 50 rare vs 800 dominant unique docs, all passing every other stage
+    val docs = ((0 until 50).map(i => (i.toLong, "rare")) ++
+      (1000 until 1800).map(i => (i.toLong, "big")))
+      .map { case (id, src) =>
+        (id, src, (1 to 12).map(j => s"w${id}x$j the of and is").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+    val bench = Seq((9999L, "benchmark holdout nothing shared at all"))
+      .toDF("doc_id", "text")
+    // near-dup off (threshold > 1), quality floor 0 — isolate the stage
+    val base = Curate.Config(nearDupThreshold = 1.5, qualityFloor = 0.0)
+    val off = Curate.curate(docs, bench, "doc_id", "text", base)
+    assert(off.corpus.count() == 850L)
+    off.release()
+    val on = Curate.curate(docs, bench, "doc_id", "text",
+      base.copy(temperatureBalanceCol = Some("source")))
+    val bySrc = on.corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest source keeps everything; dominant shrinks toward
+    // 800·√(50/800) = 200 (hash-grid wobble tolerated)
+    assert(bySrc("rare") == 50L, bySrc.toString)
+    assert(math.abs(bySrc("big") - 200.0) < 60, bySrc.toString)
+    // splits still assigned on the balanced survivors
+    assert(on.corpus.select("split").distinct().count() == 3)
+    on.release()
+  }
+
   test("splitLeakage flags only content groups that straddle splits") {
     import graft.ops.Sampling
     val df = Seq(
