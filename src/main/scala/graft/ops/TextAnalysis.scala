@@ -135,19 +135,32 @@ object TextAnalysis {
     * Pure map-side columnar expression — no shuffle, no UDF; hashes are
     * md5 hex, whose lexicographic min is identical in every engine.
     * Docs shorter than w+k-1 tokens yield their single minimum gram
-    * hash (all-gram window), and shorter than k tokens yield empty. */
+    * hash (all-gram window), and shorter than k tokens yield empty.
+    *
+    * The token and gram arrays are BOUND ONCE per row through
+    * single-element-array lambdas: Spark's higher-order functions run
+    * interpreted with no common-subexpression elimination, so an
+    * unbound `grams` referenced from every window slice would recompute
+    * EVERY md5 for EVERY window — O(n·w) hashes instead of O(n),
+    * measured ~70× slower on the sf0.1 corpus. */
   def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k w=$w)")
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-    val mins = when(size(grams) >= w,
-      transform(sequence(lit(1), size(grams) - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-      .when(size(grams) > 0, array(array_min(grams)))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(mins)
+    val empty = array().cast("array<string>")
+    def bind(c: Column)(f: Column => Column): Column =
+      element_at(transform(array(c), f), 1)
+    bind(toks) { ts =>
+      bind(when(size(ts) >= k,
+          transform(sequence(lit(1), size(ts) - (k - 1)),
+            i => md5(concat_ws(" ", slice(ts, i, lit(k))))))
+        .otherwise(empty)) { grams =>
+        array_distinct(
+          when(size(grams) >= w,
+            transform(sequence(lit(1), size(grams) - (w - 1)),
+              j => array_min(slice(grams, j, lit(w)))))
+          .when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(empty))
+      }
+    }
   }
 
   /** Corpus-LM quality proxy (the CCNet/Gopher filtering idea without an

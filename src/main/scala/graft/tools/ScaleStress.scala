@@ -43,6 +43,7 @@ object ScaleStress {
     val onlyInc = args.contains("--only-inc")
     val onlySpan = args.contains("--only-span")
     val onlyVocab = args.contains("--only-vocab")
+    val onlyWinnow = args.contains("--only-winnow")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -87,7 +88,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyInc && !onlyVocab)) mults.foreach { m =>
+    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -102,7 +103,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyInc && !onlySpan)) mults.foreach { m =>
+    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -110,7 +111,29 @@ object ScaleStress {
       }
       d.unpersist()
     }
-    if (onlySpan || onlyVocab) { spark.stop(); return }
+    // Winnowed-pair candidate volume: fingerprint rows are ~2/(w+1) of the
+    // corpus grams, linear in the multiplier; PAIR volume is governed by
+    // the document-frequency cap. Every non-base copy shares its base's
+    // whole text, so family-shared fingerprints have df = m+1: with the
+    // cap ABOVE the family size the pair count is quadratic in m BY
+    // CONSTRUCTION (genuine all-pairs borrowing — the detector reporting
+    // what is there), while a cap BELOW it drops the flood at the df gate
+    // before the self-join — the knob that keeps one viral/boilerplate
+    // span from detonating the pairing at 100 TB.
+    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab)) mults.foreach { m =>
+      val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
+      phase(s"${m}x_winnow_pairs_dfOpen") {
+        Dedup.winnowedPairs(d, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 64).count()
+      }
+      phase(s"${m}x_winnow_pairs_dfCapped") {
+        Dedup.winnowedPairs(d, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = math.max(2, (m + 1) / 2)).count()
+      }
+      d.unpersist()
+    }
+    if (onlySpan || onlyVocab || onlyWinnow) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
