@@ -78,14 +78,19 @@ object Dedup {
     conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP
 
   /** MinHash signature: k affine-permutation minima over the shingle set,
-    * as an array of longs. */
+    * as an array of longs. The hashed-shingle array is bound once per row
+    * (single-element-array lambda — the interpreted-HOF idiom from
+    * [[TextAnalysis.winnowedFingerprints]]): k unbound references would
+    * re-digest the whole shingle set k times. The SCALE path is still
+    * [[lshBandKeys]]'s explode + k min-aggregates (partial+final); this
+    * Column form is for signature-at-rest use cases. */
   def minhashSignature(shingleSet: Column, k: Int): Column = {
     require(k <= MinhashA.length, s"k must be <= ${MinhashA.length}")
-    val hashes = transform(shingleSet, s => baseHash(s))
-    array((0 until k).map { j =>
-      array_min(transform(hashes,
-        h => (h * MinhashA(j) + MinhashB(j)) % MinhashP))
-    }: _*)
+    element_at(transform(array(transform(shingleSet, s => baseHash(s))),
+      hashes => array((0 until k).map { j =>
+        array_min(transform(hashes,
+          h => (h * MinhashA(j) + MinhashB(j)) % MinhashP))
+      }: _*)), 1)
   }
 
   /** LSH banding: split the k-length signature into bands of `rows`

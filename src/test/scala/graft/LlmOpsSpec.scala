@@ -398,6 +398,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(nOut == Set(1L, 2L))
   }
 
+  test("minhashSignature Column form matches the explode+aggregate scale form") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val colForm = docs.select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // reconstruct the signature from lshBandKeys' band keys (3 bands × 4)
+    val fromBands = Dedup.lshBandKeys(docs, "doc_id", "text", 3, 12, 3, 4)
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1))
+          .flatMap(_.getString(2).split('|').map(_.toLong)).toVector
+      }
+    assert(colForm == fromBands)
+  }
+
   test("winnowing: w+k-1 guarantee, short-doc degradation, df cap suppresses boilerplate") {
     import graft.ops.{Dedup, TextAnalysis}
     def fps(text: String, k: Int, w: Int): Set[String] =
