@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *   3½. (opt-in) exact-substring span dedup ([[Dedup.spanDedup]] — after
   *      the doc-level collapses so whole-doc dups never read as spans;
   *      docs emptied by it are dropped),
+  *   3¾. (opt-in) winnowed borrowed-content filter
+  *      ([[Dedup.winnowedPairs]] — docs sharing ≥ minShared sampled
+  *      span fingerprints with an earlier-id doc drop whole: the
+  *      detector for partial borrowing BELOW the near-dup Jaccard
+  *      threshold, at ~2∕(w+1) of the exhaustive span index's state),
   *   4. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
   *   4½. (opt-in) corpus-LM bigram floor ([[TextAnalysis.bigramCommonRatio]]
   *      — the corpus as its own LM; salad and too-short docs drop),
@@ -45,9 +50,19 @@ import org.apache.spark.sql.functions._
   * temperature stage is the documented exception, like spanDedupK: the
   * √-rule moves counts TOWARD balance each application — c_s →
   * √(c_s·c_min) — so re-curating with it on keeps shaving the dominant
-  * sources; the fixpoint property holds for the default Config.)
+  * sources. winnowFilter is corpus-dependent the same way: its df cap is
+  * computed over the CURRENT corpus, so fingerprints capped out in run 1
+  * can fall under the cap among run-1 survivors and pair in run 2. The
+  * fixpoint property holds for the default Config.)
   */
 object Curate {
+
+  /** Knobs of the opt-in winnowed borrowed-content filter (stage 3¾):
+    * [[TextAnalysis.winnowedFingerprints]]'s (k, w) plus the pair rules
+    * of [[Dedup.winnowedPairs]] — docs sharing ≥ `minShared` fingerprints
+    * (each seen in ≤ `maxDf` docs) with an earlier-id doc are dropped. */
+  case class Winnow(k: Int = 5, w: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 10)
 
   case class Config(
       nearDupThreshold: Double = 0.5,
@@ -70,6 +85,10 @@ object Curate {
       // corpus needing exhaustive span removal re-runs until nb_removed=0
       // (the default recipe's fixpoint property is for spanDedupK=None).
       spanDedupK: Option[Int] = None,
+      // opt-in winnowed borrowed-content filter after the doc-level
+      // collapses (and span dedup, when both are on): whole-doc drop of
+      // later-id docs sharing sampled span fingerprints with a keeper
+      winnowFilter: Option[Winnow] = None,
       // opt-in corpus-LM quality proxy floor: (minCount, floor) keeps docs
       // whose share of corpus-frequent bigrams reaches the floor; docs too
       // short to score (< 2 tokens) are dropped with the salad
@@ -153,8 +172,22 @@ object Curate {
       case None => nearDeduped
     }
 
+    // 3.75 (opt-in) winnowed borrowed-content filter: a doc sharing
+    // >= minShared df-capped span fingerprints with an EARLIER-id doc is
+    // a partial borrow below the near-dup threshold — it drops whole
+    // (span dedup edits text; this stage drops docs: the policy for
+    // corpora where borrowing means the doc is derivative, not salvage)
+    val winnowed = cfg.winnowFilter match {
+      case Some(wf) =>
+        val dropIds = Dedup.winnowedPairs(spanned, idCol, textCol,
+            wf.k, wf.w, wf.minShared, wf.maxDf)
+          .select(col("b_id").as("__borrower")).distinct()
+        spanned.join(dropIds, spanned(idCol) === col("__borrower"), "left_anti")
+      case None => spanned
+    }
+
     // 4. quality floor
-    val qualityBase = spanned
+    val qualityBase = winnowed
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
 
     // 4.5 (opt-in) corpus-LM quality proxy: the corpus is its own language

@@ -65,7 +65,8 @@ object CurateIncremental {
     * embedding near-dup stage is curated incrementally too. */
   case class State(corpus: DataFrame, fingerprints: DataFrame, bandKeys: DataFrame,
                    embeddings: Option[DataFrame] = None,
-                   srpBuckets: Option[DataFrame] = None)
+                   srpBuckets: Option[DataFrame] = None,
+                   winnowFps: Option[DataFrame] = None)
 
   /** Knobs of the incremental embedding near-dup stage — mirrors the
     * arguments of [[Similarity.embeddingNearDupsQuantized]], whose exact
@@ -92,7 +93,9 @@ object CurateIncremental {
       curated.select(col(idCol), col(textCol)),
       fingerprintTable(curated, idCol, textCol),
       Dedup.lshBandKeys(curated, idCol, textCol,
-        cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows))
+        cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows),
+      winnowFps = cfg.winnowFilter.map(wf =>
+        Dedup.winnowTable(curated, idCol, textCol, wf.k, wf.w)))
 
   /** Fixed-point quantization of an embedding column — the same rounding
     * as [[Similarity.embeddingNearDupsQuantized]], so sketch bits and
@@ -132,9 +135,11 @@ object CurateIncremental {
   private def bksDir(root: String) = s"${stateDir(root)}/band_keys"
   private def embDir(root: String) = s"${stateDir(root)}/emb_vectors"
   private def srpDir(root: String) = s"${stateDir(root)}/srp_buckets"
+  private def wnfDir(root: String) = s"${stateDir(root)}/winnow_fps"
   private val FpsBucketCols = Seq("content_key")
   private val BksBucketCols = Seq("band", "key")
   private val SrpBucketCols = Seq("seed", "bucket")
+  private val WnfBucketCols = Seq("fp")
 
   // ---------------------------------------------------------------------
   // Bucketed-table plumbing. Bucket metadata lives in the session catalog,
@@ -203,6 +208,9 @@ object CurateIncremental {
     for (srp <- st.srpBuckets)
       writeBucketedSnapshot(srp, srpDir(root),
         tableName("srp", srpDir(root)), n, SrpBucketCols)
+    for (wnf <- st.winnowFps)
+      writeBucketedSnapshot(wnf, wnfDir(root),
+        tableName("wnf", wnfDir(root)), n, WnfBucketCols)
     for (emb <- st.embeddings)
       writePlainSnapshot(emb, embDir(root), n)
     writePlainSnapshot(st.corpus, corpusDir(root), n)
@@ -220,25 +228,30 @@ object CurateIncremental {
     // the embedding stage is optional — its tables exist iff the state
     // was written with them
     val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
+    val hasWnf = hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root)))
     readMeta(spark, root) match {
       case Some(n) =>
         ensureRegistered(spark, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
         ensureRegistered(spark, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
         if (hasEmb)
           ensureRegistered(spark, srpDir(root), tableName("srp", srpDir(root)), n, SrpBucketCols)
+        if (hasWnf)
+          ensureRegistered(spark, wnfDir(root), tableName("wnf", wnfDir(root)), n, WnfBucketCols)
         State(
           spark.read.parquet(corpusDir(root)),
           spark.table(tableName("fps", fpsDir(root))),
           spark.table(tableName("bks", bksDir(root))),
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
-          if (hasEmb) Some(spark.table(tableName("srp", srpDir(root)))) else None)
+          if (hasEmb) Some(spark.table(tableName("srp", srpDir(root)))) else None,
+          if (hasWnf) Some(spark.table(tableName("wnf", wnfDir(root)))) else None)
       case None =>
         State(
           spark.read.parquet(corpusDir(root)),
           spark.read.parquet(fpsDir(root)),
           spark.read.parquet(bksDir(root)),
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
-          if (hasEmb) Some(spark.read.parquet(srpDir(root))) else None)
+          if (hasEmb) Some(spark.read.parquet(srpDir(root))) else None,
+          if (hasWnf) Some(spark.read.parquet(wnfDir(root))) else None)
     }
   }
 
@@ -264,17 +277,32 @@ object CurateIncremental {
                                        afterIndexWrites: () => Unit): Unit = {
     val spark = survivors.sparkSession
     val buckets = readMeta(spark, root)
+    val wnfPath = new Path(wnfDir(root))
+    val hasWnf = hadoopFs(spark, wnfPath).exists(wnfPath)
+    require(!hasWnf || cfg.winnowFilter.nonEmpty,
+      "state carries a winnow-fingerprint table — appendState needs " +
+        "cfg.winnowFilter to keep it in sync")
     pinned(survivors.select(col(idCol), col(textCol))) { slim =>
       val fps = fingerprintTable(slim, idCol, textCol)
       val bks = Dedup.lshBandKeys(slim, idCol, textCol,
         cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
+      val wnf = cfg.winnowFilter.map(wf =>
+        Dedup.winnowTable(slim, idCol, textCol, wf.k, wf.w))
       buckets match {
         case Some(n) =>
           appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
           appendBucketed(bks, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
+          for (w <- wnf) {
+            recoverSwap(hadoopFs(spark, wnfPath), wnfPath)
+            if (hadoopFs(spark, wnfPath).exists(wnfPath))
+              appendBucketed(w, wnfDir(root), tableName("wnf", wnfDir(root)), n, WnfBucketCols)
+            else // first winnow append: backfill-create the bucketed table
+              writeBucketedSnapshot(w, wnfDir(root), tableName("wnf", wnfDir(root)), n, WnfBucketCols)
+          }
         case None => // legacy layout keeps the same crash-safe ordering
           fps.write.mode("append").parquet(fpsDir(root))
           bks.write.mode("append").parquet(bksDir(root))
+          wnf.foreach(_.write.mode("append").parquet(wnfDir(root)))
       }
       afterIndexWrites()
       slim.write.mode("append").parquet(corpusDir(root))
@@ -350,6 +378,7 @@ object CurateIncremental {
     val meta = readMeta(spark, root)
     val n = meta.getOrElse(defaultBuckets(spark))
     val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
+    val hasWnf = hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root)))
     def sweep(df: DataFrame, joinCol: String): DataFrame =
       df.join(del, df(joinCol) === col("__del_id"), "left_anti")
     def sweepBucketed(dir: String, prefix: String, cols: Seq[String]): Unit =
@@ -372,6 +401,7 @@ object CurateIncremental {
     sweepBucketed(fpsDir(root), "fps", FpsBucketCols)
     sweepBucketed(bksDir(root), "bks", BksBucketCols)
     if (hasEmb) sweepBucketed(srpDir(root), "srp", SrpBucketCols)
+    if (hasWnf) sweepBucketed(wnfDir(root), "wnf", WnfBucketCols)
     del.unpersist()
     removed
   }
@@ -404,6 +434,9 @@ object CurateIncremental {
         tableName("srp", srpDir(root)), n, SrpBucketCols)
       writePlainSnapshot(spark.read.parquet(embDir(root)), embDir(root), n)
     }
+    if (hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root))))
+      writeBucketedSnapshot(spark.read.parquet(wnfDir(root)), wnfDir(root),
+        tableName("wnf", wnfDir(root)), n, WnfBucketCols)
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
@@ -422,7 +455,7 @@ object CurateIncremental {
     if (!fs.exists(sd)) Seq.empty
     else {
       for (d <- Seq(corpusDir(root), fpsDir(root), bksDir(root),
-                    embDir(root), srpDir(root)))
+                    embDir(root), srpDir(root), wnfDir(root)))
         recoverSwap(fs, new Path(d))
       val stray = fs.listStatus(sd).map(_.getPath).filter { p =>
         val n = p.getName
@@ -507,6 +540,9 @@ object CurateIncremental {
     val st = loadState(spark, root)
     require(st.embeddings.isEmpty || deltaVecs.nonEmpty,
       "state carries embedding tables — daily needs deltaVecs to keep them in sync")
+    require(st.winnowFps.isEmpty || cfg.winnowFilter.nonEmpty,
+      "state carries a winnow-fingerprint table — daily needs " +
+        "cfg.winnowFilter to keep it in sync")
     val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
 
     (st.embeddings, deltaVecs) match {
@@ -577,6 +613,45 @@ object CurateIncremental {
         col("o.band") === col("n.band") && col("o.key") === col("n.key"))
       .select(col("o.id").as("id_a"), col("n.id").as("id_b"))
       .distinct()
+
+  /** The daily winnowed-span probe: the delta docs' winnowed fingerprints
+    * against the persisted winnow table on `fp` — its bucket column, so
+    * the corpus-scale side plans no exchange; exchanges carry only a hash
+    * and a long. The document-frequency cap spans the UNION (state count
+    * + delta count per fingerprint — the state side aggregates on its own
+    * bucket column), matching what a full batch over state ∪ delta
+    * computes; the pair rules are [[Dedup.winnowedPairs]]' with the
+    * corpus-wins / delta-id-order drop policy of the other incremental
+    * stages. Returns the delta ids to DROP. */
+  private[graft] def winnowDropIds(deltaDocs: DataFrame, idCol: String,
+                                   textCol: String, st: State,
+                                   wf: Curate.Winnow): DataFrame = {
+    val stWnf = st.winnowFps.getOrElse(
+      sys.error("state has no winnow-fingerprint table"))
+    val deltaFps = Dedup.winnowTable(deltaDocs, idCol, textCol, wf.k, wf.w)
+    val stCounts = stWnf.groupBy(col("fp")).agg(count(lit(1)).as("__sc"))
+    val dlCounts = deltaFps.groupBy(col("fp")).agg(count(lit(1)).as("__dc"))
+    val dfOk = dlCounts.join(stCounts, Seq("fp"), "left")
+      .filter(coalesce(col("__sc"), lit(0L)) + col("__dc") <= wf.maxDf)
+      .select(col("fp"))
+    val capped = deltaFps.join(dfOk, Seq("fp"))
+    // state-vs-delta: >= minShared shared fingerprints with ANY state doc
+    // drops the delta doc, whatever the ids (existing corpus wins)
+    val stHits = capped.as("n").join(stWnf.as("o"), Seq("fp"))
+      .groupBy(col("n.id").as("id"), col("o.id").as("__st"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= wf.minShared)
+      .select(col("id"))
+    // delta-vs-delta: the larger id of a >= minShared pair drops,
+    // exactly the batch stage's rule
+    val dlHits = capped.as("a").join(capped.as("b"), Seq("fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("__keeper"), col("b.id").as("id"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= wf.minShared)
+      .select(col("id"))
+    stHits.unionByName(dlHits).distinct()
+  }
 
   /** The daily embedding probe: delta SRP sketches against the persisted
     * sketch table on (seed, bucket) — its bucket columns, so the
@@ -668,6 +743,9 @@ object CurateIncremental {
     val st = loadState(spark, root)
     require(st.embeddings.isEmpty || pendingVecs.nonEmpty,
       "state carries embedding tables — refresh needs pendingVecs to keep them in sync")
+    require(st.winnowFps.isEmpty || cfg.winnowFilter.nonEmpty,
+      "state carries a winnow-fingerprint table — refresh with " +
+        "cfg.winnowFilter set, or the rebuilt state would leave it stale")
     val union = st.corpus.select(col(idCol), col(textCol))
       .unionByName(pending.select(col(idCol), col(textCol)))
     val r = Curate.curate(union, benchmark, idCol, textCol, cfg)
@@ -790,8 +868,22 @@ object CurateIncremental {
         (nd, n)
       }
 
+    // 3.75 (opt-in) winnowed borrowed-content filter: the delta's sampled
+    // span fingerprints probe the PERSISTED winnow table (the corpus is
+    // never re-fingerprinted); drop policy matches the other stages
+    val winnowed = (cfg.winnowFilter, st.winnowFps) match {
+      case (Some(wf), Some(_)) =>
+        val drops = winnowDropIds(nearDeduped, idCol, textCol, st, wf)
+          .withColumnRenamed("id", "__borrower")
+        nearDeduped.join(drops, nearDeduped(idCol) === col("__borrower"), "left_anti")
+      case (Some(_), None) => sys.error(
+        "cfg.winnowFilter is on but the state has no winnow-fingerprint " +
+          "table — refresh with winnowFilter set to build it")
+      case _ => nearDeduped
+    }
+
     // 4.–6. per-doc stages, identical to the full recipe
-    val quality = nearDeduped
+    val quality = winnowed
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
     val benchmarkRedacted = benchmark
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))

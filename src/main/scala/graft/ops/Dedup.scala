@@ -520,14 +520,22 @@ object Dedup {
     * same cap rationale as `lshCandidates.maxBucket`, and ubiquitous
     * spans are boilerplate, not borrowing); then a self-join per
     * fingerprint and a partial+final count per (a, b). */
+  /** (id, fp) winnowed-fingerprint rows for every doc — the join-ready
+    * exploded form [[winnowedPairs]] pairs on and the incremental layer
+    * ([[CurateIncremental]]) persists so tomorrow's delta probes today's
+    * corpus spans without recomputing them. */
+  def winnowTable(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowedFingerprints(
+        TextAnalysis.tokens(col(textCol)), k, w)).as("fp"))
+
   def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, w: Int = 4, minShared: Int = 2,
                     maxDf: Int = 10): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"minShared >= 1 and maxDf >= 2 required (got $minShared, $maxDf)")
-    val fps = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.winnowedFingerprints(
-          TextAnalysis.tokens(col(textCol)), k, w)).as("fp"))
+    val fps = winnowTable(df, idCol, textCol, k, w)
     val rare = Window.partitionBy("fp")
     val pairs = fps
       .withColumn("__df", count(lit(1)).over(rare))

@@ -252,6 +252,56 @@ class CurateStateSpec extends SparkSpec {
     day3.release()
   }
 
+  test("winnow state: incremental span probe equals the batch filter; borrowers drop") {
+    val wf = Curate.Winnow(k = 5, w = 4, minShared = 1, maxDf = 10)
+    val cfg = Curate.Config(winnowFilter = Some(wf))
+    val root = java.nio.file.Files.createTempDirectory("graft-winnowst-").toString
+    val day0 = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")))
+    CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root, cfg).release()
+    assert(CurateIncremental.loadState(spark, root).winnowFps.nonEmpty,
+      "bootstrap with winnowFilter must persist the winnow table")
+
+    // day 1: 10 is fresh; 11 borrows 14 tokens from state doc 1 (below
+    // the near-dup Jaccard threshold — only the span probe can see it);
+    // 12 borrows the same way from DELTA doc 10 (delta-vs-delta, 10 < 12)
+    def borrow(id: Long, src: String, tag: String) = {
+      val toks = src.split(" ")
+      (id, (Seq(s"${tag}p1", s"${tag}p2", s"${tag}p3", s"${tag}p4") ++
+        toks.slice(5, 19) ++
+        Seq(s"${tag}s1", s"${tag}s2", s"${tag}s3", s"${tag}s4")).mkString(" "))
+    }
+    val fresh10 = doc(10, "delta")
+    val day1 = docsDf(Seq(fresh10,
+      borrow(11, doc(1, "alpha")._2, "bb"),
+      borrow(12, fresh10._2, "cc")))
+    val d1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root, cfg)
+    assert(d1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "state borrower and delta borrower must both drop")
+    d1.release()
+
+    // incremental result == full batch curate of the union
+    val full = Curate.curate(day0.unionByName(day1), bench, "doc_id", "text", cfg)
+    val want = full.corpus.select("doc_id").as[Long].collect().toSet
+    val st = CurateIncremental.loadState(spark, root)
+    val got = st.corpus.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"state after daily ($got) != full curate ($want)")
+    full.release()
+
+    // day 1's survivor is span-probe-able on day 2
+    val day2 = docsDf(Seq(borrow(20, fresh10._2, "dd")))
+    val d2 = CurateIncremental.daily(day2, bench, "doc_id", "text", root, cfg)
+    assert(d2.corpus.count() == 0,
+      "day-2 borrower of a day-1 survivor must die at the persisted winnow probe")
+    d2.release()
+
+    // a winnow-carrying state refuses a config without the stage
+    val boom = intercept[IllegalArgumentException] {
+      CurateIncremental.daily(docsDf(Seq(doc(30, "omega"))),
+        bench, "doc_id", "text", root) // default cfg: winnowFilter off
+    }
+    assert(boom.getMessage.contains("winnow"))
+  }
+
   test("appendEmbedState backfills embedding tables onto a text-only state") {
     val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
     val root = java.nio.file.Files.createTempDirectory("graft-embback-").toString

@@ -158,7 +158,7 @@ class PlanShapeSpec extends SparkSpec {
     * both the AQE-off (planned shape) and AQE-on (executed shape) tests.
     * Returns the state dir (for scan attribution) and the named probes. */
   private def probeFixture(): (String, Seq[(String, org.apache.spark.sql.DataFrame)]) = {
-    import graft.ops.{CurateIncremental, Dedup}
+    import graft.ops.{Curate, CurateIncremental, Dedup}
     import spark.implicits._
     val docs = (1L to 30L)
       .map(i => (i, (0 until 12).map(j => s"doc$i tok$j word${j % 5}").mkString(" ")))
@@ -168,9 +168,12 @@ class PlanShapeSpec extends SparkSpec {
       .toDF("doc_id", "v")
     val ecfg = CurateIncremental.EmbedConfig(dim = 16)
     val root = java.nio.file.Files.createTempDirectory("graft-planshape-").toString
+    // winnowFilter on: the state then carries the winnow-fingerprint
+    // table, so the span probe below has a bucketed state side to hit
+    val wnCfg = Curate.Config(winnowFilter = Some(Curate.Winnow()))
     CurateIncremental.saveState(
       CurateIncremental.withEmbeddings(
-        CurateIncremental.buildState(docs, "doc_id", "text"),
+        CurateIncremental.buildState(docs, "doc_id", "text", wnCfg),
         embs, "doc_id", "v", ecfg),
       root, buckets = 4)
     val st = CurateIncremental.loadState(spark, root)
@@ -199,7 +202,11 @@ class PlanShapeSpec extends SparkSpec {
       "bandKeyProbe" -> CurateIncremental.bandKeyProbe(
         Dedup.lshBandKeys(delta, "doc_id", "text", 3, 12, 3, 4), st),
       "embeddingProbe" -> CurateIncremental.embeddingProbe(
-        CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st)))
+        CurateIncremental.srpSketchTable(deltaEmbs, "doc_id", "v", ecfg), st),
+      // both state references (the per-fp df aggregate and the pair join)
+      // must ride the table's fp bucketing — no state-side exchange
+      "winnowDropIds" -> CurateIncremental.winnowDropIds(
+        delta, "doc_id", "text", st, Curate.Winnow())))
   }
 
   test("r10 ops: shard exchange is reused, mixtures broadcast, no text rides a shuffle") {
