@@ -883,6 +883,47 @@ object LlmQueries {
     // ≥ 0.99 confirms cross candidates against the PERSISTED quantized
     // state vectors. The state is read, never re-sketched — the daily
     // shape of curateDeltaEmbeddings.
+    // Incremental curation, winnowed-span stage (CurateIncremental
+    // winnowDropIds): the even doc_ids are yesterday's corpus; their
+    // WINNOW-FINGERPRINT table is persisted to parquet and read back.
+    // Today's delta (odd ids as noise ∪ frankendocs borrowing a 14-token
+    // run from every 4th doc under unique framing tokens) fingerprints
+    // ITSELF only and probes the persisted table on fp, with the
+    // union-spanning df cap; shared-fp counts ≥ 2 surface each
+    // (state doc, borrower) pair. The state is read, never
+    // re-fingerprinted — the daily shape of the winnow stage.
+    "q80_delta_winnow" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 2 === 0)
+      val borrowers = d.filter(col("doc_id") % 4 === 0)
+        .withColumn("toks", docTokens(col("text")))
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat_ws(" ", concat(
+            array(concat(lit("bw"), col("doc_id"), lit("a")),
+              concat(lit("bw"), col("doc_id"), lit("b"))),
+            slice(col("toks"), 6, 14),
+            array(concat(lit("bw"), col("doc_id"), lit("y")),
+              concat(lit("bw"), col("doc_id"), lit("z"))))).as("text"))
+      val delta = d.filter(col("doc_id") % 2 === 1).unionByName(borrowers)
+      val root = cachedFixture("q80", dir) { r =>
+        Dedup.winnowTable(old, "doc_id", "text", k = 5, w = 4)
+          .write.mode("overwrite").parquet(s"$r/winnow_fps")
+      }
+      val persisted = s.read.parquet(s"$root/winnow_fps")
+      val deltaFps = Dedup.winnowTable(delta, "doc_id", "text", k = 5, w = 4)
+      val stCounts = persisted.groupBy(col("fp")).agg(count(lit(1)).as("sc"))
+      val dlCounts = deltaFps.groupBy(col("fp")).agg(count(lit(1)).as("dc"))
+      val ok = dlCounts.join(stCounts, Seq("fp"), "left")
+        .filter(coalesce(col("sc"), lit(0L)) + col("dc") <= 10)
+        .select(col("fp"))
+      val capped = deltaFps.join(ok, Seq("fp"))
+      persisted.as("o").join(capped.as("n"), Seq("fp"))
+        .groupBy(col("o.id").as("id_a"), col("n.id").as("id_b"))
+        .agg(count(lit(1)).as("nb_shared"))
+        .filter(col("nb_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q69_delta_embed_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val base = e.select(col("vec_id").as("id"),
@@ -2296,6 +2337,52 @@ object LlmQueries {
         |SELECT id_a, id_b, CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) AS jaccard
         |FROM jac
         |WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q79's winnow machinery over the state/delta split: fps of the even
+    // (state) docs vs fps of the delta (odds ∪ borrowers), union df cap,
+    // state-vs-delta shared counts >= 2
+    "q80_delta_winnow" -> {
+      def winnowSql(src: String): String =
+        s"""(SELECT doc_id AS id, unnest(list_distinct(
+          |    CASE WHEN len(grams) >= 4
+          |         THEN list_transform(range(len(grams) - 3),
+          |                j -> list_aggregate(grams[j+1:j+4], 'min'))
+          |         WHEN len(grams) > 0 THEN [list_aggregate(grams, 'min')]
+          |         ELSE [] END)) AS fp
+          |  FROM (SELECT doc_id,
+          |          CASE WHEN len(toks) >= 5
+          |               THEN list_transform(range(len(toks) - 4),
+          |                      i -> md5(array_to_string(toks[i+1:i+5], ' ')))
+          |               ELSE [] END AS grams
+          |        FROM $src))""".stripMargin
+      s"""WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |old AS (SELECT doc_id, toks FROM d WHERE doc_id % 2 = 0),
+        |bw AS (
+        |  SELECT doc_id + 900000 AS doc_id,
+        |    ['bw' || CAST(doc_id AS VARCHAR) || 'a',
+        |     'bw' || CAST(doc_id AS VARCHAR) || 'b']
+        |    || toks[6:19]
+        |    || ['bw' || CAST(doc_id AS VARCHAR) || 'y',
+        |        'bw' || CAST(doc_id AS VARCHAR) || 'z'] AS toks
+        |  FROM d WHERE doc_id % 4 = 0),
+        |delta AS (
+        |  SELECT doc_id, toks FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id, toks FROM bw),
+        |sfp AS ${winnowSql("old")},
+        |dfp AS ${winnowSql("delta")},
+        |sc AS (SELECT fp, count(*) AS sc FROM sfp GROUP BY 1),
+        |dc AS (SELECT fp, count(*) AS dc FROM dfp GROUP BY 1),
+        |ok AS (
+        |  SELECT dc.fp FROM dc LEFT JOIN sc ON dc.fp = sc.fp
+        |  WHERE coalesce(sc.sc, 0) + dc.dc <= 10),
+        |capped AS (SELECT dfp.id, dfp.fp FROM dfp JOIN ok ON dfp.fp = ok.fp)
+        |SELECT o.id AS id_a, n.id AS id_b, CAST(count(*) AS BIGINT) AS nb_shared
+        |FROM sfp o JOIN capped n ON o.fp = n.fp
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin
     },
 
