@@ -131,6 +131,50 @@ class StreamingSpec extends SparkSpec {
     assert(st.corpus.count() == nBase + 2 && st.fingerprints.count() == nBase + 2)
   }
 
+  test("curateSink with winnowFilter: borrowers die at the persisted span probe, batch over batch") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Curate, CurateIncremental}
+    val cfg = Curate.Config(winnowFilter = Some(Curate.Winnow()))
+    def doc(seed: String): String =
+      (0 until 12).map(i => s"$seed tok$i word${i % 5}").mkString(" ")
+    def borrow(src: String, tag: String): String =
+      (Seq(s"${tag}p1", s"${tag}p2", s"${tag}p3", s"${tag}p4") ++
+        src.split(" ").slice(5, 19) ++
+        Seq(s"${tag}s1", s"${tag}s2", s"${tag}s3", s"${tag}s4")).mkString(" ")
+    val bench = Seq((999L, "holdout alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val base = Seq((1L, doc("alpha")), (2L, doc("beta"))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-swin-").toString
+    CurateIncremental.bootstrap(base, bench, "doc_id", "text", root, cfg).release()
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-swin-out-")
+      .toString + "/survivors"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-swin-ck-").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.curateSink(ms.toDF.toDF("doc_id", "text"), bench,
+      "doc_id", "text", root, outDir, ckpt, cfg)
+    try {
+      // batch 1: a borrower of state content dies at the winnow probe
+      // (below the near-dup Jaccard threshold — only the span stage sees
+      // it); a fresh doc lands
+      val fresh = doc("gamma2")
+      ms.addData((100L, borrow(doc("alpha"), "bb")), (101L, fresh))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(101L), s"batch-1 survivors: $out1")
+
+      // batch 2: batch 1's survivor is persisted — borrowing from IT dies
+      ms.addData((200L, borrow(fresh, "cc")), (201L, doc("omega")))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(101L, 201L), s"cumulative survivors: $out2")
+    } finally q.stop()
+    // the winnow table grew with the survivors
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.winnowFps.nonEmpty &&
+      st.winnowFps.get.select("id").distinct().count() == st.corpus.count())
+  }
+
   test("curateSink with vecCol: micro-batches run the embedding stage against persisted state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ops.CurateIncremental
