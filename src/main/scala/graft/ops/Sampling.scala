@@ -120,17 +120,37 @@ object Sampling {
     * pow(α) cannot promise; the keep test then floors 256·f onto the
     * [[hashBucket]] grid, inheriting its determinism.
     *
+    * NULL-source policy (explicit): rows with a NULL source carry no
+    * provenance to balance on, so they are EXCLUDED — from the count/min
+    * frames (a tiny NULL group must never set c_min and shrink every real
+    * source's cut) and from the output (the null-unsafe inner join would
+    * have dropped them silently; the upstream filter makes that the
+    * documented contract). Callers that want NULL rows kept tag them with
+    * a sentinel source first.
+    *
+    * Floor clamp: the 256-lane grid floors 256·√(c_min/c_s) to 0 once
+    * c_s > 65536·c_min, which would drop a dominant source ENTIRELY —
+    * the opposite of what temperature balancing promises (it should keep
+    * ~√(c_min·c_s) rows). The cut is clamped to ≥ 1 so a source past the
+    * grid's resolution degrades to its floor fraction (1/256) instead of
+    * vanishing; the bias is conservative (keeps slightly more of the
+    * heaviest sources than the exact rule) and disappears below the
+    * 65536× skew point.
+    *
     * 100 TB posture: one partial+final count aggregate (rows = number of
     * sources, not corpus rows) broadcast back onto the corpus; the keep
     * filter itself is map-side — no corpus-scale shuffle anywhere. */
   def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
     // global min as a broadcast 1-row cross join — the frames here are
     // dimension-sized (one row per source), never corpus-sized
     val minC = counts.agg(min(col("__c")).as("__cmin"))
     val cuts = counts.crossJoin(broadcast(minC))
       .withColumn("__cut",
-        floor(lit(256) * sqrt(col("__cmin").cast("double") / col("__c").cast("double"))))
+        greatest(
+          floor(lit(256) * sqrt(col("__cmin").cast("double") / col("__c").cast("double"))),
+          lit(1L)))
       .select(col(sourceCol), col("__cut"))
     df.join(broadcast(cuts), Seq(sourceCol))
       .filter(hashBucket(col(keyCol)) < col("__cut"))

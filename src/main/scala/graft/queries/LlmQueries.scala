@@ -432,7 +432,10 @@ object LlmQueries {
     // realized hash-grid cut, kept count. Map-side keep filter; the only
     // aggregates are dimension-sized. See Sampling.temperatureSample.
     "q77_temperature_mix" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // NULL sources are outside the mixture by contract (see
+      // temperatureSample's NULL-source policy), so the accounting frame
+      // filters them too — Spark and oracle enumerate the same sources
+      val d = table(s, dir, "documents").filter(col("source").isNotNull)
       val kept = Sampling.temperatureSample(d, "doc_id", "source")
         .groupBy(col("source")).agg(count(lit(1)).as("nb_kept"))
       d.groupBy(col("source")).agg(count(lit(1)).as("nb_total"))
@@ -1577,13 +1580,17 @@ object LlmQueries {
 
     // √(c_min/c_s) keep fraction floored onto the 256-bucket hash grid —
     // both sqrt and the division are IEEE correctly-rounded, so the cut
-    // is bit-identical cross-engine (the reason α is pinned to 1/2)
+    // is bit-identical cross-engine (the reason α is pinned to 1/2).
+    // Mirrors temperatureSample's hardening: NULL sources excluded from
+    // the count frames, cut clamped to >= 1 (greatest) so a dominant
+    // source past the 65536× grid resolution keeps its floor fraction
     "q77_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+        |           WHERE source IS NOT NULL GROUP BY 1),
         |cut AS (
         |  SELECT source, c,
-        |    CAST(floor(256 * sqrt(CAST((SELECT min(c) FROM c) AS DOUBLE)
-        |                          / CAST(c AS DOUBLE))) AS BIGINT) AS cut
+        |    greatest(CAST(floor(256 * sqrt(CAST((SELECT min(c) FROM c) AS DOUBLE)
+        |                          / CAST(c AS DOUBLE))) AS BIGINT), 1) AS cut
         |  FROM c),
         |k AS (
         |  SELECT d.source, count(*) AS nb_kept

@@ -370,6 +370,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureSample: NULL sources never shrink real cuts; extreme skew keeps floor fraction") {
+    import graft.ops.Sampling
+    // Edge 1: a tiny NULL-source group. If it leaked into the count/min
+    // frames it would set c_min=2 and cut the 200-row source to
+    // floor(256*sqrt(2/200)) = 25 buckets (~10%); with the fix the only
+    // real source is its own min and keeps everything. NULL rows are
+    // dropped by the documented policy.
+    val withNull = ((0L until 2L).map(i => (i, null: String)) ++
+      (10L until 210L).map(i => (i, "solo"))).toDF("k", "src")
+    val keptNull = Sampling.temperatureSample(withNull, "k", "src")
+      .groupBy("src").count().collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(keptNull.get(Some("solo")).contains(200L),
+      s"solo source must keep all 200 rows (NULL group must not set c_min): $keptNull")
+    assert(!keptNull.contains(None), s"NULL-source rows must be dropped: $keptNull")
+    // Edge 2: skew past the 256-grid resolution (c_s > 65536*c_min).
+    // Unclamped, floor(256*sqrt(1/70000)) = 0 and the dominant source
+    // vanishes; the clamp keeps its floor fraction (~1/256 ≈ 273 rows).
+    val skewed = (Seq((0L, "rare")) ++
+      (1L until 70001L).map(i => (i, "big"))).toDF("k", "src")
+    val keptSkew = Sampling.temperatureSample(skewed, "k", "src")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptSkew("rare") == 1L, keptSkew.toString)
+    val big = keptSkew.getOrElse("big", 0L)
+    assert(big > 150L && big < 450L,
+      s"dominant source must keep ~70000/256 rows, not vanish: $keptSkew")
+  }
+
   test("hardNegatives: nearest different-group vectors only, same-group never ranks") {
     import graft.ops.Similarity
     // groups 0/1 in distinct directions plus a near-query same-group decoy
