@@ -619,10 +619,18 @@ object CurateIncremental {
     * the corpus-scale side plans no exchange; exchanges carry only a hash
     * and a long. The document-frequency cap spans the UNION (state count
     * + delta count per fingerprint — the state side aggregates on its own
-    * bucket column), matching what a full batch over state ∪ delta
-    * computes; the pair rules are [[Dedup.winnowedPairs]]' with the
-    * corpus-wins / delta-id-order drop policy of the other incremental
-    * stages. Returns the delta ids to DROP. */
+    * bucket column). NOTE the df basis is the SURVIVOR state: the
+    * persisted winnow table fingerprints post-quality/decontam survivors,
+    * while batch [[Curate.curate]] computes df over the pre-quality
+    * post-near-dedup set — a fingerprint whose batch df sat at the cap
+    * only because of since-dropped docs can fall back under it here.
+    * Likewise the drop policy is corpus-wins (ANY state hit drops the
+    * delta doc, whatever the ids), which matches batch's smaller-id-wins
+    * rule only while delta ids are larger than every state id — the
+    * monotonic-id regime the daily pipeline guarantees. Outside that
+    * regime (replayed or interleaved ids) the incremental result is the
+    * documented corpus-wins variant, not batch-identical. Returns the
+    * delta ids to DROP. */
   private[graft] def winnowDropIds(deltaDocs: DataFrame, idCol: String,
                                    textCol: String, st: State,
                                    wf: Curate.Winnow): DataFrame = {

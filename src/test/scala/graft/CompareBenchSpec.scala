@@ -37,6 +37,23 @@ class CompareBenchSpec extends AnyFunSuite {
     assert(cut.nonEmpty) // silence unused warning path
   }
 
+  test("colliding qNN prefixes keep full names (mirrors Bench's guard)") {
+    // Bench keeps FULL names on the printed line exactly when two query
+    // names share a qNN prefix; normalizing both here would last-wins
+    // collapse them into one key and drop a query from the gate
+    val collide =
+      """{"queries":{"q90_alpha":1.0,"q90_beta":2.0,"q91_solo":3.0},""" +
+        """"shuffle":{"q90_alpha":{"read":200000,"write":1},""" +
+        """"q90_beta":{"read":300000,"write":2}},"sf":"/x"}"""
+    val r = CompareBench.parse(collide)
+    assert(r.wall == Map("q90_alpha" -> 1.0, "q90_beta" -> 2.0, "q91" -> 3.0))
+    assert(r.read == Map("q90_alpha" -> 200000L, "q90_beta" -> 300000L))
+    // duplicate occurrences of the SAME full name (e.g. the bench line
+    // captured twice in a tail) are not a collision — still normalized
+    val dup = """{"queries":{"q90_alpha":1.0}} {"queries":{"q90_alpha":1.0}}"""
+    assert(CompareBench.parse(dup).wall == Map("q90" -> 1.0))
+  }
+
   test("byte floor scopes the comparison: KB-scale drift is not a regression") {
     // the rule CompareBench.main applies, asserted at the constant level
     // plus a representative calculation
