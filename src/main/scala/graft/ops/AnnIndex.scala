@@ -166,6 +166,96 @@ object AnnIndex {
         (col("dot_i").cast("double") / (scale * scale)).as("dot"))
   }
 
+  /** Drift observables for the append-without-retrain policy.
+    * [[append]] assigns every delta against the FROZEN build-time
+    * centroids, so drifting data silently concentrates into few,
+    * badly-centered cells — recall-per-probe decays with no error
+    * raised anywhere. These two numbers are the signal:
+    *
+    *  - `cellSkew` = max cell population / mean (over the trained cell
+    *    count, so emptied cells count): balanced ≈ 1, drift pushes it up
+    *    as new mass piles into whichever old cell is least-wrong;
+    *  - `meanOwnCellCos` = mean cosine of each posting to its OWN
+    *    centroid: falls as vectors land in cells whose direction no
+    *    longer describes them (zero-norm postings contribute 0).
+    *
+    * Cost is one pass over the postings (the centroid side is a k-row
+    * broadcast, the aggregate is partial+final per cell) — run it at
+    * [[compact]] cadence and [[retrain]] when skew grows or ownCos
+    * falls materially below their post-build values. */
+  case class Drift(nPostings: Long, nCells: Int, usedCells: Int,
+                   cellSkew: Double, meanOwnCellCos: Double)
+
+  def drift(spark: SparkSession, root: String): Drift = {
+    import spark.implicits._
+    val (_, scale) = readMeta(spark, root)
+    val centroids = IndexStore.loadCentroids(spark, centroidsDir(root))
+    val qc = quantCentroids(centroids, scale)
+    val ctrs = broadcast(
+      qc.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "__ctr"))
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val perCell = spark.read.parquet(postingsDir(root))
+      .join(ctrs, Seq("cell"))
+      .select(col("cell"),
+        when(dotL(col("v"), col("v")) > 0,
+          dotL(col("v"), col("__ctr")).cast("double")
+            / (sqrt(dotL(col("v"), col("v")).cast("double"))
+              * sqrt(dotL(col("__ctr"), col("__ctr")).cast("double"))))
+          .otherwise(lit(0.0)).as("__cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("__cos").as("s"))
+      .collect()
+    val n = perCell.map(_.getLong(1)).sum
+    val k = centroids.length
+    val maxCell = if (perCell.isEmpty) 0L else perCell.map(_.getLong(1)).max
+    val sumCos = perCell.map(_.getDouble(2)).sum
+    Drift(n, k, perCell.length,
+      if (n == 0 || k == 0) 0.0 else maxCell.toDouble / (n.toDouble / k),
+      if (n == 0) 0.0 else sumCos / n)
+  }
+
+  /** Re-train the cells from the CURRENT postings and re-assign — the
+    * recovery for [[drift]], and the analog of
+    * [[CurateIncremental.refresh]] for the ANN surface: k-means‖ runs
+    * over the postings' (de-quantized) vectors, every posting is
+    * re-assigned map-side against the new centroid literals, and both
+    * artifacts are replaced through the temp-sibling → atomic-swap
+    * discipline. Quantization round-trips exactly (v/scale is exact in
+    * double at these magnitudes), so no precision is lost across
+    * retrains, and the result is equivalent to [[build]] over the
+    * current corpus.
+    *
+    * Swap order: postings first, then centroids. The two swaps cannot
+    * be jointly atomic; a crash between them leaves old centroids over
+    * new assignments — probes stay EXACT over whatever cells they reach
+    * (scoring never reads assignments) but recall-per-probe is degraded
+    * until retrain re-runs. Retrain is idempotent: re-running it from
+    * either half-state converges to the consistent pair. */
+  def retrain(spark: SparkSession, root: String, cfg: Config = Config()): Unit = {
+    val (n, scale) = readMeta(spark, root)
+    val posts = spark.read.parquet(postingsDir(root)).select(col("id"), col("v"))
+    val vecs = posts.select(
+      transform(col("v"), x => x.cast("double") / scale).as("__dv"))
+    val centroids = Similarity.kmeansCentroids(vecs, "__dv", cfg.nCells,
+      cfg.kmeansIters, cfg.seed, cfg.dim)
+    require(centroids.nonEmpty, "ANN retrain: no centroids (empty postings?)")
+    val qc = quantCentroids(centroids, scale)
+    BucketedTables.writeBucketedSnapshot(
+      posts.withColumn("cell", bestCell(col("v"), qc)),
+      postingsDir(root), postTable(root), n, PostBucketCols)
+    // centroid table swap (IndexStore's plain overwrite is delete-then-
+    // write — a crash inside it would lose the old list too)
+    val live = new Path(centroidsDir(root))
+    val fs = BucketedTables.hadoopFs(spark, live)
+    BucketedTables.recoverSwap(fs, live)
+    val tmp = new Path(centroidsDir(root) + ".tmp-"
+      + java.util.UUID.randomUUID().toString.take(8))
+    IndexStore.saveCentroids(spark, centroids, tmp.toString)
+    BucketedTables.swapInto(fs, tmp, live)
+    spark.catalog.refreshByPath(centroidsDir(root))
+  }
+
   /** Rewrite the postings back to one file per bucket (daily appends add
     * one per bucket per day). Path-based read — a catalog scan's bucket
     * claim makes the planner elide the aligning repartition and disable

@@ -103,6 +103,44 @@ object RecallEval {
     // vector gets a deterministically-jittered copy (cosine ≈0.97-0.99 for
     // unit-ish 64-dim vectors), then ground truth is an all-pairs scan of
     // the augmented corpus — bounded here (2.5k vectors), never at scale
+    // --- persisted-index drift: append a drifted family (directions in
+    // dims the base corpus barely uses), then measure the probe's cost
+    // (candidates scanned per query) and recall before and after
+    // retrain — the DRIFT lines behind PERF.md's retrain-policy numbers.
+    // The drifted family here is the base embedding mirrored into its
+    // negated-odd-dims image scaled onto the back dims: deterministic,
+    // orthogonal-ish to the base mass.
+    {
+      import graft.ops.{AnnIndex, IndexStore}
+      val root = java.nio.file.Files.createTempDirectory("graft-recall-drift-").toString
+      AnnIndex.build(corpus.select(col("c_id").as("id"), col("c_vec").as("v")),
+        "id", "v", root, AnnIndex.Config(nCells = 16, kmeansIters = 5, dim = 64))
+      val driftVecs = emb.select((col("vec_id") + 5000000L).as("id"),
+        transform(col("v"), (x, i) =>
+          when(pmod(i, lit(2)) === 0, lit(0.0)).otherwise(x * 3.0)).as("v"))
+      AnnIndex.append(driftVecs, "id", "v", root)
+      val unionCorpus = corpus.union(
+        driftVecs.select(col("id").as("c_id"), col("v").as("c_vec")))
+      val dq = driftVecs.filter(col("id") % 20 === 0)
+        .select((col("id") + 1000000L).as("q_id"), col("v").as("q_vec"))
+      val nDq = dq.count()
+      val dTruth = Similarity.cosineTopK(dq, unionCorpus, k)
+        .select("q_id", "c_id").cache()
+      dTruth.count()
+      def probeStats(label: String): Unit = {
+        val d = AnnIndex.drift(spark, root)
+        val got = AnnIndex.topK(dq, root, k, nProbes = 4)
+        val r = dTruth.join(got.select("q_id", "c_id"), Seq("q_id", "c_id")).count()
+          .toDouble / (nDq * k)
+        val cands = AnnIndex.topK(dq, root, k = Int.MaxValue, nProbes = 4).count()
+        println(f"DRIFT $label skew=${d.cellSkew}%.2f ownCos=${d.meanOwnCellCos}%.3f " +
+          f"recall@10=$r%.3f candidatesPerQuery=${cands / math.max(1, nDq)}%d")
+      }
+      probeStats("appended-no-retrain")
+      AnnIndex.retrain(spark, root, AnnIndex.Config(nCells = 16, kmeansIters = 5, dim = 64))
+      probeStats("after-retrain")
+    }
+
     val thr = 0.9
     val aug = emb.union(
       emb.filter(col("vec_id") % 4 === 0).select(

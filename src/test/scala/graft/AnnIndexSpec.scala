@@ -136,6 +136,86 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  // orthogonal families for the drift test: the base corpus lives in the
+  // FRONT half of the dims, the drifted appends in the BACK half. Every
+  // drifted vector then scores exactly 0 against every base-trained
+  // centroid — ties collapse the whole family into cell 0, the megacell
+  // degeneration appends silently produce when the data moves
+  private def vecFront(i: Long): Seq[Double] = {
+    val raw = (0 until 16).map(j =>
+      if (j < 8) (((i * 31 + j * 17 + 7) % 97) - 48).toDouble else 0.0)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+  private def vecDrift(i: Long): Seq[Double] = {
+    val raw = (0 until 16).map(j =>
+      if (j < 8) 0.0 else (((i * 37 + j * 13 + 5) % 89) - 44).toDouble)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  test("drift observables move on drifted appends; retrain restores cost and coherence") {
+    val root = java.nio.file.Files.createTempDirectory("graft-anndrift-").toString
+    val base = (1L to 80L).map(i => (i, vecFront(i))).toDF("c_id", "c_vec")
+    AnnIndex.build(base, "c_id", "c_vec", root, cfg, buckets = 4)
+    val d0 = AnnIndex.drift(spark, root)
+    assert(d0.nPostings == 80 && d0.nCells == 6)
+    assert(d0.meanOwnCellCos > 0.5, s"post-build cells should be coherent: $d0")
+
+    val drifted = (101L to 180L).map(i => (i, vecDrift(i))).toDF("c_id", "c_vec")
+    AnnIndex.append(drifted, "c_id", "c_vec", root)
+    val union = base.union(drifted)
+    val d1 = AnnIndex.drift(spark, root)
+    assert(d1.nPostings == 160)
+    assert(d1.meanOwnCellCos < d0.meanOwnCellCos - 0.1,
+      s"own-cell cosine must fall under drifted appends: before=$d0 after=$d1")
+
+    // The drifted failure mode at fixed nProbes is COST, not recall: the
+    // whole drifted family lands in whichever frozen cell is least-wrong,
+    // and probing it degenerates to a brute-force scan of the family
+    // (recall stays high BECAUSE the probe reads everything). Candidate
+    // volume per query — what a 100 TB probe pays — is the observable.
+    val qs = (101L to 179L by 7).map(i => (i + 10000L, vecDrift(i)))
+      .toDF("q_id", "q_vec")
+    val nQ = qs.count()
+    val truth = Similarity.cosineTopK(qs, union, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAndCandidates(): (Double, Long) = {
+      val got = AnnIndex.topK(qs, root, k = 5, nProbes = 2)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // k above nPostings returns every candidate in the probed cells —
+      // the per-query scan volume the index exists to bound
+      val cands = AnnIndex.topK(qs, root, k = 1000000, nProbes = 2).count()
+      ((truth & got).size.toDouble / (nQ * 5), cands)
+    }
+    val (recallBefore, candsBefore) = recallAndCandidates()
+
+    AnnIndex.retrain(spark, root, cfg)
+
+    val (recallAfter, candsAfter) = recallAndCandidates()
+    assert(candsAfter < candsBefore * 0.6,
+      s"retrain must rebalance cells and cut probe cost: candidates " +
+        s"$candsBefore -> $candsAfter (drift=$d1)")
+    assert(recallAfter >= 0.7,
+      f"retrain must keep recall while cutting cost: $recallBefore%.3f -> $recallAfter%.3f")
+    assert(recallAfter / candsAfter > recallBefore / candsBefore,
+      f"recall per candidate scanned must improve: $recallBefore%.3f/$candsBefore " +
+        f"-> $recallAfter%.3f/$candsAfter")
+    val d2 = AnnIndex.drift(spark, root)
+    assert(d2.nPostings == 160 && d2.meanOwnCellCos > d1.meanOwnCellCos + 0.1,
+      s"retrained cells must re-cohere: drifted=$d1 retrained=$d2")
+    assert(d2.cellSkew < d1.cellSkew,
+      s"retrained cells must rebalance: drifted=$d1 retrained=$d2")
+    // the retrained index still equals the in-query operator bit-for-bit
+    // under its (re-persisted) centroid list — the q70 contract survives
+    val trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids")
+    assert(trained.nonEmpty)
+    assert(rows(AnnIndex.topK(qs, root, k = 5, nProbes = 2))
+      == rows(Similarity.ivfTopKQuantized(qs, union, k = 5, nProbes = 2,
+        trained = trained)),
+      "post-retrain probe diverged from the in-query IVF operator")
+  }
+
   test("remove sweeps a vector out of the postings and out of every neighbor list") {
     val root = java.nio.file.Files.createTempDirectory("graft-annrm-").toString
     val corpus = corpusDf(1L to 80L)
