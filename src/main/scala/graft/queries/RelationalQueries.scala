@@ -461,6 +461,29 @@ object RelationalQueries {
           max(col("nb_events")).as("max_session_events"),
           max(col("duration_s")).as("max_session_s"))
         .orderBy("user_id")
+    }),
+
+    // Skew-mitigating salted join under a REAL hot key: ~70% of the fact
+    // rows collapse onto key 0 — the shape where a plain hash join parks
+    // 70% of the probe side on one reducer and the stage runs at
+    // straggler speed. saltedJoin spreads the hot key across 8 salt
+    // lanes (dim replicated 8×, fact salted by a deterministic row
+    // hash); the oracle is the PLAIN join — salting must be invisible in
+    // the result. Decimal-path sum keeps the per-key aggregate
+    // order-independent for the hash compare.
+    "q81_salted_join" -> ((s, dir) => {
+      val fact = table(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_quantity"))
+      val dim = table(s, dir, "part")
+        .groupBy((col("p_partkey") % 100).as("k"))
+        .agg(min(col("p_brand")).as("brand"))
+      saltedJoin(fact, dim, Seq("k"), buckets = 8)
+        .groupBy(col("k"), col("brand"))
+        .agg(count(lit(1)).as("nb_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("k")
     })
   )
 
@@ -774,6 +797,22 @@ object RelationalQueries {
         |  CAST(max(session_id) AS BIGINT) AS nb_sessions,
         |  CAST(max(nb_events) AS BIGINT) AS max_session_events,
         |  CAST(max(duration_s) AS BIGINT) AS max_session_s
-        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the PLAIN join — salting must be invisible in the result
+    "q81_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |              ELSE l_orderkey % 100 END AS k,
+        |         l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT p_partkey % 100 AS k, min(p_brand) AS brand
+        |  FROM part GROUP BY 1)
+        |SELECT CAST(fact.k AS BIGINT) AS k, brand,
+        |  CAST(count(*) AS BIGINT) AS nb_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM fact JOIN dim ON fact.k = dim.k
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin
   )
 }

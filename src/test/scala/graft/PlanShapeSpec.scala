@@ -388,6 +388,56 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF centroid folds stay at the accepted 2x filter-copy (no 4x regression)") {
+    // isnotnull pushdown copies the corpus-side cell-argmax expression
+    // into the scan filter — accepted at 16 centroids (PERF.md r9 note:
+    // cheap folds, and the alternative localCheckpoint costs a corpus-
+    // wide id join). Nothing else pinned that acceptance: this counts
+    // the higher-order `aggregate(` folds in the executed plan so a
+    // refactor can't silently regress to the 4x shape q73 had pre-fix.
+    // Budget: q42 = 16 query-side + 2x16 corpus-side + 2 rerank = 50;
+    // q53 adds the 8-block x 8-code PQ assignment + 8 ADC folds = 121.
+    def folds(q: String): Int = "aggregate\\(".r.findAllMatchIn(plan(q)).size
+    val q42 = folds("q42_ivf_ann")
+    assert(q42 <= 52 && q42 >= 30,
+      s"q42 centroid-fold count moved: $q42 (accepted 2x shape plans 50)")
+    val q53 = folds("q53_ivf_pq")
+    assert(q53 <= 125 && q53 >= 70,
+      s"q53 centroid-fold count moved: $q53 (accepted 2x shape plans 121)")
+  }
+
+  test("q81 salted join keys its exchanges on (k, salt) — the hot key spreads") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.plans.GraftExtensions.install(spark)
+    // salting earns its keep exactly when the dim is NOT broadcastable
+    // (a broadcast join has no reducer skew to spread) — force the
+    // shuffle join the operator exists for
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try SparkEntry.queries("q81_salted_join")(spark, sf)
+        .queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    // at least one shuffle partitions on BOTH the join key and the salt:
+    // the hot key's rows land on `buckets` reducers instead of one
+    val spread = exec.collect { case e: ShuffleExchangeExec => e }.exists {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          val names = h.expressions.flatMap(_.references.map(_.name))
+          names.contains("k") && names.contains("__salt")
+        case _ => false
+      }
+    }
+    assert(spread,
+      s"no exchange hashes on (k, __salt) — the salted join lost its spread:\n$exec")
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct
