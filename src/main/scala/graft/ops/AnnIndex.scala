@@ -115,9 +115,13 @@ object AnnIndex {
     * is assigned against the PERSISTED centroids (driver-side literals,
     * so assignment is map-side; the only shuffle is the bucketed write's
     * aligning repartition, sized to the delta). The daily companion of
-    * [[CurateIncremental.daily]]: feed it the day's curated survivors. */
+    * [[CurateIncremental.daily]]: feed it the day's curated survivors.
+    * `autoCompact = Some(t)` folds the postings back to one file per
+    * bucket via [[maybeCompact]] whenever the append pushes them past
+    * `t` files per bucket — the hands-off week-scale policy (assignment
+    * drift is [[drift]]/[[retrain]]'s job, not compaction's). */
   def append(delta: DataFrame, idCol: String, vecCol: String,
-             root: String): Unit = {
+             root: String, autoCompact: Option[Int] = None): Unit = {
     val spark = delta.sparkSession
     val (n, scale) = readMeta(spark, root)
     val qc = quantCentroids(
@@ -127,6 +131,25 @@ object AnnIndex {
       .withColumn("cell", bestCell(col("v"), qc))
     BucketedTables.appendBucketed(postings, postingsDir(root),
       postTable(root), n, PostBucketCols)
+    autoCompact.foreach(t => maybeCompact(spark, root, t))
+  }
+
+  /** Files-per-bucket in the postings dir — ≈ appends-since-compaction+1;
+    * probes pay file-open overhead linearly in it. */
+  def filesPerBucket(spark: SparkSession, root: String): Double = {
+    val (n, _) = readMeta(spark, root)
+    BucketedTables.partFileCount(spark, postingsDir(root)).toDouble / n
+  }
+
+  /** Opt-in hands-off compaction: [[compact]] when the postings exceed
+    * `maxFilesPerBucket` files per bucket. Returns whether it ran. */
+  def maybeCompact(spark: SparkSession, root: String,
+                   maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1 (got $maxFilesPerBucket)")
+    val over = filesPerBucket(spark, root) > maxFilesPerBucket
+    if (over) compact(spark, root)
+    over
   }
 
   /** Top-k neighbors of each query against the PERSISTED index:

@@ -122,6 +122,17 @@ private[ops] object BucketedTables {
       .option("path", dir).mode("append").saveAsTable(table)
   }
 
+  /** part-files currently under `dir` (0 when the dir is missing) — the
+    * observable behind the files-per-bucket auto-compaction policies:
+    * every bucketed append lands one file per bucket, so
+    * count/buckets ≈ appends-since-compaction + 1. */
+  def partFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   /** Catalog table name for a persisted table — deterministic in the
     * directory path, so two roots in one session never collide. */
   def tableName(prefix: String, dir: String): String = {

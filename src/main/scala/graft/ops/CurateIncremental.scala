@@ -153,7 +153,7 @@ object CurateIncremental {
   private def metaPath(root: String) = new Path(s"${stateDir(root)}/_graft_state.json")
 
   import BucketedTables.{hadoopFs, swapInto, recoverSwap, ensureRegistered,
-    writeBucketedSnapshot, writePlainSnapshot, appendBucketed}
+    writeBucketedSnapshot, writePlainSnapshot, appendBucketed, partFileCount}
 
   private def writeMeta(spark: SparkSession, root: String, buckets: Int): Unit =
     BucketedTables.writeJsonSidecar(spark, metaPath(root),
@@ -440,6 +440,36 @@ object CurateIncremental {
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
+  /** Max files-per-bucket across the bucketed state tables — the probe-
+    * cost observable behind the auto-compaction policy. Each [[daily]]
+    * appends one file per bucket per table, so this reads as
+    * ≈ appends-since-compaction + 1; probe scans pay file-open overhead
+    * linearly in it. 0.0 for a legacy (unbucketed) or missing state. */
+  def stateFilesPerBucket(spark: SparkSession, root: String): Double =
+    readMeta(spark, root) match {
+      case None => 0.0
+      case Some(n) =>
+        val counts = Seq(fpsDir(root), bksDir(root), srpDir(root), wnfDir(root))
+          .map(d => partFileCount(spark, d)).filter(_ > 0)
+        if (counts.isEmpty) 0.0 else counts.max.toDouble / n
+    }
+
+  /** Opt-in hands-off compaction: run [[compactState]] when the WORST
+    * state table exceeds `maxFilesPerBucket` files per bucket. The
+    * threshold trades write amplification against probe file-count — at
+    * a daily cadence, `maxFilesPerBucket = 7` compacts weekly-ish while
+    * bounding any probe at 7 files per bucket. Invoked from [[daily]]
+    * via its `autoCompact` knob; callable directly on any cadence.
+    * Returns whether a compaction ran. */
+  def maybeCompactState(spark: SparkSession, root: String,
+                        maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1 (got $maxFilesPerBucket)")
+    val over = stateFilesPerBucket(spark, root) > maxFilesPerBucket
+    if (over) compactState(spark, root)
+    over
+  }
+
   /** Sweep crash residue out of the state root: orphan `.tmp-*` snapshot
     * targets (a crash BEFORE [[swapInto]] leaves the half-written temp
     * sibling on disk forever — no reader ever looks at it, but at a
@@ -528,12 +558,19 @@ object CurateIncremental {
     * through [[curateDeltaEmbeddings]] (probing the persisted sketch and
     * vector tables), and the embedding tables are appended in sync with
     * the corpus — without this a daily would silently desynchronize the
-    * embedding state from the corpus it indexes. */
+    * embedding state from the corpus it indexes.
+    *
+    * `autoCompact = Some(t)` makes the run hands-off at week scale: after
+    * the appends, [[maybeCompactState]] folds the state back to one file
+    * per bucket whenever any table exceeds `t` files per bucket (the
+    * returned survivors are pinned before the appends, so the compaction
+    * swap never invalidates what the caller holds). */
   def daily(delta: DataFrame, benchmark: DataFrame,
             idCol: String, textCol: String, root: String,
             cfg: Curate.Config = Curate.Config(),
             deltaVecs: Option[DataFrame] = None, vecCol: String = "v",
-            ecfg: EmbedConfig = EmbedConfig()): Curate.Result = {
+            ecfg: EmbedConfig = EmbedConfig(),
+            autoCompact: Option[Int] = None): Curate.Result = {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
     val spark = delta.sparkSession
@@ -569,6 +606,7 @@ object CurateIncremental {
         // stays the overall serving marker (see [[appendEmbedState]])
         appendEmbedState(pinnedEmb, idCol, vecCol, root, ecfg)
         appendState(corpus, idCol, textCol, root, cfg)
+        autoCompact.foreach(t => maybeCompactState(spark, root, t))
         Curate.Result(corpus, r.stats, () => {
           r.release()
           embRdd.unpersist(blocking = false)
@@ -585,6 +623,7 @@ object CurateIncremental {
         rdd.count()
         val corpus = spark.createDataFrame(rdd, r.corpus.schema)
         appendState(corpus, idCol, textCol, root, cfg)
+        autoCompact.foreach(t => maybeCompactState(spark, root, t))
         Curate.Result(corpus, r.stats,
           () => { r.release(); rdd.unpersist(blocking = false); () })
     }

@@ -97,6 +97,30 @@ class AnnIndexSpec extends SparkSpec {
       "compaction changed probe results")
   }
 
+  test("autoCompact bounds posting files across appends without changing results") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annauto-").toString
+    AnnIndex.build(corpusDf(1L to 40L), "c_id", "c_vec", root, cfg, buckets = 4)
+    // threshold 2: day 1 lands 2 files/bucket (no run), day 2 pushes past
+    // and compacts to 1, day 3 lands 2 — bounded with no manual calls
+    for (d <- 0 until 3)
+      AnnIndex.append(corpusDf((41L + 10 * d) to (50L + 10 * d)), "c_id", "c_vec",
+        root, autoCompact = Some(2))
+    val fpb = AnnIndex.filesPerBucket(spark, root)
+    assert(fpb > 0.0 && fpb <= 2.0,
+      s"auto-compaction did not bound the postings file count: $fpb files/bucket")
+    // probes equal an identical index that never auto-compacted
+    val plain = java.nio.file.Files.createTempDirectory("graft-annauto2-").toString
+    AnnIndex.build(corpusDf(1L to 40L), "c_id", "c_vec", plain, cfg, buckets = 4,
+      trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids"))
+    for (d <- 0 until 3)
+      AnnIndex.append(corpusDf((41L + 10 * d) to (50L + 10 * d)), "c_id", "c_vec", plain)
+    val queries = queriesDf(Seq(601L, 602L))
+    assert(rows(AnnIndex.topK(queries, root, k = 3, nProbes = 2))
+      == rows(AnnIndex.topK(queries, plain, k = 3, nProbes = 2)),
+      "auto-compaction changed probe results")
+    assert(!AnnIndex.maybeCompact(spark, root, 10))
+  }
+
   test("probe plans zero exchange on the postings side, through a fresh registration") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -481,6 +481,38 @@ class CurateStateSpec extends SparkSpec {
     r.release()
   }
 
+  test("autoCompact keeps a hands-off daily loop bounded in files per bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft-autocompact-").toString
+    CurateIncremental.bootstrap(
+      docsDf(Seq(doc(1, "alpha"), doc(2, "beta"))), bench, "doc_id", "text", root,
+      Curate.Config()).release()
+    // threshold 2 with daily appends: day 1 lands 2 files/bucket (at the
+    // threshold — no run), day 2 pushes past it and compacts back to 1,
+    // day 3 lands 2 again: the loop never exceeds threshold+1 transiently
+    // and settles at <= threshold, with zero manual compaction calls
+    for (day <- 1 to 3)
+      CurateIncremental.daily(
+        docsDf(Seq(doc(100L + day, s"day$day"))), bench, "doc_id", "text", root,
+        autoCompact = Some(2)).release()
+    val fpb = CurateIncremental.stateFilesPerBucket(spark, root)
+    assert(fpb > 0.0 && fpb <= 2.0,
+      s"auto-compaction did not bound the state file count: $fpb files/bucket")
+    // row identity: the compacted loop holds exactly the bootstrap + daily
+    // survivors, once each, and the state still probes (re-crawls die)
+    val st = CurateIncremental.loadState(spark, root)
+    assert(st.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 101L, 102L, 103L))
+    assert(st.fingerprints.select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 101L, 102L, 103L))
+    val r = CurateIncremental.daily(
+      docsDf(Seq(doc(300, "alpha"), doc(301, "day2"), doc(302, "fresh"))),
+      bench, "doc_id", "text", root, autoCompact = Some(2))
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(302L))
+    r.release()
+    // under the threshold nothing runs; the direct call reports it
+    assert(!CurateIncremental.maybeCompactState(spark, root, 10))
+  }
+
   test("compactState rewrites the embedding tables alongside the text tables") {
     val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
     val root = java.nio.file.Files.createTempDirectory("graft-compemb-").toString
