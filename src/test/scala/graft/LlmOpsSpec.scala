@@ -1302,6 +1302,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(byId(2L) == 29L)
   }
 
+  test("multimodal features compose into the embedding near-dup + ANN index path") {
+    import spark.implicits._
+    import graft.ops.{AnnIndex, Similarity}
+    assert(Multimodal.ImageIoCodec.available)
+    // a transcode VARIANT of the checkerboard literal: a GIF comment
+    // extension block (0x21 0xFE, "dup", terminator) spliced in after the
+    // global palette — different container bytes, bit-identical raster.
+    // (Round-tripping through the JDK GIF WRITER is not raster-lossless
+    // at 2x2 — the same JDK quirk GifDemuxer documents — so the variant
+    // is authored at the byte level, as a real transcoder would differ in
+    // metadata, not pixels.)
+    val comment = Array[Int](0x21, 0xFE, 3, 'd', 'u', 'p', 0).map(_.toByte)
+    val gifReenc = gif2frames.take(19) ++ comment ++ gif2frames.drop(19)
+    assert(!java.util.Arrays.equals(gifReenc, gif2frames),
+      "re-encode must produce different bytes")
+    // the composed pipeline a training-data user runs: decode features →
+    // histogram as the embedding → near-dup collapse + persisted index;
+    // png2x2 (black/white/red/blue) is the visually-DISTINCT bystander
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/gif", gif2frames),
+      Multimodal.MediaRow(2L, "image/gif", gifReenc),
+      Multimodal.MediaRow(3L, "image/png", png2x2)
+    ).toDS()
+    val emb = Multimodal.decodeFeatures(media, Multimodal.ImageIoCodec)
+      .toDF().select(col("media_id").as("id"), col("histogram").as("v"))
+    val pairs = Similarity.embeddingNearDups(emb, "id", "v",
+      threshold = 0.99, nPlanes = 8, prefixBits = 4,
+      seeds = Seq(42L, 1042L), dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"visually-identical re-encodes must near-dup (and only them): $pairs")
+    // ANN index over the same features: the re-encode is its twin's top
+    // neighbor with a perfect normalized dot (identical histograms)
+    val root = java.nio.file.Files.createTempDirectory("graft-mmann-").toString
+    AnnIndex.build(emb.select(col("id").as("c_id"), col("v").as("c_vec")),
+      "c_id", "c_vec", root,
+      AnnIndex.Config(nCells = 2, kmeansIters = 2, dim = 16), buckets = 2)
+    val hit = AnnIndex.topK(
+      emb.filter(col("id") === 2L)
+        .select(col("id").as("q_id"), col("v").as("q_vec")),
+      root, k = 1, nProbes = 2)
+      .select("c_id").as[Long].collect()
+    assert(hit.toSeq == Seq(1L),
+      s"the re-encode's nearest indexed neighbor must be its twin: ${hit.toSeq}")
+  }
+
   test("frameSample demux seam is pluggable") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(7L, "video/fake",
