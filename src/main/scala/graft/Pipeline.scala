@@ -72,33 +72,65 @@ object Pipeline {
     val kpi = Marts.kpiDailySummary(enriched)
 
     try {
-      // quality gates — dbt schema tests (Q1-Q3, models/*/schema.yml)
-      Relational.assertQuality(rawPop, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))
-      Relational.assertQuality(rawDet, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))
-      Relational.assertQuality(rawOmdb, Seq("imdb_id"), Seq("snapshot_date", "imdb_id"))
-      Relational.assertQuality(enriched, Seq("snapshot_date", "tmdb_id", "title"),
-        Seq("snapshot_date", "tmdb_id"))
-      Relational.assertQuality(kpi, Seq("snapshot_date", "nb_movies"),
-        Seq("snapshot_date"))
+      // quality gates — dbt schema tests (Q1-Q3, models/*/schema.yml).
+      // The five gates are independent single-action jobs over different
+      // tables: submit them CONCURRENTLY (multi-threaded job submission
+      // against one session is supported; the only shared state is the
+      // enriched persist, whose block computation is lock-protected).
+      // Await.result propagates the first violation exactly like the
+      // sequential form did; the export below still waits for ALL gates —
+      // dbt's test-then-materialize barrier is preserved.
+      {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(Future.sequence(Seq(
+          Future(Relational.assertQuality(rawPop, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))),
+          Future(Relational.assertQuality(rawDet, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))),
+          Future(Relational.assertQuality(rawOmdb, Seq("imdb_id"), Seq("snapshot_date", "imdb_id"))),
+          Future(Relational.assertQuality(enriched, Seq("snapshot_date", "tmdb_id", "title"),
+            Seq("snapshot_date", "tmdb_id"))),
+          Future(Relational.assertQuality(kpi, Seq("snapshot_date", "nb_movies"),
+            Seq("snapshot_date"))))), Duration.Inf)
+        finally pool.shutdown()
+      }
 
-      // lake export: 3 staging → formatted/, 2 marts → usage/ (S9/S10)
-      val exported = LakeZones.exportAll(Map(
-        "stg_tmdb_popular" -> stgPop,
-        "stg_tmdb_details" -> stgDet,
-        "stg_omdb_ratings" -> stgOmdb,
-        "movies_enriched_daily" -> enriched,
-        "kpi_daily_summary" -> kpi), cfg.lakeRoot)
-
-      // serving: the two usage tables → ES bulk dry-run, stable ids
-      // (`index_elasticsearch.py:22-23,245-246`)
-      ServingSink.bootstrapMapping(enriched, cfg.servingDir, "movies_enriched_daily",
-        ServingSink.movieFieldSpec)
-      ServingSink.bootstrapMapping(kpi, cfg.servingDir, "movies_kpis_daily",
-        ServingSink.kpiFieldSpec)
-      ServingSink.writeBulk(enriched, cfg.servingDir, "movies_enriched_daily",
-        Seq("snapshot_date", "tmdb_id"))
-      ServingSink.writeBulk(kpi, cfg.servingDir, "movies_kpis_daily",
-        Seq("snapshot_date"))
+      // lake export (3 staging → formatted/, 2 marts → usage/, S9/S10)
+      // and the serving sinks (`index_elasticsearch.py:22-23,245-246`)
+      // are independent consumers of the gated frames — they overlap the
+      // same way the gates do (exportAll itself fans its five writes out
+      // concurrently); the two serving indexes stay internally ordered
+      // (mapping bootstrap before bulk, the ES contract)
+      val exported = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val exp = Future(LakeZones.exportAll(Map(
+            "stg_tmdb_popular" -> stgPop,
+            "stg_tmdb_details" -> stgDet,
+            "stg_omdb_ratings" -> stgOmdb,
+            "movies_enriched_daily" -> enriched,
+            "kpi_daily_summary" -> kpi), cfg.lakeRoot))
+          val serveMovies = Future {
+            ServingSink.bootstrapMapping(enriched, cfg.servingDir,
+              "movies_enriched_daily", ServingSink.movieFieldSpec)
+            ServingSink.writeBulk(enriched, cfg.servingDir,
+              "movies_enriched_daily", Seq("snapshot_date", "tmdb_id"))
+          }
+          val serveKpis = Future {
+            ServingSink.bootstrapMapping(kpi, cfg.servingDir,
+              "movies_kpis_daily", ServingSink.kpiFieldSpec)
+            ServingSink.writeBulk(kpi, cfg.servingDir,
+              "movies_kpis_daily", Seq("snapshot_date"))
+          }
+          Await.result(serveMovies, Duration.Inf)
+          Await.result(serveKpis, Duration.Inf)
+          Await.result(exp, Duration.Inf)
+        } finally pool.shutdown()
+      }
 
       Result(stgPop, stgDet, stgOmdb, enriched, kpi, exported)
     } finally enriched.unpersist()

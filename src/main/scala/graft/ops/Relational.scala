@@ -215,12 +215,26 @@ object Relational {
   }
 
   /** Assert zero data-quality violations, mirroring `dbt test` semantics
-    * (run inside pipelines; throws on violation). */
+    * (run inside pipelines; throws on violation).
+    *
+    * ONE action for both gates (was two): the unique check's key groupBy
+    * carries the null-violation count through as a per-group partial, so
+    * the not_null total falls out of the same job — per-day pipelines run
+    * five of these, and each saved action is saved scheduling wall on
+    * every backfilled day. The null gate still reports first. */
   def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit = {
-    val nulls = notNullViolations(df, notNullCols).head().getLong(0)
-    require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
-    if (uniqueKeys.nonEmpty) {
-      val dups = uniqueViolations(df, uniqueKeys).head().getLong(0)
+    if (uniqueKeys.isEmpty) {
+      val nulls = notNullViolations(df, notNullCols).head().getLong(0)
+      require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
+    } else {
+      val nullPred = notNullCols.map(col(_).isNull).foldLeft(lit(false))(_ || _)
+      val r = df.groupBy(uniqueKeys.map(col): _*)
+        .agg(count(lit(1)).as("__n"), countIf(nullPred).as("__nulls"))
+        .agg(coalesce(sum(col("__nulls")), lit(0L)).as("nb_null_rows"),
+          countIf(col("__n") > 1).as("nb_dup_keys"))
+        .head()
+      val (nulls, dups) = (r.getLong(0), r.getLong(1))
+      require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
       require(dups == 0, s"unique violated: $dups duplicate key groups for $uniqueKeys")
     }
   }

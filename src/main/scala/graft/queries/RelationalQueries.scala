@@ -484,6 +484,32 @@ object RelationalQueries {
         .agg(count(lit(1)).as("nb_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("k")
+    }),
+
+    // Flagship-lifecycle macro-benchmark: a 30-day Pipeline.backfill over
+    // a deterministic synthetic raw zone (SyntheticRaw, sliding ~80%-
+    // overlap id windows) — per-day manifests, DQ gates, dynamic
+    // partition overwrites and serving sinks, thirty times over. The
+    // construction RUNS the backfill, so Bench's timing captures the
+    // per-day overhead the golden tests can't see regressing; the result
+    // face is the per-day KPI read back from the lake it just wrote.
+    // DuckDB cannot replay the lifecycle → no oracle; the driver records
+    // the rows-only check (30 days, deterministic counts). Bench runs it
+    // single-pass (see Bench.singlePass).
+    "q82_backfill_days" -> ((s, dir) => {
+      val dates = (1 to 30).map(d => f"2026-03-$d%02d")
+      val base = java.nio.file.Files.createTempDirectory("graft-q82-").toString
+      graft.sources.SyntheticRaw.writeDays(s"$base/raw", dates, moviesPerDay = 50)
+      val cfg = graft.Pipeline.Config(s"$base/raw", s"$base/lake",
+        s"$base/serving", dates.head, "bench", multiLineRaw = false)
+      val ran = graft.Pipeline.backfill(s, cfg, dates, retries = 0,
+        sleeper = _ => ())
+      require(ran.size == dates.size,
+        s"backfill completed ${ran.size}/${dates.size} days")
+      graft.io.LakeZones.readTable(s, cfg.lakeRoot, "usage", "kpi_daily")
+        .select(col("snapshot_date").cast("string").as("snapshot_date"),
+          col("nb_movies"), col("nb_movies_with_omdb"))
+        .orderBy("snapshot_date")
     })
   )
 
