@@ -440,11 +440,17 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
-    // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = plan(name)
-      if (p.contains("CartesianProduct")) Some(name) else None
-    }
+    // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
+    // q82 is excluded: its CONSTRUCTION runs the whole 30-day backfill
+    // (~1 min, violating this spec's planning-only contract) and its
+    // returned frame is a bare partitioned-parquet read + sort with no
+    // join to audit — the backfill's own plans are covered by
+    // PipelineSpec/PipelineScaleSpec.
+    val offenders = (SparkEntry.queries.keys.toSet - "q82_backfill_days")
+      .toSeq.sorted.flatMap { name =>
+        val p = plan(name)
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
     assert(offenders.isEmpty,
       s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
