@@ -279,6 +279,30 @@ object AnnIndex {
     spark.catalog.refreshByPath(centroidsDir(root))
   }
 
+  /** Opt-in hands-off retrain policy — the drift analog of
+    * [[maybeCompact]]: measure [[drift]] and [[retrain]] when the cells
+    * have degenerated past either threshold (`maxSkew` on cell balance,
+    * `minOwnCos` on cell coherence). Returns the PRE-decision drift and
+    * whether a retrain ran, so callers can log the observable either
+    * way. Both drift and retrain are full-postings passes — run this at
+    * [[compact]] cadence (weekly-ish), not per append: a daily corpus
+    * scan to check balance is the kind of standing cost the bucketed
+    * design exists to avoid. Thresholds default conservative: skew > 3
+    * means the hottest cell holds >3× its fair share (probe cost ×3 on
+    * the hot path); ownCos has no universal floor, so it defaults OFF
+    * (0.0) — calibrate against the post-build value the index shipped
+    * with. */
+  def maybeRetrain(spark: SparkSession, root: String,
+                   maxSkew: Double = 3.0, minOwnCos: Double = 0.0,
+                   cfg: Config = Config()): (Drift, Boolean) = {
+    require(maxSkew > 1.0, s"maxSkew must exceed 1 (got $maxSkew)")
+    val d = drift(spark, root)
+    val degenerate = d.nPostings > 0 &&
+      (d.cellSkew > maxSkew || d.meanOwnCellCos < minOwnCos)
+    if (degenerate) retrain(spark, root, cfg)
+    (d, degenerate)
+  }
+
   /** Rewrite the postings back to one file per bucket (daily appends add
     * one per bucket per day). Path-based read — a catalog scan's bucket
     * claim makes the planner elide the aligning repartition and disable

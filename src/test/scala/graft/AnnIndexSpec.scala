@@ -214,7 +214,10 @@ class AnnIndexSpec extends SparkSpec {
     }
     val (recallBefore, candsBefore) = recallAndCandidates()
 
-    AnnIndex.retrain(spark, root, cfg)
+    // the hands-off policy observes the megacell skew and retrains
+    val (dObs, ran) = AnnIndex.maybeRetrain(spark, root, maxSkew = 3.0, cfg = cfg)
+    assert(ran && dObs.cellSkew > 3.0,
+      s"megacell skew must trigger the retrain policy: $dObs")
 
     val (recallAfter, candsAfter) = recallAndCandidates()
     assert(candsAfter < candsBefore * 0.6,
@@ -230,6 +233,10 @@ class AnnIndexSpec extends SparkSpec {
       s"retrained cells must re-cohere: drifted=$d1 retrained=$d2")
     assert(d2.cellSkew < d1.cellSkew,
       s"retrained cells must rebalance: drifted=$d1 retrained=$d2")
+    // rebalanced cells are under the policy threshold — no second run
+    val (dAfter, ranAgain) = AnnIndex.maybeRetrain(spark, root, maxSkew = 3.0, cfg = cfg)
+    assert(!ranAgain && dAfter.cellSkew <= 3.0,
+      s"a rebalanced index must not re-trigger the policy: $dAfter")
     // the retrained index still equals the in-query operator bit-for-bit
     // under its (re-persisted) centroid list — the q70 contract survives
     val trained = IndexStore.loadCentroids(spark, s"$root/ann_index/centroids")
