@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *      detector for partial borrowing BELOW the near-dup Jaccard
   *      threshold, at ~2∕(w+1) of the exhaustive span index's state),
   *   4. quality floor ([[TextAnalysis.qualityScore]] ≥ threshold),
+  *   4¼. (opt-in) per-group quantile quality cut
+  *      ([[TextAnalysis.quantileFilter]] — keep the top fraction of each
+  *      group (language/domain) by score: the RELATIVE cut that can't
+  *      empty a low-resource group the absolute floor might; runs after
+  *      the floor so the window prices the already-thinned corpus),
   *   4½. (opt-in) corpus-LM bigram floor ([[TextAnalysis.bigramCommonRatio]]
   *      — the corpus as its own LM; salad and too-short docs drop),
   *   5. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
@@ -50,7 +55,9 @@ import org.apache.spark.sql.functions._
   * temperature stage is the documented exception, like spanDedupK: the
   * √-rule moves counts TOWARD balance each application — c_s →
   * √(c_s·c_min) — so re-curating with it on keeps shaving the dominant
-  * sources. winnowFilter is corpus-dependent the same way: its df cap is
+  * sources; qualityQuantile likewise re-cuts each group to the top
+  * fraction of its current survivors. winnowFilter is corpus-dependent
+  * the same way: its df cap is
   * computed over the CURRENT corpus, so fingerprints capped out in run 1
   * can fall under the cap among run-1 survivors and pair in run 2. The
   * fixpoint property holds for the default Config.)
@@ -89,6 +96,12 @@ object Curate {
       // collapses (and span dedup, when both are on): whole-doc drop of
       // later-id docs sharing sampled span fingerprints with a keeper
       winnowFilter: Option[Winnow] = None,
+      // opt-in per-group relative quality cut: (groupCol, keepFrac) keeps
+      // the top fraction of each group by qualityScore — corpus-dependent
+      // like the temperature stage (re-curating with it on keeps shaving
+      // each group to its top fraction of the SURVIVORS), so it is the
+      // documented third exception to the fixpoint property
+      qualityQuantile: Option[(String, Double)] = None,
       // opt-in corpus-LM quality proxy floor: (minCount, floor) keeps docs
       // whose share of corpus-frequent bigrams reaches the floor; docs too
       // short to score (< 2 tokens) are dropped with the salad
@@ -187,8 +200,19 @@ object Curate {
     }
 
     // 4. quality floor
-    val qualityBase = winnowed
+    val qualityAbs = winnowed
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
+
+    // 4.25 (opt-in) per-group relative quality cut: top keepFrac of each
+    // group by score — after the absolute floor so the one window shuffle
+    // prices the thinned corpus, before the bigram LM so the corpus model
+    // trains on what survives the cut
+    val qualityBase = cfg.qualityQuantile match {
+      case Some((groupCol, keepFrac)) =>
+        TextAnalysis.quantileFilter(qualityAbs, groupCol,
+          TextAnalysis.qualityScore(col(textCol)), idCol, keepFrac)
+      case None => qualityAbs
+    }
 
     // 4.5 (opt-in) corpus-LM quality proxy: the corpus is its own language
     // model — docs whose share of corpus-frequent bigrams falls below the

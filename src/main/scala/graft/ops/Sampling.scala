@@ -171,4 +171,92 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < cut)
   }
+
+  /** Mixture construction WITH REPETITION: replicate or subsample each
+    * source so its share of the output token mass matches a target weight —
+    * the "epochs over each subset" treatment of heterogeneous training
+    * corpora (a rare high-value source is seen several times per pass, a
+    * dominant crawl less than once). [[mixtureSample]] / [[temperatureSample]]
+    * can only DROP rows; this is the missing upsampling half.
+    *
+    * Per source s with observed token mass T_s and target share w_s
+    * (weights are normalized over the sources PRESENT, so the output total
+    * stays ≈ the corpus total unless `totalBudget` overrides it):
+    * epochs e_s = (w_s/Σw × budget) / T_s. Every row of s is emitted
+    * ⌊e_s⌋ times, plus once more iff its [[hashBucket]] falls under the
+    * 256-lane floor of the fractional part — so realized mass converges to
+    * the target per-source (hash-uniform over rows) and the SAME rows are
+    * replicated on every run, engine-independently. Rows get an `epoch`
+    * index ∈ [0, copies): downstream shuffle-sharding spreads copies apart
+    * ([[shuffleShard]] keys on (id, epoch)). A source with w_s = 0 (or
+    * absent from `weights`) is dropped; NULL sources are excluded under
+    * the same contract as [[temperatureSample]].
+    *
+    * Determinism note: e_s is one IEEE division of exact integers; the
+    * fractional cut is ⌊256·(e − ⌊e⌋)⌋ — multiply/subtract/floor are all
+    * correctly rounded, so both engines compute identical cuts.
+    *
+    * 100 TB posture: one dimension-sized partial+final aggregate (rows =
+    * sources) broadcast back; replication is a map-side
+    * `explode(sequence)` — no corpus-scale shuffle, output volume is
+    * budget-bound by construction. `maxEpochs` caps the blow-up a typo'd
+    * weight could cause (a 10⁶× replication request is a config bug, not
+    * a plan). */
+  def epochMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                   tokCol: String, weights: Map[String, Double],
+                   totalBudget: Option[Long] = None,
+                   maxEpochs: Int = 100): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-negative")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
+    val wSum = weights.values.sum
+    require(wSum > 0.0, "at least one weight must be positive")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src, lit(w / wSum)).otherwise(acc)
+    }
+    val masses = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(sum(col(tokCol).cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+    // budget: caller-pinned, else the observed corpus total (output mass
+    // then ≈ input mass, reshaped to the weights). Lazy 1-row broadcast
+    // cross join, same shape as temperatureSample's min — no driver action
+    // during plan construction.
+    val budgetFrame = totalBudget match {
+      case Some(b) => masses.sparkSession.range(1).select(lit(b).as("__b"))
+      case None    => masses.agg(sum(col("__t")).as("__b"))
+    }
+    val plan = masses.crossJoin(broadcast(budgetFrame))
+      .withColumn("__e",
+        least(wExpr * col("__b").cast("double") / col("__t").cast("double"),
+          lit(maxEpochs.toDouble)))
+      .withColumn("__full", floor(col("__e")))
+      .withColumn("__cut", floor(lit(256) * (col("__e") - col("__full"))))
+      .select(col(sourceCol), col("__full"), col("__cut"))
+    df.join(broadcast(plan), Seq(sourceCol))
+      .withColumn("__copies",
+        col("__full") + when(hashBucket(col(keyCol)) < col("__cut"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__full", "__cut", "__copies")
+  }
+
+  /** Per-row weighted sampling: keep each row with probability equal to
+    * its own weight ∈ [0, 1] (clamped), decided by content hash — the
+    * quality-resampling step that keeps documents in proportion to a
+    * model-free quality score instead of a hard threshold (soft filtering:
+    * borderline docs survive at reduced rate rather than vanishing at a
+    * cliff). Unlike [[mixtureSample]] the weight is a per-row COLUMN, not
+    * a per-source constant, so any upstream score works.
+    *
+    * The keep test floors 256·w onto the [[hashBucket]] grid (weight
+    * exactly 1.0 → cut 256 → always kept; weight < 1/256 → dropped —
+    * document the floor to callers scoring in tight ranges).
+    *
+    * 100 TB posture: pure map-side expression — no shuffle, no state. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(keyCol)) < floor(lit(256) * w))
+  }
 }

@@ -294,4 +294,86 @@ object TextAnalysis {
         coalesce(col("nb_kept"), lit(0L)).as("nb_kept"),
         (col("nb_lines") - coalesce(col("nb_kept"), lit(0L))).as("nb_removed"))
   }
+
+  /** Per-group quantile filter: keep the top `keepFrac` of each group by
+    * `score` — the relative quality cut used when an absolute threshold
+    * can't work because score distributions differ per language / domain
+    * ("keep the best 25% of EACH language", not "quality ≥ 0.7", which
+    * would empty low-resource languages scored by en-tuned heuristics).
+    *
+    * Rank semantics: `percent_rank` over (score DESC, id ASC) — the id
+    * tiebreak makes the order TOTAL, so ranks (hence the kept set) are
+    * bit-identical across engines and partition counts; percent_rank is
+    * (rank−1)/(n−1), an IEEE division of exact integers, and a
+    * single-row group (n=1, rank 0/0 → 0.0) is always kept. The cut is
+    * `< keepFrac` on that exact double; the top-ranked row of every group
+    * has percent_rank 0.0, so "top 25%" means ⌈n/4⌉-ish rows, never zero.
+    *
+    * 100 TB posture: ONE group-keyed window shuffle; the filter is
+    * window-local. Group count is the parallelism floor (a 5-language
+    * corpus windows over 5 partitions) — for few huge groups, pre-bucket
+    * by [[graft.ops.Relational]]'s approx-quantile cut instead; this
+    * exact form is for group counts ≥ the cluster's task slots or group
+    * sizes that fit a partition. */
+  def quantileFilter(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                     score: Column, idCol: String,
+                     keepFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"invalid keepFrac $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+    docs.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") < keepFrac)
+      .drop("__pr")
+  }
+
+  /** Pairwise source-overlap matrix: exact n-gram Jaccard between every
+    * pair of sources — the dataset-to-dataset similarity report that
+    * catches a "new" corpus being a re-crawl of one already in the mix
+    * (inter-dataset redundancy is invisible to per-doc dedup thresholds
+    * when docs differ but the gram population doesn't).
+    *
+    * Shape: distinct (source, gram-md5) pairs → per-source distinct
+    * counts + a gram-keyed self-join for pair intersections →
+    * |A∩B| / (|A|+|B|−|A∩B|). Output is source-pair-sized (dimension²,
+    * never corpus).
+    *
+    * 100 TB posture: the exchanged frame is DISTINCT gram hashes per
+    * source — sublinear in the corpus and bounded further by
+    * `sampleBuckets` (hash-mod gram sampling: keep grams whose
+    * [[Sampling.hashBucket]] < sampleBuckets; Jaccard over a uniform
+    * hash-sample of the gram universe is an unbiased estimate, and the
+    * SAME grams are sampled in every engine). Per-gram join fan-out is
+    * ≤ #sources, so no key explodes. At 100 TB run with
+    * sampleBuckets ≈ 4–16 (1.5–6% of grams). */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, sourceCol: String, n: Int,
+                    sampleBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    require(sampleBuckets >= 1 && sampleBuckets <= 256,
+      s"sampleBuckets must be in [1, 256] (got $sampleBuckets)")
+    val grams = docs
+      .filter(col(sourceCol).isNotNull)
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n) // ngrams' contract: caller guards
+      .select(col(sourceCol).as("src"),
+        explode(ngrams(col("__toks"), n)).as("g"))
+      .select(col("src"), md5(col("g")).as("gh"))
+      .filter(Sampling.hashBucket(col("gh")) < sampleBuckets)
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("nb_grams"))
+    val a = grams.toDF("src_a", "gh")
+    val b = grams.toDF("src_b", "gh")
+    val inter = a.join(b, "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("nb_shared"))
+    inter
+      .join(sizes.toDF("src_a", "nb_a"), "src_a")
+      .join(sizes.toDF("src_b", "nb_b"), "src_b")
+      .withColumn("jaccard",
+        col("nb_shared").cast("double") /
+          (col("nb_a") + col("nb_b") - col("nb_shared")))
+      .select("src_a", "src_b", "nb_a", "nb_b", "nb_shared", "jaccard")
+  }
 }

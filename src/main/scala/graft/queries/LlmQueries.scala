@@ -29,6 +29,13 @@ object LlmQueries {
   val MixtureFractions: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap
 
+  /** q83 target token shares (pre-normalization): even-indexed sources
+    * 3×, odd 1× — shared by the Spark query and the interpolated oracle
+    * CASE (which mirrors the w/Σw division itself, `3.0/40.0`, so both
+    * engines round the share identically). */
+  val EpochWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 3.0 else 1.0)).toMap
+
   /** md5-derived 16-bit SimHash per doc_id over a caller-chosen feature
     * array — the oracle-mirrorable demo flavor shared by q21 (token
     * features) and q50 (shingle features; the production path is the
@@ -1088,6 +1095,62 @@ object LlmQueries {
         |FROM seq
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin)
+    }),
+
+    // Mixture WITH REPETITION: reshape the corpus so even-indexed sources
+    // carry 3× the token share of odd ones — rare-but-valuable sources get
+    // >1 epochs (row replicated, epoch-indexed), dominant ones <1 (hash
+    // subsample). The oracle replays the epoch arithmetic (one IEEE
+    // division per source, 256-lane fractional cut) and the range-unnest
+    // replication bit-for-bit.
+    "q83_epoch_mixture" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.epochMixture(d, "doc_id", "source", "n_chars", EpochWeights)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("nb_rows"),
+          sum(col("n_chars").cast("long")).as("nb_chars"))
+        .orderBy("source", "epoch")
+    }),
+
+    // Per-language quantile quality filter: keep the TOP 25% of each
+    // language by composite quality score (percent_rank over the total
+    // order (quality DESC, doc_id)) — the relative cut that cannot empty
+    // a low-resource language the way an absolute threshold does. The
+    // oracle mirrors q29's exact decimal(4,2) score and the same window.
+    "q84_quantile_filter" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      TextAnalysis.quantileFilter(d, "lang", col("quality"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"),
+          col("quality").cast("double").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Dataset-to-dataset overlap matrix: exact 3-gram Jaccard between
+    // every source pair over a deterministic 25% hash-sample of the gram
+    // universe (bucket(md5(gram)) < 64) — the inter-dataset redundancy
+    // report per-doc dedup thresholds can't see. The oracle rebuilds the
+    // same sampled distinct-gram sets and replays the pair join.
+    "q85_source_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.sourceOverlap(d, "doc_id", "text", "source",
+          n = 3, sampleBuckets = 64)
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Quality-weighted soft sampling: every doc survives with probability
+    // equal to its own quality score (per-row weight column, not a
+    // per-source constant) — borderline docs thin out instead of hitting
+    // a threshold cliff. The oracle replays the 256-lane floor keep test
+    // on the same exact decimal score.
+    "q86_weighted_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      Sampling.weightedSample(d, "doc_id", col("quality"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nb_kept"),
+          sum(col("quality")).cast("double").as("sum_quality"))
+        .orderBy("lang")
     })
   )
 
@@ -2491,6 +2554,137 @@ object LlmQueries {
         |  CAST(CASE WHEN n_bytes > 1 THEN bytes[1] * 256 + bytes[2] ELSE 0 END AS INT) AS width,
         |  CAST(CASE WHEN n_bytes > 3 THEN bytes[3] * 256 + bytes[4] ELSE 0 END AS INT) AS height,
         |  CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / greatest(n_bytes, 1) AS mean_byte
-        |FROM b ORDER BY media_id""".stripMargin
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "q83_epoch_mixture" -> {
+      // normalized-share CASE arms mirror the Scala w/Σw DIVISION itself
+      // (3.0/40.0), so both engines round the share double identically
+      val wSum = EpochWeights.values.sum
+      val arms = EpochWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN source = '$src' THEN $w/$wSum"
+      }.mkString("\n        |      ", "\n        |      ", "")
+      s"""WITH m AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY 1 HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+        |tot AS (SELECT CAST(sum(t) AS DOUBLE) AS b FROM m),
+        |pe AS (
+        |  SELECT source,
+        |    least(CASE$arms
+        |      ELSE 0.0 END * (SELECT b FROM tot) / CAST(t AS DOUBLE), 100.0) AS e
+        |  FROM m),
+        |plan AS (
+        |  SELECT source, CAST(floor(e) AS BIGINT) AS full_ep,
+        |    CAST(floor(256 * (e - floor(e))) AS BIGINT) AS cut
+        |  FROM pe),
+        |r AS (
+        |  SELECT d.source, d.n_chars,
+        |    plan.full_ep + CASE WHEN
+        |      (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)
+        |      < plan.cut THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN plan ON d.source = plan.source),
+        |rep AS (
+        |  SELECT source, n_chars, unnest(range(copies)) AS epoch
+        |  FROM r WHERE copies > 0)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(count(*) AS BIGINT) AS nb_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS nb_chars
+        |FROM rep GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
+    },
+
+    "q84_quantile_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','is'], t))) AS sw,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS np
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST((CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0
+        |               WHEN ntok >= 5 THEN 0.5 ELSE 0.0 END * 0.4
+        |     + CASE WHEN ntok > 0 AND CAST(sw AS DOUBLE) / ntok >= 0.05
+        |            THEN 1.0 ELSE 0.3 END * 0.4
+        |     + CASE WHEN (CASE WHEN length(text) > 0
+        |                       THEN CAST(np AS DOUBLE) / length(text)
+        |                       ELSE 0.0 END) <= 0.2
+        |            THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS q
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, lang, q,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr
+        |  FROM sc)
+        |SELECT doc_id, lang, CAST(q AS DOUBLE) AS quality
+        |FROM r WHERE pr < 0.25 ORDER BY doc_id""".stripMargin,
+
+    "q85_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE source IS NOT NULL),
+        |gr AS (
+        |  SELECT DISTINCT src, gh FROM (
+        |    SELECT source AS src,
+        |      md5(unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS gh
+        |    FROM tok WHERE len(toks) >= 3)),
+        |samp AS (
+        |  SELECT src, gh FROM gr
+        |  WHERE (CASE WHEN ascii(substr(md5(gh), 1, 1)) <= 57
+        |              THEN ascii(substr(md5(gh), 1, 1)) - 48
+        |              ELSE ascii(substr(md5(gh), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(gh), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(gh), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(gh), 2, 1)) - 87 END) < 64),
+        |sizes AS (SELECT src, count(*) AS n FROM samp GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+        |  FROM samp a JOIN samp b ON a.gh = b.gh AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  CAST(sa.n AS BIGINT) AS nb_a, CAST(sb.n AS BIGINT) AS nb_b,
+        |  CAST(shared AS BIGINT) AS nb_shared,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.src_a = sa.src
+        |JOIN sizes sb ON inter.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q86_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','is'], t))) AS sw,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS np
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST((CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0
+        |               WHEN ntok >= 5 THEN 0.5 ELSE 0.0 END * 0.4
+        |     + CASE WHEN ntok > 0 AND CAST(sw AS DOUBLE) / ntok >= 0.05
+        |            THEN 1.0 ELSE 0.3 END * 0.4
+        |     + CASE WHEN (CASE WHEN length(text) > 0
+        |                       THEN CAST(np AS DOUBLE) / length(text)
+        |                       ELSE 0.0 END) <= 0.2
+        |            THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS q
+        |  FROM d),
+        |k AS (
+        |  SELECT lang, q FROM sc
+        |  WHERE (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)
+        |      < CAST(floor(256 * least(greatest(CAST(q AS DOUBLE), 0.0), 1.0)) AS BIGINT))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS nb_kept,
+        |  CAST(sum(q) AS DOUBLE) AS sum_quality
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

@@ -399,6 +399,112 @@ class LlmOpsSpec extends SparkSpec {
       s"dominant source must keep ~70000/256 rows, not vanish: $keptSkew")
   }
 
+  test("epochMixture: integer epochs replicate exactly, fractional epochs hash-subsample, caps and NULL policy hold") {
+    import graft.ops.Sampling
+    // A: 10 rows × 100 tokens = 1000; B: 90 rows × 100 = 9000. Equal
+    // target shares → budget 5000 each → e_A = 5.0 (exact: every A row
+    // 5 copies, fractional cut 0), e_B = 5/9 (no full epoch, cut 142).
+    val df = ((0L until 10L).map(i => (i, "A", 100)) ++
+      (10L until 100L).map(i => (i, "B", 100))).toDF("k", "src", "ntok")
+    val out = Sampling.epochMixture(df, "k", "src", "ntok",
+      Map("A" -> 1.0, "B" -> 1.0))
+    val perSrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("A") == 50L, s"A must emit exactly 5 copies/row: $perSrc")
+    // every A row appears with epochs 0..4 exactly once
+    val aEpochs = out.filter(col("src") === "A").groupBy("k")
+      .agg(sort_array(collect_list(col("epoch"))).as("es"))
+      .collect().map(_.getSeq[Long](1))
+    assert(aEpochs.forall(_ == Seq(0L, 1L, 2L, 3L, 4L)), "A epoch indices must be 0..4")
+    // B keeps ~ 90×142/256 ≈ 50 rows, all epoch 0, with hash wobble
+    assert(perSrc("B") > 30L && perSrc("B") < 70L, perSrc.toString)
+    assert(out.filter(col("src") === "B" && col("epoch") =!= 0L).count() == 0L)
+    // partition-stability: identical (k, epoch) multiset
+    val again = Sampling.epochMixture(df.repartition(13), "k", "src", "ntok",
+      Map("A" -> 1.0, "B" -> 1.0))
+      .select("k", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val first = out.select("k", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.toSeq == first.toSeq)
+    // weight-0 and absent sources are dropped; NULL sources are dropped
+    val withNull = df.unionByName(Seq((200L, null: String, 50)).toDF("k", "src", "ntok"))
+    val zeroed = Sampling.epochMixture(withNull, "k", "src", "ntok",
+      Map("A" -> 1.0, "B" -> 0.0))
+    assert(zeroed.filter(col("src") =!= "A").count() == 0L)
+    // maxEpochs caps a runaway share: A alone with budget 10^6 over
+    // mass 1000 wants e = 1000 — capped to the default 100
+    val capped = Sampling.epochMixture(df.filter(col("src") === "A"),
+      "k", "src", "ntok", Map("A" -> 1.0), totalBudget = Some(1000000L))
+    assert(capped.count() == 10L * 100, "cap must bound replication at maxEpochs")
+  }
+
+  test("weightedSample: per-row keep probability tracks the weight column; clamped; partition-stable") {
+    import graft.ops.Sampling
+    val df = ((0L until 200L).map(i => (i, 1.0)) ++      // always kept
+      (200L until 400L).map(i => (i, 0.0)) ++            // always dropped
+      (400L until 1400L).map(i => (i, 0.5)) ++           // ~half
+      (1400L until 1500L).map(i => (i, 7.0)) ++          // clamps to 1
+      (1500L until 1600L).map(i => (i, -3.0)))           // clamps to 0
+      .toDF("k", "w")
+    val kept = Sampling.weightedSample(df, "k", col("w"))
+      .select("k").as[Long].collect().toSet
+    assert((0L until 200L).forall(kept), "weight 1.0 rows must all survive")
+    assert((200L until 400L).forall(!kept(_)), "weight 0.0 rows must all drop")
+    assert((1400L until 1500L).forall(kept), "weights > 1 clamp to certain keep")
+    assert((1500L until 1600L).forall(!kept(_)), "negative weights clamp to drop")
+    val half = (400L until 1400L).count(kept)
+    assert(half > 400 && half < 600, s"weight 0.5 keeps ~half (got $half)")
+    val again = Sampling.weightedSample(df.repartition(11), "k", col("w"))
+      .select("k").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  test("quantileFilter: top-fraction per group by (score desc, id) total order; singleton groups survive") {
+    import graft.ops.TextAnalysis
+    // g1: scores = id (0..99) → top 25% = ranks 1..25 → ids 75..99.
+    // g2: ALL scores equal → id tiebreak → ids 0..24 kept.
+    // g3: a single row → percent_rank 0 → always kept.
+    val df = ((0L until 100L).map(i => (i, "g1", i.toDouble)) ++
+      (0L until 100L).map(i => (i, "g2", 5.0)) ++
+      Seq((0L, "g3", 0.01))).toDF("id", "g", "score")
+    val kept = TextAnalysis.quantileFilter(df, "g", col("score"), "id", 0.25)
+      .select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert((75L until 100L).forall(i => kept(("g1", i))) &&
+      !(0L until 75L).exists(i => kept(("g1", i))),
+      "g1 must keep exactly the 25 best scores")
+    assert((0L until 25L).forall(i => kept(("g2", i))) &&
+      !(25L until 100L).exists(i => kept(("g2", i))),
+      "all-tied g2 must fall back to the id order deterministically")
+    assert(kept(("g3", 0L)), "singleton group must never empty")
+    assert(kept.size == 51, s"expected 25+25+1 rows, got ${kept.size}")
+  }
+
+  test("sourceOverlap: exact pairwise gram Jaccard; zero-overlap pairs absent; short docs ignored") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e", "X"),  // grams: {a b c, b c d, c d e}
+      (2L, "a b c d z", "Y"),  // grams: {a b c, b c d, c d z} → ∩X = 2
+      (3L, "p q r s", "Z"),    // disjoint from both
+      (4L, "t u", "Z")         // < 3 tokens: contributes nothing
+    ).toDF("doc_id", "text", "src")
+    val m = TextAnalysis.sourceOverlap(docs, "doc_id", "text", "src", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.keySet == Set(("X", "Y")),
+      s"only the overlapping pair may appear: ${m.keySet}")
+    val (na, nb, shared, j) = m(("X", "Y"))
+    assert(na == 3 && nb == 3 && shared == 2 && j == 0.5,
+      s"expected |X|=3 |Y|=3 ∩=2 J=0.5, got ($na,$nb,$shared,$j)")
+    // hash-mod sampling keeps a deterministic subset of the gram universe
+    val sampled = TextAnalysis.sourceOverlap(docs, "doc_id", "text", "src",
+      n = 3, sampleBuckets = 64)
+    val sampledAgain = TextAnalysis.sourceOverlap(
+      docs.repartition(5), "doc_id", "text", "src", n = 3, sampleBuckets = 64)
+    assert(sampled.collect().toSeq.sortBy(_.toString) ==
+      sampledAgain.collect().toSeq.sortBy(_.toString))
+  }
+
   test("hardNegatives: nearest different-group vectors only, same-group never ranks") {
     import graft.ops.Similarity
     // groups 0/1 in distinct directions plus a near-query same-group decoy
@@ -877,6 +983,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(bySrc("rare") == 50L, bySrc.toString)
     assert(math.abs(bySrc("big") - 200.0) < 60, bySrc.toString)
     // splits still assigned on the balanced survivors
+    assert(on.corpus.select("split").distinct().count() == 3)
+    on.release()
+  }
+
+  test("curate: opt-in quantile stage keeps the top fraction per group; default leaves counts alone") {
+    import graft.ops.Curate
+    // same 50/800 fixture as the temperature test: equal quality scores
+    // everywhere, so the quantile cut falls back to the id tiebreak and
+    // the kept sets are exactly predictable
+    val docs = ((0 until 50).map(i => (i.toLong, "rare")) ++
+      (1000 until 1800).map(i => (i.toLong, "big")))
+      .map { case (id, src) =>
+        (id, src, (1 to 12).map(j => s"w${id}x$j the of and is").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+    val bench = Seq((9999L, "benchmark holdout nothing shared at all"))
+      .toDF("doc_id", "text")
+    val base = Curate.Config(nearDupThreshold = 1.5, qualityFloor = 0.0)
+    val on = Curate.curate(docs, bench, "doc_id", "text",
+      base.copy(qualityQuantile = Some(("source", 0.5))))
+    val bySrc = on.corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group halves — the relative cut can't empty the small group
+    assert(bySrc == Map("rare" -> 25L, "big" -> 400L), bySrc.toString)
+    // all-tied scores → the kept half is the id-smallest half, per group
+    val rareKept = on.corpus.filter(col("source") === "rare")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rareKept == (0L until 25L), s"tie fallback must keep smallest ids: $rareKept")
     assert(on.corpus.select("split").distinct().count() == 3)
     on.release()
   }

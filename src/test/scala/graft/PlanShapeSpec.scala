@@ -438,6 +438,72 @@ class PlanShapeSpec extends SparkSpec {
       s"no exchange hashes on (k, __salt) — the salted join lost its spread:\n$exec")
   }
 
+  test("r11 ops: epoch plan broadcasts, mixture/window exchanges never carry text") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    graft.plans.GraftExtensions.install(spark)
+    // same at-scale planning settings as the r10 test: broadcasts only by
+    // hint, split scans, AQE off so exchanges are inspectable
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def exec(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    def hashShuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    try {
+      // q83: the per-source epoch plan reaches the corpus via BY-HINT
+      // broadcast (threshold -1); the replication is map-side, so the
+      // only corpus-scale hash exchange is the (source, epoch) aggregate
+      // — pre-combined map-side, carrying no text.
+      val p83 = exec("q83_epoch_mixture")
+      assert(p83.toString.contains("BroadcastHashJoin"),
+        s"q83 lost its broadcast epoch-plan join:\n$p83")
+      assert(p83.toString.contains("partial_"),
+        s"q83 lost map-side partial aggregation:\n$p83")
+      assert(hashShuffles(p83).forall(e => !e.output.exists(_.name == "text")),
+        s"q83 shuffles document text:\n$p83")
+      // q84: the quality score folds into a Project BELOW the window
+      // exchange — the lang-keyed shuffle carries (doc_id, lang, quality),
+      // never the text it was computed from.
+      val p84 = exec("q84_quantile_filter")
+      hashShuffles(p84).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"q84 window exchange carries text (score not folded below):\n$p84")
+      }
+      // q85: every exchange carries (src, gram-hash) or partial counts —
+      // no text, no token arrays.
+      val p85 = exec("q85_source_overlap")
+      hashShuffles(p85).foreach { e =>
+        val bad = e.output.filter(a => a.name == "text" ||
+          a.dataType.isInstanceOf[ArrayType])
+        assert(bad.isEmpty,
+          s"q85 exchange carries ${bad.map(_.name).mkString(",")}:\n$p85")
+        e.output.filter(_.dataType == StringType).foreach(a =>
+          assert(a.name == "gh" || a.name.startsWith("src") || a.name.startsWith("__"),
+            s"q85 exchange carries string column ${a.name} (text leak?):\n$p85"))
+      }
+      // q86: the weighted keep test is pure map-side — the ONLY hash
+      // exchange is the dimension-sized lang aggregate, pre-combined.
+      val p86 = exec("q86_weighted_sample")
+      val s86 = hashShuffles(p86)
+      assert(s86.size == 1, s"q86 planned ${s86.size} hash exchanges, want 1:\n$p86")
+      assert(p86.toString.contains("partial_"),
+        s"q86 lost map-side partial aggregation:\n$p86")
+      assert(s86.forall(e => !e.output.exists(_.name == "text")),
+        s"q86 shuffles document text:\n$p86")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
