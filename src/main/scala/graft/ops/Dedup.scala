@@ -379,6 +379,33 @@ object Dedup {
     df.join(dups, df(idCol) === dups("__dup"), "left_anti")
   }
 
+  /** [[survivorsTransitive]] with a caller-chosen representative: each
+    * near-dup cluster keeps its best row by `priority` (ascending, ties
+    * by smallest id) instead of blindly the min id — the policy that
+    * keeps the ORIGINAL over its truncations/re-crawls when derived
+    * copies happen to carry smaller ids (the near-dup analog of
+    * [[dedupCorpusByPriority]]: same ascending-priority contract).
+    *
+    * 100 TB posture: the components rounds are [[components]]' (id-keyed
+    * shuffles, O(log diameter)); the representative window shuffles ONLY
+    * cluster-member rows — dup-mass-bound, a few % of a deduped corpus,
+    * never corpus-sized — and everything else passes through one
+    * anti-join against the member-id frame. */
+  def survivorsTransitiveByPriority(df: DataFrame, pairs: DataFrame,
+                                    idCol: String, priority: Column,
+                                    maxIter: Int = 30): DataFrame = {
+    val comps = components(pairs, maxIter)
+      .select(col("id").as("__cid"), col("lbl").as("__lbl"))
+    val members = df.join(comps, df(idCol) === col("__cid"))
+    val w = Window.partitionBy(col("__lbl"))
+      .orderBy(priority.asc, col(idCol).asc)
+    val winners = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cid", "__lbl")
+    val loners = df.join(comps, df(idCol) === col("__cid"), "left_anti")
+    loners.unionByName(winners)
+  }
+
   /** SimHash near-dup pairs via bit-band bucketing: each hash splits into
     * `bands` contiguous `width`-bit keys; candidates share at least one
     * (band, key) — by pigeonhole, every pair with hamming < bands is

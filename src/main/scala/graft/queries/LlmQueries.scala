@@ -1151,6 +1151,33 @@ object LlmQueries {
         .agg(count(lit(1)).as("nb_kept"),
           sum(col("quality")).cast("double").as("sum_quality"))
         .orderBy("lang")
+    }),
+
+    // Best-of-cluster near-dup collapse: q40's truncation-chain fixture
+    // with ids INVERTED — truncation B (id−200000) and its truncation C
+    // (id−100000) carry SMALLER ids than source A, so min-id survivor
+    // selection would keep the most-truncated copy; priority selection by
+    // descending token count keeps the original. The oracle replays the
+    // full MinHash→LSH→Jaccard→reachability machinery plus the identical
+    // (ntok desc, id) representative window.
+    "q87_cluster_best" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      def trunc(df: DataFrame, off: Int): DataFrame = df
+        .withColumn("toks", docTokens(col("text")))
+        .withColumn("keep_n",
+          greatest(floor(size(col("toks")) * 7 / 10).cast("int"), lit(3)))
+        .select(
+          (col("doc_id") + off).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(1), col("keep_n"))).as("text"))
+      val b = trunc(d.filter(col("doc_id") % 11 === 0), -200000)
+      val c = trunc(b, 100000)
+      val corpus = d.unionByName(b).unionByName(c)
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, k = 12, bands = 3, rows = 4)
+      Dedup.survivorsTransitiveByPriority(corpus, pairs, "doc_id",
+          -TextAnalysis.tokenCount(col("text")))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2685,6 +2712,89 @@ object LlmQueries {
         |      < CAST(floor(256 * least(greatest(CAST(q AS DOUBLE), 0.0), 1.0)) AS BIGINT))
         |SELECT lang, CAST(count(*) AS BIGINT) AS nb_kept,
         |  CAST(sum(q) AS DOUBLE) AS sum_quality
-        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q87_cluster_best" -> {
+      // same interpolated permutation constants as q20/q40 — no drift
+      val sigExprs = (0 until 12).map { j =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % 2147483647), 'min')"
+      }.mkString(",\n        |      ")
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |tr1 AS (
+        |  SELECT doc_id - 200000 AS doc_id,
+        |         toks[1:greatest(CAST(floor(len(toks) * 7 / 10) AS INT), 3)] AS toks
+        |  FROM base WHERE doc_id % 11 = 0),
+        |tr2 AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         toks[1:greatest(CAST(floor(len(toks) * 7 / 10) AS INT), 3)] AS toks
+        |  FROM tr1),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL SELECT doc_id, toks FROM tr1
+        |  UNION ALL SELECT doc_id, toks FROM tr2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM corpus),
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      list_aggregate(list_transform(range(12), i ->
+        |        (CASE WHEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) <= 57
+        |              THEN ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 48
+        |              ELSE ascii(substr(md5(s), CAST(i + 1 AS INT), 1)) - 87 END)
+        |        * CAST(pow(16, 11 - i) AS BIGINT)), 'sum') % 2147483647) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [$sigExprs] AS sig
+        |  FROM hv),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |         array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], '|') AS key
+        |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jac AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_inter,
+        |    len(sa.sh) + len(sb.sh)
+        |      - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS nb_union
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM jac
+        |  WHERE CAST(nb_inter AS DOUBLE) / CAST(nb_union AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS lbl FROM reach GROUP BY a),
+        |mem AS (
+        |  SELECT c2.doc_id, len(c2.toks) AS ntok, comp.lbl
+        |  FROM corpus c2 JOIN comp ON comp.id = c2.doc_id),
+        |win AS (
+        |  SELECT doc_id, ntok FROM (
+        |    SELECT doc_id, ntok,
+        |      row_number() OVER (PARTITION BY lbl
+        |        ORDER BY ntok DESC, doc_id ASC) AS rn
+        |    FROM mem) WHERE rn = 1),
+        |lone AS (
+        |  SELECT c2.doc_id, len(c2.toks) AS ntok
+        |  FROM corpus c2 LEFT JOIN comp ON comp.id = c2.doc_id
+        |  WHERE comp.id IS NULL)
+        |SELECT doc_id, CAST(ntok AS INT) AS ntok FROM win
+        |UNION ALL SELECT doc_id, CAST(ntok AS INT) AS ntok FROM lone
+        |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -113,6 +113,29 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(100L))
   }
 
+  test("survivorsTransitiveByPriority keeps the best row per cluster, not the min id") {
+    // cluster {1,2,3} via chain; priorities make 2 the representative;
+    // cluster {10,11} ties on priority → id fallback keeps 10; loner 20
+    // passes through untouched
+    val df = Seq((1L, "t1", 5), (2L, "t2", 1), (3L, "t3", 3),
+      (10L, "t10", 7), (11L, "t11", 7), (20L, "t20", 9))
+      .toDF("doc_id", "text", "prio")
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivorsTransitiveByPriority(df, pairs, "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+    // with equal priorities everywhere it degrades to exactly
+    // survivorsTransitive's min-id policy
+    val minId = Dedup.survivorsTransitiveByPriority(df, pairs, "doc_id", lit(0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L, 20L), minId.toString)
+    // partition-stability of the representative choice
+    val again = Dedup.survivorsTransitiveByPriority(
+      df.repartition(7), pairs.repartition(3), "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("annTopKQuantized: bucketed integer-exact top-k, probed dim ≠ 64") {
     // dim-8 corpus (dim probed from data, not hardcoded); planted scaled
     // copies are parallel to their source → identical SRP signs (same
