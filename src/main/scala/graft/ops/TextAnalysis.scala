@@ -333,19 +333,24 @@ object TextAnalysis {
     * (inter-dataset redundancy is invisible to per-doc dedup thresholds
     * when docs differ but the gram population doesn't).
     *
-    * Shape: distinct (source, gram-md5) pairs → per-source distinct
+    * Shape: distinct (source, gram-fp60) pairs → per-source distinct
     * counts + a gram-keyed self-join for pair intersections →
     * |A∩B| / (|A|+|B|−|A∩B|). Output is source-pair-sized (dimension²,
-    * never corpus).
+    * never corpus). Gram keys are 60-bit md5 prefixes (8-byte longs on
+    * the wire, engine-portable, collision-negligible at any realistic
+    * distinct-gram count), not 32-char hex strings — a ~5× exchange cut.
     *
-    * 100 TB posture: the exchanged frame is DISTINCT gram hashes per
-    * source — sublinear in the corpus and bounded further by
-    * `sampleBuckets` (hash-mod gram sampling: keep grams whose
-    * [[Sampling.hashBucket]] < sampleBuckets; Jaccard over a uniform
-    * hash-sample of the gram universe is an unbiased estimate, and the
-    * SAME grams are sampled in every engine). Per-gram join fan-out is
-    * ≤ #sources, so no key explodes. At 100 TB run with
-    * sampleBuckets ≈ 4–16 (1.5–6% of grams). */
+    * 100 TB posture: the distinct's exchange carries each partition's
+    * LOCAL-distinct (source, fp60) rows — corpus-linear in the worst
+    * case (cross-partition duplicates only collapse after the shuffle),
+    * so the scale dial is `sampleBuckets` (hash-mod gram sampling: keep
+    * grams whose [[Sampling.hashBucket]] < sampleBuckets; Jaccard over a
+    * uniform hash-sample of the gram universe estimates the exact matrix,
+    * and the SAME grams are sampled in every engine — measured at
+    * sf0.1×30: buckets 16 → 15× less shuffle at ≤0.032 abs error,
+    * buckets 4 → 58× at ≤0.053; PERF.md §overlap). Per-gram join fan-out
+    * is ≤ #sources, so no key explodes. At 100 TB run with
+    * sampleBuckets ≈ 4–16 (1.6–6% of grams). */
   def sourceOverlap(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, sourceCol: String, n: Int,
                     sampleBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
@@ -358,7 +363,8 @@ object TextAnalysis {
       .filter(size(col("__toks")) >= n) // ngrams' contract: caller guards
       .select(col(sourceCol).as("src"),
         explode(ngrams(col("__toks"), n)).as("g"))
-      .select(col("src"), md5(col("g")).as("gh"))
+      .select(col("src"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .filter(Sampling.hashBucket(col("gh")) < sampleBuckets)
       .distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("nb_grams"))

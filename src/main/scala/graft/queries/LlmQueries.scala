@@ -2657,17 +2657,17 @@ object LlmQueries {
         |gr AS (
         |  SELECT DISTINCT src, gh FROM (
         |    SELECT source AS src,
-        |      md5(unnest(list_transform(range(1, len(toks) - 1),
-        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS gh
+        |      CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))), 1, 15)) AS BIGINT) AS gh
         |    FROM tok WHERE len(toks) >= 3)),
         |samp AS (
         |  SELECT src, gh FROM gr
-        |  WHERE (CASE WHEN ascii(substr(md5(gh), 1, 1)) <= 57
-        |              THEN ascii(substr(md5(gh), 1, 1)) - 48
-        |              ELSE ascii(substr(md5(gh), 1, 1)) - 87 END) * 16
-        |      + (CASE WHEN ascii(substr(md5(gh), 2, 1)) <= 57
-        |              THEN ascii(substr(md5(gh), 2, 1)) - 48
-        |              ELSE ascii(substr(md5(gh), 2, 1)) - 87 END) < 64),
+        |  WHERE (CASE WHEN ascii(substr(md5(CAST(gh AS VARCHAR)), 1, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(gh AS VARCHAR)), 1, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(gh AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(CAST(gh AS VARCHAR)), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(gh AS VARCHAR)), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(gh AS VARCHAR)), 2, 1)) - 87 END) < 64),
         |sizes AS (SELECT src, count(*) AS n FROM samp GROUP BY 1),
         |inter AS (
         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared

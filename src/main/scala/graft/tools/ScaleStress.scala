@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{Curate, CurateIncremental, Dedup, Similarity, Vocab}
+import graft.ops.{Curate, CurateIncremental, Dedup, Similarity, TextAnalysis, Vocab}
 
 /** Scale-stress harness for the dedup/near-dup family (the evidence behind
   * the "amortizes at 100×" claims in PERF.md): builds a multiplied
@@ -44,6 +44,7 @@ object ScaleStress {
     val onlySpan = args.contains("--only-span")
     val onlyVocab = args.contains("--only-vocab")
     val onlyWinnow = args.contains("--only-winnow")
+    val onlyOverlap = args.contains("--only-overlap")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -88,7 +89,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow)) mults.foreach { m =>
+    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -103,7 +104,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow)) mults.foreach { m =>
+    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -120,7 +121,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab && !onlyOverlap)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -133,7 +134,51 @@ object ScaleStress {
       }
       d.unpersist()
     }
-    if (onlySpan || onlyVocab || onlyWinnow) { spark.stop(); return }
+
+    // Source-overlap matrix: the exchanged frame is DISTINCT gram hashes
+    // per source, so multiplying the corpus with copies of the SAME text
+    // (plus m marker tokens each) should grow the shuffle SUBLINEARLY —
+    // the saturation that makes the op viable at 100 TB — and the
+    // hash-mod gram sampling dial (sampleBuckets 16 → 6%, 4 → 1.6% of
+    // grams) should cut the exchange near-proportionally while the
+    // Jaccard ESTIMATE stays close to the exact matrix (reported as
+    // max/mean abs error over all source pairs).
+    if (onlyOverlap || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow)) mults.foreach { m =>
+      def corpusSrc(mm: Int): DataFrame = {
+        val d = graft.sources.Testdata.table(spark, sfDir, "documents")
+          .select("doc_id", "text", "source")
+        (0 until mm).map { k =>
+          if (k == 0) d
+          else d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" copymark$k tag$k")).as("text"),
+            col("source"))
+        }.reduce(_ unionByName _)
+      }
+      val d = corpusSrc(m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== overlap corpus ${m}x: ${d.count()} docs ===")
+      var exact = Map.empty[(String, String), Double]
+      phase(s"${m}x_source_overlap_exact") {
+        val r = TextAnalysis.sourceOverlap(d, "doc_id", "text", "source", 3)
+          .collect()
+        exact = r.map(row =>
+          (row.getString(0), row.getString(1)) -> row.getDouble(5)).toMap
+        r.length.toLong
+      }
+      Seq(16, 4).foreach { sb =>
+        phase(s"${m}x_source_overlap_sample$sb") {
+          val r = TextAnalysis.sourceOverlap(d, "doc_id", "text", "source", 3,
+            sampleBuckets = sb).collect()
+          val errs = r.map(row => math.abs(row.getDouble(5) -
+            exact.getOrElse((row.getString(0), row.getString(1)), 0.0)))
+          if (errs.nonEmpty)
+            println(f"  sample$sb pairs=${r.length} " +
+              f"maxAbsJaccErr=${errs.max}%.4f meanAbsJaccErr=${errs.sum / errs.length}%.4f")
+          r.length.toLong
+        }
+      }
+      d.unpersist()
+    }
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
