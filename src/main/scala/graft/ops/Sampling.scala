@@ -188,7 +188,8 @@ object Sampling {
     * the target per-source (hash-uniform over rows) and the SAME rows are
     * replicated on every run, engine-independently. Rows get an `epoch`
     * index ∈ [0, copies): downstream shuffle-sharding spreads copies apart
-    * ([[shuffleShard]] keys on (id, epoch)). A source with w_s = 0 (or
+    * ([[shuffleShard]] keyed on a concat of (id, epoch) — the composed
+    * permutation is itself tested partition-stable). A source with w_s = 0 (or
     * absent from `weights`) is dropped; NULL sources are excluded under
     * the same contract as [[temperatureSample]].
     *
@@ -240,6 +241,44 @@ object Sampling {
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__full", "__cut", "__copies")
+  }
+
+  /** Terminal training-shard writer: materialize [[shuffleShard]]'s
+    * deterministic read order as one pos-ordered parquet file per
+    * `shard=N` directory plus an order-digest manifest — the layout a
+    * trainer's data loader consumes (open shard k, read rows in file
+    * order) and the artifact a re-run must reproduce byte-for-byte.
+    *
+    * Plan shape: the per-shard window already hash-partitions on `shard`,
+    * so every shard's rows sit WHOLE inside one task;
+    * `sortWithinPartitions(shard, pos)` orders them without a new
+    * exchange (it also satisfies the partitioned write's required
+    * ordering, so the writer adds no sort of its own) and the
+    * `partitionBy(shard)` write emits exactly one file per shard — ONE
+    * shuffle end-to-end, the same single exchange [[shuffleShard]] plans.
+    *
+    * Returns the manifest (shard, nb_rows, order_digest) — order_digest
+    * is md5 over the comma-joined keys in pos order, the cheap equality
+    * witness for "the trainer will read the same corpus in the same
+    * order as last run"; it is also written to `<path>/_graft_manifest`
+    * so the check needs no recompute. Shard count is the scale lever
+    * (see [[shuffleShard]]); at 100 TB size it to the output-file target
+    * and each task streams one file. */
+  def writeTrainingShards(df: DataFrame, keyCol: String, nShards: Int,
+                          path: String): DataFrame = {
+    val sharded = shuffleShard(df, keyCol, nShards)
+    sharded.sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    val manifest = sharded
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("nb_rows"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col(keyCol).cast("string").as("k")))),
+          s => s.getField("k")), ",")).as("order_digest"))
+    manifest.coalesce(1).sortWithinPartitions("shard")
+      .write.mode("overwrite").json(s"$path/_graft_manifest")
+    manifest
   }
 
   /** Per-row weighted sampling: keep each row with probability equal to

@@ -461,6 +461,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.count() == 10L * 100, "cap must bound replication at maxEpochs")
   }
 
+  test("writeTrainingShards: one pos-ordered file per shard, manifest digests match the files") {
+    import graft.ops.Sampling
+    val root = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    val df = (0L until 2000L).toDF("k")
+    val manifest = Sampling.writeTrainingShards(df, "k", 8, s"$root/out")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(manifest.keySet == (0 until 8).toSet)
+    assert(manifest.values.map(_._1).sum == 2000L)
+    val expected = Sampling.shuffleShard(df, "k", 8)
+      .select("shard", "pos", "k").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0 until 8).foreach { s =>
+      val dir = new java.io.File(s"$root/out/shard=$s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files, want 1")
+      // FILE order (no sort on read) must equal the deterministic pos order
+      val got = spark.read.parquet(dir.toString).select("k")
+        .as[Long].collect().toSeq
+      assert(got == expected(s), s"shard $s file order != pos order")
+      // the manifest digest is the md5 of exactly that order
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(got.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(digest == manifest(s)._2, s"shard $s digest mismatch")
+    }
+    // re-run reproduces identical digests (the trainer-order contract)
+    val again = Sampling.writeTrainingShards(
+      df.repartition(13), "k", 8, s"$root/out2")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(again == manifest.view.mapValues(_._2).toMap)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("epochMixture composes with shuffleShard: copies of one doc spread across shards") {
+    import graft.ops.Sampling
+    // upsample a small source to exactly 8 epochs, then shard the
+    // training order on (id, epoch) — the terminal composition the
+    // epochMixture doc promises: replicas of the same doc must NOT land
+    // adjacent (same shard) or the trainer sees them back-to-back
+    val df = (0L until 40L).map(i => (i, "A", 100)).toDF("k", "src", "ntok")
+    val mixed = Sampling.epochMixture(df, "k", "src", "ntok",
+      Map("A" -> 1.0), totalBudget = Some(32000L)) // 8.0 epochs exactly
+      .withColumn("shard_key", concat_ws("#", col("k"), col("epoch")))
+    val sharded = Sampling.shuffleShard(mixed, "shard_key", 8)
+    val spread = sharded.groupBy("k")
+      .agg(count_distinct(col("shard")).as("nb_shards"))
+      .collect().map(r => r.getLong(1))
+    // 8 copies over 8 shards by independent hashes: expect wide spread —
+    // ≥4 distinct shards for every doc (P[<4] is negligible), never 1
+    assert(spread.forall(_ >= 4), s"copies collapsed onto few shards: ${spread.min}")
+    // the composed permutation is itself partition-stable
+    val again = Sampling.shuffleShard(mixed.repartition(13), "shard_key", 8)
+      .select("shard_key", "shard", "pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val first = sharded.select("shard_key", "shard", "pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(again == first)
+  }
+
   test("weightedSample: per-row keep probability tracks the weight column; clamped; partition-stable") {
     import graft.ops.Sampling
     val df = ((0L until 200L).map(i => (i, 1.0)) ++      // always kept

@@ -488,6 +488,19 @@ class PlanShapeSpec extends SparkSpec {
           assert(a.name == "gh" || a.name.startsWith("src") || a.name.startsWith("__"),
             s"q85 exchange carries string column ${a.name} (text leak?):\n$p85"))
       }
+      // writeTrainingShards' pre-write frame: the per-shard window
+      // hash-partitions on shard and the in-task (shard, pos) sort rides
+      // that SAME exchange — one shuffle end-to-end, as the scaladoc
+      // promises (a second exchange would mean the terminal write pays
+      // the corpus twice).
+      val sortedShards = graft.ops.Sampling.shuffleShard(
+        graft.sources.Testdata.table(spark, sf, "documents")
+          .select("doc_id"), "doc_id", 8)
+        .sortWithinPartitions(col("shard"), col("pos"))
+      val sWrite = hashShuffles(sortedShards.queryExecution.executedPlan)
+      assert(sWrite.size == 1,
+        s"shard-writer frame planned ${sWrite.size} hash exchanges, want 1:\n" +
+          sortedShards.queryExecution.executedPlan)
       // q86: the weighted keep test is pure map-side — the ONLY hash
       // exchange is the dimension-sized lang aggregate, pre-combined.
       val p86 = exec("q86_weighted_sample")

@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless sampling ops stream unchanged: weightedSample/mixtureSample on micro-batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions.col
+    // the md5-bucket keep tests are pure map-side expressions, so the
+    // SAME operator calls used in batch apply verbatim to a stream —
+    // and a row's keep/drop decision cannot depend on which micro-batch
+    // delivered it (the streaming analog of partition-stability)
+    val ms = MemoryStream[(Long, String, Double)]
+    val filtered = Sampling.weightedSample(
+      Sampling.mixtureSample(ms.toDF.toDF("doc_id", "source", "w"),
+        "doc_id", "source", Map("keep" -> 1.0), defaultFraction = 1.0),
+      "doc_id", col("w"))
+    val q = filtered.writeStream.format("memory").queryName("samp_stream")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 400L).map(i =>
+        (i, "keep", if (i < 200) 1.0 else 0.5))
+      ms.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(100): _*) // rest arrives in a later batch
+      q.processAllAvailable()
+      val kept = spark.table("samp_stream").select("doc_id").as[Long].collect().toSet
+      // weight-1 rows all pass regardless of batch boundaries
+      assert((0L until 200L).forall(kept), "weight-1.0 rows must all stream through")
+      // weight-0.5 rows match the BATCH operator's keep set exactly
+      val batchKept = Sampling.weightedSample(
+        rows.toDF("doc_id", "source", "w"), "doc_id", col("w"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == batchKept, "stream and batch keep sets must be identical")
+    } finally q.stop()
+  }
+
   test("curateSink: micro-batches run the full incremental curation against persisted state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ops.CurateIncremental
