@@ -1178,6 +1178,28 @@ object LlmQueries {
           -TextAnalysis.tokenCount(col("text")))
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ntok"))
         .orderBy("doc_id")
+    }),
+
+    // The composed TERMINAL pipeline: epoch mixture (repetition) →
+    // shuffle+shard on the (doc, epoch) composite key — the exact
+    // training order a trainer consumes, with replicas of one doc spread
+    // across shards. Output is q76's digest form (per-shard population +
+    // md5 of the keys in pos order), so any drift in the replication OR
+    // the permutation hash-mismatches. The oracle replays the epoch
+    // arithmetic, the range-unnest replication, and the 16-bit shard
+    // spread bit-for-bit.
+    "q88_epoch_shard_order" -> ((s, dir) => {
+      val mixed = Sampling.epochMixture(
+          table(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", EpochWeights)
+        .withColumn("k", concat_ws("#", col("doc_id"), col("epoch")))
+      Sampling.shuffleShard(mixed.select("k"), "k", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("nb_rows"),
+          md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(pos, k))), x -> x.k)")))
+            .as("order_digest"))
+        .orderBy("shard")
     })
   )
 
@@ -2795,6 +2817,61 @@ object LlmQueries {
         |SELECT doc_id, CAST(ntok AS INT) AS ntok FROM win
         |UNION ALL SELECT doc_id, CAST(ntok AS INT) AS ntok FROM lone
         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q88_epoch_shard_order" -> {
+      // q83's epoch arithmetic + q76's shard machinery, composed
+      val wSum = EpochWeights.values.sum
+      val arms = EpochWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN source = '$src' THEN $w/$wSum"
+      }.mkString("\n        |      ", "\n        |      ", "")
+      s"""WITH m AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY 1 HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+        |tot AS (SELECT CAST(sum(t) AS DOUBLE) AS b FROM m),
+        |pe AS (
+        |  SELECT source,
+        |    least(CASE$arms
+        |      ELSE 0.0 END * (SELECT b FROM tot) / CAST(t AS DOUBLE), 100.0) AS e
+        |  FROM m),
+        |plan AS (
+        |  SELECT source, CAST(floor(e) AS BIGINT) AS full_ep,
+        |    CAST(floor(256 * (e - floor(e))) AS BIGINT) AS cut
+        |  FROM pe),
+        |r AS (
+        |  SELECT d.doc_id,
+        |    plan.full_ep + CASE WHEN
+        |      (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |      + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |              THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |              ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)
+        |      < plan.cut THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN plan ON d.source = plan.source),
+        |rep AS (
+        |  SELECT doc_id, unnest(range(copies)) AS epoch
+        |  FROM r WHERE copies > 0),
+        |kk AS (
+        |  SELECT concat_ws('#', CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR)) AS k
+        |  FROM rep),
+        |h AS (SELECT k, md5(k) AS hx FROM kk),
+        |v AS (
+        |  SELECT k, hx,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS h16
+        |  FROM h),
+        |s2 AS (SELECT k, hx, CAST(h16 % 8 AS INT) AS shard FROM v),
+        |p AS (
+        |  SELECT k, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY hx, k) - 1 AS pos
+        |  FROM s2)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS nb_rows,
+        |       md5(string_agg(k, ',' ORDER BY pos)) AS order_digest
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
     }
   )
 }
