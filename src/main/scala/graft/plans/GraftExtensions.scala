@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before user-injected optimizer rules ever see the plan
     e.injectPostHocResolutionRule(_ => CollapseDeduplicate)
     e.injectFunction(graft.functions.SimHash64Expr.descriptor)
+    e.injectFunction(graft.functions.BloomMightContain.descriptor)
     graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }
@@ -49,7 +50,9 @@ object GraftExtensions {
     * can only be attached at session build via `spark.sql.extensions` —
     * a live session's analyzer is already constructed.) */
   def install(spark: SparkSession): Unit = {
-    (graft.functions.SimHash64Expr.descriptor +: graft.functions.SqlFunctions.all)
+    (graft.functions.SimHash64Expr.descriptor +:
+        graft.functions.BloomMightContain.descriptor +:
+        graft.functions.SqlFunctions.all)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Curate, CurateIncremental, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.ops.{AnnIndex, Blocklist, Curate, CurateIncremental, Dedup, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -1200,6 +1200,39 @@ object LlmQueries {
             expr("transform(array_sort(collect_list(struct(pos, k))), x -> x.k)")))
             .as("order_digest"))
         .orderBy("shard")
+    }),
+
+    // Z-order layout key: every doc bit-interleaved over (n_chars, token
+    // count) — the two-dimensional clustering key [[Layout.zorderWrite]]
+    // range-sorts by so file min/max envelopes stay narrow in BOTH
+    // dimensions (the scan-pruning layout lever at 100 TB). The oracle
+    // replays the exact-integer quantizer (min/max frame, `div`) and the
+    // shift-or-mask Morton spread bit-for-bit — engine-neutral bigint
+    // arithmetic end to end, no IEEE rounding anywhere.
+    "q89_zorder_key" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+      Layout.zorderKey2(d, "n_chars", "ntok")
+        .select(col("doc_id"), col("zkey"))
+        .orderBy("zkey", "doc_id")
+    }),
+
+    // Bloom-prefiltered blocklist subtraction: drop every doc whose
+    // CONTENT fingerprint is on a takedown list (built in-query from the
+    // doc_id % 7 = 0 docs). The result is exact anti-join semantics
+    // regardless of the filter's bits — Bloom false positives are removed
+    // by the confirm join, false negatives don't exist — so the oracle is
+    // the PLAIN anti-join. That is the point: the Bloom pass changes the
+    // PLAN (the clean 6/7 of the corpus exits map-side, never joins),
+    // not the answer.
+    "q90_bloom_blocklist" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val block = d.filter(col("doc_id") % 7 === 0)
+        .select(col("fp").as("block_fp"))
+      Blocklist.bloomAntiJoin(d, "fp", block, "block_fp", fpp = 0.01)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2872,6 +2905,38 @@ object LlmQueries {
         |SELECT shard, CAST(count(*) AS BIGINT) AS nb_rows,
         |       md5(string_agg(k, ',' ORDER BY pos)) AS order_digest
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin
-    }
+    },
+
+    // Morton spread chain: same magic masks as Layout.spread16; `//` is
+    // DuckDB's integer division (operands are non-negative, so it agrees
+    // with Spark's `div` truncation exactly).
+    "q89_zorder_key" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS b
+        |  FROM documents),
+        |s AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb, max(b) AS mxb FROM d),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 65535) // (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 65535) // (mxb - mnb) END AS qb
+        |  FROM d, s),
+        |p1 AS (SELECT doc_id, ((qa | (qa << 8)) & 16711935) AS a1, ((qb | (qb << 8)) & 16711935) AS b1 FROM q),
+        |p2 AS (SELECT doc_id, ((a1 | (a1 << 4)) & 252645135) AS a2, ((b1 | (b1 << 4)) & 252645135) AS b2 FROM p1),
+        |p3 AS (SELECT doc_id, ((a2 | (a2 << 2)) & 858993459) AS a3, ((b2 | (b2 << 2)) & 858993459) AS b3 FROM p2),
+        |p4 AS (SELECT doc_id, ((a3 | (a3 << 1)) & 1431655765) AS a4, ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM p3)
+        |SELECT doc_id, CAST((a4 | (b4 << 1)) AS BIGINT) AS zkey
+        |FROM p4 ORDER BY zkey, doc_id""".stripMargin,
+
+    // exact anti-join — the Bloom prefilter must not change the answer
+    "q90_bloom_blocklist" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM documents),
+        |block AS (SELECT fp FROM fp WHERE doc_id % 7 = 0)
+        |SELECT doc_id, lang FROM fp
+        |WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.fp = fp.fp)
+        |ORDER BY doc_id""".stripMargin
   )
 }
