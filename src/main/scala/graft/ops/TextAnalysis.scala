@@ -86,6 +86,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
+  /** Unicode NFC (canonical composition) via the codegen'd
+    * [[graft.functions.NfcNormalize]] — requires
+    * [[graft.plans.GraftExtensions]]' function registrations on the
+    * session the query runs in (Verify/Bench/production sessions all
+    * install them). */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Full text canonicalization: NFC compose → lowercase → collapse
+    * whitespace runs → trim. The equivalence classes [[fingerprint]]
+    * misses are exactly the NFC ones — crawl dumps emitted by different
+    * toolchains carry composed vs decomposed accents that render
+    * identically but hash apart. Pure map-side, codegen'd end to end. */
+  def normalizeText(text: Column): Column =
+    concat_ws(" ", tokens(lower(nfc(text))))
+
+  /** [[fingerprint]] over the NFC-canonical form — the dedup key to use
+    * when the corpus mixes encoder toolchains. */
+  def normalizedFingerprint(text: Column): Column = md5(normalizeText(text))
+
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * other non-space characters each count as one token — a cheap proxy
     * for subword tokenizer counts (closer to LLM token budgets than

@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(_ => CollapseDeduplicate)
     e.injectFunction(graft.functions.SimHash64Expr.descriptor)
     e.injectFunction(graft.functions.BloomMightContain.descriptor)
+    e.injectFunction(graft.functions.NfcNormalize.descriptor)
     graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }
@@ -52,6 +53,7 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     (graft.functions.SimHash64Expr.descriptor +:
         graft.functions.BloomMightContain.descriptor +:
+        graft.functions.NfcNormalize.descriptor +:
         graft.functions.SqlFunctions.all)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

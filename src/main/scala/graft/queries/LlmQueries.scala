@@ -1233,6 +1233,30 @@ object LlmQueries {
       Blocklist.bloomAntiJoin(d, "fp", block, "block_fp", fpp = 0.01)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // NFC-aware dedup: every doc_id % 13 = 0 doc in TWO encoder
+    // toolchains — the original with a COMPOSED "café" suffix (U+00E9)
+    // and a re-keyed copy upper-cased, double-spaced, with the same
+    // suffix DECOMPOSED (e + U+0301). They render identically but raw
+    // fingerprint() hashes them apart (different bytes);
+    // normalizedFingerprint (graft_nfc → lower → whitespace collapse)
+    // collapses each pair — nb_copies must be exactly 2 per group. The
+    // oracle runs DuckDB's utf8proc NFC against Java's Normalizer: the
+    // hash match IS the cross-engine Unicode-conformance check.
+    "q91_nfc_dedup" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"), col("text"))
+      val orig = base.withColumn("text", concat(col("text"), lit(" café")))
+      val mut = base.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(upper(col("text")), lit("  café")).as("text"))
+      orig.unionByName(mut)
+        .groupBy(TextAnalysis.normalizedFingerprint(col("text")).as("norm_key"))
+        .agg(count(lit(1)).as("nb_copies"),
+          min(col("doc_id")).as("keep_id"),
+          max(col("doc_id")).as("dup_id"))
+        .orderBy("keep_id")
     })
   )
 
@@ -2937,6 +2961,24 @@ object LlmQueries {
         |block AS (SELECT fp FROM fp WHERE doc_id % 7 = 0)
         |SELECT doc_id, lang FROM fp
         |WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.fp = fp.fp)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // chr(233) = composed é, chr(769) = combining acute; utf8proc NFC
+    // must agree with Java's Normalizer for the hashes to match
+    "q91_nfc_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  cafe' || chr(769) FROM base),
+        |norm AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split(lower(nfc_normalize(text)), ' '), t -> t != ''), ' ')) AS norm_key
+        |  FROM corpus)
+        |SELECT norm_key, CAST(count(*) AS BIGINT) AS nb_copies,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(max(doc_id) AS BIGINT) AS dup_id
+        |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin
   )
 }

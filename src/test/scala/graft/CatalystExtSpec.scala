@@ -163,4 +163,30 @@ class CatalystExtSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("NfcNormalize: composed == normalized(decomposed), codegen'd, NULL-safe") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val composed = "café"        // é as U+00E9
+    val decomposed = "café"     // e + combining acute U+0301
+    val df = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("t").select(col("t"), expr("graft_nfc(t)").as("n"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == composed) // decomposed → composed
+    assert(rows(1).getString(1) == composed) // already-NFC fast path: identity
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).isNullAt(1))
+    // plan assertion on a range-backed frame (a LocalRelation would be
+    // constant-folded and hide the expression from the physical plan)
+    val ranged = spark.range(10)
+      .select(expr("graft_nfc(CAST(id AS STRING))").as("n"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("graft_nfc"))
+    assert(ranged.count() == 10)
+    // normalizedFingerprint collapses the pair; raw fingerprint does not
+    val fps = Seq(composed, decomposed).toDF("text").select(
+      TextAnalysis.normalizedFingerprint(col("text")).as("norm"),
+      TextAnalysis.fingerprint(col("text")).as("raw")).collect()
+    assert(fps(0).getString(0) == fps(1).getString(0))
+    assert(fps(0).getString(1) != fps(1).getString(1))
+  }
 }
