@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max stats manifest + pruned reads — the data-skipping
+  * layer over a clustered write ([[graft.ops.Layout.zorderWrite]] or any
+  * sorted layout).
+  *
+  * Why a manifest when Parquet footers already carry min/max? Planning
+  * cost: at 100 TB a table is ~10⁵ files, and footer-based skipping reads
+  * every footer at PLAN time (10⁵ remote reads before the first task
+  * launches). Lifting the stats into ONE small JSON (the same move
+  * Delta/Iceberg make with their manifests and the repo's own
+  * `_graft_manifest` shard digests) makes pruning a driver-side scan of
+  * one object: O(files) in-memory rows, zero data reads for fully-pruned
+  * files.
+  *
+  * Correctness contract: pruning is SOUND (a file is skipped only when
+  * its [min, max] envelope provably misses the predicate range — NULL
+  * envelopes, meaning all-NULL or missing columns, are never skipped)
+  * and reads re-apply the exact predicate, so `readRange` equals a full
+  * scan + filter row-for-row (asserted in StatsManifestSpec). The
+  * manifest collector is ONE distributed pass grouped on
+  * `input_file_name` — partial aggregates per file, no shuffle of data
+  * columns beyond the stat values themselves.
+  */
+object StatsManifest {
+
+  val ManifestDir = "_graft_stats"
+
+  /** Per-file min/max of `statCols` over the parquet dataset at `path` —
+    * columns `file`, then `<c>_min`, `<c>_max` per stat column. */
+  def collect(spark: SparkSession, path: String,
+              statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "statCols must be non-empty")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collect and persist the manifest under `<path>/_graft_stats` (one
+    * JSON file — the planning object). Returns the manifest frame. */
+  def write(spark: SparkSession, path: String,
+            statCols: Seq[String]): DataFrame = {
+    val m = collect(spark, path, statCols)
+    m.coalesce(1).sortWithinPartitions("file")
+      .write.mode("overwrite").json(s"$path/$ManifestDir")
+    m
+  }
+
+  /** Driver-side pruning: the files whose `[min, max]` envelope on
+    * `statCol` overlaps `[lo, hi]`. Files with NULL stats (all-NULL
+    * column, schema drift) are conservatively KEPT — pruning must be
+    * sound, not tight. */
+  def prunedFiles(spark: SparkSession, path: String, statCol: String,
+                  lo: Long, hi: Long): Seq[String] = {
+    val m = spark.read.json(s"$path/$ManifestDir")
+    val cols = m.columns.toSet
+    // the JSON writer drops all-NULL fields: a manifest whose stat
+    // columns are entirely missing prunes NOTHING (sound, not tight)
+    if (!cols.contains(s"${statCol}_min") || !cols.contains(s"${statCol}_max"))
+      m.select("file").collect().map(_.getString(0)).toSeq
+    else
+      m.filter(
+          col(s"${statCol}_min").isNull || col(s"${statCol}_max").isNull ||
+          (col(s"${statCol}_min") <= hi && col(s"${statCol}_max") >= lo))
+        .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Manifest-pruned range read: rows of the dataset with
+    * `statCol ∈ [lo, hi]`, reading ONLY the overlapping files. Equals
+    * full-scan + filter exactly (the residual filter re-applies the
+    * predicate inside kept files; pruning only skips provable misses). */
+  def readRange(spark: SparkSession, path: String, statCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(spark, path, statCol, lo, hi)
+    val base =
+      if (files.isEmpty)
+        // keep the dataset schema at zero scan cost
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
+}

@@ -82,7 +82,8 @@ object Layout {
     * envelopes stay full-width). Range boundaries come from Spark's
     * sampling range partitioner — file CONTENTS are deterministic only
     * up to boundary placement, which is why the pruning contract is
-    * stated on envelopes, not bytes. */
+    * stated on envelopes, not bytes. The `zkey` column is kept in the
+    * written files (readers ignore it; re-clustering audits use it). */
   def zorderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int,
                   path: String): Unit = {
     require(nFiles > 0, s"nFiles must be positive (got $nFiles)")
