@@ -1257,6 +1257,27 @@ object LlmQueries {
           min(col("doc_id")).as("keep_id"),
           max(col("doc_id")).as("dup_id"))
         .orderBy("keep_id")
+    }),
+
+    // Persisted clustered-layout probe (the q67–q70 pattern applied to
+    // data LAYOUT): documents z-order-written over (n_chars, ntok) with
+    // a _graft_stats manifest as the query's input contract
+    // (cachedFixture), then a range read on n_chars runs through
+    // manifest pruning — most files are skipped driver-side, never
+    // opened. Pruning must be invisible in the answer: the oracle is the
+    // plain range filter over the raw table.
+    "q92_stats_pruned_read" -> ((s, dir) => {
+      val root = cachedFixture("q92", dir) { r =>
+        val d = table(s, dir, "documents")
+          .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+          .select("doc_id", "n_chars", "ntok")
+        graft.ops.Layout.zorderWrite(d, "n_chars", "ntok", 16, s"$r/docs")
+        graft.io.StatsManifest.write(s, s"$r/docs", Seq("n_chars", "ntok"))
+        ()
+      }
+      graft.io.StatsManifest.readRange(s, s"$root/docs", "n_chars", 200L, 400L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2979,6 +3000,12 @@ object LlmQueries {
         |SELECT norm_key, CAST(count(*) AS BIGINT) AS nb_copies,
         |       CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(max(doc_id) AS BIGINT) AS dup_id
-        |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin
+        |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // file pruning must be invisible: the oracle never sees the layout
+    "q92_stats_pruned_read" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE n_chars BETWEEN 200 AND 400
+        |ORDER BY doc_id""".stripMargin
   )
 }
