@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseCount, BitwiseOr, BitwiseXor, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, Substring}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL-surface registrations for library semantics that are pure
   * compositions of built-in Catalyst expressions — registered through
@@ -42,5 +42,25 @@ object SqlFunctions {
         IntegerType)
     })
 
-  val all: Seq[Descriptor] = Seq(hamming64, bucket)
+  /** `graft_zorder2(a16, b16)` — 32-bit Morton interleave of two
+    * pre-quantized 16-bit lanes (the SQL face of
+    * [[graft.ops.Layout.interleave16]], same shift-or-mask chain), so
+    * `CLUSTER BY graft_zorder2(…)`-style SQL layouts match the Scala
+    * writer bit-for-bit. */
+  val zorder2: Descriptor = (
+    new FunctionIdentifier("graft_zorder2"),
+    new ExpressionInfo(ShiftLeft.getClass.getName, "graft_zorder2"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_zorder2 takes two integral arguments in [0, 65536)")
+      def spread(e: Expression): Expression =
+        Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+            (1, 0x55555555L))
+          .foldLeft(Cast(e, LongType): Expression) { case (acc, (s, m)) =>
+            BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+          }
+      BitwiseOr(spread(children(0)), ShiftLeft(spread(children(1)), Literal(1)))
+    })
+
+  val all: Seq[Descriptor] = Seq(hamming64, bucket, zorder2)
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level monitoring operators: distribution drift between
+  * snapshots — the observability layer a week-scale incremental pipeline
+  * needs (a crawler config change or a broken source shows up as a shape
+  * shift in doc-length / quality / per-source histograms long before it
+  * shows up in downstream evals).
+  *
+  * Determinism contract: histogram compare is EXACT integer arithmetic
+  * end to end — per-bucket share gaps are computed as cross-multiplied
+  * BIGINT numerators |c_a·tot_b − c_b·tot_a| (never a float subtraction
+  * of two divisions), so the report is oracle-hash-checkable and
+  * byte-stable across engines/partitionings. One IEEE division only at
+  * the optional ppm surface, correctly rounded hence also deterministic.
+  *
+  * 100 TB posture: each snapshot is reduced map-side to (bucket, count)
+  * partials — the only thing on any exchange is a bucket id and a long;
+  * totals ride a 1-row broadcast frame, the bucket join is
+  * nBuckets-sized.
+  */
+object Monitor {
+
+  /** Fixed-width bucket id: `least(value div width, nBuckets−1)`, NULLs
+    * and negatives clamp to bucket 0 — fixed edges (not quantiles) so
+    * two snapshots bucket identically regardless of their contents.
+    * Exact `div` integer division (the Column `/` is IEEE double). */
+  def bucketOf(valueCol: String, bucketWidth: Long, nBuckets: Int): Column =
+    expr(s"least(greatest(coalesce(CAST(`$valueCol` AS BIGINT), " +
+      s"CAST(0 AS BIGINT)), CAST(0 AS BIGINT)) div $bucketWidth, " +
+      s"CAST(${nBuckets - 1} AS BIGINT))")
+
+  /** Histogram drift between snapshots `a` and `b` on `valueCol`: one
+    * row per bucket with both counts and the exact share-gap numerator
+    * `gap_num = |c_a·tot_b − c_b·tot_a|` (the L1 drift is
+    * Σ gap_num ∕ (tot_a·tot_b); `gap_ppm` surfaces each bucket's term in
+    * parts-per-million). Missing buckets count 0 on the absent side. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0,
+      s"invalid histogram shape: width=$bucketWidth n=$nBuckets")
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.groupBy(bucketOf(valueCol, bucketWidth, nBuckets).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val ha = hist(a, "c_a")
+    val hb = hist(b, "c_b")
+    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(
+      sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("gap_num",
+        abs(col("c_a") * col("__tot_b") - col("c_b") * col("__tot_a")))
+      .withColumn("gap_ppm",
+        (col("gap_num") * 1000000.0 / (col("__tot_a") * col("__tot_b")))
+          .cast("double"))
+      .drop("__tot_a", "__tot_b")
+  }
+}

@@ -105,6 +105,38 @@ object TextAnalysis {
     * when the corpus mixes encoder toolchains. */
   def normalizedFingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Writing-system character classes for script detection — codepoint
+    * RANGES spelled `\x{…}` (the regex subset Java and RE2 agree on;
+    * named properties like `\p{IsCyrillic}` vs `\p{Cyrillic}` do NOT
+    * agree across engines and are avoided). CJK folds Han + kana. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** Count of characters matching a regex character class: length minus
+    * length-after-removal — the subtraction trick that needs only
+    * `regexp_replace`, which every engine has (no regexp_count parity
+    * concerns). Pure map-side, codegen'd. */
+  def charClassCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  /** Dominant writing system: argmax over [[ScriptClasses]] counts with
+    * fixed list-order precedence on ties; "none" when no class matches
+    * (digits/punctuation-only docs). The routing key for per-script
+    * pipeline branches (tokenizer choice, langId applicability) —
+    * [[langId]] separates languages WITHIN Latin script; this separates
+    * scripts, which langId's Latin-stopword heuristic can't see. */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptClasses.map { case (n, cls) => n -> charClassCount(text, cls) }
+    val m = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(m === 0, "none")) { case (acc, (n, c)) =>
+      acc.when(c === m, n)
+    }.otherwise("none")
+  }
+
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * other non-space characters each count as one token — a cheap proxy
     * for subword tokenizer counts (closer to LLM token budgets than

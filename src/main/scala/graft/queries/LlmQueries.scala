@@ -1278,6 +1278,49 @@ object LlmQueries {
       graft.io.StatsManifest.readRange(s, s"$root/docs", "n_chars", 200L, 400L)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Script detection: per-doc writing-system character counts and the
+    // dominant script — the routing key langId's Latin-stopword
+    // heuristic can't see (it separates languages WITHIN Latin script).
+    // The all-Latin corpus gets planted pure-Cyrillic and pure-CJK docs;
+    // counts are exact integers via the length-minus-removed trick, and
+    // the codepoint-range classes (`\x{…}`, never `\p{Script}` names)
+    // are the regex subset Java and RE2 agree on.
+    "q93_script_profile" -> ((s, dir) => {
+      val cls = TextAnalysis.ScriptClasses.toMap
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cyr = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          lit("привет мир это проверка письма").as("text"))
+      val cjk = base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          lit("你好世界 こんにちは 世界").as("text"))
+      base.unionByName(cyr).unionByName(cjk).select(
+          col("doc_id"),
+          TextAnalysis.charClassCount(col("text"), cls("latin"))
+            .cast("long").as("n_latin"),
+          TextAnalysis.charClassCount(col("text"), cls("cyrillic"))
+            .cast("long").as("n_cyrillic"),
+          TextAnalysis.charClassCount(col("text"), cls("cjk"))
+            .cast("long").as("n_cjk"),
+          TextAnalysis.dominantScript(col("text")).as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot distribution drift: doc-length histograms of snapshot A
+    // (even ids) vs snapshot B (odd ids with short docs dropped — a
+    // simulated crawler-config change), compared in EXACT integer
+    // arithmetic: per-bucket share gaps are cross-multiplied BIGINT
+    // numerators |c_a·tot_b − c_b·tot_a|, never a float subtraction of
+    // two divisions, so the drift report itself hash-matches. The ppm
+    // surface is one deterministic IEEE multiply+divide.
+    "q94_histogram_drift" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1 && col("n_chars") >= 150)
+      graft.ops.Monitor.histogramDrift(a, b, "n_chars", 75L, 8)
+        .orderBy("bucket")
     })
   )
 
@@ -3006,6 +3049,62 @@ object LlmQueries {
     "q92_stats_pruned_read" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE n_chars BETWEEN 200 AND 400
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // same `\x{…}` codepoint-range classes, RE2 side; same argmax
+    // precedence (latin, cyrillic, cjk, arabic, devanagari)
+    "q93_script_profile" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'привет мир это проверка письма'
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, '你好世界 こんにちは 世界'
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS n_cjk,
+        |    length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        |    length(text) - length(regexp_replace(text, '[\x{0900}-\x{097F}]', '', 'g')) AS n_dev
+        |  FROM corpus),
+        |m AS (SELECT *, greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_dev) AS mx FROM c)
+        |SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+        |       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |       CAST(n_cjk AS BIGINT) AS n_cjk,
+        |       CASE WHEN mx = 0 THEN 'none'
+        |            WHEN n_latin = mx THEN 'latin'
+        |            WHEN n_cyrillic = mx THEN 'cyrillic'
+        |            WHEN n_cjk = mx THEN 'cjk'
+        |            WHEN n_arabic = mx THEN 'arabic'
+        |            WHEN n_dev = mx THEN 'devanagari'
+        |            ELSE 'none' END AS script
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // cross-multiplied BIGINT share gaps; `//` integer division matches
+    // the Spark-side `div`; DuckDB hugeint sums cast back to BIGINT
+    "q94_histogram_drift" ->
+      """WITH a AS (
+        |  SELECT least(greatest(coalesce(CAST(n_chars AS BIGINT), 0), 0) // 75, 7) AS bucket
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT least(greatest(coalesce(CAST(n_chars AS BIGINT), 0), 0) // 75, 7) AS bucket
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars >= 150),
+        |ha AS (SELECT bucket, count(*) AS c_a FROM a GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS c_b FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |         CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |         CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(c_b) AS BIGINT) AS tot_b FROM j)
+        |SELECT bucket, c_a, c_b,
+        |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS gap_num,
+        |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
+        |         / (tot_a * tot_b) AS gap_ppm
+        |FROM j, t ORDER BY bucket""".stripMargin
   )
 }

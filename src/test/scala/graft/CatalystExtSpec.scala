@@ -189,4 +189,19 @@ class CatalystExtSpec extends SparkSpec {
     assert(fps(0).getString(0) == fps(1).getString(0))
     assert(fps(0).getString(1) != fps(1).getString(1))
   }
+
+  test("graft_zorder2 matches Layout.interleave16 bit-for-bit") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (43690L, 21845L), (12345L, 54321L)).toDF("a", "b")
+    val bad = pairs.select(
+        expr("graft_zorder2(a, b)").as("sqlz"),
+        graft.ops.Layout.interleave16(col("a"), col("b")).as("scalaz"))
+      .filter(col("sqlz") =!= col("scalaz"))
+    assert(bad.count() == 0)
+    // spot value: full lanes interleave to 32 set bits
+    assert(spark.sql("SELECT graft_zorder2(65535, 65535) AS z").as[Long].head()
+      == 0xFFFFFFFFL)
+  }
 }
