@@ -10,10 +10,20 @@ import org.apache.spark.sql.functions._
   *   0. (opt-in) boilerplate line removal ([[TextAnalysis.removeBoilerplate]]
   *      — BEFORE dedup, so shared footers can't mask real duplicates or
   *      fake near-dups; docs left empty by it are dropped),
+  *   0¾. (opt-in) Unicode NFC canonicalization ([[TextAnalysis.nfc]] —
+  *      text rewritten to its composed form BEFORE any hashing, so
+  *      composed vs decomposed encoder toolchains collapse in every
+  *      downstream fingerprint; rendering-invariant and idempotent),
   *   1. PII redaction ([[TextAnalysis.redactPii]] — BEFORE any hashing:
   *      docs that differ only in the PII value collapse to identical
   *      content, so the dedup stages catch them, and every later stage
   *      scores the text that actually ships),
+  *   1¾. (opt-in) blocklist subtraction ([[Blocklist.bloomAntiJoin]] —
+  *      docs whose REDACTED-content fingerprint is on a takedown list
+  *      drop before dedup, so a blocked doc can never become a content
+  *      key's survivor and shadow a legitimate copy; keyed after
+  *      redaction so variants differing only in a PII value block
+  *      together; Bloom-prefiltered, the corpus never shuffles for it),
   *   2. exact dedup (cheapest filter first: one content-hash shuffle),
   *   3. transitive near-dup collapse (MinHash→LSH→Jaccard→components),
   *   3½. (opt-in) exact-substring span dedup ([[Dedup.spanDedup]] — after
@@ -85,6 +95,15 @@ object Curate {
       trainPct: Int = 80,
       valPct: Int = 10,
       boilerplateMaxDocs: Option[Long] = None,
+      // opt-in Unicode NFC canonicalization (stage 0¾): idempotent,
+      // rendering-invariant — the fixpoint property is preserved
+      nfcCanonical: Boolean = false,
+      // opt-in takedown/blocklist subtraction (stage 1¾): a one-column
+      // (`content_key`) frame of md5 content fingerprints (the
+      // [[TextAnalysis.fingerprint]] of the REDACTED text). Note: a
+      // DataFrame is a plan, not a value — two Configs carrying the
+      // "same" blocklist are not `==`, which nothing here relies on
+      blocklist: Option[DataFrame] = None,
       // opt-in exact-substring span dedup after the doc-level collapses
       // (window size k): cross-doc verbatim runs ≥ k are removed from all
       // but their canonical occurrence; docs left empty are dropped. One
@@ -137,14 +156,35 @@ object Curate {
           .withColumnRenamed("clean_text", textCol)
       case None => docs
     }
+    // 0.75 (opt-in) NFC canonicalization: composed and decomposed encoder
+    // outputs become byte-identical before any fingerprint is taken
+    // (graft_nfc registered defensively — sessions built without the
+    // spark.sql.extensions config still resolve it)
+    val docs1 =
+      if (cfg.nfcCanonical) {
+        graft.plans.GraftExtensions.install(docs.sparkSession)
+        docs0.withColumn(textCol, TextAnalysis.nfc(col(textCol)))
+      } else docs0
+
     // 1. redact PII before any content hashing (see the fixpoint note in
     // the object doc); rows are never dropped here so the input count is
     // unchanged
-    val redacted = docs0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val redacted = docs1.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     val total = redacted.count()
 
+    // 1.75 (opt-in) blocklist subtraction on the redacted fingerprint:
+    // runs BEFORE exact dedup so a blocked doc can never be a content
+    // key's min-id survivor and shadow a legitimate later copy
+    val admitted = cfg.blocklist match {
+      case Some(bl) =>
+        val keyed = redacted.withColumn("__fp",
+          TextAnalysis.fingerprint(col(textCol)))
+        Blocklist.bloomAntiJoin(keyed, "__fp", bl, "content_key").drop("__fp")
+      case None => redacted
+    }
+
     // 2. exact dedup — survivors keep the smallest id per content key
-    val exact = Dedup.dedupCorpus(redacted, textCol, idCol)
+    val exact = Dedup.dedupCorpus(admitted, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 

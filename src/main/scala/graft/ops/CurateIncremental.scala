@@ -857,18 +857,38 @@ object CurateIncremental {
     require(cfg.boilerplateMaxDocs.isEmpty,
       "boilerplate removal is corpus-global; run it in the periodic full re-curate")
 
+    // 0.75 (opt-in) NFC canonicalization, exactly like the full recipe —
+    // the persisted state's hashes were taken over NFC text, so the
+    // delta's must be too
+    val delta1 =
+      if (cfg.nfcCanonical) {
+        graft.plans.GraftExtensions.install(delta.sparkSession)
+        delta.withColumn(textCol, TextAnalysis.nfc(col(textCol)))
+      } else delta
+
     // 1. redact PII first, exactly like the full recipe — the persisted
     // corpus text was redacted by the run that produced it, so delta
     // fingerprints/shingles compare redacted-to-redacted
-    val redacted = delta.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val redacted = delta1.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     val total = redacted.count()
+
+    // 1.75 (opt-in) blocklist subtraction on the redacted fingerprint,
+    // identical to the full recipe (per-doc vs the static list — no
+    // state interaction, so batch/incremental parity is by construction)
+    val admitted = cfg.blocklist match {
+      case Some(bl) =>
+        val keyed = redacted.withColumn("__fp",
+          TextAnalysis.fingerprint(col(textCol)))
+        Blocklist.bloomAntiJoin(keyed, "__fp", bl, "content_key").drop("__fp")
+      case None => redacted
+    }
 
     // 2. exact dedup: within the delta, then against the persisted
     // fingerprint table (probe side is the delta — the state table is
     // never re-hashed, and never re-partitioned either: see
     // [[fingerprintProbe]])
     val exact = fingerprintProbe(
-        Dedup.dedupCorpus(redacted, textCol, idCol), idCol, textCol, st)
+        Dedup.dedupCorpus(admitted, textCol, idCol), idCol, textCol, st)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
 

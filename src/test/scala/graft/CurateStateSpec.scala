@@ -626,4 +626,39 @@ class CurateStateSpec extends SparkSpec {
     assert(ok.corpus.count() == 1, "completed takedown re-admits the content")
     ok.release()
   }
+
+  test("blocklist + nfcCanonical opt-ins: incremental equals batch across a day") {
+    import graft.ops.TextAnalysis
+    val blockedSeed = doc(100, "blocked")._2
+    val bl = Seq(blockedSeed).toDF("text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.redactPii(col("text"))).as("content_key"))
+    val cfg = Curate.Config(nfcCanonical = true, blocklist = Some(bl))
+    val root = java.nio.file.Files.createTempDirectory("graft-blnfc-").toString
+    val composedSeed = doc(3, "café")._2 // composed é throughout
+    val day0 = docsDf(Seq(doc(1, "alpha"), doc(2, "beta"),
+      (3L, composedSeed), (100L, blockedSeed)))
+    val b = CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root, cfg)
+    assert(b.corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "blocked content must drop at bootstrap")
+    b.release()
+
+    // day 1: 10 is fresh; 11 re-crawls the BLOCKED content under a new
+    // id (the takedown must hold); 12 is a decomposed re-encode of
+    // day-0 survivor 3 — only NFC makes its fingerprint match the state
+    val day1 = docsDf(Seq(doc(10, "delta"), (11L, blockedSeed),
+      (12L, composedSeed.replace("é", "é"))))
+    val d1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root, cfg)
+    assert(d1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "blocked re-crawl and decomposed re-encode must both drop")
+    d1.release()
+
+    // parity: state after the daily == one full batch curate of the union
+    val full = Curate.curate(day0.unionByName(day1), bench, "doc_id", "text", cfg)
+    val want = full.corpus.select("doc_id").as[Long].collect().toSet
+    val got = CurateIncremental.loadState(spark, root)
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"incremental ($got) != batch ($want)")
+    full.release()
+  }
 }

@@ -2114,4 +2114,58 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(pc == Map(("a", "a") -> 6L, ("a", "b") -> 4L), pc.toString)
   }
+
+  test("curate: blocklist stage drops blocked content and its PII-variant copies") {
+    import graft.ops.{Curate, TextAnalysis}
+    val blockedText = "a page that was ordered to be taken down by " +
+      "dev@example.org and all of the copies of it must go away from the set"
+    // same content, different PII value — must block TOGETHER because the
+    // blocklist key is the REDACTED fingerprint ([EMAIL] either way)
+    val blockedVariant = blockedText.replace("dev@example.org",
+      "legal@example.com")
+    val keeper = "a growing list of features and a set of tools is what the " +
+      "platform offers and the users of the service are happy with the results"
+    val docs = Seq(
+      (1L, blockedText), (2L, keeper), (3L, blockedVariant)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // the takedown list is built from the redacted canonical text
+    val bl = Seq(blockedText).toDF("text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.redactPii(col("text"))).as("content_key"))
+    // without the blocklist, the variant pair merely exact-dedups (1 wins)
+    val off = Curate.curate(docs, bench, "doc_id", "text")
+    assert(off.corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // with it, the whole content class is gone — including the variant,
+    // which would otherwise have survived any takedown keyed on raw text
+    val on = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(blocklist = Some(bl)))
+    assert(on.corpus.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("curate: nfcCanonical collapses decomposed re-encodes the raw fingerprint misses") {
+    import graft.ops.Curate
+    val composed = "the café down the street of the town serves many of " +
+      "the people a set of meals and most of the visitors come back again"
+    val decomposed = composed.replace("café", "café")
+    val docs = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // near-dup OFF in both runs: MinHash would also catch a one-token
+    // difference, so isolate what the EXACT stage sees
+    val base = Curate.Config(nearDupThreshold = 1.5)
+    val off = Curate.curate(docs, bench, "doc_id", "text", base)
+    assert(off.corpus.count() == 2, "toolchain variants hash apart by default")
+    val on = Curate.curate(docs, bench, "doc_id", "text",
+      base.copy(nfcCanonical = true))
+    val survivors = on.corpus.select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(1L), s"NFC must collapse the pair: $survivors")
+    // idempotence: re-curating the curated output changes nothing (the
+    // fixpoint contract extends to the NFC stage)
+    val again = Curate.curate(
+      on.corpus.select("doc_id", "text"), bench, "doc_id", "text",
+      base.copy(nfcCanonical = true))
+    assert(again.corpus.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
 }
