@@ -67,6 +67,51 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Stratified train/val/test split with per-group floors: within each
+    * group (language, domain), rows are ranked by md5(key) and the first
+    * `max(⌊n·valPct∕100⌋, minVal)` go to val, the next
+    * `max(⌊n·testPct∕100⌋, minTest)` to test, the rest to train — so a
+    * low-resource group ALWAYS fields an eval set, which the global
+    * hash-bucket [[splitAssign]] cannot promise (a 30-doc language has a
+    * ~4% chance of zero val docs at 10%). Tiny-group degradation is
+    * explicit: val takes its floor first, test takes what remains, train
+    * may be empty. Exact integer arithmetic (`div`), md5 rank with key
+    * tie-break — reproducible at any partitioning, in any engine.
+    *
+    * 100 TB posture: ONE window shuffle keyed on the group (rank and
+    * group-count ride the same exchange); no second pass, no driver
+    * counts. Like [[splitAssign]], run dedup first — and note the
+    * assignment is a function of the GROUP'S membership, not the row
+    * alone: appending rows to a group can reassign that group's existing
+    * rows (use splitAssign when per-row stability under appends matters
+    * more than per-group floors). */
+  def stratifiedSplit(df: DataFrame, keyCol: String, groupCol: String,
+                      trainPct: Int = 80, valPct: Int = 10,
+                      minVal: Int = 1, minTest: Int = 1): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    require(minVal >= 0 && minTest >= 0,
+      s"invalid floors: minVal=$minVal minTest=$minTest")
+    val testPct = 100 - trainPct - valPct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__r", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("__nval",
+        least(greatest(expr(s"(__n * $valPct) div 100"), lit(minVal.toLong)),
+          col("__n")))
+      .withColumn("__ntest",
+        least(greatest(expr(s"(__n * $testPct) div 100"), lit(minTest.toLong)),
+          col("__n") - col("__nval")))
+      .withColumn("split",
+        when(col("__r") < col("__nval"), "val")
+          .when(col("__r") < col("__nval") + col("__ntest"), "test")
+          .otherwise("train"))
+      .drop("__r", "__n", "__nval", "__ntest")
+  }
+
   /** Split-integrity check: content-duplicate groups that straddle split
     * boundaries — the train/test leakage a by-ID split silently creates
     * whenever the same content survives under several ids (the reason

@@ -1321,6 +1321,17 @@ object LlmQueries {
       val b = d.filter(col("doc_id") % 2 === 1 && col("n_chars") >= 150)
       graft.ops.Monitor.histogramDrift(a, b, "n_chars", 75L, 8)
         .orderBy("bucket")
+    }),
+
+    // Stratified split with per-group floors: every language fields a
+    // val AND a test set no matter how few docs it has — the guarantee
+    // the global hash-bucket split (q44) can't make. Per-row assignment
+    // is hash-checked (md5 rank + key tie-break replayed), so floor
+    // arithmetic, rank order, and tiny-group degradation all pin.
+    "q95_stratified_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Sampling.stratifiedSplit(d, "doc_id", "lang", 80, 10, 2, 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -3105,6 +3116,29 @@ object LlmQueries {
         |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS gap_num,
         |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
         |         / (tot_a * tot_b) AS gap_ppm
-        |FROM j, t ORDER BY bucket""".stripMargin
+        |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // same md5 rank + key tie-break, same floor arithmetic (val floor
+    // first, test from the remainder, train may be empty)
+    "q95_stratified_split" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, r,
+        |    least(greatest((n * 10) // 100, 2), n) AS nval, n
+        |  FROM w),
+        |s2 AS (
+        |  SELECT doc_id, lang, r, nval,
+        |    least(greatest((n * 10) // 100, 2), n - nval) AS ntest
+        |  FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN r < nval THEN 'val'
+        |       WHEN r < nval + ntest THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM s2 ORDER BY doc_id""".stripMargin
   )
 }

@@ -2115,6 +2115,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(pc == Map(("a", "a") -> 6L, ("a", "b") -> 4L), pc.toString)
   }
 
+  test("stratifiedSplit: per-group floors, tiny-group degradation, partition stability") {
+    import graft.ops.Sampling
+    // big: 100 rows; small: 3 rows; tiny: 2 rows; singleton: 1 row
+    val rows = (0 until 100).map(i => (i.toLong, "big")) ++
+      Seq((200L, "small"), (201L, "small"), (202L, "small"),
+        (300L, "tiny"), (301L, "tiny"), (400L, "solo"))
+    val df = rows.toDF("id", "g")
+    val out = Sampling.stratifiedSplit(df, "id", "g", 80, 10, 1, 1)
+      .select("id", "g", "split").as[(Long, String, String)].collect()
+    val byGroup = out.groupBy(_._2).map { case (g, xs) =>
+      g -> xs.groupBy(_._3).view.mapValues(_.length).toMap
+    }
+    // big: proportional 10/10/80
+    assert(byGroup("big") == Map("val" -> 10, "test" -> 10, "train" -> 80))
+    // small (3): floors give 1 val + 1 test, 1 train
+    assert(byGroup("small") == Map("val" -> 1, "test" -> 1, "train" -> 1))
+    // tiny (2): 1 val + 1 test, train empty
+    assert(byGroup("tiny") == Map("val" -> 1, "test" -> 1))
+    // solo (1): val floor wins, test gets nothing
+    assert(byGroup("solo") == Map("val" -> 1))
+    // every row exactly one split; assignment partition-stable
+    assert(out.length == rows.length)
+    val re = Sampling.stratifiedSplit(df.repartition(7), "id", "g", 80, 10, 1, 1)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.map(x => x._1 -> x._3).toMap == re)
+  }
+
   test("curate: blocklist stage drops blocked content and its PII-variant copies") {
     import graft.ops.{Curate, TextAnalysis}
     val blockedText = "a page that was ordered to be taken down by " +
