@@ -517,6 +517,68 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r11b ops: zorder broadcasts its stats row, bloom plans one join, drift/split exchanges stay lean") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.plans.GraftExtensions.install(spark)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def exec(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    def hashShuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    try {
+      // q89: the 1-row min/max stats frame reaches the corpus via an
+      // explicitly-broadcast nested-loop join (threshold -1 proves the
+      // hint, not size estimation, carries it); the key itself is
+      // map-side, so no hash exchange carries text.
+      val p89 = exec("q89_zorder_key")
+      assert(p89.toString.contains("BroadcastNestedLoopJoin"),
+        s"q89 lost its broadcast stats join:\n$p89")
+      assert(hashShuffles(p89).forall(e => !e.output.exists(_.name == "text")),
+        s"q89 shuffles document text:\n$p89")
+      // q90: the Bloom probe shows in the plan and exactly ONE join
+      // (the candidate anti-join) survives — the clean branch unions in
+      // join-free.
+      val p90 = exec("q90_bloom_blocklist")
+      assert(p90.toString.contains("graft_bloom_might_contain"),
+        s"q90 lost its Bloom prefilter:\n$p90")
+      assert(p90.toString.contains("LeftAnti"), s"q90 lost its anti-join:\n$p90")
+      val joins90 = p90.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(joins90.size == 1,
+        s"q90 planned ${joins90.size} joins, want 1 (clean branch must not join):\n$p90")
+      // q94: drift exchanges carry only (bucket, count) longs — never
+      // text — and the histogram aggregates pre-combine map-side.
+      val p94 = exec("q94_histogram_drift")
+      assert(p94.toString.contains("partial_"),
+        s"q94 lost map-side partial aggregation:\n$p94")
+      hashShuffles(p94).foreach { e =>
+        assert(!e.output.exists(a => a.name == "text" ||
+            a.dataType == org.apache.spark.sql.types.StringType),
+          s"q94 exchange carries text/strings:\n$p94")
+      }
+      // q95: ONE group-keyed hash exchange feeds both window functions
+      // (rank and group count must share it, not plan two shuffles).
+      val p95 = exec("q95_stratified_split")
+      val s95 = hashShuffles(p95)
+      assert(s95.size == 1,
+        s"q95 planned ${s95.size} hash exchanges, want 1:\n$p95")
+      // q92: the residual range predicate reaches the parquet scan of
+      // the pruned files (stats-manifest pruning composes with footer
+      // pushdown, it does not replace it).
+      val p92 = exec("q92_stats_pruned_read").toString
+      assert(p92.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)"),
+        s"q92 range predicate not pushed to the pruned scan:\n$p92")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
