@@ -1332,6 +1332,37 @@ object LlmQueries {
       val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
       Sampling.stratifiedSplit(d, "doc_id", "lang", 80, 10, 2, 2)
         .orderBy("doc_id")
+    }),
+
+    // The r11 curate opt-ins COMPOSED and oracle-replayed (the q64
+    // pattern for the new stages): %11 docs get a composed-é suffix and
+    // a +300000 decomposed re-encode — only NFC collapses each pair;
+    // %13 fingerprints form the takedown blocklist — those docs (and
+    // doc 0's re-encode, blocked transitively through its NFC-equal
+    // fingerprint) drop whole. Near-dup off (threshold 2.0), floor 0,
+    // nonsense-token benchmark ⇒ the oracle replays exactly
+    // nfc → fingerprint → blocklist-anti → min-id dedup → hash split.
+    "q96_curate_nfc_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val orig = base.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" café")))
+          .otherwise(col("text")))
+      val reenc = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text"))
+      val bl = orig.filter(col("doc_id") % 13 === 0)
+        .select(TextAnalysis.fingerprint(
+          TextAnalysis.redactPii(TextAnalysis.nfc(col("text"))))
+          .as("content_key"))
+      val bench = Seq((900000L, "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6"))
+        .toDF("doc_id", "text")
+      val r = Curate.curate(orig.unionByName(reenc), bench, "doc_id", "text",
+        Curate.Config(nearDupThreshold = 2.0, qualityFloor = 0.0,
+          nfcCanonical = true, blocklist = Some(bl)))
+      r.corpus.select(col("doc_id"), col("split"),
+          length(col("text")).cast("long").as("n_chars2"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3139,6 +3170,42 @@ object LlmQueries {
         |  CASE WHEN r < nval THEN 'val'
         |       WHEN r < nval + ntest THEN 'test'
         |       ELSE 'train' END AS split
-        |FROM s2 ORDER BY doc_id""".stripMargin
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // nfc → fingerprint → blocklist-anti → min-id dedup → 256-lane hash
+    // split, replayed stage for stage (redaction and decontamination are
+    // identities on this PII-free, benchmark-disjoint corpus; near-dup
+    // and quality floors are configured off)
+    "q96_curate_nfc_blocklist" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |orig AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' caf' || chr(233) ELSE text END AS text FROM base),
+        |reenc AS (
+        |  SELECT doc_id + 300000 AS doc_id, text || ' cafe' || chr(769) AS text
+        |  FROM base WHERE doc_id % 11 = 0),
+        |corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM reenc),
+        |nfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM corpus),
+        |fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM nfc),
+        |bl AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 13 = 0 AND doc_id < 300000),
+        |adm AS (SELECT * FROM fp WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.fp = fp.fp)),
+        |surv AS (SELECT fp, min(doc_id) AS doc_id FROM adm GROUP BY fp),
+        |j AS (SELECT s.doc_id, a.text FROM surv s JOIN adm a ON a.doc_id = s.doc_id),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS bk
+        |  FROM j)
+        |SELECT doc_id,
+        |  CASE WHEN bk < 204 THEN 'train' WHEN bk < 230 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(length(text) AS BIGINT) AS n_chars2
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }
