@@ -116,6 +116,44 @@ object TextAnalysis {
     "arabic" -> "[\\x{0600}-\\x{06FF}]",
     "devanagari" -> "[\\x{0900}-\\x{097F}]")
 
+  /** Markup stripping for crawl dumps: drop `<script>`/`<style>` blocks
+    * wholesale (their contents are code, not prose), strip remaining
+    * tags, decode the five ubiquitous HTML entities, collapse
+    * whitespace. Regex subset: `(?s)` + non-greedy `.*?`, both in the
+    * Java∩RE2 intersection; NO backreferences (RE2 has none), so script
+    * and style close independently. Entity order matters and is pinned:
+    * `&amp;` decodes LAST, so `&amp;lt;` yields the literal `&lt;` (one
+    * decode pass, exactly — the HTML spec's behavior). Pure map-side. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL regex (Java∩RE2 subset): scheme + non-space run. */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Number of URLs in the text. */
+  def urlCount(text: Column): Column = matchCount(text, UrlRe)
+
+  /** Fraction of characters inside URLs — the link-density quality
+    * signal (link farms and nav pages score high, prose scores ~0).
+    * Exact integer counts, one IEEE division; NULL for empty text. */
+  def linkCharRatio(text: Column): Column =
+    when(length(text) === 0, lit(null)).otherwise(
+      (charClassCount(text, UrlRe).cast("double")) / length(text))
+
+  /** The host part of every URL in the text (regex group 1) — feeds
+    * domain-level aggregation: per-domain doc counts, domain blocklists,
+    * domain mixture caps. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
+
   /** Count of characters matching a regex character class: length minus
     * length-after-removal — the subtraction trick that needs only
     * `regexp_replace`, which every engine has (no regexp_count parity

@@ -1363,6 +1363,44 @@ object LlmQueries {
       r.corpus.select(col("doc_id"), col("split"),
           length(col("text")).cast("long").as("n_chars2"))
         .orderBy("doc_id")
+    }),
+
+    // Markup stripping: every doc wrapped in a synthetic HTML shell
+    // (style block, entity-bearing heading, script tail) must come back
+    // as exactly "News & Views " + its prose. The oracle replays the
+    // pinned chain — script/style blocks, then tags, then the five
+    // entities with &amp; LAST, then whitespace collapse — character
+    // for character (the md5 of the cleaned text is the check).
+    "q97_strip_markup" -> ((s, dir) => {
+      val wrapped = table(s, dir, "documents").withColumn("html", concat(
+        lit("<html><head><style type=\"text/css\">p {color: red}</style>" +
+          "</head><body><h1>News &amp; Views</h1><p>"),
+        col("text"),
+        lit("</p><script>if (x &lt; 1) { go() }</script></body></html>")))
+      wrapped
+        .select(col("doc_id"), TextAnalysis.stripMarkup(col("html")).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Link/domain profile: URLs planted into %7 docs, hosts extracted
+    // via regex group 1 and rolled up per domain — the input to
+    // domain-level blocklists and mixture caps. Exact integer counts.
+    "q98_link_profile" -> ((s, dir) => {
+      val withUrls = table(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" see https://ex"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".example.org/path/a and the mirror " +
+              "http://files.example.net/x?q=1 end")))
+          .otherwise(col("text")))
+      withUrls
+        .select(col("doc_id"),
+          explode(TextAnalysis.urlDomains(col("text"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("nb_urls"),
+          count_distinct(col("doc_id")).as("nb_docs"))
+        .orderBy("domain")
     })
   )
 
@@ -3206,6 +3244,39 @@ object LlmQueries {
         |SELECT doc_id,
         |  CASE WHEN bk < 204 THEN 'train' WHEN bk < 230 THEN 'val' ELSE 'test' END AS split,
         |  CAST(length(text) AS BIGINT) AS n_chars2
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same strip chain: blocks, tags, five entities (&amp; last), collapse
+    "q97_strip_markup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><head><style type="text/css">p {color: red}</style></head><body><h1>News &amp; Views</h1><p>'
+        |    || text ||
+        |    '</p><script>if (x &lt; 1) { go() }</script></body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM w),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s4)
+        |SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS n_clean
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // group-1 host extraction, per-domain rollup
+    "q98_link_profile" ->
+      """WITH w AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' see https://ex' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '.example.org/path/a and the mirror http://files.example.net/x?q=1 end'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS domain FROM w)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS nb_urls,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS nb_docs
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
   )
 }

@@ -37,4 +37,35 @@ class ScriptProfileSpec extends SparkSpec {
     assert(got == Seq("latin", "cyrillic", "cjk", "cjk", "arabic",
       "devanagari", "none", "latin"))
   }
+
+  test("stripMarkup: blocks die whole, tags strip, entities decode once, amp last") {
+    val html = "<html><head><style>p{x:1}</style></head><body>" +
+      "<h1>A &amp; B</h1><p>keep &amp;lt;this&amp;gt; text&nbsp;here</p>" +
+      "<script>var s = '<not a tag>';</script></body></html>"
+    val got = Seq(html).toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).as[String].head()
+    // &amp;lt; decodes exactly once → literal &lt; (never <)
+    assert(got == "A & B keep &lt;this&gt; text here", s"got: '$got'")
+    // idempotent on clean prose
+    val clean = Seq("plain text stays").toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).as[String].head()
+    assert(clean == "plain text stays")
+  }
+
+  test("url ops: count, domains, exact link-char ratio") {
+    val t = "go https://a.example.org/x and http://b.example.net end"
+    val row = Seq(t).toDF("t").select(
+      TextAnalysis.urlCount(col("t")).as("n"),
+      TextAnalysis.urlDomains(col("t")).as("d"),
+      TextAnalysis.linkCharRatio(col("t")).as("r")).head()
+    assert(row.getAs[Int]("n") == 2)
+    assert(row.getSeq[String](1) == Seq("a.example.org", "b.example.net"))
+    val urlChars = "https://a.example.org/x".length + "http://b.example.net".length
+    assert(row.getAs[Double]("r") == urlChars.toDouble / t.length)
+    // empty text → NULL ratio, no URLs
+    val empty = Seq("").toDF("t").select(
+      TextAnalysis.linkCharRatio(col("t")).as("r"),
+      TextAnalysis.urlCount(col("t")).as("n")).head()
+    assert(empty.isNullAt(0) && empty.getAs[Int]("n") == 0)
+  }
 }
