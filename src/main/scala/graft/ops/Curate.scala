@@ -104,6 +104,12 @@ object Curate {
       // DataFrame is a plan, not a value — two Configs carrying the
       // "same" blocklist are not `==`, which nothing here relies on
       blocklist: Option[DataFrame] = None,
+      // opt-in per-doc disposition audit: Result.audit carries one row
+      // per INPUT doc — (id, stage) where stage names the FIRST stage
+      // that dropped it, or "survived". Diagnostics only (the id frames
+      // re-derive from the recipe's own stage handoffs, roughly doubling
+      // the work) — the "why did my doc disappear" answer at corpus scale
+      audit: Boolean = false,
       // opt-in exact-substring span dedup after the doc-level collapses
       // (window size k): cross-doc verbatim runs ≥ k are removed from all
       // but their canonical occurrence; docs left empty are dropped. One
@@ -134,7 +140,8 @@ object Curate {
   /** `release()` drops the cached stage backing `corpus` — call it after
     * the curated corpus has been materialized (written to the lake). */
   case class Result(corpus: DataFrame, stats: DataFrame,
-                    release: () => Unit = () => ())
+                    release: () => Unit = () => (),
+                    audit: Option[DataFrame] = None)
 
   /** Curate `docs` (idCol, textCol) against `benchmark` (same shape).
     * Output: survivors with `text` redacted and a `split` column; stats
@@ -310,6 +317,38 @@ object Curate {
       (total, nExact, nNear, nClean)
     )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
       "nb_after_quality_decontam")
-    Result(emitted, stats, () => { clean.unpersist(); () })
+
+    // opt-in per-doc disposition: walk the stage handoffs in order and
+    // tag each doc with the FIRST frame it vanished from. Every join is
+    // id-only; the union partitions the INPUT id set exactly (asserted
+    // in LlmOpsSpec). Stage names appear even when their stage is
+    // configured off — an off stage drops nothing, so it never labels.
+    val auditFrame =
+      if (!cfg.audit) None
+      else {
+        val handoffs: Seq[(String, DataFrame)] = Seq(
+          "boilerplate_empty" -> docs1,
+          "blocklist" -> admitted,
+          "exact_dup" -> exact,
+          "near_dup" -> nearDeduped,
+          "span_empty" -> spanned,
+          "winnow_borrow" -> winnowed,
+          "quality_floor" -> qualityAbs,
+          "quality_quantile" -> qualityBase,
+          "bigram_lm" -> quality,
+          "contaminated" -> clean,
+          "temperature_cut" -> balanced)
+        val ids = handoffs.map { case (n, f) => n -> f.select(col(idCol)) }
+        val dropped = (docs.select(col(idCol)) +: ids.map(_._2))
+          .zip(ids)
+          .map { case (prev, (stage, cur)) =>
+            prev.join(cur, Seq(idCol), "left_anti")
+              .withColumn("stage", lit(stage))
+          }
+        Some(dropped
+          .reduce(_.unionByName(_))
+          .unionByName(ids.last._2.withColumn("stage", lit("survived"))))
+      }
+    Result(emitted, stats, () => { clean.unpersist(); () }, auditFrame)
   }
 }

@@ -2142,6 +2142,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(x => x._1 -> x._3).toMap == re)
   }
 
+  test("curate: audit labels every input doc with the first stage that dropped it") {
+    import graft.ops.{Curate, TextAnalysis}
+    val good1 = "a longer piece of text with many common words that the people " +
+      "of the town and the cities of the region use in the course of a day"
+    val trunc = good1.split(" ").take(20).mkString(" ")
+    val leakSrc = "benchmark holdout phrase alpha beta gamma delta epsilon zeta"
+    val blocked = "a page that was ordered to be taken down by the rights owner " +
+      "and all of the copies of it must go away from the training set now"
+    val docs = Seq(
+      (1L, good1),
+      (2L, "  " + good1.replace(" ", "  ")), // exact dup of 1
+      (3L, trunc),                           // near-dup of 1
+      (4L, "xyz abc"),                       // quality floor
+      (5L, "the quarterly report of the committee lists the numbers of the " +
+        "projects and the goals of the teams alpha beta gamma delta epsilon"),
+      (6L, blocked),                         // blocklist
+      (7L, "a growing list of features and a set of tools is what the " +
+        "platform offers and the users of the service are happy with it")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leakSrc)).toDF("doc_id", "text")
+    val bl = Seq(blocked).toDF("text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.redactPii(col("text"))).as("content_key"))
+    val r = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(blocklist = Some(bl), audit = true))
+    val got = r.audit.get.as[(Long, String)].collect().toMap
+    assert(got(1L) == "survived" && got(7L) == "survived", got.toString)
+    assert(got(2L) == "exact_dup" && got(3L) == "near_dup", got.toString)
+    assert(got(4L) == "quality_floor" && got(6L) == "blocklist", got.toString)
+    // 5 shares the benchmark's "alpha beta gamma delta epsilon" 5-gram
+    assert(got(5L) == "contaminated", got.toString)
+    // the audit partitions the input exactly: every id, exactly once
+    assert(got.keySet == (1L to 7L).toSet && r.audit.get.count() == 7)
+  }
+
   test("curate: blocklist stage drops blocked content and its PII-variant copies") {
     import graft.ops.{Curate, TextAnalysis}
     val blockedText = "a page that was ordered to be taken down by " +
