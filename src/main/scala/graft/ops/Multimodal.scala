@@ -128,6 +128,71 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average hash (aHash) over a decoded raster: 8×8 exact-
+    * integer box downsample of Rec.601 luma, bit (8y+x) set when the
+    * cell's luma exceeds the global mean — compared CROSS-MULTIPLIED
+    * (`cellSum · N > totalSum · cellN`), so there is no division or
+    * float anywhere and the hash is platform-exact. Perceptual contract:
+    * re-ENCODES of the same raster (PNG ↔ BMP, palette reorder) collide
+    * exactly — the container bytes differ, the decoded pixels don't —
+    * and mild global edits land within a few [[Dedup.hamming64]] bits.
+    * Long arithmetic is exact to ~1.5 Gpixel (255·N·⌈N/64⌉ < 2⁶³).
+    * Returns None for undecodable payloads (mixed corpora skip them). */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      if (!ImageIoCodec.available) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w == 0 || h == 0) None
+      else {
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val cy = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val c = cy * 8 + math.min(x * 8 / w, 7)
+            cellSum(c) += lum
+            cellN(c) += 1
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var c = 0
+        while (c < 64) {
+          if (cellN(c) > 0 && cellSum(c) * n > total * cellN(c)) hash |= (1L << c)
+          c += 1
+        }
+        Some(hash)
+      }
+    }
+  }
+
+  /** Corpus form: (media_id, ahash) for every decodable image — the
+    * input to perceptual near-dup via the SimHash banding machinery
+    * ([[Dedup.simhashNearDups]] buckets on 16-bit bands, confirms by
+    * [[Dedup.hamming64]] ≤ radius; same shuffles-carry-only-longs
+    * posture). Decode runs inside the partition iterator (mapPartitions,
+    * never collected); undecodable rows drop here, not downstream. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it =>
+      it.flatMap(r => aHash64(r.bytes).map(h => (r.media_id, h))))
+      .toDF("media_id", "ahash")
+  }
+
   /** One sampled frame out of a media payload: byte offset within the
     * container plus a content hash of the decoded frame. */
   case class Frame(media_id: Long, frame_offset: Int, frame_hash: Int)

@@ -2142,6 +2142,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(x => x._1 -> x._3).toMap == re)
   }
 
+  test("aHash64: re-encodes collide exactly, edits stay near, banded near-dup finds the pair") {
+    import graft.ops.{Dedup, Multimodal}
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    assume(Multimodal.ImageIoCodec.available)
+    // deterministic 64×48 gradient-with-structure raster
+    def raster(brighten: Int): BufferedImage = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val base = (x * 3 + y * 2 + (if ((x / 8 + y / 8) % 2 == 0) 60 else 0))
+        val v = math.min(255, base + brighten)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = enc(raster(0), "png")
+    val bmp = enc(raster(0), "bmp")
+    val bright = enc(raster(8), "png")
+    val Some(hPng) = Multimodal.aHash64(png)
+    val Some(hBmp) = Multimodal.aHash64(bmp)
+    val Some(hBright) = Multimodal.aHash64(bright)
+    // container bytes differ, decoded pixels don't: exact collision
+    assert(!png.sameElements(bmp) && hPng == hBmp)
+    // mild global edit: a few bits at most (uniform brighten saturates
+    // only the brightest cells relative to the mean)
+    val dist = java.lang.Long.bitCount(hPng ^ hBright)
+    assert(dist <= 3, s"brightness variant drifted $dist bits")
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+
+    // composition: the banded hamming near-dup machinery pairs them
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", bmp),
+      Multimodal.MediaRow(3L, "image", bright),
+      Multimodal.MediaRow(4L, "text", "not an image".getBytes)
+    ).toDS()
+    val hashes = Multimodal.imageHashes(media)
+    assert(hashes.count() == 3) // row 4 undecodable, dropped here
+    val pairs = Dedup.simhashNearDups(hashes, "media_id", "ahash",
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact re-encode pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) == (dist <= 3))
+  }
+
   test("curate: audit labels every input doc with the first stage that dropped it") {
     import graft.ops.{Curate, TextAnalysis}
     val good1 = "a longer piece of text with many common words that the people " +
