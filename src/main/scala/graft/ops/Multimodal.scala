@@ -180,6 +180,75 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio energy hash — [[aHash64]]'s contract for sound: the
+    * PCM stream's |amplitude| mass split into 64 equal time windows, bit
+    * w set when window w's mass exceeds the global mean, compared
+    * CROSS-MULTIPLIED in exact Long arithmetic. Platform-exact AND
+    * gain-invariant: scaling every sample by c > 0 scales both sides of
+    * each compare equally, so an exactly-doubled (re-mastered) recording
+    * collides exactly while different content lands far in
+    * [[Dedup.hamming64]]. Accepts the JDK-parseable PCM WAV family
+    * (16-bit signed, 8-bit signed/unsigned — 8-bit amplitude measured
+    * about the 128 bias); None otherwise. Long arithmetic exact to
+    * ~4·10⁸ sample frames (512·N² < 2⁶³ — ~7 h at 16 kHz). */
+  def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val ok = (enc == Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+          (enc == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok) None
+        else {
+          val data = in.readAllBytes()
+          val ch = fmt.getChannels
+          val frameBytes = ch * (bits / 8)
+          val n = if (frameBytes > 0) data.length / frameBytes else 0
+          if (n == 0) None
+          else {
+            val winSum = new Array[Long](64)
+            val winN = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              var amp = 0L
+              var c = 0
+              while (c < ch) {
+                val off = i * frameBytes + c * (bits / 8)
+                val v =
+                  if (bits == 16) {
+                    val (b0, b1) = (data(off) & 0xff, data(off + 1) & 0xff)
+                    val s = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                    math.abs(s.toShort.toLong)
+                  } else if (enc == Encoding.PCM_UNSIGNED)
+                    math.abs((data(off) & 0xff) - 128L)
+                  else math.abs(data(off).toLong)
+                amp += v
+                c += 1
+              }
+              val w = math.min((i * 64L / n).toInt, 63)
+              winSum(w) += amp
+              winN(w) += 1
+              total += amp
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              if (winN(w) > 0 && winSum(w) * n > total * winN(w)) hash |= (1L << w)
+              w += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Corpus form: (media_id, ahash) for every decodable image — the
     * input to perceptual near-dup via the SimHash banding machinery
     * ([[Dedup.simhashNearDups]] buckets on 16-bit bands, confirms by

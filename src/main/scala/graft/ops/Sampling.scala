@@ -326,6 +326,39 @@ object Sampling {
     manifest
   }
 
+  /** Shard-integrity audit: recompute each shard's row count and order
+    * digest from the WRITTEN layout and diff against `_graft_manifest` —
+    * the pre-epoch check a trainer runs so bitrot, a torn write, or a
+    * manual edit is caught before it silently changes the training
+    * order. Returns one row per disagreeing shard (EMPTY = verified):
+    * a shard missing on either side, a row-count drift, or a digest
+    * mismatch all surface, with both sides' values for triage.
+    *
+    * 100 TB posture: one shard-keyed aggregate over the layout (the
+    * same digest formula [[writeTrainingShards]] used) joined against
+    * the shard-count-sized manifest — reading the corpus once is the
+    * floor for any content check; the manifest makes everything else
+    * metadata-sized. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keyCol: String): DataFrame = {
+    val manifest = spark.read.json(s"$path/_graft_manifest")
+      .select(col("shard").cast("long").as("shard"),
+        col("nb_rows").cast("long").as("manifest_rows"),
+        col("order_digest").as("manifest_digest"))
+    val actual = spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("actual_rows"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col(keyCol).cast("string").as("k")))),
+          s => s.getField("k")), ",")).as("actual_digest"))
+    manifest.join(actual, Seq("shard"), "full_outer")
+      .filter(
+        col("manifest_rows").isNull || col("actual_rows").isNull ||
+        col("manifest_rows") =!= col("actual_rows") ||
+        col("manifest_digest") =!= col("actual_digest"))
+  }
+
   /** Per-row weighted sampling: keep each row with probability equal to
     * its own weight ∈ [0, 1] (clamped), decided by content hash — the
     * quality-resampling step that keeps documents in proportion to a

@@ -2192,6 +2192,72 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) == (dist <= 3))
   }
 
+  test("verifyShards: clean layout passes; deletion and tamper are localized to their shard") {
+    import graft.ops.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("shardverify").toString
+    val df = spark.range(2000).select(col("id"))
+    Sampling.writeTrainingShards(df, "id", 8, dir)
+    assert(Sampling.verifyShards(spark, dir, "id").count() == 0,
+      "freshly-written layout must verify clean")
+    // tamper 1: delete one shard directory outright
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/shard=3"))
+    // tamper 2: rewrite a shard's file with one row dropped (count and
+    // digest both drift)
+    val s5 = spark.read.parquet(s"$dir/shard=5").filter(col("pos") =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("shard5").toString
+    s5.coalesce(1).write.mode("overwrite").parquet(tmp)
+    rm(new java.io.File(s"$dir/shard=5"))
+    new java.io.File(s"$dir/shard=5").mkdirs()
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/shard=5/${part.getName}").toPath)
+    val bad = Sampling.verifyShards(spark, dir, "id")
+      .select("shard").as[Long].collect().toSet
+    assert(bad == Set(3L, 5L), s"expected exactly shards 3 and 5 flagged: $bad")
+  }
+
+  test("audioHash64: gain-invariant, content-sensitive, format-guarded") {
+    import graft.ops.Multimodal
+    // 16-bit mono WAV builder (little-endian), independent of javax.sound
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)
+        .putInt(16000).putInt(32000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // structured waveform: alternating loud/quiet 256-frame blocks
+    val base = Array.tabulate[Short](4096) { i =>
+      val b = ((i * 13) % 201) - 100
+      (b * (if ((i / 256) % 2 == 0) 3 else 1)).toShort
+    }
+    val doubled = base.map(s => (s * 2).toShort)
+    val shifted = Array.tabulate[Short](4096) { i =>
+      val b = ((i * 13) % 201) - 100
+      (b * (if ((i / 256) % 2 == 1) 3 else 1)).toShort // loud blocks swapped
+    }
+    val Some(h1) = Multimodal.audioHash64(wav16(base))
+    val Some(h2) = Multimodal.audioHash64(wav16(doubled))
+    val Some(h3) = Multimodal.audioHash64(wav16(shifted))
+    assert(h1 == h2, "exact re-mastering (2x gain) must collide")
+    val dist = java.lang.Long.bitCount(h1 ^ h3)
+    assert(dist >= 16, s"swapped loud/quiet structure only $dist bits apart")
+    // structure sanity: loud blocks above the mean → alternating bit runs
+    assert(h1 != 0L && h1 != -1L)
+    // guards: non-audio and empty-payload → None
+    assert(Multimodal.audioHash64("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioHash64(wav16(Array.empty[Short])).isEmpty)
+  }
+
   test("curate: audit labels every input doc with the first stage that dropped it") {
     import graft.ops.{Curate, TextAnalysis}
     val good1 = "a longer piece of text with many common words that the people " +
