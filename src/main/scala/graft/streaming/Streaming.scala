@@ -274,6 +274,39 @@ object Streaming {
       .start()
   }
 
+  /** Streaming distribution drift monitor: every micro-batch's
+    * `valueCol` histogram is compared against the REFERENCE snapshot
+    * through [[graft.ops.Monitor.histogramDrift]]'s exact-integer gaps
+    * (reference = side a, batch = side b), and the per-bucket report is
+    * appended under `outDir/batch_id=N` — the live early-warning that a
+    * crawler or upstream config change shifted the corpus shape BEFORE
+    * the data reaches curation (a drifting `gap_ppm` spike per batch is
+    * the alert condition; the exact-integer `gap_num` column replays
+    * bit-identically in a batch recompute, so alerts are auditable).
+    *
+    * Replay safety: `foreachBatch` is at-least-once; the report is keyed
+    * by `batch_id` and written with dynamic partition overwrite, so a
+    * replayed batch rewrites ITS OWN partition with identical content —
+    * effectively-once reporting, same discipline as [[lakeSink]]. */
+  def driftSink(stream: DataFrame, valueCol: String, reference: DataFrame,
+                bucketWidth: Long, nBuckets: Int, outDir: String,
+                checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Monitor
+            .histogramDrift(reference, batch, valueCol, bucketWidth, nBuckets)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   /** Incremental raw-zone ingestion: a file stream over the enveloped
     * JSON layout — new `date=` files are picked up per micro-batch and
     * flow through the same staging transforms as batch (S5/S6 streaming

@@ -360,6 +360,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftSink: per-batch drift reports equal the batch recompute, replay-keyed") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val reference = Seq(10L, 20L, 80L, 160L, 170L).toDF("v")
+    val outDir = java.nio.file.Files.createTempDirectory("drift-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drift-ckpt").toString
+    val q = Streaming.driftSink(ms.toDF.toDF("v"), "v", reference,
+      bucketWidth = 75L, nBuckets = 4, outDir = outDir, checkpointDir = ckpt)
+    try {
+      ms.addData(12L, 90L)           // batch 0
+      q.processAllAvailable()
+      ms.addData(500L, 600L, 700L)   // batch 1: all clamp to the top bucket
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.select("batch_id").distinct().count() == 2)
+      for ((bid, data) <- Seq(0L -> Seq(12L, 90L), 1L -> Seq(500L, 600L, 700L))) {
+        val want = graft.ops.Monitor
+          .histogramDrift(reference, data.toDF("v"), "v", 75L, 4)
+          .orderBy("bucket").collect().toSeq
+        val rows = got.filter(col("batch_id") === bid)
+          .select("bucket", "c_a", "c_b", "gap_num", "gap_ppm")
+          .orderBy("bucket").collect().toSeq
+        assert(rows == want, s"batch $bid report != batch recompute")
+      }
+    } finally q.stop()
+  }
+
   test("enrichStream: static dim joins each micro-batch, misses flagged") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, Double)]
