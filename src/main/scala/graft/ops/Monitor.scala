@@ -60,4 +60,40 @@ object Monitor {
           .cast("double"))
       .drop("__tot_a", "__tot_b")
   }
+
+  /** Per-group drift — [[histogramDrift]] stratified on `groupCol`
+    * (source, language): each group's histograms are compared against
+    * that group's OWN totals, so a stable giant source can't mask a
+    * collapsed small one (the per-source page-worthy alert). A group
+    * absent from one snapshot entirely is the loudest signal: its
+    * `gap_ppm` is NULL (no total to normalize by) while `gap_num` and
+    * the zero-filled counts still report it. Exchanges carry
+    * (group, bucket, count) only; per-group totals are a
+    * group-cardinality-sized broadcast join. */
+  def histogramDriftBy(a: DataFrame, b: DataFrame, valueCol: String,
+                       groupCol: String, bucketWidth: Long,
+                       nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0,
+      s"invalid histogram shape: width=$bucketWidth n=$nBuckets")
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(groupCol).as("grp"),
+          bucketOf(valueCol, bucketWidth, nBuckets).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val joined = hist(a, "c_a").join(hist(b, "c_b"),
+        Seq("grp", "bucket"), "full_outer")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
+    joined.join(broadcast(totals), Seq("grp"))
+      .withColumn("gap_num",
+        abs(col("c_a") * col("__tot_b") - col("c_b") * col("__tot_a")))
+      .withColumn("gap_ppm",
+        when(col("__tot_a") > 0 && col("__tot_b") > 0,
+          (col("gap_num") * 1000000.0 / (col("__tot_a") * col("__tot_b")))
+            .cast("double")))
+      .drop("__tot_a", "__tot_b")
+      .withColumnRenamed("grp", groupCol)
+  }
 }

@@ -1401,6 +1401,20 @@ object LlmQueries {
         .agg(count(lit(1)).as("nb_urls"),
           count_distinct(col("doc_id")).as("nb_docs"))
         .orderBy("domain")
+    }),
+
+    // Per-source drift: q94's compare stratified by source, each source
+    // against its OWN totals — a stable giant source can't mask a
+    // collapsed small one. src3 vanishes from snapshot B entirely: the
+    // loudest alert, reported as zero counts with NULL ppm (no total to
+    // normalize by) while gap_num still carries the exact evidence.
+    "q99_drift_by_source" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1 &&
+        col("source") =!= "src3" && col("n_chars") >= 150)
+      graft.ops.Monitor.histogramDriftBy(a, b, "n_chars", "source", 150L, 4)
+        .orderBy("source", "bucket")
     })
   )
 
@@ -3277,6 +3291,34 @@ object LlmQueries {
         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS domain FROM w)
         |SELECT domain, CAST(count(*) AS BIGINT) AS nb_urls,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS nb_docs
-        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    // per-group totals; vanished group → NULL ppm, exact gap_num kept
+    "q99_drift_by_source" ->
+      """WITH a AS (
+        |  SELECT source AS grp,
+        |    least(greatest(coalesce(CAST(n_chars AS BIGINT), 0), 0) // 150, 3) AS bucket
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT source AS grp,
+        |    least(greatest(coalesce(CAST(n_chars AS BIGINT), 0), 0) // 150, 3) AS bucket
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND source <> 'src3' AND n_chars >= 150),
+        |ha AS (SELECT grp, bucket, count(*) AS c_a FROM a GROUP BY 1, 2),
+        |hb AS (SELECT grp, bucket, count(*) AS c_b FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ha.grp, hb.grp) AS grp,
+        |         coalesce(ha.bucket, hb.bucket) AS bucket,
+        |         CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |         CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.grp = hb.grp AND ha.bucket = hb.bucket),
+        |t AS (SELECT grp, CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(c_b) AS BIGINT) AS tot_b FROM j GROUP BY 1)
+        |SELECT j.grp AS source, bucket, c_a, c_b,
+        |  CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS gap_num,
+        |  CASE WHEN tot_a > 0 AND tot_b > 0
+        |       THEN CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
+        |            / (tot_a * tot_b) END AS gap_ppm
+        |FROM j JOIN t ON j.grp = t.grp ORDER BY source, bucket""".stripMargin
   )
 }

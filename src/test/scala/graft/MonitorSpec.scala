@@ -29,6 +29,20 @@ class MonitorSpec extends SparkSpec {
     assert(disj.agg(sum("gap_num")).as[Long].head() == 2L * 4L * 2L)
   }
 
+  test("histogramDriftBy: per-group totals; a vanished group reports NULL ppm, not silence") {
+    val a = Seq(("s1", 10L), ("s1", 100L), ("s2", 10L), ("s2", 20L)).toDF("g", "v")
+    val b = Seq(("s1", 10L), ("s1", 100L)).toDF("g", "v") // s2 vanished
+    val rows = Monitor.histogramDriftBy(a, b, "v", "g", 75L, 2)
+      .orderBy("g", "bucket").collect()
+    val s1 = rows.filter(_.getString(0) == "s1")
+    // s1 unchanged → zero gaps, ppm 0.0 (its own totals, unaffected by s2)
+    assert(s1.forall(r => r.getAs[Long]("gap_num") == 0L &&
+      r.getAs[Double]("gap_ppm") == 0.0))
+    val s2 = rows.filter(_.getString(0) == "s2")
+    assert(s2.nonEmpty, "vanished group must still report")
+    assert(s2.forall(r => r.getAs[Long]("c_b") == 0L && r.isNullAt(r.fieldIndex("gap_ppm"))))
+  }
+
   test("histogramDrift is partition-count independent") {
     val a = spark.range(1000).select((col("id") * 7 % 613).as("v"))
     val b = spark.range(800).select((col("id") * 11 % 613).as("v"))
