@@ -1415,6 +1415,39 @@ object LlmQueries {
         col("source") =!= "src3" && col("n_chars") >= 150)
       graft.ops.Monitor.histogramDriftBy(a, b, "n_chars", "source", 150L, 4)
         .orderBy("source", "bucket")
+    }),
+
+    // The per-doc disposition audit, oracle-replayed: a corpus planted
+    // with one population per stage — %13 fingerprints blocked, %5
+    // re-keyed exact copies, %17 low-quality stubs, %19 rows carrying a
+    // benchmark 5-gram — must label every input doc with the FIRST
+    // stage that dropped it, in the recipe's precedence order
+    // (blocklist beats exact-dup beats quality beats decontamination).
+    // Near-dup is off (threshold 2.0) so DuckDB can replay every label.
+    "q100_audit_labels" -> ((s, dir) => {
+      import s.implicits._
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val lowq = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("zz xx yy id"), col("doc_id").cast("string")).as("text"))
+      val contam = base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("the report of row"), col("doc_id").cast("string"),
+            lit(" lists a total and the gram alpha beta gamma delta epsilon"))
+            .as("text"))
+      val corpus = base.unionByName(copies).unionByName(lowq).unionByName(contam)
+      val bl = base.filter(col("doc_id") % 13 === 0)
+        .select(TextAnalysis.fingerprint(
+          TextAnalysis.redactPii(col("text"))).as("content_key"))
+      val bench = Seq((900000L,
+        "benchmark holdout phrase alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val r = Curate.curate(corpus, bench, "doc_id", "text",
+        Curate.Config(nearDupThreshold = 2.0, blocklist = Some(bl),
+          audit = true))
+      r.audit.get.orderBy("doc_id")
     })
   )
 
@@ -3319,6 +3352,77 @@ object LlmQueries {
         |  CASE WHEN tot_a > 0 AND tot_b > 0
         |       THEN CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
         |            / (tot_a * tot_b) END AS gap_ppm
-        |FROM j JOIN t ON j.grp = t.grp ORDER BY source, bucket""".stripMargin
+        |FROM j JOIN t ON j.grp = t.grp ORDER BY source, bucket""".stripMargin,
+
+    // stage precedence replayed as one CASE: blocklist → exact_dup →
+    // quality_floor → contaminated → survived (near-dup configured off)
+    "q100_audit_labels" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'zz xx yy id' || CAST(doc_id AS VARCHAR)
+        |  FROM base WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000,
+        |    'the report of row' || CAST(doc_id AS VARCHAR) ||
+        |    ' lists a total and the gram alpha beta gamma delta epsilon'
+        |  FROM base WHERE doc_id % 19 = 0),
+        |fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM corpus),
+        |bl AS (
+        |  SELECT DISTINCT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM base WHERE doc_id % 13 = 0),
+        |blk AS (
+        |  SELECT f.doc_id, f.text, f.fp,
+        |    EXISTS (SELECT 1 FROM bl WHERE bl.fp = f.fp) AS blocked
+        |  FROM fp f),
+        |adm AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |  FROM blk WHERE NOT blocked),
+        |q AS (
+        |  SELECT doc_id, text, keeper,
+        |    CAST(CAST((
+        |      CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+        |                AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+        |           WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+        |           ELSE 0.0 END * 0.4
+        |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+        |                  AND CAST(len(list_filter(string_split(text, ' '),
+        |                        t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+        |                      / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+        |             THEN 1.0 ELSE 0.3 END * 0.4
+        |      + CASE WHEN (CASE WHEN length(text) > 0
+        |                        THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |                        ELSE 0.0 END) <= 0.2
+        |             THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE) AS quality
+        |  FROM adm),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks FROM q),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+        |  FROM tok WHERE len(toks) >= 5),
+        |btok AS (
+        |  SELECT list_filter(string_split('benchmark holdout phrase alpha beta gamma delta epsilon zeta', ' '), t -> t != '') AS toks),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS g
+        |  FROM btok),
+        |cont AS (SELECT DISTINCT t.doc_id FROM g t JOIN bg ON t.g = bg.g),
+        |lab AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.blocked THEN 'blocklist'
+        |         WHEN q.doc_id != q.keeper THEN 'exact_dup'
+        |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         WHEN EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = b.doc_id)
+        |              THEN 'contaminated'
+        |         ELSE 'survived' END AS stage
+        |  FROM blk b LEFT JOIN q ON q.doc_id = b.doc_id)
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin
   )
 }
