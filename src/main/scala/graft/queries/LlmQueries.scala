@@ -1448,6 +1448,42 @@ object LlmQueries {
         Curate.Config(nearDupThreshold = 2.0, blocklist = Some(bl),
           audit = true))
       r.audit.get.orderBy("doc_id")
+    }),
+
+    // The Misra-Gries heavy-hitters Aggregator through the oracle gate:
+    // with capacity ≥ the distinct vocabulary, reduce never decrements
+    // and merge never truncates, so the sketch's counts are EXACT
+    // regardless of partitioning/merge order — and DuckDB's plain
+    // GROUP BY count must hash-match the top-50 (count desc, token).
+    // The same code path then degrades gracefully when capacity binds
+    // (the production regime, unit-tested separately).
+    "q101_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val hh = new graft.functions.HeavyHitters(1 << 17)
+      // widen the keyspace past the synthetic 31-token vocabulary: one
+      // unique `rareNNN` token per doc, so the sketch carries thousands
+      // of singleton keys under the 31 hot ones and the top-50 boundary
+      // exercises the (count desc, token) tie-break
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(
+          lower(concat(col("text"), lit(" rare"), col("doc_id"))))).as("value"))
+        .as[String]
+      val m = toks.select(hh.toColumn.name("hh")).head()
+      m.toSeq.toDF("token", "cnt")
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Activity-shape drift on the EVENTS table: hour-of-day histograms
+    // of two event populations (odd event_ids lose their night hours —
+    // a simulated logger outage), through the same exact-integer
+    // machinery as q94 — one Monitor, any table.
+    "q102_event_hour_drift" -> ((s, dir) => {
+      val e = table(s, dir, "events").withColumn("hh", hour(col("ts")))
+      val a = e.filter(col("event_id") % 2 === 0)
+      val b = e.filter(col("event_id") % 2 === 1 && col("hh") >= 6)
+      graft.ops.Monitor.histogramDrift(a, b, "hh", 3L, 8)
+        .orderBy("bucket")
     })
   )
 
@@ -3423,6 +3459,37 @@ object LlmQueries {
         |              THEN 'contaminated'
         |         ELSE 'survived' END AS stage
         |  FROM blk b LEFT JOIN q ON q.doc_id = b.doc_id)
-        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
+
+    // exact regime: plain GROUP BY count equals the saturated sketch
+    "q101_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(lower(text || ' rare' || CAST(doc_id AS VARCHAR)), ' '), x -> x != '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // q94's machinery over events: hour-of-day shape compare
+    "q102_event_hour_drift" ->
+      """WITH a AS (
+        |  SELECT least(greatest(coalesce(CAST(hour(ts) AS BIGINT), 0), 0) // 3, 7) AS bucket
+        |  FROM events WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT least(greatest(coalesce(CAST(hour(ts) AS BIGINT), 0), 0) // 3, 7) AS bucket
+        |  FROM events WHERE event_id % 2 = 1 AND hour(ts) >= 6),
+        |ha AS (SELECT bucket, count(*) AS c_a FROM a GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS c_b FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |         CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |         CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(c_b) AS BIGINT) AS tot_b FROM j)
+        |SELECT bucket, c_a, c_b,
+        |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS gap_num,
+        |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
+        |         / (tot_a * tot_b) AS gap_ppm
+        |FROM j, t ORDER BY bucket""".stripMargin
   )
 }
