@@ -1484,6 +1484,22 @@ object LlmQueries {
       val b = e.filter(col("event_id") % 2 === 1 && col("hh") >= 6)
       graft.ops.Monitor.histogramDrift(a, b, "hh", 3L, 8)
         .orderBy("bucket")
+    }),
+
+    // The WeightedMean Aggregator through the oracle gate: token-count-
+    // weighted mean quality per language. Inputs are made INTEGRAL
+    // (quality ×100 through the exact decimal, ntok) so every partial
+    // double sum is an exact integer — order-independent — and only the
+    // final Σwx∕Σw division rounds, identically in both engines.
+    "q103_weighted_mean" -> ((s, dir) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      table(s, dir, "documents")
+        .withColumn("x", (TextAnalysis.qualityScore(col("text")) * 100)
+          .cast("long").cast("double"))
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("double"))
+        .groupBy("lang")
+        .agg(wm(col("x"), col("w")).as("wq100"))
+        .orderBy("lang")
     })
   )
 
@@ -3490,6 +3506,32 @@ object LlmQueries {
         |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS gap_num,
         |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) * 1000000.0
         |         / (tot_a * tot_b) AS gap_ppm
-        |FROM j, t ORDER BY bucket""".stripMargin
+        |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // integral x=quality×100 (via the exact decimal) and w=ntok: both
+    // engines sum exact integers in doubles, then divide once
+    "q103_weighted_mean" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','is'], t))) AS sw,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS np
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, ntok,
+        |    CAST(CAST((CASE WHEN ntok >= 20 AND ntok <= 1000 THEN 1.0
+        |          WHEN ntok >= 5 THEN 0.5 ELSE 0.0 END * 0.4
+        |     + CASE WHEN ntok > 0 AND CAST(sw AS DOUBLE) / ntok >= 0.05
+        |            THEN 1.0 ELSE 0.3 END * 0.4
+        |     + CASE WHEN (CASE WHEN length(text) > 0
+        |                       THEN CAST(np AS DOUBLE) / length(text)
+        |                       ELSE 0.0 END) <= 0.2
+        |            THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) * 100 AS BIGINT) AS x
+        |  FROM d)
+        |SELECT lang,
+        |  sum(CAST(x AS DOUBLE) * CAST(ntok AS DOUBLE))
+        |    / sum(CAST(ntok AS DOUBLE)) AS wq100
+        |FROM sc GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }
