@@ -1500,6 +1500,31 @@ object LlmQueries {
         .groupBy("lang")
         .agg(wm(col("x"), col("w")).as("wq100"))
         .orderBy("lang")
+    }),
+
+    // SQL-only face for the r11 layout + canonicalization functions: the
+    // whole query is AUTHORED AS SQL — graft_nfc canonicalizes a planted
+    // decomposed suffix before fingerprinting, graft_zorder2 interleaves
+    // the exact-integer-quantized (n_chars, ntok) lanes. A SQL-only user
+    // gets byte-identical keys to the Scala writer (the oracle replays
+    // the quantizer, the spread chain, and utf8proc NFC).
+    "q104_sql_layout" -> ((s, dir) => {
+      graft.plans.GraftExtensions.install(s)
+      graft.SparkEntry.registerViews(s, dir)
+      s.sql("""
+        |WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS b,
+        |    md5(lower(graft_nfc(concat(text, ' café')))) AS norm_key
+        |  FROM documents),
+        |st AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb, max(b) AS mxb FROM d),
+        |q AS (
+        |  SELECT doc_id, norm_key,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 65535) div (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 65535) div (mxb - mnb) END AS qb
+        |  FROM d, st)
+        |SELECT doc_id, graft_zorder2(qa, qb) AS zkey, norm_key
+        |FROM q ORDER BY zkey, doc_id""".stripMargin)
     })
   )
 
@@ -3532,6 +3557,27 @@ object LlmQueries {
         |SELECT lang,
         |  sum(CAST(x AS DOUBLE) * CAST(ntok AS DOUBLE))
         |    / sum(CAST(ntok AS DOUBLE)) AS wq100
-        |FROM sc GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // q89's quantize+spread chain, plus utf8proc NFC on the decomposed
+    // suffix — the SQL-only surface must match bit for bit
+    "q104_sql_layout" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS b,
+        |    md5(lower(nfc_normalize(text || ' cafe' || chr(769)))) AS norm_key
+        |  FROM documents),
+        |s AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb, max(b) AS mxb FROM d),
+        |q AS (
+        |  SELECT doc_id, norm_key,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 65535) // (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 65535) // (mxb - mnb) END AS qb
+        |  FROM d, s),
+        |p1 AS (SELECT doc_id, norm_key, ((qa | (qa << 8)) & 16711935) AS a1, ((qb | (qb << 8)) & 16711935) AS b1 FROM q),
+        |p2 AS (SELECT doc_id, norm_key, ((a1 | (a1 << 4)) & 252645135) AS a2, ((b1 | (b1 << 4)) & 252645135) AS b2 FROM p1),
+        |p3 AS (SELECT doc_id, norm_key, ((a2 | (a2 << 2)) & 858993459) AS a3, ((b2 | (b2 << 2)) & 858993459) AS b3 FROM p2),
+        |p4 AS (SELECT doc_id, norm_key, ((a3 | (a3 << 1)) & 1431655765) AS a4, ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM p3)
+        |SELECT doc_id, CAST((a4 | (b4 << 1)) AS BIGINT) AS zkey, norm_key
+        |FROM p4 ORDER BY zkey, doc_id""".stripMargin
   )
 }

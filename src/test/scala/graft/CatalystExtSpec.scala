@@ -190,6 +190,17 @@ class CatalystExtSpec extends SparkSpec {
     assert(fps(0).getString(1) != fps(1).getString(1))
   }
 
+  test("SQL-composed normalized fingerprint equals the Column API") {
+    GraftExtensions.install(spark)
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .withColumn("text", concat(col("text"), lit(" café"))) // decomposed
+    val both = docs.select(
+      expr("md5(concat_ws(' ', filter(split(lower(graft_nfc(text)), ' '), t -> t != '')))").as("sqlfp"),
+      TextAnalysis.normalizedFingerprint(col("text")).as("apifp"))
+    assert(both.filter(col("sqlfp") =!= col("apifp")).count() == 0)
+  }
+
   test("graft_zorder2 matches Layout.interleave16 bit-for-bit") {
     GraftExtensions.install(spark)
     import spark.implicits._
