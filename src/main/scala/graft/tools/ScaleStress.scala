@@ -45,6 +45,7 @@ object ScaleStress {
     val onlyVocab = args.contains("--only-vocab")
     val onlyWinnow = args.contains("--only-winnow")
     val onlyOverlap = args.contains("--only-overlap")
+    val onlyBlocklist = args.contains("--only-blocklist")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -89,7 +90,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
+    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -104,7 +105,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
+    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -121,7 +122,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab && !onlyOverlap)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -143,7 +144,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -178,7 +179,46 @@ object ScaleStress {
       }
       d.unpersist()
     }
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap) { spark.stop(); return }
+    // Bloom-prefiltered blocklist subtraction vs the plain shuffled
+    // anti-join, in the regime Bloom targets: a blocklist too big to
+    // broadcast (threshold forced to -1, simulating the 10^8-10^9-key
+    // production case). The plain anti-join shuffles the whole corpus --
+    // text and all -- on the fingerprint key; the Bloom pass exits the
+    // clean ~90% map-side and shuffles only the candidate sliver, so its
+    // read bytes should be ~the blocklist + hits while the plain join's
+    // grow with the corpus. Row counts must agree exactly at every scale.
+    if (onlyBlocklist || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
+      val d = corpus(m)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== blocklist corpus ${m}x: ${d.count()} docs ===")
+      val bl = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("content_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nBl = bl.count()
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      var plainRows = 0L
+      var bloomRows = 0L
+      try {
+        phase(s"${m}x_anti_plain_shuffled") {
+          plainRows = d.join(bl, d("fp") === bl("content_key"), "left_anti").count()
+          plainRows
+        }
+        phase(s"${m}x_anti_bloom") {
+          bloomRows = graft.ops.Blocklist
+            .bloomAntiJoin(d, "fp", bl, "content_key", expectedItems = nBl)
+            .count()
+          bloomRows
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      require(plainRows == bloomRows,
+        s"bloom result diverged: $bloomRows vs $plainRows")
+      bl.unpersist(); d.unpersist()
+    }
+
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
