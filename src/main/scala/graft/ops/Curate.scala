@@ -323,8 +323,8 @@ object Curate {
     // id-only; the union partitions the INPUT id set exactly (asserted
     // in LlmOpsSpec). Stage names appear even when their stage is
     // configured off — an off stage drops nothing, so it never labels.
-    val auditFrame =
-      if (!cfg.audit) None
+    val (auditFrame, auditRelease: (() => Unit)) =
+      if (!cfg.audit) (None, () => ())
       else {
         val handoffs: Seq[(String, DataFrame)] = Seq(
           "boilerplate_empty" -> docs1,
@@ -338,17 +338,26 @@ object Curate {
           "bigram_lm" -> quality,
           "contaminated" -> clean,
           "temperature_cut" -> balanced)
-        val ids = handoffs.map { case (n, f) => n -> f.select(col(idCol)) }
+        // each id frame is read twice (as a stage's survivors and as the
+        // next stage's input) AND sits on a by-now-unpersisted lineage —
+        // caching the tiny id projections makes the whole walk cost ~one
+        // recipe pass instead of ~11 partial recomputes
+        val ids = handoffs.map { case (n, f) =>
+          n -> f.select(col(idCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         val dropped = (docs.select(col(idCol)) +: ids.map(_._2))
           .zip(ids)
           .map { case (prev, (stage, cur)) =>
             prev.join(cur, Seq(idCol), "left_anti")
               .withColumn("stage", lit(stage))
           }
-        Some(dropped
+        (Some(dropped
           .reduce(_.unionByName(_))
-          .unionByName(ids.last._2.withColumn("stage", lit("survived"))))
+          .unionByName(ids.last._2.withColumn("stage", lit("survived")))),
+          () => ids.foreach(_._2.unpersist()))
       }
-    Result(emitted, stats, () => { clean.unpersist(); () }, auditFrame)
+    Result(emitted, stats,
+      () => { clean.unpersist(); auditRelease(); () }, auditFrame)
   }
 }
