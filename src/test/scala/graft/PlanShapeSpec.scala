@@ -573,6 +573,25 @@ class PlanShapeSpec extends SparkSpec {
       val p92 = exec("q92_stats_pruned_read").toString
       assert(p92.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)"),
         s"q92 range predicate not pushed to the pruned scan:\n$p92")
+      // q99: the stratified drift's exchanges carry only (source, bucket,
+      // count) — never text — and histograms pre-combine map-side.
+      val p99 = exec("q99_drift_by_source")
+      assert(p99.toString.contains("partial_"),
+        s"q99 lost map-side partial aggregation:\n$p99")
+      hashShuffles(p99).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"q99 exchange carries document text:\n$p99")
+      }
+      // q103: the typed Aggregator runs as a partial+final
+      // ObjectHashAggregate; its lang-keyed exchange moves the (Σwx, Σw)
+      // buffer, never the text the scores came from.
+      val p103 = exec("q103_weighted_mean")
+      assert(p103.toString.contains("ObjectHashAggregate"),
+        s"q103 did not plan ObjectHashAggregate:\n$p103")
+      hashShuffles(p103).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"q103 exchange carries document text:\n$p103")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
