@@ -510,6 +510,34 @@ object RelationalQueries {
         .select(col("snapshot_date").cast("string").as("snapshot_date"),
           col("nb_movies"), col("nb_movies_with_omdb"))
         .orderBy("snapshot_date")
+    }),
+
+    // Star-schema rollup across the full dimension chain: lineitem ⋈
+    // orders ⋈ customer ⋈ nation ⋈ region, revenue per (region, nation,
+    // order year). The fact-side joins shuffle on their keys; the two
+    // geography dims ride explicit broadcasts (they are constant-sized
+    // at any SF — the canonical small-dim case). Revenue is an exact
+    // DECIMAL product-sum — price(18,2) × (1 − discount)(18,2) has 4dp,
+    // summed exactly in any order — cast to double only at the surface.
+    "q105_star_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("nb_items"))
+        .orderBy("r_name", "n_name", "yr")
     })
   )
 
@@ -839,6 +867,21 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS nb_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact JOIN dim ON fact.k = dim.k
-        |GROUP BY 1, 2 ORDER BY k""".stripMargin
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin,
+
+    // exact decimal product-sum; year() on the naive timestamp matches
+    // the UTC session
+    "q105_star_revenue" ->
+      """SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS nb_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3 ORDER BY r_name, n_name, yr""".stripMargin
   )
 }
