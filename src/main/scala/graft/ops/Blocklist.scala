@@ -69,14 +69,19 @@ object Blocklist {
                     block: DataFrame, blockKeyCol: String,
                     expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val bytes = serialize(buildBloom(block, blockKeyCol, expectedItems, fpp))
-    val tagged = corpus.withColumn("__might",
+    // Collision-free staging column (ADVICE r11): a hardcoded name would
+    // silently overwrite — then drop — a caller's column of the same
+    // name. Deterministic probe: first free suffix wins.
+    val might = Iterator.from(0).map(i => s"__graft_might_$i")
+      .find(n => !corpus.columns.contains(n)).get
+    val tagged = corpus.withColumn(might,
       mightContain(corpus, keyCol, bytes))
     // NULL key → NULL probe → neither branch would keep it; route NULL
     // (and false) to the clean branch — anti-join keeps null keys anyway.
-    val clean = tagged.filter(!coalesce(col("__might"), lit(false)))
-      .drop("__might")
-    val candidates = tagged.filter(coalesce(col("__might"), lit(false)))
-      .drop("__might")
+    val clean = tagged.filter(!coalesce(col(might), lit(false)))
+      .drop(might)
+    val candidates = tagged.filter(coalesce(col(might), lit(false)))
+      .drop(might)
     val confirmed = candidates.join(block.select(col(blockKeyCol)),
       candidates(keyCol) === block(blockKeyCol), "left_anti")
     clean.unionByName(confirmed)

@@ -45,12 +45,41 @@ object Layout {
   def interleave16(a16: Column, b16: Column): Column =
     spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
 
-  /** Add a Z-order key over two numeric columns, each linearly quantized
-    * to 16 bits against its corpus min/max in EXACT integer arithmetic:
-    * q = ((x − min) × 65535) div (max − min), so the key is reproducible
-    * cross-engine (no IEEE rounding in the quantizer). A constant column
-    * (max = min) quantizes to 0; a NULL in either dimension yields a NULL
-    * key (sorts last in the write — the usual stats-free tail).
+  /** Linear quantizer onto the full `[0, 2^bits)` grid in EXACT integer
+    * arithmetic: `q = ((x − min) · (2^bits − 1)) div (max − min)`,
+    * computed in DECIMAL — overflow-safe over the FULL int64 domain
+    * (ADVICE r11: the BIGINT form wrapped silently once the range passed
+    * ~1.4e14 — epoch-micros timestamps, hash keys — and `mx − mn` itself
+    * wrapped for signed extremes, corrupting keys with no error). An
+    * int64 difference needs ≤ 20 digits and the product ≤ ~25, so
+    * DECIMAL(38,0) holds every intermediate exactly; the result is
+    * bit-identical to the old BIGINT path wherever that path didn't
+    * overflow, and engine-neutral (integer division truncates identically
+    * on non-negative operands everywhere).
+    *
+    * Normalizing to the FULL grid (not a width-based `div`) matters for
+    * layout quality: it puts every dimension's information at the same
+    * bit significance, so a small-range dimension (`0..63` file ids)
+    * interleaves on equal terms with a wide one (`0..10⁹` timestamps) —
+    * a magnitude-preserving quantizer parks the small dimension in the
+    * key's low bits and its pruning vanishes (caught by LayoutSpec /
+    * StatsManifestSpec when this was tried). A constant column
+    * (max = min) quantizes to 0; NULL passes through. */
+  private def quantize(c: String, mn: String, mx: String, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    val x = s"CAST(`$c` AS DECIMAL(20,0))"
+    val lo = s"CAST(`$mn` AS DECIMAL(20,0))"
+    val hi = s"CAST(`$mx` AS DECIMAL(20,0))"
+    expr(s"CASE WHEN `$c` IS NULL THEN CAST(NULL AS BIGINT) " +
+      s"WHEN `$mx` <= `$mn` THEN CAST(0 AS BIGINT) " +
+      s"ELSE (($x - $lo) * ${top}L) div ($hi - $lo) END")
+  }
+
+  /** Add a Z-order key over two numeric columns, each quantized to 16
+    * bits against its corpus min/max via the overflow-safe exact-integer
+    * [[quantize]], so the key is reproducible cross-engine (no IEEE
+    * rounding anywhere). A NULL in either dimension yields a NULL key
+    * (sorts last in the write — the usual stats-free tail).
     *
     * The min/max frame is one row, cross-joined back with an explicit
     * broadcast — the plan is a BroadcastNestedLoopJoin over a 1-row side,
@@ -62,16 +91,55 @@ object Layout {
       max(col(colA).cast("long")).as("__mx_a"),
       min(col(colB).cast("long")).as("__mn_b"),
       max(col(colB).cast("long")).as("__mx_b"))
-    def quant(c: String, mn: String, mx: String): Column =
-      when(col(c).isNull, lit(null))
-        .when(col(mx) <= col(mn), lit(0L))
-        .otherwise(expr(
-          s"((CAST(`$c` AS BIGINT) - `$mn`) * 65535) div (`$mx` - `$mn`)"))
     df.crossJoin(broadcast(stats))
       .withColumn(out,
-        interleave16(quant(colA, "__mn_a", "__mx_a"),
-                     quant(colB, "__mn_b", "__mx_b")))
+        interleave16(quantize(colA, "__mn_a", "__mx_a", 16),
+                     quantize(colB, "__mn_b", "__mx_b", 16)))
       .drop("__mn_a", "__mx_a", "__mn_b", "__mx_b")
+  }
+
+  /** Generic bit spread for N-way interleave: distribute the low `bits`
+    * bits of a non-negative long with stride `n`, starting at bit
+    * `offset` (bit i → bit i·n + offset). A fold of shift/and/or — plain
+    * codegen'd bigint arithmetic, replayable in any engine's SQL as
+    * Σᵢ ((q >> i) & 1) << (i·n + offset). The 2-D fast path keeps the
+    * magic-mask [[spread16]]; this generic form is what makes the key
+    * N-dimensional without a per-N mask table. */
+  def spreadBits(x: Column, n: Int, bits: Int, offset: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), i * n + offset)
+    }.reduce(_.bitwiseOR(_))
+
+  /** N-dimensional Z-order key (VERDICT r11 #4 — generalizes
+    * [[zorderKey2]]): each of `dims` is `(column, bits)`; per-dimension
+    * bit budgets must sum to ≤ 63 (the key stays a non-negative BIGINT).
+    * Dimension j's quantized value occupies bits `i·n + j` — dimensions
+    * interleave round-robin from the low bit, so a range predicate on ANY
+    * listed dimension narrows file envelopes after a range-sorted write.
+    * Budgets need not be equal: give a high-cardinality timestamp 24
+    * bits and a small enum 8. Same exact-integer quantizer, same 1-row
+    * broadcast stats frame, same NULL-propagates contract as the 2-D
+    * key. */
+  def zorderKeyN(df: DataFrame, dims: Seq[(String, Int)],
+                 out: String = "zkey"): DataFrame = {
+    require(dims.size >= 2, s"need >=2 dimensions (got ${dims.size})")
+    require(dims.forall(_._2 > 0), s"bit budgets must be positive: $dims")
+    require(dims.map(_._2).sum <= 63,
+      s"bit budgets must sum to <=63 (got ${dims.map(_._2).sum}) so the key fits a non-negative BIGINT")
+    val n = dims.size
+    val stats = df.agg(
+      min(col(dims.head._1).cast("long")).as(s"__mn_0"),
+      (max(col(dims.head._1).cast("long")).as(s"__mx_0") +:
+        dims.tail.zipWithIndex.flatMap { case ((c, _), i) =>
+          Seq(min(col(c).cast("long")).as(s"__mn_${i + 1}"),
+            max(col(c).cast("long")).as(s"__mx_${i + 1}"))
+        }): _*)
+    val key = dims.zipWithIndex.map { case ((c, bits), j) =>
+      spreadBits(quantize(c, s"__mn_$j", s"__mx_$j", bits), n, bits, j)
+    }.reduce(_.bitwiseOR(_))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, key)
+      .drop(dims.indices.flatMap(j => Seq(s"__mn_$j", s"__mx_$j")): _*)
   }
 
   /** Z-order clustered write: key, range-repartition into `nFiles`
@@ -88,6 +156,20 @@ object Layout {
                   path: String): Unit = {
     require(nFiles > 0, s"nFiles must be positive (got $nFiles)")
     zorderKey2(df, colA, colB)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** N-dimensional Z-order clustered write ([[zorderKeyN]] +
+    * range-repartition + in-file sort): file envelopes stay narrow in
+    * EVERY listed dimension, so a range predicate on any of them prunes
+    * files (LayoutSpec asserts all three on a 3-dim write). Same
+    * single-range-shuffle budget as [[zorderWrite]]. */
+  def zorderWriteN(df: DataFrame, dims: Seq[(String, Int)], nFiles: Int,
+                   path: String): Unit = {
+    require(nFiles > 0, s"nFiles must be positive (got $nFiles)")
+    zorderKeyN(df, dims)
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)

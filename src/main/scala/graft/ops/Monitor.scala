@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: histogram compare is EXACT integer arithmetic
   * end to end — per-bucket share gaps are computed as cross-multiplied
-  * BIGINT numerators |c_a·tot_b − c_b·tot_a| (never a float subtraction
-  * of two divisions), so the report is oracle-hash-checkable and
-  * byte-stable across engines/partitionings. One IEEE division only at
-  * the optional ppm surface, correctly rounded hence also deterministic.
+  * numerators |c_a·tot_b − c_b·tot_a| (never a float subtraction of two
+  * divisions), so the report is oracle-hash-checkable and byte-stable
+  * across engines/partitionings. The cross-multiply runs in
+  * DECIMAL(38,0) (a product of two int64 counts needs up to 38 digits —
+  * BIGINT wraps silently past ~3·10⁹ rows/side with ANSI off, yielding
+  * a wrong-but-plausible drift report); the BIGINT `gap_num` surface is
+  * kept for the oracle face and RAISES if the exact value doesn't fit,
+  * rather than wrapping. One IEEE division only at the ppm surface,
+  * correctly rounded hence also deterministic (the double denominator
+  * product is exact below 2⁵³ and correctly rounded above).
   *
   * 100 TB posture: each snapshot is reduced map-side to (bucket, count)
   * partials — the only thing on any exchange is a bucket id and a long;
@@ -31,6 +37,28 @@ object Monitor {
     expr(s"least(greatest(coalesce(CAST(`$valueCol` AS BIGINT), " +
       s"CAST(0 AS BIGINT)), CAST(0 AS BIGINT)) div $bucketWidth, " +
       s"CAST(${nBuckets - 1} AS BIGINT))")
+
+  /** Exact cross-multiplied gap numerator |c_a·tot_b − c_b·tot_a| in
+    * DECIMAL(38,0): int64 counts are widened to DECIMAL(19,0) first so
+    * the products (≤ ~8.5·10³⁷, 38 digits) never wrap. */
+  private def gapDec(cA: Column, totA: Column, cB: Column, totB: Column): Column =
+    abs(cA.cast("decimal(19,0)") * totB.cast("decimal(19,0)") -
+      cB.cast("decimal(19,0)") * totA.cast("decimal(19,0)"))
+
+  /** BIGINT face of the exact numerator: errors loudly (raise_error)
+    * instead of wrapping when the exact value exceeds Long.MaxValue —
+    * at that scale consume the decimal via [[gapDec]] directly. */
+  private def gapLong(g: Column): Column =
+    when(g <= lit(Long.MaxValue).cast("decimal(19,0)"), g.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("histogramDrift: exact gap_num overflows BIGINT ("), g.cast("string"),
+        lit(") — totals too large for the int64 surface"))))
+
+  /** ppm surface: one IEEE division, denominator as a double product
+    * (exact below 2⁵³, correctly rounded above — never an int64 wrap). */
+  private def ppm(g: Column, totA: Column, totB: Column): Column =
+    (g.cast("double") * 1000000.0 / (totA.cast("double") * totB.cast("double")))
+      .cast("double")
 
   /** Histogram drift between snapshots `a` and `b` on `valueCol`: one
     * row per bucket with both counts and the exact share-gap numerator
@@ -53,12 +81,10 @@ object Monitor {
     val totals = joined.agg(
       sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
     joined.crossJoin(broadcast(totals))
-      .withColumn("gap_num",
-        abs(col("c_a") * col("__tot_b") - col("c_b") * col("__tot_a")))
-      .withColumn("gap_ppm",
-        (col("gap_num") * 1000000.0 / (col("__tot_a") * col("__tot_b")))
-          .cast("double"))
-      .drop("__tot_a", "__tot_b")
+      .withColumn("__gap", gapDec(col("c_a"), col("__tot_a"), col("c_b"), col("__tot_b")))
+      .withColumn("gap_num", gapLong(col("__gap")))
+      .withColumn("gap_ppm", ppm(col("__gap"), col("__tot_a"), col("__tot_b")))
+      .drop("__gap", "__tot_a", "__tot_b")
   }
 
   /** Per-group drift — [[histogramDrift]] stratified on `groupCol`
@@ -87,13 +113,12 @@ object Monitor {
     val totals = joined.groupBy(col("grp"))
       .agg(sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
     joined.join(broadcast(totals), Seq("grp"))
-      .withColumn("gap_num",
-        abs(col("c_a") * col("__tot_b") - col("c_b") * col("__tot_a")))
+      .withColumn("__gap", gapDec(col("c_a"), col("__tot_a"), col("c_b"), col("__tot_b")))
+      .withColumn("gap_num", gapLong(col("__gap")))
       .withColumn("gap_ppm",
         when(col("__tot_a") > 0 && col("__tot_b") > 0,
-          (col("gap_num") * 1000000.0 / (col("__tot_a") * col("__tot_b")))
-            .cast("double")))
-      .drop("__tot_a", "__tot_b")
+          ppm(col("__gap"), col("__tot_a"), col("__tot_b"))))
+      .drop("__gap", "__tot_a", "__tot_b")
       .withColumnRenamed("grp", groupCol)
   }
 }

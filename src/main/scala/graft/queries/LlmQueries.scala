@@ -1459,7 +1459,6 @@ object LlmQueries {
     // (the production regime, unit-tested separately).
     "q101_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val hh = new graft.functions.HeavyHitters(1 << 17)
       // widen the keyspace past the synthetic 31-token vocabulary: one
       // unique `rareNNN` token per doc, so the sketch carries thousands
       // of singleton keys under the 31 hot ones and the top-50 boundary
@@ -1468,6 +1467,19 @@ object LlmQueries {
         .select(explode(TextAnalysis.tokens(
           lower(concat(col("text"), lit(" rare"), col("doc_id"))))).as("value"))
         .as[String]
+      // Capacity sized FROM the corpus (ADVICE r11): distinct tokens are
+      // ≤ base vocab + one rare token per doc by construction, so size to
+      // the next power of two above nDocs + headroom instead of a fixed
+      // 2^17 a bigger SF would silently overflow into the approximate
+      // regime — and ASSERT the distinct count so any generator change
+      // fails loudly rather than quietly degrading the exactness claim.
+      val nDocs = table(s, dir, "documents").count()
+      val cap = math.max(1L << 17,
+        java.lang.Long.highestOneBit(nDocs + 4096) << 1).toInt
+      val nDistinct = toks.distinct().count()
+      require(nDistinct < cap,
+        s"q101 exactness bound violated: $nDistinct distinct tokens >= capacity $cap")
+      val hh = new graft.functions.HeavyHitters(cap)
       val m = toks.select(hh.toColumn.name("hh")).head()
       m.toSeq.toDF("token", "cnt")
         .orderBy(col("cnt").desc, col("token"))

@@ -486,18 +486,27 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
-    // Flagship-lifecycle macro-benchmark: a 30-day Pipeline.backfill over
+    // Flagship-lifecycle macro-benchmark: a 10-day Pipeline.backfill over
     // a deterministic synthetic raw zone (SyntheticRaw, sliding ~80%-
     // overlap id windows) — per-day manifests, DQ gates, dynamic
-    // partition overwrites and serving sinks, thirty times over. The
+    // partition overwrites and serving sinks, ten times over. The
     // construction RUNS the backfill, so Bench's timing captures the
     // per-day overhead the golden tests can't see regressing; the result
     // face is the per-day KPI read back from the lake it just wrote.
-    // DuckDB cannot replay the lifecycle → no oracle; the driver records
-    // the rows-only check (30 days, deterministic counts). Bench runs it
-    // single-pass (see Bench.singlePass).
+    // The arc is 10 days (not 30): the signal is per-day overhead × N,
+    // so a longer arc only multiplies bench wall without adding
+    // information — tools/TimeBackfill.scala covers long arcs. DuckDB
+    // cannot replay the lifecycle, but the RESULT face is closed-form:
+    // SyntheticRaw's values are pure functions of (day, id), every day
+    // carries exactly 50 popular movies whose id window starts on a
+    // multiple of 10, and the OMDb docs exist for ids with i%2==0 and
+    // i%5!=0 — 4 per 10 consecutive ids = 20 per day. The oracle
+    // therefore generates the expected (snapshot_date, 50, 20) rows
+    // arithmetically (see `oracles`), making this row hash-checkable
+    // without replaying the lifecycle. Bench runs it single-pass (see
+    // Bench.singlePass).
     "q82_backfill_days" -> ((s, dir) => {
-      val dates = (1 to 30).map(d => f"2026-03-$d%02d")
+      val dates = (1 to 10).map(d => f"2026-03-$d%02d")
       val base = java.nio.file.Files.createTempDirectory("graft-q82-").toString
       graft.sources.SyntheticRaw.writeDays(s"$base/raw", dates, moviesPerDay = 50)
       val cfg = graft.Pipeline.Config(s"$base/raw", s"$base/lake",
@@ -868,6 +877,23 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact JOIN dim ON fact.k = dim.k
         |GROUP BY 1, 2 ORDER BY k""".stripMargin,
+
+    // Closed-form replay of the lifecycle's RESULT face (the lifecycle
+    // itself — manifests, DQ gates, upserts, sinks — DuckDB cannot run):
+    // SyntheticRaw writes exactly 50 popular movies per day whose id
+    // window starts at 1 + d*10 (a multiple of 10), and emits an OMDb doc
+    // for ids with i%2==0 AND i%5!=0 — exactly 4 per 10 consecutive ids.
+    // Over 50 ids aligned to a 10-boundary that is 20 matches/day, and
+    // the enrichment join is by imdb_id which exists precisely for those
+    // ids. Derived from the generator's SPEC (SyntheticRaw.scala:24-53),
+    // not from Spark output.
+    "q82_backfill_days" ->
+      """SELECT concat('2026-03-', lpad(CAST(d AS VARCHAR), 2, '0'))
+        |    AS snapshot_date,
+        |  CAST(50 AS BIGINT) AS nb_movies,
+        |  CAST(20 AS BIGINT) AS nb_movies_with_omdb
+        |FROM generate_series(1, 10) t(d)
+        |ORDER BY snapshot_date""".stripMargin,
 
     // exact decimal product-sum; year() on the naive timestamp matches
     // the UTC session

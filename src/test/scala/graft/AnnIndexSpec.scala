@@ -247,6 +247,40 @@ class AnnIndexSpec extends SparkSpec {
       "post-retrain probe diverged from the in-query IVF operator")
   }
 
+  test("default coherence floor calibrates from the build-time ownCos baseline") {
+    // VERDICT r11 #6: with maxSkew effectively disabled, the DEFAULT
+    // policy must still catch coherence-type drift — the floor derives
+    // from the sidecar's build-time ownCos (0.8×), no hand-set threshold.
+    val root = java.nio.file.Files.createTempDirectory("graft-anncos-").toString
+    val base = (1L to 80L).map(i => (i, vecFront(i))).toDF("c_id", "c_vec")
+    AnnIndex.build(base, "c_id", "c_vec", root, cfg, buckets = 4)
+    val baseline = AnnIndex.ownCosAtBuild(spark, root)
+    assert(baseline.exists(_ > 0.5), s"build must stamp a coherent baseline: $baseline")
+
+    // healthy index: neither observable fires under defaults
+    val (d0, ran0) = AnnIndex.maybeRetrain(spark, root, maxSkew = 1e9, cfg = cfg)
+    assert(!ran0 && d0.meanOwnCellCos >= baseline.get * 0.8 - 1e-9,
+      s"healthy index must not trigger the calibrated floor: $d0 vs $baseline")
+
+    // drifted appends halve the mean own-cell cosine (the drifted family
+    // scores 0 against every frozen centroid) — the calibrated floor
+    // fires even though skew is ignored
+    val drifted = (101L to 180L).map(i => (i, vecDrift(i))).toDF("c_id", "c_vec")
+    AnnIndex.append(drifted, "c_id", "c_vec", root)
+    val (d1, ran1) = AnnIndex.maybeRetrain(spark, root, maxSkew = 1e9, cfg = cfg)
+    assert(ran1 && d1.meanOwnCellCos < baseline.get * 0.8,
+      s"cosine observable must trigger retrain under defaults: $d1 vs $baseline")
+
+    // retrain re-stamped the baseline from the retrained geometry; the
+    // recovered index passes the default policy again
+    val baseline2 = AnnIndex.ownCosAtBuild(spark, root)
+    assert(baseline2.nonEmpty && baseline2 != baseline,
+      s"retrain must re-stamp the ownCos baseline: $baseline -> $baseline2")
+    val (d2, ran2) = AnnIndex.maybeRetrain(spark, root, maxSkew = 1e9, cfg = cfg)
+    assert(!ran2 && d2.meanOwnCellCos >= baseline2.get * 0.8 - 1e-9,
+      s"retrained index must pass the recalibrated floor: $d2 vs $baseline2")
+  }
+
   test("remove sweeps a vector out of the postings and out of every neighbor list") {
     val root = java.nio.file.Files.createTempDirectory("graft-annrm-").toString
     val corpus = corpusDf(1L to 80L)

@@ -49,6 +49,23 @@ class BlocklistSpec extends SparkSpec {
     assert(probeHits(strangers) <= 50) // fpp 1%, generous 5% bound
   }
 
+  test("a caller's column named like the staging column survives intact") {
+    // ADVICE r11: r11 staged through a hardcoded __might column, silently
+    // overwriting and dropping any same-named caller column. The staging
+    // name must now dodge collisions — the caller's data comes through.
+    val withClash = corpus
+      .withColumn("__might", col("id") * 10)
+      .withColumn("__graft_might_0", col("id") * 100)
+    val got = Blocklist.bloomAntiJoin(withClash, "k", block, "bk")
+      .select("id", "__might", "__graft_might_0")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 5L))
+    got.foreach { case (id, m, g) =>
+      assert(m == id * 10 && g == id * 100,
+        s"caller columns corrupted for id=$id: __might=$m __graft_might_0=$g")
+    }
+  }
+
   test("plan shape: exactly one join — the clean branch never joins") {
     // range-backed frames: a LocalRelation would be constant-folded by
     // ConvertToLocalRelation and hide the probe from the physical plan

@@ -69,6 +69,24 @@ class EsTransportSpec extends SparkSpec {
     }
   }
 
+  test("bulkIndexLocal fails fast past maxLocalDocs and points at bulkIndexFrame") {
+    withEs { (base, es) =>
+      val client = new HttpEsClient()
+      val cfg = Config(base, maxLocalDocs = 10)
+      // within the cap: normal local path
+      assert(EsTransport.bulkIndexLocal(client, cfg, moviesFrame,
+        "movies", Seq("tmdb_id")) == 5L)
+      // over the cap: require fires BEFORE materializing the frame
+      val big = spark.range(1000).select(col("id").as("tmdb_id"))
+      val e = intercept[IllegalArgumentException] {
+        EsTransport.bulkIndexLocal(client, cfg, big, "movies", Seq("tmdb_id"))
+      }
+      assert(e.getMessage.contains("bulkIndexFrame"),
+        s"guard must point at the partition-parallel path: ${e.getMessage}")
+      assert(es.bulks.size == 1, "the over-limit frame must not reach the wire")
+    }
+  }
+
   test("the existence probe retries 429s like every other exchange") {
     withEs { (base, es) =>
       val client = new HttpEsClient()

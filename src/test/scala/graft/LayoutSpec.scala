@@ -44,6 +44,104 @@ class LayoutSpec extends SparkSpec {
     assert(out(2).isEmpty) // NULL dimension → NULL key
   }
 
+  test("zorderKey2 quantizer is overflow-safe over the full int64 domain") {
+    // r11's BIGINT quantizer ((x−mn)·65535 div range) wrapped once
+    // range > ~1.4e14, and mx−mn itself wrapped for signed extremes —
+    // epoch-micros timestamps and hash-derived keys live there. The
+    // DECIMAL form must keep every quantized lane inside [0, 65536)
+    // and stay monotone.
+    val xs = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      1234567890123456789L, Long.MaxValue - 1, Long.MaxValue)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x, x) }
+      .toDF("id", "a", "b")
+    val q = Layout.zorderKey2(df, "a", "b").orderBy("id")
+      .select("zkey").as[Long].collect()
+    assert(q.forall(_ >= 0L), s"corrupt keys: ${q.toSeq}")
+    // both lanes carry the same value → every key is a 2-bit-spread of
+    // one 16-bit lane ORed with its shift: < 2^32
+    assert(q.forall(_ < (1L << 32)), s"lane escaped 16 bits: ${q.toSeq}")
+    // monotone in the input (same value in both dims ⇒ key order = quantizer order)
+    assert(q.toSeq == q.sorted.toSeq)
+    assert(q.head == 0L && q.last == q.max)
+  }
+
+  test("zorderKeyN: 3-dim bijection on the grid, NULL propagation, budget guard") {
+    // 3 dims × 4 bits: all 4096 grid points → distinct keys < 2^12
+    // values 0,3,…,45: range 45, top 2^4−1 = 15 → q = (x·15) div 45
+    // = x div 3 restores the 0..15 grid exactly
+    val triples = for { a <- 0 to 15; b <- 0 to 15; c <- 0 to 15 }
+      yield (a.toLong * 3, b.toLong * 3, c.toLong * 3)
+    val df = triples.toDF("a", "b", "c")
+    val keys = Layout.zorderKeyN(df, Seq(("a", 4), ("b", 4), ("c", 4)))
+      .select("zkey").as[Long].collect()
+    assert(keys.distinct.length == triples.length)
+    assert(keys.forall(k => k >= 0 && k < (1L << 12)))
+    // NULL in any dimension → NULL key
+    val withNull = Seq((Some(1L), Some(2L), None: Option[Long]))
+      .toDF("a", "b", "c")
+    val nk = Layout.zorderKeyN(withNull, Seq(("a", 4), ("b", 4), ("c", 4)))
+      .select("zkey").as[Option[Long]].collect()
+    assert(nk.head.isEmpty)
+    // budgets must sum to ≤ 63
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(df, Seq(("a", 32), ("b", 31), ("c", 1)))
+    }
+  }
+
+  test("zorderKeyN agrees with an independent bit-by-bit reference") {
+    def refKeyN(qs: Seq[Long], bits: Seq[Int]): Long = {
+      val n = qs.size
+      qs.zip(bits).zipWithIndex.map { case ((q, b), j) =>
+        (0 until b).map(i => ((q >> i) & 1L) << (i * n + j)).foldLeft(0L)(_ | _)
+      }.reduce(_ | _)
+    }
+    // same quantizer replayed in plain Scala (operands small, no overflow)
+    def refQuant(x: Long, mn: Long, mx: Long, bits: Int): Long =
+      if (mx <= mn) 0L else (x - mn) * ((1L << bits) - 1) / (mx - mn)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, ((i * 37) % 256).toLong, ((i * 91) % 64).toLong)
+    }
+    val df = rows.toDF("a", "b", "c")
+    val (mnA, mxA) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (mnB, mxB) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (mnC, mxC) = (rows.map(_._3).min, rows.map(_._3).max)
+    // mixed budgets: 9 + 8 + 6 = 23 bits
+    val got = Layout.zorderKeyN(df, Seq(("a", 9), ("b", 8), ("c", 6)))
+      .select("a", "b", "c", "zkey").as[(Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    got.foreach { case (a, b, c, z) =>
+      val want = refKeyN(Seq(
+        refQuant(a, mnA, mxA, 9), refQuant(b, mnB, mxB, 8),
+        refQuant(c, mnC, mxC, 6)), Seq(9, 8, 6))
+      assert(z == want, s"key mismatch at ($a,$b,$c): got $z want $want")
+    }
+  }
+
+  test("zorderWriteN narrows file envelopes in all THREE dimensions") {
+    // three decorrelated uniform dims over 4096 rows
+    val rows = (0 until 4096).map { i =>
+      val b = Integer.reverse(i) >>> 20 // 12-bit reversal
+      val c = (i * 2654435761L) & 0xFFFL // Knuth-hash low bits
+      (i.toLong, (i / 64).toLong, b.toLong, c)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    Layout.zorderWriteN(df, Seq(("a", 12), ("b", 12), ("c", 12)), 16, zdir)
+    def meanEnvelope(c: String): Double = {
+      val env = spark.read.parquet(zdir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("w"))
+        .select("w").as[Long].collect()
+      env.sum.toDouble / env.length
+    }
+    // each dim's per-file envelope must be well under its global range
+    // (16 files over 3 interleaved dims → roughly a half-bit of pruning
+    // per dim per file doubling; 0.6 is a loose, stable bound)
+    assert(meanEnvelope("a") < 63 * 0.6, s"a: ${meanEnvelope("a")}")
+    assert(meanEnvelope("b") < 4095 * 0.6, s"b: ${meanEnvelope("b")}")
+    assert(meanEnvelope("c") < 4095 * 0.6, s"c: ${meanEnvelope("c")}")
+    assert(spark.read.parquet(zdir).count() == 4096)
+  }
+
   test("zorderWrite narrows file envelopes in BOTH dimensions; single-column sort does not") {
     // two independent uniform dims: a = i div 64, b = bit-reversed i → no correlation
     val rows = (0 until 4096).map { i =>

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.io.StatsManifest
@@ -56,6 +58,44 @@ class StatsManifestSpec extends SparkSpec {
     val empty = StatsManifest.readRange(spark, dir, "a", 1000000, 2000000)
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("id", "a", "b", "zkey"))
+  }
+
+  test("stale manifest (files appended) falls back to full scan — row contract holds") {
+    val d2 = java.nio.file.Files.createTempDirectory("statsfresh").toString
+    (0L until 100L).map(i => (i, i)).toDF("id", "c")
+      .repartition(2).write.mode("overwrite").parquet(d2)
+    StatsManifest.write(spark, d2, Seq("c"))
+    assert(StatsManifest.isFresh(spark, d2))
+    // append AFTER the manifest was written: rows 100..199 are in no
+    // manifest envelope — r11's readRange silently dropped them
+    (100L until 200L).map(i => (i, i)).toDF("id", "c")
+      .repartition(1).write.mode("append").parquet(d2)
+    assert(!StatsManifest.isFresh(spark, d2))
+    val got = StatsManifest.readRange(spark, d2, "c", 50L, 150L)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == (50L to 150L).toSeq,
+      s"stale-manifest read must see appended rows (got ${got.length})")
+    // rewriting the manifest restores freshness and pruning
+    StatsManifest.write(spark, d2, Seq("c"))
+    assert(StatsManifest.isFresh(spark, d2))
+  }
+
+  test("stale manifest (file deleted) falls back instead of failing the read") {
+    val d3 = java.nio.file.Files.createTempDirectory("statsdel").toString
+    (0L until 100L).map(i => (i, i)).toDF("id", "c")
+      .repartition(4, col("c")).sortWithinPartitions("c")
+      .write.mode("overwrite").parquet(d3)
+    StatsManifest.write(spark, d3, Seq("c"))
+    // simulate a compaction race: one data file vanishes
+    val victim = java.nio.file.Files.list(java.nio.file.Paths.get(d3))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+    java.nio.file.Files.delete(victim)
+    assert(!StatsManifest.isFresh(spark, d3))
+    // r11's pruned read would fail on the missing path; the fallback
+    // reads what exists and applies the filter
+    val got = StatsManifest.readRange(spark, d3, "c", 0L, 99L).count()
+    assert(got > 0 && got < 100,
+      s"fallback must read the surviving files only (got $got)")
   }
 
   test("all-NULL stat columns are conservatively kept (pruning stays sound)") {
