@@ -1537,6 +1537,51 @@ object LlmQueries {
         |  FROM d, st)
         |SELECT doc_id, graft_zorder2(qa, qb) AS zkey, norm_key
         |FROM q ORDER BY zkey, doc_id""".stripMargin)
+    }),
+
+    // N-dimensional Z-order (r12: generalizes q89 past two dims): every
+    // doc keyed over (n_chars, token count, doc_id mod 997) with mixed
+    // per-dimension bit budgets 8+8+7 — the layout lever when THREE
+    // predicate columns need file pruning at once. The oracle replays
+    // the exact-integer quantizers and the generic round-robin bit
+    // spread Σᵢ ((q >> i) & 1) << (i·3 + j) — plain bigint arithmetic,
+    // no engine-specific Morton magic anywhere.
+    "q106_zorder3_key" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("d3", pmod(col("doc_id"), lit(997L)))
+      Layout.zorderKeyN(d, Seq(("n_chars", 8), ("ntok", 8), ("d3", 7)))
+        .select(col("doc_id"), col("zkey"))
+        .orderBy("zkey", "doc_id")
+    }),
+
+    // Perceptual-dedup PAIRING through the oracle gate (VERDICT r11 #8):
+    // the bytes→aHash stage is golden-only (DuckDB can't run ImageIO),
+    // so this query pins the stage AFTER it — banded candidate
+    // generation + exact Hamming confirm over a 64-bit perceptual-hash
+    // column — on a deterministic in-query fixture: every doc gets a
+    // pseudo-raster hash that is a pure bit-mixing function of its id,
+    // and every %10 doc gets a re-encoded "twin" whose hash differs in
+    // exactly 2 bits of band 0 (bands 1–3 intact ⇒ the banding is
+    // GUARANTEED to surface the pair, mirroring aHash's ≤3-bit
+    // brightness-shift contract). Same machinery as q50, driven by the
+    // multimodal hash column instead of text simhash.
+    "q107_phash_pairs" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"))
+        .withColumn("ahash",
+          (col("media_id") * lit(2654435761L))
+            .bitwiseAND(lit(281474976710655L)) // low 48 bits
+            .bitwiseOR(expr(
+              "shiftleft(CAST(media_id & 32767 AS BIGINT), 48)"))) // bits 48..62
+      val twins = base.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          expr("ahash ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % 16 AS INT)) " +
+            "^ shiftleft(CAST(1 AS BIGINT), CAST((media_id + 5) % 16 AS INT))")
+            .as("ahash"))
+      Dedup.simhashNearDups(base.unionByName(twins), "media_id", "ahash",
+          bands = 4, width = 16, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3590,6 +3635,60 @@ object LlmQueries {
         |p3 AS (SELECT doc_id, norm_key, ((a2 | (a2 << 2)) & 858993459) AS a3, ((b2 | (b2 << 2)) & 858993459) AS b3 FROM p2),
         |p4 AS (SELECT doc_id, norm_key, ((a3 | (a3 << 1)) & 1431655765) AS a4, ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM p3)
         |SELECT doc_id, CAST((a4 | (b4 << 1)) AS BIGINT) AS zkey, norm_key
-        |FROM p4 ORDER BY zkey, doc_id""".stripMargin
+        |FROM p4 ORDER BY zkey, doc_id""".stripMargin,
+
+    // generic N-dim spread: Σᵢ ((q >> i) & 1) << (i·3 + j) over a
+    // generate_series — no Morton mask table, same bigint truncating
+    // division in the quantizers
+    "q106_zorder3_key" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS b,
+        |    CAST(doc_id % 997 AS BIGINT) AS c
+        |  FROM documents),
+        |s AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb,
+        |             max(b) AS mxb, min(c) AS mnc, max(c) AS mxc FROM d),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 255) // (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 255) // (mxb - mnb) END AS qb,
+        |    CASE WHEN mxc <= mnc THEN 0 ELSE ((c - mnc) * 127) // (mxc - mnc) END AS qc
+        |  FROM d, s),
+        |sp AS (
+        |  SELECT doc_id, CAST(sum(
+        |      (((qa >> t.i) & 1) << (t.i * 3)) +
+        |      (((qb >> t.i) & 1) << (t.i * 3 + 1)) +
+        |      (CASE WHEN t.i < 7 THEN ((qc >> t.i) & 1) << (t.i * 3 + 2)
+        |            ELSE 0 END)) AS BIGINT) AS zkey
+        |  FROM q, (SELECT unnest(range(0, 8)) AS i) t
+        |  GROUP BY doc_id)
+        |SELECT doc_id, zkey FROM sp ORDER BY zkey, doc_id""".stripMargin,
+
+    // band join + exact popcount confirm over the pseudo-raster hash
+    // column — id_a < id_b pair ordering, hamming cast to INT, as q50
+    "q107_phash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    ((doc_id * 2654435761) & 281474976710655)
+        |      | ((doc_id & 32767) << 48) AS ahash
+        |  FROM documents),
+        |tw AS (
+        |  SELECT media_id + 1000000 AS media_id,
+        |    xor(xor(ahash, 1::BIGINT << CAST(media_id % 16 AS INT)),
+        |        1::BIGINT << CAST((media_id + 5) % 16 AS INT)) AS ahash
+        |  FROM d WHERE media_id % 10 = 0),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM tw),
+        |bd AS (
+        |  SELECT media_id, ahash, band.band AS band,
+        |    (ahash >> (band.band * 16)) & 65535 AS key
+        |  FROM corpus, (SELECT unnest(range(4)) AS band) band),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |         a.ahash AS ha, b.ahash AS hb
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
