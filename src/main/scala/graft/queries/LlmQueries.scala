@@ -1582,6 +1582,29 @@ object LlmQueries {
       Dedup.simhashNearDups(base.unionByName(twins), "media_id", "ahash",
           bands = 4, width = 16, maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // q92's pruned-read contract over the THREE-dimensional layout:
+    // documents z-order-written with zorderWriteN over
+    // (n_chars, ntok, doc_id mod 997) + stats manifest, then a range
+    // read on the THIRD dimension — the one a 2-D key gives no pruning
+    // on — runs through manifest pruning. Pruning must be invisible:
+    // the oracle is the plain range filter over the raw table.
+    "q108_zorder3_pruned_read" -> ((s, dir) => {
+      val root = cachedFixture("q108", dir) { r =>
+        val d = table(s, dir, "documents")
+          .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+          .withColumn("d3", pmod(col("doc_id"), lit(997L)))
+          .select("doc_id", "n_chars", "ntok", "d3")
+        graft.ops.Layout.zorderWriteN(d,
+          Seq(("n_chars", 8), ("ntok", 8), ("d3", 7)), 16, s"$r/docs")
+        graft.io.StatsManifest.write(s, s"$r/docs",
+          Seq("n_chars", "ntok", "d3"))
+        ()
+      }
+      graft.io.StatsManifest.readRange(s, s"$root/docs", "d3", 100L, 300L)
+        .select(col("doc_id"), col("d3"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3689,6 +3712,12 @@ object LlmQueries {
         |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // pruning over the 3-dim layout must be invisible in the answer
+    "q108_zorder3_pruned_read" ->
+      """SELECT doc_id, CAST(doc_id % 997 AS BIGINT) AS d3
+        |FROM documents WHERE doc_id % 997 BETWEEN 100 AND 300
+        |ORDER BY doc_id""".stripMargin
   )
 }
