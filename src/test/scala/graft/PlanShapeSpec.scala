@@ -598,6 +598,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r12 ops: 3-dim zorder broadcasts its stats row, phash pairing exchanges are longs-only, 3-dim pruned read pushes its predicate") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.plans.GraftExtensions.install(spark)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def exec(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    def hashShuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    try {
+      // q106: the N-dim key keeps q89's shape — a 1-row stats frame
+      // rides an explicitly-broadcast nested-loop join, the 23-bit
+      // spread is map-side arithmetic, no hash exchange carries text.
+      val p106 = exec("q106_zorder3_key")
+      assert(p106.toString.contains("BroadcastNestedLoopJoin"),
+        s"q106 lost its broadcast stats join:\n$p106")
+      assert(hashShuffles(p106).forall(e => !e.output.exists(_.name == "text")),
+        s"q106 shuffles document text:\n$p106")
+      // q107: the perceptual-pairing exchanges carry only ids and
+      // 64-bit hashes — no strings anywhere on a shuffle (the posture
+      // that keeps banded dedup viable when media_id counts are 10⁹).
+      val p107 = exec("q107_phash_pairs")
+      hashShuffles(p107).foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType),
+          s"q107 exchange carries strings:\n$p107")
+      }
+      // q108: the residual range predicate on the THIRD dimension
+      // reaches the parquet scan of the pruned files.
+      val p108 = exec("q108_zorder3_pruned_read").toString
+      assert(p108.contains("PushedFilters: [IsNotNull(d3), GreaterThanOrEqual(d3,100)"),
+        s"q108 range predicate not pushed to the pruned scan:\n$p108")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
