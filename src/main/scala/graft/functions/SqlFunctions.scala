@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseCount, BitwiseOr, BitwiseXor, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, Substring}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseCount, BitwiseOr, BitwiseXor, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL-surface registrations for library semantics that are pure
@@ -62,5 +62,40 @@ object SqlFunctions {
       BitwiseOr(spread(children(0)), ShiftLeft(spread(children(1)), Literal(1)))
     })
 
-  val all: Seq[Descriptor] = Seq(hamming64, bucket, zorder2)
+  /** `graft_spreadbits(q, n, bits, offset)` — the generic N-way Morton
+    * bit spread (the SQL face of [[graft.ops.Layout.spreadBits]]):
+    * distribute the low `bits` bits of non-negative `q` with stride `n`
+    * starting at bit `offset` (bit i → bit i·n + offset). `n`, `bits`,
+    * `offset` must be foldable integer literals — the builder expands
+    * the same shift/and/or fold the Scala writer codegens, so a
+    * SQL-only N-dim layout (`graft_spreadbits(qa,3,8,0) |
+    * graft_spreadbits(qb,3,8,1) | graft_spreadbits(qc,3,7,2)`) produces
+    * byte-identical keys to [[graft.ops.Layout.zorderKeyN]]. */
+  val spreadBits: Descriptor = (
+    new FunctionIdentifier("graft_spreadbits"),
+    new ExpressionInfo(ShiftLeft.getClass.getName, "graft_spreadbits"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4,
+        "graft_spreadbits takes (q, n, bits, offset)")
+      def lit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_spreadbits: $name must be an integer literal (got $other)")
+      }
+      val n = lit(children(1), "n")
+      val bits = lit(children(2), "bits")
+      val offset = lit(children(3), "offset")
+      require(n >= 1 && bits >= 1 && offset >= 0 &&
+        (bits - 1) * n + offset <= 62,
+        s"graft_spreadbits: spread must stay in a non-negative BIGINT " +
+          s"(n=$n bits=$bits offset=$offset)")
+      val q = Cast(children.head, LongType)
+      (0 until bits).map { i =>
+        ShiftLeft(BitwiseAnd(ShiftRight(q, Literal(i)), Literal(1L)),
+          Literal(i * n + offset)): Expression
+      }.reduce(BitwiseOr(_, _))
+    })
+
+  val all: Seq[Descriptor] = Seq(hamming64, bucket, zorder2, spreadBits)
 }

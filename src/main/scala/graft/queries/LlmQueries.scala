@@ -1605,6 +1605,37 @@ object LlmQueries {
       graft.io.StatsManifest.readRange(s, s"$root/docs", "d3", 100L, 300L)
         .select(col("doc_id"), col("d3"))
         .orderBy("doc_id")
+    }),
+
+    // SQL-only face of the N-dim layout (q104's story for q106): the
+    // whole query is AUTHORED AS SQL — graft_spreadbits expands the
+    // generic stride-N bit spread as a native expression fold, so a
+    // SQL-only user composes 3-dim keys byte-identical to
+    // [[Layout.zorderKeyN]]'s (the oracle is the same replay q106
+    // uses). The quantizers here ride plain BIGINT arithmetic (fine at
+    // any plausible stat range); the Scala writer remains the
+    // overflow-safe DECIMAL path for full-int64-domain columns.
+    "q109_sql_zorder3" -> ((s, dir) => {
+      graft.plans.GraftExtensions.install(s)
+      graft.SparkEntry.registerViews(s, dir)
+      s.sql("""
+        |WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS b,
+        |    CAST(doc_id % 997 AS BIGINT) AS c
+        |  FROM documents),
+        |st AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb,
+        |              max(b) AS mxb, min(c) AS mnc, max(c) AS mxc FROM d),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 255) div (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 255) div (mxb - mnb) END AS qb,
+        |    CASE WHEN mxc <= mnc THEN 0 ELSE ((c - mnc) * 127) div (mxc - mnc) END AS qc
+        |  FROM d, st)
+        |SELECT doc_id,
+        |  graft_spreadbits(qa, 3, 8, 0) | graft_spreadbits(qb, 3, 8, 1)
+        |    | graft_spreadbits(qc, 3, 7, 2) AS zkey
+        |FROM q ORDER BY zkey, doc_id""".stripMargin)
     })
   )
 
@@ -3718,6 +3749,31 @@ object LlmQueries {
     "q108_zorder3_pruned_read" ->
       """SELECT doc_id, CAST(doc_id % 997 AS BIGINT) AS d3
         |FROM documents WHERE doc_id % 997 BETWEEN 100 AND 300
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the SQL-only face must land on exactly q106's replay
+    "q109_sql_zorder3" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS b,
+        |    CAST(doc_id % 997 AS BIGINT) AS c
+        |  FROM documents),
+        |s AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb,
+        |             max(b) AS mxb, min(c) AS mnc, max(c) AS mxc FROM d),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mxa <= mna THEN 0 ELSE ((a - mna) * 255) // (mxa - mna) END AS qa,
+        |    CASE WHEN mxb <= mnb THEN 0 ELSE ((b - mnb) * 255) // (mxb - mnb) END AS qb,
+        |    CASE WHEN mxc <= mnc THEN 0 ELSE ((c - mnc) * 127) // (mxc - mnc) END AS qc
+        |  FROM d, s),
+        |sp AS (
+        |  SELECT doc_id, CAST(sum(
+        |      (((qa >> t.i) & 1) << (t.i * 3)) +
+        |      (((qb >> t.i) & 1) << (t.i * 3 + 1)) +
+        |      (CASE WHEN t.i < 7 THEN ((qc >> t.i) & 1) << (t.i * 3 + 2)
+        |            ELSE 0 END)) AS BIGINT) AS zkey
+        |  FROM q, (SELECT unnest(range(0, 8)) AS i) t
+        |  GROUP BY doc_id)
+        |SELECT doc_id, zkey FROM sp ORDER BY zkey, doc_id""".stripMargin
   )
 }

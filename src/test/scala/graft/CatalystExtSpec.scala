@@ -215,4 +215,36 @@ class CatalystExtSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_zorder2(65535, 65535) AS z").as[Long].head()
       == 0xFFFFFFFFL)
   }
+
+  test("graft_spreadbits matches Layout.spreadBits and guards its budget") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val vals = Seq(0L, 1L, 255L, 170L, 85L, 129L).toDF("q")
+    // stride 3, 8 bits, all three offsets — the q109 composition
+    for (off <- 0 to 2) {
+      val bad = vals.select(
+          expr(s"graft_spreadbits(q, 3, 8, $off)").as("sqls"),
+          graft.ops.Layout.spreadBits(col("q"), 3, 8, off).as("scalas"))
+        .filter(col("sqls") =!= col("scalas"))
+      assert(bad.count() == 0, s"offset $off diverged")
+    }
+    // a 3-dim composed key equals zorderKeyN's interleave on the grid
+    assert(spark.sql(
+      "SELECT graft_spreadbits(255, 3, 8, 0) | graft_spreadbits(255, 3, 8, 1)" +
+        " | graft_spreadbits(127, 3, 7, 2) AS z").as[Long].head()
+      == (1L << 23) - 1) // 23 contiguous set bits
+    // spread must stay inside a non-negative BIGINT
+    val e = intercept[Exception] {
+      // top bit would land at (21-1)*3 + 3 = 63 — the sign bit
+      spark.sql("SELECT graft_spreadbits(1, 3, 21, 3)").collect()
+    }
+    assert(e.getMessage.contains("non-negative BIGINT"),
+      s"budget guard missing: ${e.getMessage}")
+    // non-literal stride is rejected loudly, not mis-planned
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_spreadbits(q, CAST(q AS INT), 8, 0) FROM VALUES (1L) t(q)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"),
+      s"literal guard missing: ${e2.getMessage}")
+  }
 }
