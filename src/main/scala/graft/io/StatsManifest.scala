@@ -52,13 +52,12 @@ object StatsManifest {
     m
   }
 
-  /** Driver-side pruning: the files whose `[min, max]` envelope on
-    * `statCol` overlaps `[lo, hi]`. Files with NULL stats (all-NULL
-    * column, schema drift) are conservatively KEPT — pruning must be
-    * sound, not tight. */
-  def prunedFiles(spark: SparkSession, path: String, statCol: String,
-                  lo: Long, hi: Long): Seq[String] = {
-    val m = spark.read.json(s"$path/$ManifestDir")
+  /** Driver-side pruning over an already-loaded manifest frame: the
+    * files whose `[min, max]` envelope on `statCol` overlaps `[lo, hi]`.
+    * Files with NULL stats (all-NULL column, schema drift) are
+    * conservatively KEPT — pruning must be sound, not tight. */
+  private def prunedFilesOf(m: DataFrame, statCol: String,
+                            lo: Long, hi: Long): Seq[String] = {
     val cols = m.columns.toSet
     // the JSON writer drops all-NULL fields: a manifest whose stat
     // columns are entirely missing prunes NOTHING (sound, not tight)
@@ -70,6 +69,11 @@ object StatsManifest {
           (col(s"${statCol}_min") <= hi && col(s"${statCol}_max") >= lo))
         .select("file").collect().map(_.getString(0)).toSeq
   }
+
+  /** Driver-side pruning: [[prunedFilesOf]] over the persisted manifest. */
+  def prunedFiles(spark: SparkSession, path: String, statCol: String,
+                  lo: Long, hi: Long): Seq[String] =
+    prunedFilesOf(spark.read.json(s"$path/$ManifestDir"), statCol, lo, hi)
 
   /** Basenames of the live (non-hidden) data files under `path` — the
     * freshness fingerprint a manifest is validated against. Driver-side
@@ -108,26 +112,41 @@ object StatsManifest {
     * predicate inside kept files; pruning only skips provable misses).
     *
     * Freshness gate (ADVICE r11): the manifest's file listing is
-    * validated against the live directory first — a STALE manifest
-    * (files appended, compacted, or deleted since `write`) falls back to
-    * the unpruned full scan + filter, so the row-for-row contract holds
-    * even when the layout job and the writer race. The fallback is
-    * logged; rewrite the manifest to restore pruning. */
+    * validated against the live directory at PLAN time — a manifest
+    * that has gone stale (files appended, compacted, or deleted since
+    * `write`) falls back to the unpruned full scan + filter, so a
+    * completed writer can never make a pruned read silently drop rows
+    * or fail on a vanished path. The fallback is logged; rewrite the
+    * manifest to restore pruning. Scope honesty: the gate closes the
+    * stale-manifest class, not filesystem races — a writer landing
+    * BETWEEN this check and the action's file reads can still be
+    * missed, exactly as with any non-transactional path-based table
+    * (eliminating that window needs snapshot isolation, i.e. a
+    * transaction log, which is outside this engine's sanctioned scope).
+    * The manifest is read ONCE per call and serves both the freshness
+    * check and the pruning (review r12 — the first cut read it twice,
+    * doubling the O(files) planning cost the gate is documented as
+    * matching). */
   def readRange(spark: SparkSession, path: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
-    if (!isFresh(spark, path)) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"StatsManifest at $path is stale (file listing changed since write) — " +
-          "falling back to full scan; re-run StatsManifest.write to restore pruning")
-      return spark.read.parquet(path)
-        .filter(col(statCol) >= lo && col(statCol) <= hi)
-    }
-    val files = prunedFiles(spark, path, statCol, lo, hi)
-    val base =
-      if (files.isEmpty)
-        // keep the dataset schema at zero scan cost
-        spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files: _*)
-    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+    val m = spark.read.json(s"$path/$ManifestDir").persist()
+    try {
+      val manifestNames = m.select("file").collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+      if (manifestNames != liveDataFiles(spark, path).toSet) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"StatsManifest at $path is stale (file listing changed since write) — " +
+            "falling back to full scan; re-run StatsManifest.write to restore pruning")
+        return spark.read.parquet(path)
+          .filter(col(statCol) >= lo && col(statCol) <= hi)
+      }
+      val files = prunedFilesOf(m, statCol, lo, hi)
+      val base =
+        if (files.isEmpty)
+          // keep the dataset schema at zero scan cost
+          spark.read.parquet(path).filter(lit(false))
+        else spark.read.parquet(files: _*)
+      base.filter(col(statCol) >= lo && col(statCol) <= hi)
+    } finally m.unpersist(blocking = false)
   }
 }

@@ -67,13 +67,24 @@ object Layout {
     * (max = min) quantizes to 0; NULL passes through. */
   private def quantize(c: String, mn: String, mx: String, bits: Int): Column = {
     val top = (1L << bits) - 1
-    val x = s"CAST(`$c` AS DECIMAL(20,0))"
+    // value goes through the SAME BIGINT truncation as the min/max stats
+    // before widening to DECIMAL — a direct fractional→DECIMAL cast
+    // rounds HALF_UP where the stats' long cast truncates, letting a
+    // double column quantize outside [0, 2^bits) (caught in review r12)
+    val x = s"CAST(CAST(`$c` AS BIGINT) AS DECIMAL(20,0))"
     val lo = s"CAST(`$mn` AS DECIMAL(20,0))"
     val hi = s"CAST(`$mx` AS DECIMAL(20,0))"
     expr(s"CASE WHEN `$c` IS NULL THEN CAST(NULL AS BIGINT) " +
       s"WHEN `$mx` <= `$mn` THEN CAST(0 AS BIGINT) " +
       s"ELSE (($x - $lo) * ${top}L) div ($hi - $lo) END")
   }
+
+  /** Collision-free staging prefix for the broadcast stats columns (the
+    * Blocklist ADVICE r11 remedy applied here too): first free suffix
+    * wins, deterministic, never clobbers a caller column. */
+  private def statsTag(df: DataFrame): String =
+    Iterator.from(0).map(i => s"__graft_z${i}_")
+      .find(p => !df.columns.exists(_.startsWith(p))).get
 
   /** Add a Z-order key over two numeric columns, each quantized to 16
     * bits against its corpus min/max via the overflow-safe exact-integer
@@ -86,16 +97,17 @@ object Layout {
     * i.e. map-side. */
   def zorderKey2(df: DataFrame, colA: String, colB: String,
                  out: String = "zkey"): DataFrame = {
+    val t = statsTag(df)
     val stats = df.agg(
-      min(col(colA).cast("long")).as("__mn_a"),
-      max(col(colA).cast("long")).as("__mx_a"),
-      min(col(colB).cast("long")).as("__mn_b"),
-      max(col(colB).cast("long")).as("__mx_b"))
+      min(col(colA).cast("long")).as(s"${t}mn_a"),
+      max(col(colA).cast("long")).as(s"${t}mx_a"),
+      min(col(colB).cast("long")).as(s"${t}mn_b"),
+      max(col(colB).cast("long")).as(s"${t}mx_b"))
     df.crossJoin(broadcast(stats))
       .withColumn(out,
-        interleave16(quantize(colA, "__mn_a", "__mx_a", 16),
-                     quantize(colB, "__mn_b", "__mx_b", 16)))
-      .drop("__mn_a", "__mx_a", "__mn_b", "__mx_b")
+        interleave16(quantize(colA, s"${t}mn_a", s"${t}mx_a", 16),
+                     quantize(colB, s"${t}mn_b", s"${t}mx_b", 16)))
+      .drop(s"${t}mn_a", s"${t}mx_a", s"${t}mn_b", s"${t}mx_b")
   }
 
   /** Generic bit spread for N-way interleave: distribute the low `bits`
@@ -111,35 +123,44 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
 
   /** N-dimensional Z-order key (VERDICT r11 #4 — generalizes
-    * [[zorderKey2]]): each of `dims` is `(column, bits)`; per-dimension
-    * bit budgets must sum to ≤ 63 (the key stays a non-negative BIGINT).
-    * Dimension j's quantized value occupies bits `i·n + j` — dimensions
-    * interleave round-robin from the low bit, so a range predicate on ANY
-    * listed dimension narrows file envelopes after a range-sorted write.
+    * [[zorderKey2]]): each of `dims` is `(column, bits)`. Dimension j's
+    * quantized bit i occupies key bit `i·n + j` — dimensions interleave
+    * round-robin from the low bit, so a range predicate on ANY listed
+    * dimension narrows file envelopes after a range-sorted write.
     * Budgets need not be equal: give a high-cardinality timestamp 24
-    * bits and a small enum 8. Same exact-integer quantizer, same 1-row
-    * broadcast stats frame, same NULL-propagates contract as the 2-D
-    * key. */
+    * bits and a small enum 8. The validity bound is therefore
+    * PER-DIMENSION: dimension j's top bit lands at `(bits_j−1)·n + j`,
+    * which must stay ≤ 62 so the key is a non-negative BIGINT — a plain
+    * Σbits ≤ 63 check is NOT sufficient under unequal budgets (a 40-bit
+    * dim in a 2-dim key would shift past bit 63, and JVM shifts mask the
+    * amount mod 64, silently aliasing bits — caught in review r12).
+    * Same exact-integer quantizer, same 1-row broadcast stats frame,
+    * same NULL-propagates contract as the 2-D key. */
   def zorderKeyN(df: DataFrame, dims: Seq[(String, Int)],
                  out: String = "zkey"): DataFrame = {
     require(dims.size >= 2, s"need >=2 dimensions (got ${dims.size})")
     require(dims.forall(_._2 > 0), s"bit budgets must be positive: $dims")
-    require(dims.map(_._2).sum <= 63,
-      s"bit budgets must sum to <=63 (got ${dims.map(_._2).sum}) so the key fits a non-negative BIGINT")
     val n = dims.size
+    dims.zipWithIndex.foreach { case ((c, bits), j) =>
+      require((bits - 1) * n + j <= 62,
+        s"dimension '$c' ($bits bits at stride $n, offset $j) would place " +
+          s"its top bit at ${(bits - 1) * n + j} > 62 — the key must stay a " +
+          "non-negative BIGINT; shrink the budget or reorder dimensions")
+    }
+    val t = statsTag(df)
     val stats = df.agg(
-      min(col(dims.head._1).cast("long")).as(s"__mn_0"),
-      (max(col(dims.head._1).cast("long")).as(s"__mx_0") +:
+      min(col(dims.head._1).cast("long")).as(s"${t}mn_0"),
+      (max(col(dims.head._1).cast("long")).as(s"${t}mx_0") +:
         dims.tail.zipWithIndex.flatMap { case ((c, _), i) =>
-          Seq(min(col(c).cast("long")).as(s"__mn_${i + 1}"),
-            max(col(c).cast("long")).as(s"__mx_${i + 1}"))
+          Seq(min(col(c).cast("long")).as(s"${t}mn_${i + 1}"),
+            max(col(c).cast("long")).as(s"${t}mx_${i + 1}"))
         }): _*)
     val key = dims.zipWithIndex.map { case ((c, bits), j) =>
-      spreadBits(quantize(c, s"__mn_$j", s"__mx_$j", bits), n, bits, j)
+      spreadBits(quantize(c, s"${t}mn_$j", s"${t}mx_$j", bits), n, bits, j)
     }.reduce(_.bitwiseOR(_))
     df.crossJoin(broadcast(stats))
       .withColumn(out, key)
-      .drop(dims.indices.flatMap(j => Seq(s"__mn_$j", s"__mx_$j")): _*)
+      .drop(dims.indices.flatMap(j => Seq(s"${t}mn_$j", s"${t}mx_$j")): _*)
   }
 
   /** Z-order clustered write: key, range-repartition into `nFiles`

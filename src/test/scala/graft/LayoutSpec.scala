@@ -65,6 +65,49 @@ class LayoutSpec extends SparkSpec {
     assert(q.head == 0L && q.last == q.max)
   }
 
+  test("quantizer truncates fractional columns like the stats do (review r12)") {
+    // stats use cast(long) (truncation); the value path must truncate
+    // identically BEFORE widening to decimal — a direct fractional
+    // cast rounds HALF_UP and can quantize outside [0, 2^16)
+    val df = Seq((1L, 0.0, 0.0), (2L, 3.6, 0.0), (3L, -3.6, 0.0))
+      .toDF("id", "a", "b")
+    val out = Layout.zorderKey2(df, "a", "b").orderBy("id")
+      .select("zkey").as[Long].collect()
+    // truncated values: 0, 3, -3 → range [-3, 3], q = (x+3)*65535 div 6
+    def q(x: Long): Long = (x + 3) * 65535 / 6
+    assert(out(0) == refSpread(q(0)))
+    assert(out(1) == refSpread(q(3)))
+    assert(out(2) == refSpread(q(-3)))
+    assert(out.forall(z => z >= 0 && z < (1L << 32)), s"lane escaped: ${out.toSeq}")
+  }
+
+  test("caller columns named like the staging columns survive (review r12)") {
+    val df = Seq((1L, 10L, 20L, 99L), (2L, 30L, 40L, 98L))
+      .toDF("id", "a", "b", "__graft_z0_mn_a")
+    val out2 = Layout.zorderKey2(df, "a", "b")
+    assert(out2.columns.contains("__graft_z0_mn_a"))
+    assert(out2.select("__graft_z0_mn_a").as[Long].collect().sorted.toSeq
+      == Seq(98L, 99L), "caller column corrupted by zorderKey2 staging")
+    val dfN = Seq((1L, 1L, 2L, 3L, 7L)).toDF("id", "a", "b", "__graft_z0_mn_0", "c")
+    val outN = Layout.zorderKeyN(dfN, Seq(("a", 4), ("b", 4), ("c", 4)))
+    assert(outN.select("__graft_z0_mn_0").as[Long].head() == 3L,
+      "caller column corrupted by zorderKeyN staging")
+  }
+
+  test("zorderKeyN rejects any dimension whose top bit passes 62 (review r12)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // sum(bits) = 33 <= 63 but b's top bit lands at (32-1)*2 + 1 = 63:
+    // the old sum-based guard admitted this and JVM shifts alias mod 64
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(df, Seq(("a", 1), ("b", 32)))
+    }
+    // legal unequal budgets still work: (24,8) at stride 2 tops at 47
+    val ok = Layout.zorderKeyN(
+      Seq((1L, 2L), (1000000L, 3L)).toDF("a", "b"), Seq(("a", 24), ("b", 8)))
+      .select("zkey").as[Long].collect()
+    assert(ok.forall(_ >= 0L))
+  }
+
   test("zorderKeyN: 3-dim bijection on the grid, NULL propagation, budget guard") {
     // 3 dims × 4 bits: all 4096 grid points → distinct keys < 2^12
     // values 0,3,…,45: range 45, top 2^4−1 = 15 → q = (x·15) div 45
