@@ -93,12 +93,20 @@ object AnnIndex {
   /** Persist the sidecar, stamping the CURRENT mean own-cell cosine (one
     * postings pass via [[drift]]) — build and retrain both record it so
     * the hands-off retrain policy has a per-index baseline instead of a
-    * universal floor that doesn't exist. */
+    * universal floor that doesn't exist. Cost note (review r12): this
+    * re-reads the just-written postings parquet rather than recomputing
+    * the assignment lineage — the written files carry `cell`
+    * precomputed, so the read-back is one columnar scan, paid once per
+    * build/retrain (compact cadence), not per append or probe. The
+    * stamped value is forced finite so a degenerate cosine can never
+    * write malformed JSON and silently disable calibration. */
   private def writeMetaWithOwnCos(spark: SparkSession, root: String,
                                   n: Int, quantScale: Double): Unit = {
     val d = drift(spark, root)
+    val ownCos =
+      if (java.lang.Double.isFinite(d.meanOwnCellCos)) d.meanOwnCellCos else 0.0
     BucketedTables.writeJsonSidecar(spark, metaPath(root),
-      s"""{"buckets": $n, "quantScale": $quantScale, "ownCos": ${d.meanOwnCellCos}}""")
+      s"""{"buckets": $n, "quantScale": $quantScale, "ownCos": $ownCos}""")
   }
 
   /** Build the index under `root`: train `cfg.nCells` spherical k-means‖
@@ -242,7 +250,10 @@ object AnnIndex {
     val perCell = spark.read.parquet(postingsDir(root))
       .join(ctrs, Seq("cell"))
       .select(col("cell"),
-        when(dotL(col("v"), col("v")) > 0,
+        // BOTH norms guarded (review r12): a centroid whose coordinates
+        // all quantize to zero would make the division 0/0 = NaN, which
+        // would poison the mean and write invalid JSON into the sidecar
+        when(dotL(col("v"), col("v")) > 0 && dotL(col("__ctr"), col("__ctr")) > 0,
           dotL(col("v"), col("__ctr")).cast("double")
             / (sqrt(dotL(col("v"), col("v")).cast("double"))
               * sqrt(dotL(col("__ctr"), col("__ctr")).cast("double"))))

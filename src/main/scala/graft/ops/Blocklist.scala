@@ -71,9 +71,8 @@ object Blocklist {
     val bytes = serialize(buildBloom(block, blockKeyCol, expectedItems, fpp))
     // Collision-free staging column (ADVICE r11): a hardcoded name would
     // silently overwrite — then drop — a caller's column of the same
-    // name. Deterministic probe: first free suffix wins.
-    val might = Iterator.from(0).map(i => s"__graft_might_$i")
-      .find(n => !corpus.columns.contains(n)).get
+    // name. Shared deterministic probe: first free suffix wins.
+    val might = ColumnNames.freeName(corpus, "__graft_might")
     val tagged = corpus.withColumn(might,
       mightContain(corpus, keyCol, bytes))
     // NULL key → NULL probe → neither branch would keep it; route NULL

@@ -80,11 +80,10 @@ object Layout {
   }
 
   /** Collision-free staging prefix for the broadcast stats columns (the
-    * Blocklist ADVICE r11 remedy applied here too): first free suffix
-    * wins, deterministic, never clobbers a caller column. */
+    * Blocklist ADVICE r11 remedy applied here too, via the shared
+    * [[ColumnNames]] probe). */
   private def statsTag(df: DataFrame): String =
-    Iterator.from(0).map(i => s"__graft_z${i}_")
-      .find(p => !df.columns.exists(_.startsWith(p))).get
+    ColumnNames.freePrefix(df, "__graft_z")
 
   /** Add a Z-order key over two numeric columns, each quantized to 16
     * bits against its corpus min/max via the overflow-safe exact-integer
@@ -117,10 +116,18 @@ object Layout {
     * Σᵢ ((q >> i) & 1) << (i·n + offset). The 2-D fast path keeps the
     * magic-mask [[spread16]]; this generic form is what makes the key
     * N-dimensional without a per-N mask table. */
-  def spreadBits(x: Column, n: Int, bits: Int, offset: Int): Column =
+  def spreadBits(x: Column, n: Int, bits: Int, offset: Int): Column = {
+    // same guard as the graft_spreadbits SQL face (review r12): JVM
+    // shifts mask the amount mod 64, so an unchecked top bit past 62
+    // would silently alias into the low bits or the sign bit
+    require(n >= 1 && bits >= 1 && offset >= 0 &&
+      (bits - 1) * n + offset <= 62,
+      s"spreadBits: spread must stay in a non-negative BIGINT " +
+        s"(n=$n bits=$bits offset=$offset tops at ${(bits - 1) * n + offset})")
     (0 until bits).map { i =>
       shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), i * n + offset)
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** N-dimensional Z-order key (VERDICT r11 #4 — generalizes
     * [[zorderKey2]]): each of `dims` is `(column, bits)`. Dimension j's
@@ -148,13 +155,11 @@ object Layout {
           "non-negative BIGINT; shrink the budget or reorder dimensions")
     }
     val t = statsTag(df)
-    val stats = df.agg(
-      min(col(dims.head._1).cast("long")).as(s"${t}mn_0"),
-      (max(col(dims.head._1).cast("long")).as(s"${t}mx_0") +:
-        dims.tail.zipWithIndex.flatMap { case ((c, _), i) =>
-          Seq(min(col(c).cast("long")).as(s"${t}mn_${i + 1}"),
-            max(col(c).cast("long")).as(s"${t}mx_${i + 1}"))
-        }): _*)
+    val aggs = dims.zipWithIndex.flatMap { case ((c, _), j) =>
+      Seq(min(col(c).cast("long")).as(s"${t}mn_$j"),
+        max(col(c).cast("long")).as(s"${t}mx_$j"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val key = dims.zipWithIndex.map { case ((c, bits), j) =>
       spreadBits(quantize(c, s"${t}mn_$j", s"${t}mx_$j", bits), n, bits, j)
     }.reduce(_.bitwiseOR(_))

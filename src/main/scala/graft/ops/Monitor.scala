@@ -47,12 +47,17 @@ object Monitor {
 
   /** BIGINT face of the exact numerator: errors loudly (raise_error)
     * instead of wrapping when the exact value exceeds Long.MaxValue —
-    * at that scale consume the decimal via [[gapDec]] directly. */
+    * at that scale pass `decimalGap = true` to keep the exact
+    * DECIMAL(38,0) surface instead. */
   private def gapLong(g: Column): Column =
     when(g <= lit(Long.MaxValue).cast("decimal(19,0)"), g.cast("long"))
       .otherwise(raise_error(concat(
-        lit("histogramDrift: exact gap_num overflows BIGINT ("), g.cast("string"),
-        lit(") — totals too large for the int64 surface"))))
+        lit("Monitor histogram drift: exact gap_num overflows BIGINT ("),
+        g.cast("string"),
+        lit(") — rerun with decimalGap = true for the exact decimal surface"))))
+
+  private def gapFace(g: Column, decimalGap: Boolean): Column =
+    if (decimalGap) g else gapLong(g)
 
   /** ppm surface: one IEEE division, denominator as a double product
     * (exact below 2⁵³, correctly rounded above — never an int64 wrap). */
@@ -64,9 +69,19 @@ object Monitor {
     * row per bucket with both counts and the exact share-gap numerator
     * `gap_num = |c_a·tot_b − c_b·tot_a|` (the L1 drift is
     * Σ gap_num ∕ (tot_a·tot_b); `gap_ppm` surfaces each bucket's term in
-    * parts-per-million). Missing buckets count 0 on the absent side. */
+    * parts-per-million, NULL when a snapshot is empty — no total to
+    * normalize by, matching [[histogramDriftBy]]'s vanished-group
+    * semantics, never a NaN). Missing buckets count 0 on the absent
+    * side.
+    *
+    * `decimalGap = true` keeps `gap_num` as the exact DECIMAL(38,0)
+    * instead of BIGINT — the escape hatch for snapshots past ~3·10⁹
+    * rows/side, where the exact numerator can exceed int64 and the
+    * default surface raises rather than wraps (review r12: the raise
+    * previously had no reachable exact alternative). */
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
-                     bucketWidth: Long, nBuckets: Int): DataFrame = {
+                     bucketWidth: Long, nBuckets: Int,
+                     decimalGap: Boolean = false): DataFrame = {
     require(bucketWidth > 0 && nBuckets > 0,
       s"invalid histogram shape: width=$bucketWidth n=$nBuckets")
     def hist(df: DataFrame, out: String): DataFrame =
@@ -82,8 +97,10 @@ object Monitor {
       sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
     joined.crossJoin(broadcast(totals))
       .withColumn("__gap", gapDec(col("c_a"), col("__tot_a"), col("c_b"), col("__tot_b")))
-      .withColumn("gap_num", gapLong(col("__gap")))
-      .withColumn("gap_ppm", ppm(col("__gap"), col("__tot_a"), col("__tot_b")))
+      .withColumn("gap_num", gapFace(col("__gap"), decimalGap))
+      .withColumn("gap_ppm",
+        when(col("__tot_a") > 0 && col("__tot_b") > 0,
+          ppm(col("__gap"), col("__tot_a"), col("__tot_b"))))
       .drop("__gap", "__tot_a", "__tot_b")
   }
 
@@ -98,7 +115,7 @@ object Monitor {
     * group-cardinality-sized broadcast join. */
   def histogramDriftBy(a: DataFrame, b: DataFrame, valueCol: String,
                        groupCol: String, bucketWidth: Long,
-                       nBuckets: Int): DataFrame = {
+                       nBuckets: Int, decimalGap: Boolean = false): DataFrame = {
     require(bucketWidth > 0 && nBuckets > 0,
       s"invalid histogram shape: width=$bucketWidth n=$nBuckets")
     def hist(df: DataFrame, out: String): DataFrame =
@@ -114,7 +131,7 @@ object Monitor {
       .agg(sum(col("c_a")).as("__tot_a"), sum(col("c_b")).as("__tot_b"))
     joined.join(broadcast(totals), Seq("grp"))
       .withColumn("__gap", gapDec(col("c_a"), col("__tot_a"), col("c_b"), col("__tot_b")))
-      .withColumn("gap_num", gapLong(col("__gap")))
+      .withColumn("gap_num", gapFace(col("__gap"), decimalGap))
       .withColumn("gap_ppm",
         when(col("__tot_a") > 0 && col("__tot_b") > 0,
           ppm(col("__gap"), col("__tot_a"), col("__tot_b"))))

@@ -43,6 +43,26 @@ class MonitorSpec extends SparkSpec {
     assert(s2.forall(r => r.getAs[Long]("c_b") == 0L && r.isNullAt(r.fieldIndex("gap_ppm"))))
   }
 
+  test("empty snapshot reports NULL ppm (not NaN); decimalGap keeps the exact face") {
+    // review r12: an empty side made gap_ppm 0·1e6/0 = NaN while the
+    // per-group sibling returned NULL for the same condition — the two
+    // report surfaces must agree, and NaN must never land in a report
+    val a = Seq(10L, 100L).toDF("v")
+    val empty = a.filter(lit(false))
+    val rows = Monitor.histogramDrift(a, empty, "v", 75L, 2)
+      .orderBy("bucket").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("gap_ppm"))),
+      s"empty-side ppm must be NULL: ${rows.toSeq}")
+    assert(rows.forall(r => r.getAs[Long]("gap_num") == 0L)) // |c·0 − 0·tot| = 0
+    // the exact decimal escape hatch: same values, DECIMAL(38,0) face
+    val dec = Monitor.histogramDrift(a, a, "v", 75L, 2, decimalGap = true)
+    assert(dec.schema("gap_num").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(dec.orderBy("bucket").collect()
+      .forall(_.getDecimal(3).longValueExact() == 0L))
+  }
+
   test("histogramDrift is partition-count independent") {
     val a = spark.range(1000).select((col("id") * 7 % 613).as("v"))
     val b = spark.range(800).select((col("id") * 11 % 613).as("v"))
