@@ -81,6 +81,14 @@ object EsTransport {
         * face exists for singleton/mart frames; a big frame must go
         * through the partition-parallel [[bulkIndexFrame]]. */
       maxLocalDocs: Int = 10000) {
+    // fail fast on misconfiguration (review r12): maxAttempts = 0 used
+    // to skip the retry loop entirely and surface as a bare
+    // NullPointerException; a non-positive chunk/local cap would throw
+    // from inside an executor task instead of here
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1 (got $maxAttempts)")
+    require(backoffMs >= 0, s"backoffMs must be >= 0 (got $backoffMs)")
+    require(chunkDocs >= 1, s"chunkDocs must be >= 1 (got $chunkDocs)")
+    require(maxLocalDocs >= 1, s"maxLocalDocs must be >= 1 (got $maxLocalDocs)")
     def base: String = host.stripSuffix("/")
   }
 

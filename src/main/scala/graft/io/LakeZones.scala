@@ -241,11 +241,21 @@ object LakeZones {
       math.max(1, math.min(models.size, 5)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      Await.result(
+      // every write is wrapped in Try and ALL are awaited before any
+      // failure is rethrown (review r12): Await.result on a plain
+      // Future.sequence rethrows on the first failure while queued and
+      // in-flight writes keep running, racing whatever cleanup/retry the
+      // caller starts against directories still being written
+      val results = Await.result(
         Future.sequence(models.toSeq.map { case (model, df) =>
           val (zone, name) = exports(model)
-          Future(model -> writePartitioned(df, root, zone, name))
-        }), Duration.Inf).toMap
+          Future(scala.util.Try(model -> writePartitioned(df, root, zone, name)))
+        }), Duration.Inf)
+      results.foreach {
+        case scala.util.Failure(e) => throw e
+        case _ => ()
+      }
+      results.map(_.get).toMap
     } finally pool.shutdown()
   }
 }

@@ -104,12 +104,26 @@ object ServingSink {
       f.dataType match {
         case DateType | TimestampType =>
           date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+        // NaN→null, the header contract (`index_elasticsearch.py:107-112`)
+        // — review r12: to_json would otherwise emit the STRING "NaN",
+        // which ES rejects for a double-mapped field
+        case DoubleType | FloatType =>
+          when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }.toSeq
     val norm = df.select(normalized: _*)
-    val idCol = concat_ws("_",
-      idCols.map(c => coalesce(col(c).cast("string"), lit("None"))): _*)
+    // the action line is hand-framed NDJSON, so the id must be
+    // JSON-string-escaped (review r12): a quote/backslash/newline in an
+    // id column would otherwise corrupt the bulk framing and shift every
+    // subsequent action/doc pairing. Backslash first, then quote, then
+    // the whitespace control characters.
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val idCol = esc(concat_ws("_",
+      idCols.map(c => coalesce(col(c).cast("string"), lit("None"))): _*))
     val action = concat(
       lit(s"""{"index":{"_index":"$index","_id":""""),
       idCol, lit("\"}}"))

@@ -145,7 +145,12 @@ object StatsManifest {
         if (files.isEmpty)
           // keep the dataset schema at zero scan cost
           spark.read.parquet(path).filter(lit(false))
-        else spark.read.parquet(files: _*)
+        else
+          // basePath keeps Hive-style partition columns alive when
+          // reading explicit leaf files (review r12: without it the
+          // pruned branch's schema silently dropped partition columns,
+          // diverging from the fallback and empty branches)
+          spark.read.option("basePath", path).parquet(files: _*)
       base.filter(col(statCol) >= lo && col(statCol) <= hi)
     } finally m.unpersist(blocking = false)
   }

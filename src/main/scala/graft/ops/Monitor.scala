@@ -81,15 +81,32 @@ object Monitor {
     * previously had no reachable exact alternative). */
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
                      bucketWidth: Long, nBuckets: Int,
-                     decimalGap: Boolean = false): DataFrame = {
+                     decimalGap: Boolean = false): DataFrame =
+    histogramDriftFromHists(
+      histogram(a, valueCol, bucketWidth, nBuckets),
+      histogram(b, valueCol, bucketWidth, nBuckets), decimalGap)
+
+  /** One snapshot's bucket histogram `(bucket, cnt)` — the reusable half
+    * of [[histogramDrift]]: a STATIC reference's histogram can be
+    * computed once (it is nBuckets rows) and compared against many
+    * deltas via [[histogramDriftFromHists]], instead of re-aggregating
+    * the reference corpus per comparison (review r12: the streaming
+    * drift sink was re-scanning the full reference every micro-batch). */
+  def histogram(df: DataFrame, valueCol: String, bucketWidth: Long,
+                nBuckets: Int): DataFrame = {
     require(bucketWidth > 0 && nBuckets > 0,
       s"invalid histogram shape: width=$bucketWidth n=$nBuckets")
-    def hist(df: DataFrame, out: String): DataFrame =
-      df.groupBy(bucketOf(valueCol, bucketWidth, nBuckets).as("bucket"))
-        .agg(count(lit(1)).as(out))
-    val ha = hist(a, "c_a")
-    val hb = hist(b, "c_b")
-    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+    df.groupBy(bucketOf(valueCol, bucketWidth, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[histogramDrift]] over two pre-computed [[histogram]] frames —
+    * byte-identical output to the frame-level entry point. */
+  def histogramDriftFromHists(ha: DataFrame, hb: DataFrame,
+                              decimalGap: Boolean = false): DataFrame = {
+    val joined = ha.select(col("bucket"), col("cnt").as("c_a"))
+      .join(hb.select(col("bucket"), col("cnt").as("c_b")),
+        Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))

@@ -87,13 +87,31 @@ object Streaming {
             var closed = List.empty[Session]
             var cur = state.getOption
             for (e <- evs) cur match {
-              case Some(s) if e.ts.getTime - s.end <= gapMs =>
-                cur = Some(SessionState(s.start,
+              // merge iff the event falls within gap of the OPEN session's
+              // interval on either side — and extend BOTH ends: a
+              // non-late out-of-order event from a later micro-batch can
+              // legitimately precede the session start (review r12: the
+              // old end-only test `ts − end ≤ gap` was vacuously true for
+              // any early event, silently absorbing events arbitrarily
+              // far before the session and never moving `start`)
+              case Some(s) if e.ts.getTime >= s.start - gapMs &&
+                  e.ts.getTime - s.end <= gapMs =>
+                cur = Some(SessionState(math.min(s.start, e.ts.getTime),
                   math.max(s.end, e.ts.getTime), s.n + 1))
-              case Some(s) =>
+              case Some(s) if e.ts.getTime > s.end =>
+                // gap AFTER the session: close it, open a new one
                 closed ::= Session(uid, new java.sql.Timestamp(s.start),
                   new java.sql.Timestamp(s.end), s.n)
                 cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+              case Some(s) =>
+                // out-of-order event more than gap BEFORE the open
+                // session: it belongs to an earlier, already-gapped
+                // window. One-open-session state can't reopen history —
+                // emit it immediately as its own closed single-event
+                // session (documented approximation; the batch
+                // sessionizer q31 is the exact-replay face)
+                closed ::= Session(uid, new java.sql.Timestamp(e.ts.getTime),
+                  new java.sql.Timestamp(e.ts.getTime), 1)
               case None =>
                 cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
             }
@@ -290,14 +308,23 @@ object Streaming {
     * effectively-once reporting, same discipline as [[lakeSink]]. */
   def driftSink(stream: DataFrame, valueCol: String, reference: DataFrame,
                 bucketWidth: Long, nBuckets: Int, outDir: String,
-                checkpointDir: String): StreamingQuery =
+                checkpointDir: String): StreamingQuery = {
+    // The reference histogram is STATIC for the life of the query:
+    // aggregate it once to nBuckets rows and pin the tiny result
+    // (review r12 — the first cut re-scanned the full reference corpus
+    // inside every micro-batch). localCheckpoint severs the lineage so
+    // no batch re-reads the reference input.
+    val refHist = graft.ops.Monitor
+      .histogram(reference, valueCol, bucketWidth, nBuckets)
+      .localCheckpoint(true)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.Monitor
-            .histogramDrift(reference, batch, valueCol, bucketWidth, nBuckets)
+            .histogramDriftFromHists(refHist,
+              graft.ops.Monitor.histogram(batch, valueCol, bucketWidth, nBuckets))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -306,22 +333,45 @@ object Streaming {
         }
       }
       .start()
+  }
 
   /** Incremental raw-zone ingestion: a file stream over the enveloped
     * JSON layout — new `date=` files are picked up per micro-batch and
     * flow through the same staging transforms as batch (S5/S6 streaming
-    * face). `maxFilesPerTrigger` bounds micro-batch size. */
+    * face). Batch-parity semantics (review r12 — the first cut lacked
+    * all three and broke the documented Staging handoff):
+    * `_src_file` is attached (Staging selects it; OMDb derives imdb_id
+    * from the file stem), bare un-enveloped payloads are unwrapped into
+    * `data`, and corrupt / no-payload records are DROPPED instead of
+    * surfacing as all-null rows. `maxFilesPerTrigger` bounds micro-batch
+    * size. */
   def rawFileStream(spark: SparkSession, root: String, source: String,
                     endpoint: String, dataSchema: StructType,
                     maxFilesPerTrigger: Int = 1000,
                     multiLine: Boolean = true): DataFrame = {
-    val readSchema = StructType(Seq(
-      org.apache.spark.sql.types.StructField("_meta", Schemas.metaSchema),
-      org.apache.spark.sql.types.StructField("data", dataSchema)))
-    spark.readStream
+    val corrupt = "_corrupt_record"
+    val readSchema = StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("_meta", Schemas.metaSchema),
+        org.apache.spark.sql.types.StructField("data", dataSchema),
+        org.apache.spark.sql.types.StructField(corrupt,
+          org.apache.spark.sql.types.StringType)
+      ) ++ dataSchema.fields) // bare-payload form: fields at top level
+    val raw = spark.readStream
       .schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("multiLine", multiLine) // pretty one-object-per-file raw form
       .json(s"$root/$source/$endpoint/date=*")
+      .withColumn("_src_file", input_file_name())
+    val bare = struct(dataSchema.fields.map(f => col(f.name)): _*)
+    raw
+      .withColumn("data",
+        when(col("data").isNotNull, col("data")).otherwise(bare))
+      .filter(col(corrupt).isNull &&
+        dataSchema.fields.map(f => col(s"data.${f.name}").isNotNull)
+          .foldLeft(lit(false))(_ || _))
+      .select(col("_meta"), col("data"), col("_src_file"))
   }
 }

@@ -69,6 +69,36 @@ class EsTransportSpec extends SparkSpec {
     }
   }
 
+  test("bulkLines: NaN doubles null out; special characters in ids stay JSON-framed") {
+    // review r12: NaN serialized as the STRING "NaN" (ES rejects it for
+    // a double field), and a quote/newline in an id corrupted the
+    // hand-framed action line, shifting every later action/doc pairing
+    val df = Seq(
+      (1L, Double.NaN, "plain"),
+      (2L, 7.5, "he said \"hi\"\nback\\slash")
+    ).toDF("tmdb_id", "imdb_rating", "title")
+    val lines = ServingSink.bulkLines(df, "movies", Seq("title"))
+      .collect().map(_.getString(0))
+    val nanPair = lines.find(_.contains("\"tmdb_id\":1")).get
+    assert(nanPair.contains("\"imdb_rating\":null"),
+      s"NaN must serialize as JSON null: $nanPair")
+    assert(!nanPair.contains("NaN"), s"raw NaN leaked: $nanPair")
+    val escPair = lines.find(_.contains("\"tmdb_id\":2")).get
+    val action = escPair.linesIterator.next()
+    // the action line must be EXACTLY one valid JSON object
+    assert(action ==
+      """{"index":{"_index":"movies","_id":"he said \"hi\"\nback\\slash"}}""",
+      s"id not JSON-escaped: $action")
+    assert(escPair.linesIterator.size == 2,
+      "an embedded newline must not split the NDJSON framing")
+  }
+
+  test("Config rejects non-positive retry/chunk knobs loudly") {
+    intercept[IllegalArgumentException] { Config("http://x", maxAttempts = 0) }
+    intercept[IllegalArgumentException] { Config("http://x", chunkDocs = 0) }
+    intercept[IllegalArgumentException] { Config("http://x", maxLocalDocs = 0) }
+  }
+
   test("bulkIndexLocal fails fast past maxLocalDocs and points at bulkIndexFrame") {
     withEs { (base, es) =>
       val client = new HttpEsClient()

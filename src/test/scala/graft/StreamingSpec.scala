@@ -282,6 +282,18 @@ class StreamingSpec extends SparkSpec {
         """{"_meta":{"snapshot_date":"2026-02-18","run_id":"r","extracted_at_utc":"t","source":"omdb","endpoint":"ratings"},"data":{"Response":"True","Title":"Late","imdbRating":"5.0","imdbVotes":"1","Metascore":"50","Rated":"R","Type":"movie","Year":"2020","Country":"US","Genre":"G","Director":"D","Actors":"A","Ratings":[]}}""")
       q.processAllAvailable()
       assert(spark.table("raw_stream").count() == 4)
+      // batch parity (review r12): _src_file rides the stream (the
+      // Staging transforms select it; OMDb keys on the file stem) …
+      assert(spark.table("raw_stream").columns.contains("_src_file"))
+      assert(spark.table("raw_stream")
+        .filter(graft.io.RawZone.srcFileStem === "tt7777").count() == 1,
+        "file stem must be derivable from the streamed _src_file")
+      // … and a corrupt file is DROPPED, not surfaced as an all-null row
+      java.nio.file.Files.writeString(d.resolve("corrupt.json"),
+        """{"_meta": {"snapshot_date": truncated-garbage""")
+      q.processAllAvailable()
+      assert(spark.table("raw_stream").count() == 4,
+        "corrupt raw file must be isolated exactly like the batch reader")
     } finally q.stop()
   }
 
@@ -459,6 +471,41 @@ class StreamingSpec extends SparkSpec {
         out.toString)
       assert(out.contains((2L, "2026-03-01 10:05:00.0", "2026-03-01 10:05:00.0", 1)),
         out.toString)
+    } finally q.stop()
+  }
+
+  test("sessionize: cross-batch out-of-order events extend the session start, not absorb blindly") {
+    // review r12: the old merge test `ts − end ≤ gap` was vacuously true
+    // for ANY event before the session end, silently absorbing events
+    // arbitrarily far in the past and never moving `start`
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionize(ms.toDS(), gapMs = 30 * 60 * 1000L,
+        watermark = "10 hours") // nothing below is late
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(Event(1L, ts("2026-03-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2, out of order: 09:50 is within gap BEFORE the session
+      // start → must merge and extend start backward; 07:00 is far
+      // before any reachable window → its own immediate single session
+      ms.addData(
+        Event(1L, ts("2026-03-01 09:50:00"), "view", 2.0),
+        Event(1L, ts("2026-03-01 07:00:00"), "stray", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time the open session out
+      ms.addData(Event(9L, ts("2026-03-02 23:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(9L, ts("2026-03-03 23:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getInt(3))).toSet
+      assert(out.contains((1L, "2026-03-01 07:00:00.0", "2026-03-01 07:00:00.0", 1)),
+        s"far-out-of-order event must close as its own session: $out")
+      assert(out.contains((1L, "2026-03-01 09:50:00.0", "2026-03-01 10:00:00.0", 2)),
+        s"near-out-of-order event must extend the session start backward: $out")
     } finally q.stop()
   }
 
