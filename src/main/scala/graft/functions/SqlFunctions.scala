@@ -27,10 +27,12 @@ object SqlFunctions {
     })
 
   /** `graft_bucket(key)` — the deterministic 0–255 md5 hash bucket behind
-    * [[graft.ops.Sampling]]'s split/sample assignment, so SQL users can
-    * write `WHERE graft_bucket(id) < 204` and land in exactly the same
-    * buckets the Scala operators assign (first two md5 hex digits of the
-    * key rendered as a string). */
+    * [[graft.ops.Sampling]]'s split/sample assignment (first two md5 hex
+    * digits of the key rendered as a string). SQL users land in exactly
+    * the same lanes as the Scala operators: samplers hash the bare key
+    * (`graft_bucket(id) < cut`), while split assignment rides the
+    * purpose-salted lane — `graft_bucket(concat(id, '|graft-split'))`,
+    * matching [[graft.ops.Sampling.SplitSalt]]. */
   val bucket: Descriptor = (
     new FunctionIdentifier("graft_bucket"),
     new ExpressionInfo(Conv.getClass.getName, "graft_bucket"),

@@ -337,7 +337,16 @@ object Curate {
           "quality_quantile" -> qualityBase,
           "bigram_lm" -> quality,
           "contaminated" -> clean,
-          "temperature_cut" -> balanced)
+          "temperature_cut" -> balanced) ++
+          // the chunk stage can drop a doc too (a zero-token text emits
+          // no window) — without this handoff the audit labeled such a
+          // doc "survived" while the output contained nothing of it
+          // (review r12); distinct because chunking fans each doc out
+          (cfg.chunk match {
+            case Some(_) =>
+              Seq("chunk_empty" -> emitted.select(col(idCol)).distinct())
+            case None => Seq.empty
+          })
         // each id frame is read twice (as a stage's survivors and as the
         // next stage's input) AND sits on a by-now-unpersisted lineage —
         // caching the tiny id projections makes the whole walk cost ~one

@@ -203,14 +203,15 @@ object Dedup {
       .agg(count(lit(1)).as("nb_docs"))
       .filter(col("nb_docs") > maxBucket)
 
-  /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct
-    * shingle sets. Runs only on the candidate pairs (two broadcast-or-
-    * shuffle joins against the shingle table), never all-pairs. */
-  def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-                     textCol: String, shingleN: Int): DataFrame = {
-    // candidate pairs are a tiny fraction of the corpus — semi-join the
-    // corpus down to the docs actually referenced before re-shingling,
-    // so the expensive shingle/hash pass doesn't run corpus-wide twice
+  /** Shared candidate-pair scaffold for the exact set-similarity
+    * confirms (review r12: [[jaccardOnPairs]] and [[containmentOnPairs]]
+    * each carried a verbatim copy): semi-join the corpus down to the
+    * docs the pairs actually reference — candidate pairs are a tiny
+    * fraction of the corpus, so the expensive shingle/hash pass must not
+    * run corpus-wide — re-shingle just those, attach both sides' shingle
+    * sets, and pre-compute the intersection size. */
+  private def pairShingles(pairs: DataFrame, df: DataFrame, idCol: String,
+                           textCol: String, shingleN: Int): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
@@ -220,6 +221,14 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("nb_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+  }
+
+  /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct
+    * shingle sets. Runs only on the candidate pairs (two broadcast-or-
+    * shuffle joins against the shingle table), never all-pairs. */
+  def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                     textCol: String, shingleN: Int): DataFrame =
+    pairShingles(pairs, df, idCol, textCol, shingleN)
       .withColumn("nb_union",
         size(col("sh_a")) + size(col("sh_b")) - col("nb_inter"))
       // IEEE double division of two exact ints — bit-identical in any
@@ -227,7 +236,6 @@ object Dedup {
       .withColumn("jaccard",
         col("nb_inter").cast("double") / col("nb_union").cast("double"))
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Exact n-gram containment for candidate pairs: |A∩B| ∕ |A| and ∕ |B|
     * over distinct shingle sets — the asymmetric complement to
@@ -237,23 +245,14 @@ object Dedup {
     * duplicates this catches. Runs only on candidate pairs, same
     * semi-join-then-reshingle shape as [[jaccardOnPairs]]. */
   def containmentOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-                         textCol: String, shingleN: Int): DataFrame = {
-    val ids = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
-    val sh = needed.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
-    pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("nb_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+                         textCol: String, shingleN: Int): DataFrame =
+    pairShingles(pairs, df, idCol, textCol, shingleN)
       // IEEE double divisions of exact ints — engine-portable
       .withColumn("containment_a",
         col("nb_inter").cast("double") / size(col("sh_a")).cast("double"))
       .withColumn("containment_b",
         col("nb_inter").cast("double") / size(col("sh_b")).cast("double"))
       .select("id_a", "id_b", "nb_inter", "containment_a", "containment_b")
-  }
 
   /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
     * `maxBucket` (default unlimited) is the degenerate-key guard passed

@@ -27,16 +27,35 @@ object Sampling {
     hexDigitVal(substring(h, 1, 1)) * 16 + hexDigitVal(substring(h, 2, 1))
   }
 
+  /** The split lanes' purpose salt — appended to the key as
+    * `"<key>|graft-split"` before hashing, so split assignment is
+    * statistically INDEPENDENT of every sampler's keep test (review
+    * r12: the samplers hash the UNsalted key and keep LOW buckets, so
+    * an unsalted split was perfectly correlated with survival — any
+    * source down-sampled below trainPct/100 kept only bucket < cut
+    * rows and lost ALL val/test representation). SQL users replicate
+    * the lane as `graft_bucket(concat(key, '|graft-split'))`. */
+  val SplitSalt = "graft-split"
+
+  private def splitBucket(key: Column): Column =
+    hashBucket(concat(key.cast("string"), lit("|" + SplitSalt)))
+
   /** Deterministic train/val/test assignment by hash bucket. Cut points
     * are integer bucket counts (256×pct/100, floor), so the realized
-    * fractions are exact and documented: 80/10/10 → 204/26/26 buckets. */
+    * fractions are exact and documented: 80/10/10 → 204/26/26 buckets.
+    * The bucket rides the [[SplitSalt]]-salted lane (independent of all
+    * sampling decisions). A NULL key has no stable identity — it is
+    * routed to `train`, never the eval splits (review r12: it used to
+    * fall through to `test`, concentrating null-id rows in the eval
+    * set). */
   def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val b = hashBucket(key)
+    val b = splitBucket(key)
     val trainCut = 256 * trainPct / 100
     val valCut = 256 * (trainPct + valPct) / 100
-    when(b < trainCut, "train").when(b < valCut, "val").otherwise("test")
+    when(key.isNull, "train")
+      .when(b < trainCut, "train").when(b < valCut, "val").otherwise("test")
   }
 
   /** Deterministic fraction-sample: keep rows whose bucket falls under
@@ -44,7 +63,10 @@ object Sampling {
     * stable across runs and engines. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"invalid fraction $fraction")
-    df.filter(hashBucket(col(keyCol)) < (256 * fraction).toInt)
+    // clamp to one bucket like temperatureSample (review r12): a legal
+    // fraction below 1/256 floored to cut 0 and silently emptied the
+    // result; the 256-lane grid's floor resolution is 1/256
+    df.filter(hashBucket(col(keyCol)) < math.max((256 * fraction).toInt, 1))
   }
 
   /** Deterministic per-group volume cap: keep at most `k` rows per group,
@@ -93,9 +115,12 @@ object Sampling {
     require(minVal >= 0 && minTest >= 0,
       s"invalid floors: minVal=$minVal minTest=$minTest")
     val testPct = 100 - trainPct - valPct
+    // rank on the SplitSalt lane too: the eval floors must not
+    // preferentially pick rows a sampler's unsalted hash already favored
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + SplitSalt))).asc,
+        col(keyCol).asc)
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
     df.withColumn("__r", row_number().over(w) - 1)
       .withColumn("__n", count(lit(1)).over(cw))
@@ -210,9 +235,13 @@ object Sampling {
   def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
                     fractions: Map[String, Double],
                     defaultFraction: Double = 1.0): DataFrame = {
+    // fraction 0 means DROP the source; any POSITIVE fraction clamps to
+    // at least one bucket (review r12: 0 < f < 1/256 floored to cut 0
+    // and silently emptied the source instead of degrading to 1/256)
+    def cutOf(f: Double): Int = if (f <= 0) 0 else math.max((256 * f).toInt, 1)
     val cut = fractions.toSeq.sortBy(_._1).foldLeft(
-      lit((256 * defaultFraction).toInt)) { case (acc, (src, f)) =>
-        when(col(sourceCol) === src, lit((256 * f).toInt)).otherwise(acc)
+      lit(cutOf(defaultFraction))) { case (acc, (src, f)) =>
+        when(col(sourceCol) === src, lit(cutOf(f))).otherwise(acc)
     }
     df.filter(hashBucket(col(keyCol)) < cut)
   }
@@ -255,20 +284,35 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
       "weights must be non-negative")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
-    val wSum = weights.values.sum
-    require(wSum > 0.0, "at least one weight must be positive")
-    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (src, w)) =>
-        when(col(sourceCol) === src, lit(w / wSum)).otherwise(acc)
-    }
+    require(weights.values.sum > 0.0, "at least one weight must be positive")
     val masses = df.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
       .agg(sum(col(tokCol).cast("long")).as("__t"))
       .filter(col("__t") > 0)
+    // Normalize over the sources PRESENT — the documented contract
+    // (review r12: dividing by the full map's Σw undershot the budget
+    // whenever a weighted source was absent or had zero token mass).
+    // Presence is resolved with ONE dimension-sized driver action so the
+    // normalizer stays a DETERMINISTIC Scala fold over the sorted map —
+    // an in-plan double sum over a weights frame would be
+    // partition-order-dependent, breaking the bit-identical-cuts
+    // contract the oracle hash relies on.
+    val present = masses.select(col(sourceCol).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val wPresent = weights.toSeq.sortBy(_._1)
+      .filter { case (s, w) => w > 0.0 && present.contains(s) }
+    require(wPresent.nonEmpty,
+      "no positively-weighted source present in the corpus " +
+        s"(weights over ${weights.keySet.toSeq.sorted.mkString(",")}; " +
+        s"present: ${present.toSeq.sorted.mkString(",")})")
+    val wSum = wPresent.foldLeft(0.0) { case (acc, (_, w)) => acc + w }
+    val wExpr = wPresent.foldLeft(lit(0.0)) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src, lit(w / wSum)).otherwise(acc)
+    }
     // budget: caller-pinned, else the observed corpus total (output mass
     // then ≈ input mass, reshaped to the weights). Lazy 1-row broadcast
-    // cross join, same shape as temperatureSample's min — no driver action
-    // during plan construction.
+    // cross join, same shape as temperatureSample's min.
     val budgetFrame = totalBudget match {
       case Some(b) => masses.sparkSession.range(1).select(lit(b).as("__b"))
       case None    => masses.agg(sum(col("__t")).as("__b"))
@@ -311,19 +355,28 @@ object Sampling {
     * and each task streams one file. */
   def writeTrainingShards(df: DataFrame, keyCol: String, nShards: Int,
                           path: String): DataFrame = {
+    // persist the sharded frame: the parquet write and the manifest
+    // aggregate both consume it, and without the pin the md5 hashing +
+    // shard shuffle + per-shard window — the most expensive pass — ran
+    // end-to-end TWICE (review r12)
     val sharded = shuffleShard(df, keyCol, nShards)
-    sharded.sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
-    val manifest = sharded
-      .groupBy(col("shard"))
-      .agg(
-        count(lit(1)).as("nb_rows"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col(keyCol).cast("string").as("k")))),
-          s => s.getField("k")), ",")).as("order_digest"))
-    manifest.coalesce(1).sortWithinPartitions("shard")
-      .write.mode("overwrite").json(s"$path/_graft_manifest")
-    manifest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sharded.sortWithinPartitions(col("shard"), col("pos"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path)
+      val manifest = sharded
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("nb_rows"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col(keyCol).cast("string").as("k")))),
+            s => s.getField("k")), ",")).as("order_digest"))
+      manifest.coalesce(1).sortWithinPartitions("shard")
+        .write.mode("overwrite").json(s"$path/_graft_manifest")
+      // pin the shard-count-sized manifest before releasing the corpus
+      // cache, so the RETURNED frame doesn't recompute the whole pass
+      manifest.localCheckpoint(true)
+    } finally sharded.unpersist(blocking = false)
   }
 
   /** Shard-integrity audit: recompute each shard's row count and order

@@ -99,6 +99,19 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Fixed-point quantization of a float/double vector column onto the
+    * integer grid — THE shared primitive behind every `*Quantized`
+    * operator (review r12: seven call sites each re-defined the same
+    * lambda; one formula, one place). float×2^20 is exact in double and
+    * round-ties-away agrees across engines. */
+  private def quantize(c: Column, quantScale: Double): Column =
+    transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+
+  /** Exact integer dot product of two quantized vector columns — the
+    * shared confirm/rerank primitive. */
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** LSH sketch: the vector's sign bit against each projection plane,
     * packed into a long. Nearby vectors agree on most bits. */
   def srpSketch(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -335,12 +348,17 @@ object Similarity {
       -array_max(array(cellScores(col(cVec)).map { case (i, s) =>
         struct(s.as("s"), lit(-i).as("ni")) }: _*))
         .getField("ni"))
-    // queries: top nProbes cells, exploded
+    // queries: top nProbes cells, exploded. Ties on the score break to
+    // the LOWEST centroid index — struct(s, -i) desc — matching the
+    // corpus assignment above and the quantized flavor (review r12: the
+    // old struct(s, i) desc broke ties to the HIGHEST index, so the
+    // float and quantized flavors could probe different cells at a tie
+    // on the nProbes boundary)
     val qCells = queries.withColumn("cell",
-      explode(slice(
+      explode(transform(slice(
         sort_array(array(cellScores(col(qVec)).map { case (i, s) =>
-          struct(s.as("s"), lit(i).as("i")) }: _*), asc = false),
-        1, nProbes).getField("i")))
+          struct(s.as("s"), lit(-i).as("ni")) }: _*), asc = false),
+        1, nProbes), s => -s.getField("ni"))))
     // corpus rows live in exactly one cell and query probes are distinct
     // cells, so each (q, c) pair appears at most once — no dedup exchange
     // needed; the ranking window sees only (q_id, c_id, cosine)
@@ -388,8 +406,7 @@ object Similarity {
       if (trained.nonEmpty) trained.map(_.map(x => math.round(x * quantScale)))
       else randomPlanes(nCentroids,
         if (dim > 0) dim else probeDim(corpus, cVec), seed).map(_.map(_.toLong))
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     // integer centroid score: quantized components × integer centroid —
     // exact longs (quantScale² × dim ≈ 2^46 headroom)
     def cellScore(vec: Column, ctr: Seq[Long]): Column =
@@ -461,7 +478,12 @@ object Similarity {
         val blk = dv.select(slice(col("__v"), b * w + 1, w).as("__blk"))
         val dirs = kmeansCentroids(blk, "__blk", codebookSize,
           iters, seed + b, w)
-        if (dirs.isEmpty) Seq.empty[Seq[Double]]
+        // degenerate block (every sub-vector zero-norm, e.g. zero-padded
+        // dims): degrade to ONE zero codeword — its ADC contribution is
+        // exactly 0 for every query, which is also the true dot product
+        // against an all-zero block. An EMPTY book broke scoring outright
+        // (array_max over zero struct columns fails analysis — review r12).
+        if (dirs.isEmpty) Seq(Seq.fill(w)(0.0))
         else {
           // one bounded pass per block: cell assignment by max projection
           // (argmax via the struct/array_max idiom), then per-cell mean
@@ -527,8 +549,7 @@ object Similarity {
     val w = d / nBlocks
     val (books, scoreDiv) =
       intBooks(trained, nBlocks, codebookSize, w, seed, quantScale)
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     def dotLit(block: Column, ctr: Seq[Long]): Column =
       aggregate(zip_with(block, array(ctr.map(lit): _*),
         (a, b) => a * b), lit(0L), (acc, x) => acc + x)
@@ -590,8 +611,7 @@ object Similarity {
     val centroids = randomPlanes(nCentroids, d, cellSeed)
     val (books, scoreDiv) =
       intBooks(trained, nBlocks, codebookSize, w, pqSeed, quantScale)
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     def dotCell(vec: Column, ctr: Seq[Double]): Column =
       aggregate(zip_with(vec, array(ctr.map(x => lit(x.toLong)): _*),
         (a, b) => a * b), lit(0L), (acc, x) => acc + x)
@@ -661,8 +681,7 @@ object Similarity {
                                  dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val mask = (1L << prefixBits) - 1
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
     // candidate generation carries ONLY (id, bucket) — the bucket self-join
     // and the multi-seed distinct() exchange small fixed-width keys, never
@@ -677,8 +696,7 @@ object Similarity {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }.reduce(_ unionByName _).distinct()
-    def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def dotL(a: Column, b: Column): Column = dotLong(a, b)
     // norms fold once per VECTOR before the candidate join (ids are
     // linear, candidates are not) — each candidate pair then pays exactly
     // one fold, the dot; the integers are identical either way
@@ -725,8 +743,7 @@ object Similarity {
       if (trained.nonEmpty) trained.map(_.map(x => math.round(x * quantScale)))
       else randomPlanes(nCentroids,
         if (dim > 0) dim else probeDim(df, vecCol), seed).map(_.map(_.toLong))
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     def cellScore(vec: Column, ctr: Seq[Long]): Column =
       aggregate(zip_with(vec, array(ctr.map(lit): _*), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
@@ -748,8 +765,7 @@ object Similarity {
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def dotL(a: Column, b: Column): Column = dotLong(a, b)
     // norms are per-VECTOR, so fold them once per id before the candidate
     // join — a pair then pays one fold (the dot), not three (same exact
     // integers either way; candidates within a cell are quadratic, ids
@@ -779,12 +795,15 @@ object Similarity {
                         dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val mask = (1L << prefixBits) - 1
+    // prefix planes only — bit-identical after the mask, half the
+    // per-row dot products at the defaults (see annTopK, review r12)
+    val nEff = math.min(nPlanes, prefixBits)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // (id, bucket) only through the self-join and distinct — vectors are
     // joined back onto the candidate pairs afterward (jaccardOnPairs shape),
     // so no exchange keys on array payloads
     val pairs = seeds.map { seed =>
-      val planes = randomPlanes(nPlanes, d, seed)
+      val planes = randomPlanes(nEff, d, seed)
       val b = base.select(col("id"),
         srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
       b.as("a").join(b.as("b"),
@@ -817,10 +836,8 @@ object Similarity {
   def semanticOverlap(corpus: DataFrame, benchmark: DataFrame,
                       idCol: String, vecCol: String, threshold: Double,
                       quantScale: Double = 1048576.0): DataFrame = {
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
-    def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def quant(c: Column): Column = quantize(c, quantScale)
+    def dotL(a: Column, b: Column): Column = dotLong(a, b)
     val bench = benchmark
       .select(quant(col(vecCol)).as("__bv"))
       .withColumn("__nb2", dotL(col("__bv"), col("__bv")))
@@ -849,11 +866,17 @@ object Similarity {
               cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
     val mask = (1L << prefixBits) - 1
+    // only the low prefixBits bits survive the mask, and randomPlanes is
+    // a sequential seeded draw (plane p of n is plane p of any n' > p) —
+    // so generating planes beyond the prefix paid dim-length dot products
+    // per row for bits the mask discarded (review r12); the sketch is
+    // bit-identical with just the prefix planes
+    val nEff = math.min(nPlanes, prefixBits)
     // bucket join and multi-probe distinct carry only (q_id, c_id) —
     // vectors join back onto the deduped pairs, and the ranking window
     // sees only (q_id, c_id, cosine)
     val pairs = seeds.map { seed =>
-      val planes = randomPlanes(nPlanes, d, seed)
+      val planes = randomPlanes(nEff, d, seed)
       val qb = queries.select(col(qId),
         srpSketch(col(qVec), planes).bitwiseAND(mask).as("bucket"))
       val cb = corpus.select(col(cId),
@@ -891,8 +914,7 @@ object Similarity {
                        qId: String = "q_id", qVec: String = "q_vec",
                        cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, cVec)
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * quantScale).cast("long"))
+    def quant(c: Column): Column = quantize(c, quantScale)
     val q = queries.select(col(qId), quant(col(qVec)).as("__qv"))
     val c = corpus.select(col(cId), quant(col(cVec)).as("__cv"))
     // (q_id, c_id) only through the bucket join and multi-probe distinct;

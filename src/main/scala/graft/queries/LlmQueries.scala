@@ -507,9 +507,11 @@ object LlmQueries {
     }),
 
     // Deterministic train/val/test split: hash-bucket assignment (first
-    // two md5 hex digits of doc_id, never rand()) → per-split per-lang
-    // token accounting. The reproducibility contract for corpus splits:
-    // same doc → same split at any partition count, in any engine.
+    // two md5 hex digits of the '|graft-split'-salted doc_id, never
+    // rand()) → per-split per-lang token accounting. The reproducibility
+    // contract for corpus splits: same doc → same split at any partition
+    // count, in any engine; the purpose salt keeps the split lanes
+    // independent of every sampler's (unsalted) keep test.
     "q44_train_split" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.withColumn("split", Sampling.splitAssign(col("doc_id")))
@@ -1065,7 +1067,8 @@ object LlmQueries {
 
     // SQL-surface face (SURVEY §2.6 beyond parity): the whole query is
     // AUTHORED AS SQL over the registered temp views — graft_bucket
-    // assigns the same md5 splits as Sampling.splitAssign, the 60-bit
+    // over the '|graft-split'-salted key assigns the same md5 splits as
+    // Sampling.splitAssign, the 60-bit
     // md5 fingerprint detects exact dups, and graft_hamming64 measures
     // adjacent-fingerprint decorrelation through a lag window. Everything
     // is md5/integer arithmetic, so DuckDB replays it bit-for-bit.
@@ -1075,8 +1078,8 @@ object LlmQueries {
       s.sql("""
         |WITH fp AS (
         |  SELECT doc_id, lang,
-        |    CASE WHEN graft_bucket(doc_id) < 204 THEN 'train'
-        |         WHEN graft_bucket(doc_id) < 230 THEN 'val'
+        |    CASE WHEN graft_bucket(concat(doc_id, '|graft-split')) < 204 THEN 'train'
+        |         WHEN graft_bucket(concat(doc_id, '|graft-split')) < 230 THEN 'val'
         |         ELSE 'test' END AS split,
         |    CAST(conv(substr(md5(concat_ws(' ',
         |      filter(split(lower(text), ' '), t -> t != ''))), 1, 15), 16, 10)
@@ -2263,12 +2266,12 @@ object LlmQueries {
       """WITH d AS (
         |  SELECT lang,
         |    len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok,
-        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
-        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
-        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
-        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 87 END) AS b
         |  FROM documents),
         |s AS (
         |  SELECT lang, ntok,
@@ -2655,12 +2658,12 @@ object LlmQueries {
         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
         |b AS (
         |  SELECT doc_id, text,
-        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
-        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
-        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
-        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 87 END) AS b
         |  FROM corpus),
         |sp AS (
         |  SELECT doc_id, text,
@@ -2751,12 +2754,12 @@ object LlmQueries {
         |  SELECT doc_id, text,
         |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
         |  FROM (SELECT doc_id, text,
-        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
-        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
-        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
-        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 87 END) AS b
         |    FROM clean))
         |SELECT
         |  CAST((SELECT count(*) FROM stripped) AS BIGINT) AS nb_input,
@@ -3002,12 +3005,12 @@ object LlmQueries {
     "q63_sql_surface" ->
       """WITH fp AS (
         |  SELECT doc_id, lang,
-        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
-        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
-        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
-        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS b,
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 87 END) AS b,
         |    CAST(('0x' || substr(md5(array_to_string(
         |      list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')), 1, 15))
         |      AS BIGINT) AS fp60
@@ -3428,7 +3431,7 @@ object LlmQueries {
       """WITH w AS (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r,
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-split'), doc_id) - 1 AS r,
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents),
         |s AS (
@@ -3469,12 +3472,12 @@ object LlmQueries {
         |j AS (SELECT s.doc_id, a.text FROM surv s JOIN adm a ON a.doc_id = s.doc_id),
         |b AS (
         |  SELECT doc_id, text,
-        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) * 16
-        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= 57
-        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48
-        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END) AS bk
+        |    (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split'), 2, 1)) - 87 END) AS bk
         |  FROM j)
         |SELECT doc_id,
         |  CASE WHEN bk < 204 THEN 'train' WHEN bk < 230 THEN 'val' ELSE 'test' END AS split,

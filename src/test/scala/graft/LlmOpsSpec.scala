@@ -350,6 +350,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(s1 == s2 && s1.size > 300 && s1.size < 700, s"sample size ${s1.size}")
   }
 
+  test("split lanes are independent of sampler survival (review r12)") {
+    import graft.ops.Sampling
+    // review r12: samplers keep LOW unsalted buckets, so an unsalted
+    // split made any fraction < trainPct/100 lose ALL val/test rows —
+    // the salted split must field every split among survivors at ~the
+    // declared rates
+    val keys = (0L until 4000L).toDF("k")
+    val sampled = Sampling.hashSample(keys, "k", 0.25) // keeps bucket < 64
+    val counts = sampled
+      .select(Sampling.splitAssign(col("k")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"),
+      s"sampled corpus lost split coverage: $counts")
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("val") / n - 26.0 / 256) < 0.05 &&
+      math.abs(counts("test") / n - 26.0 / 256) < 0.05,
+      s"survivor split rates diverged from declared: $counts")
+    // a NULL key has no stable identity — it must land in train, never eval
+    val nulls = Seq[Option[Long]](None, None).toDF("k")
+      .select(Sampling.splitAssign(col("k")).as("s")).as[String].collect()
+    assert(nulls.forall(_ == "train"), s"NULL keys leaked into eval: ${nulls.toSeq}")
+    // a legal sub-1/256 fraction degrades to the 1-bucket floor, not empty
+    assert(Sampling.hashSample(keys, "k", 0.001).count() > 0,
+      "tiny fraction must clamp to one bucket, not empty the corpus")
+  }
+
+  test("epochMixture normalizes weights over sources PRESENT (review r12)") {
+    import graft.ops.Sampling
+    val df = (0L until 100L).map(i => (i, "a", 10L)).toDF("k", "src", "ntok")
+    // source b is weighted but absent: a must absorb the WHOLE budget
+    // (share 1.0), not half of it
+    val out = Sampling.epochMixture(df, "k", "src",
+      "ntok", Map("a" -> 0.5, "b" -> 0.5), totalBudget = Some(2000L))
+    val mass = out.agg(sum(col("ntok"))).head().getLong(0)
+    assert(mass >= 1900L && mass <= 2100L,
+      s"absent-source weight must not shrink the budget (mass $mass, want ~2000)")
+    // and an all-absent weighting fails loudly instead of emitting nothing
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixture(df, "k", "src", "ntok", Map("zzz" -> 1.0))
+    }
+  }
+
   test("shuffleShard: complete permutation, dense per-shard positions, partition-stable") {
     import graft.ops.Sampling
     val keys = (0L until 2000L).toDF("k")
@@ -2291,6 +2334,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) == "contaminated", got.toString)
     // the audit partitions the input exactly: every id, exactly once
     assert(got.keySet == (1L to 7L).toSet && r.audit.get.count() == 7)
+  }
+
+  test("curate: audit accounts for the chunk stage too (review r12)") {
+    import graft.ops.Curate
+    // a doc that survives every doc-level stage but emits zero chunks
+    // (whitespace-only text) used to be labeled "survived" while the
+    // output contained nothing of it
+    val long = (1 to 40).map(i => s"common the word$i of text").mkString(" ")
+    val docs = Seq((1L, long), (2L, "   ")).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark holdout unrelated")).toDF("doc_id", "text")
+    val r = Curate.curate(docs, bench, "doc_id", "text",
+      Curate.Config(qualityFloor = 0.0, audit = true, chunk = Some((16, 4))))
+    val got = r.audit.get.as[(Long, String)].collect().toMap
+    assert(got(1L) == "survived", got.toString)
+    assert(got(2L) == "chunk_empty", got.toString)
+    assert(r.corpus.filter(col("doc_id") === 2L).count() == 0)
+    r.release()
   }
 
   test("curate: blocklist stage drops blocked content and its PII-variant copies") {
