@@ -360,7 +360,8 @@ object TextAnalysis {
     * anti-join against a frame AQE will broadcast — the corpus itself
     * shuffles once (the per-doc reassembly aggregate). Returns one row
     * per input doc: (idCol, clean_text, nb_kept, nb_removed); docs that
-    * were pure boilerplate come back with an empty clean_text. */
+    * were pure boilerplate — or had no non-empty lines at all — come
+    * back with an empty clean_text. */
   def removeBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, maxDocs: Long): org.apache.spark.sql.DataFrame = {
     val lines = docs.select(col(idCol),
@@ -376,7 +377,13 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("clean_text"),
         count(lit(1)).as("nb_kept"))
-    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("nb_lines"))
+    // per-doc line totals come from the DOCS frame, not the exploded
+    // lines (review r12: grouping the lines dropped docs with zero
+    // non-empty lines, breaking the one-row-per-input-doc contract) —
+    // and size() is map-side where the old groupBy was a second shuffle
+    val totals = docs.select(col(idCol),
+      coalesce(size(filter(split(col(textCol), "\n"), l => l =!= "")), lit(0))
+        .cast("long").as("nb_lines"))
     totals.join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -2629,7 +2629,7 @@ object LlmQueries {
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
         |         count(*) AS nb_kept
         |  FROM keptl GROUP BY doc_id),
-        |tot AS (SELECT doc_id, count(*) AS nb_lines FROM lx GROUP BY doc_id)
+        |tot AS (SELECT doc_id, len(ls) AS nb_lines FROM ls)
         |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
         |  CAST(coalesce(k.nb_kept, 0) AS BIGINT) AS nb_kept,
         |  CAST(t.nb_lines - coalesce(k.nb_kept, 0) AS BIGINT) AS nb_removed

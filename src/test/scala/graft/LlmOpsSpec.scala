@@ -1954,7 +1954,8 @@ class LlmOpsSpec extends SparkSpec {
     val docs = (1 to 10).map(i =>
       (i.toLong, s"header common\ncontent line $i\nfooter common")) ++ Seq(
       (11L, "header common\nfooter common"), // pure boilerplate
-      (12L, "content a\nheader common\ncontent b")) // order must survive
+      (12L, "content a\nheader common\ncontent b"), // order must survive
+      (13L, "\n\n")) // zero non-empty lines: must still get its row
     val df = docs.toDF("doc_id", "text")
     val out = TextAnalysis.removeBoilerplate(df, "doc_id", "text", maxDocs = 5)
       .collect()
@@ -1963,7 +1964,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) == (("content line 3", 1L, 2L)))
     assert(out(11) == (("", 0L, 2L))) // all-boilerplate doc survives, empty
     assert(out(12) == (("content a\ncontent b", 2L, 1L)))
-    assert(out.size == 12)
+    assert(out(13) == (("", 0L, 0L))) // review r12: used to vanish entirely
+    assert(out.size == 13)
   }
 
   test("plan shape: chunkTokens is shuffle-free; boilerplate drop anti-joins") {
