@@ -24,6 +24,18 @@ object Multimodal {
     * by explicit repartition). */
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
+  /** Exact `a·b > c·d` over non-negative longs via 128-bit products
+    * (`Math.multiplyHigh` + unsigned low-word compare) — the perceptual
+    * hashes' mean test, kept exact at ANY payload size (review r12: the
+    * direct Long products wrapped silently past ~1.5 Gpixel images /
+    * ~1.3·10⁸ mono-16-bit sample frames, breaking the re-encode-collision
+    * and gain-invariance contracts with no error). */
+  private[graft] def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val (hi1, lo1) = (Math.multiplyHigh(a, b), a * b)
+    val (hi2, lo2) = (Math.multiplyHigh(c, d), c * d)
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+  }
+
   case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -136,7 +148,8 @@ object Multimodal {
     * re-ENCODES of the same raster (PNG ↔ BMP, palette reorder) collide
     * exactly — the container bytes differ, the decoded pixels don't —
     * and mild global edits land within a few [[Dedup.hamming64]] bits.
-    * Long arithmetic is exact to ~1.5 Gpixel (255·N·⌈N/64⌉ < 2⁶³).
+    * The mean compares run 128-bit exact ([[mulGt]]), so there is no
+    * image-size bound on exactness.
     * Returns None for undecodable payloads (mixed corpora skip them). */
   def aHash64(bytes: Array[Byte]): Option[Long] = {
     val img =
@@ -172,7 +185,7 @@ object Multimodal {
         var hash = 0L
         var c = 0
         while (c < 64) {
-          if (cellN(c) > 0 && cellSum(c) * n > total * cellN(c)) hash |= (1L << c)
+          if (cellN(c) > 0 && mulGt(cellSum(c), n, total, cellN(c))) hash |= (1L << c)
           c += 1
         }
         Some(hash)
@@ -189,8 +202,10 @@ object Multimodal {
     * collides exactly while different content lands far in
     * [[Dedup.hamming64]]. Accepts the JDK-parseable PCM WAV family
     * (16-bit signed, 8-bit signed/unsigned — 8-bit amplitude measured
-    * about the 128 bias); None otherwise. Long arithmetic exact to
-    * ~4·10⁸ sample frames (512·N² < 2⁶³ — ~7 h at 16 kHz). */
+    * about the 128 bias); None otherwise. The mean compares run 128-bit
+    * exact ([[mulGt]]), so there is no duration bound on exactness (the
+    * accumulators themselves stay under 2⁶³ to ~2·10¹³ stereo 16-bit
+    * frames — ~40 years of audio). */
   def audioHash64(bytes: Array[Byte]): Option[Long] = {
     import javax.sound.sampled.AudioFormat.Encoding
     try {
@@ -239,7 +254,7 @@ object Multimodal {
             var hash = 0L
             var w = 0
             while (w < 64) {
-              if (winN(w) > 0 && winSum(w) * n > total * winN(w)) hash |= (1L << w)
+              if (winN(w) > 0 && mulGt(winSum(w), n, total, winN(w))) hash |= (1L << w)
               w += 1
             }
             Some(hash)

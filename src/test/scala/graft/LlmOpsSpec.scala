@@ -2187,6 +2187,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(x => x._1 -> x._3).toMap == re)
   }
 
+  test("perceptual-hash mean compare is exact past the int64 product wrap (review r12)") {
+    import graft.ops.Multimodal
+    // giant-image regime: cellSum·n and total·cellN both exceed 2^63 —
+    // the old direct Long products wrapped silently and could flip bits
+    val (cellSum, n, total, cellN) = (255L * (1L << 25), 1L << 31, 200L * (1L << 31), 1L << 25)
+    // naive products wrap negative here; the true compare is 255 > 200
+    assert(cellSum * n < 0 || total * cellN < 0, "test must exercise the wrap regime")
+    assert(Multimodal.mulGt(cellSum, n, total, cellN))
+    assert(!Multimodal.mulGt(total, cellN, cellSum, n))
+    // equality stays strictly-greater = false in both orders
+    assert(!Multimodal.mulGt(cellSum, n, cellSum, n))
+    // agrees with BigInt on a deterministic sweep including extremes
+    val vals = Seq(0L, 1L, 3L, (1L << 31) - 1, (1L << 40) + 7, Long.MaxValue)
+    for (a <- vals; b <- vals; c <- vals; d <- vals)
+      assert(Multimodal.mulGt(a, b, c, d) ==
+        (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)), s"($a,$b,$c,$d)")
+  }
+
   test("aHash64: re-encodes collide exactly, edits stay near, banded near-dup finds the pair") {
     import graft.ops.{Dedup, Multimodal}
     import java.awt.image.BufferedImage
