@@ -112,9 +112,14 @@ object CurateIncremental {
                      ecfg: EmbedConfig = EmbedConfig()): DataFrame = {
     val d = if (ecfg.dim > 0) ecfg.dim else Similarity.probeDim(df, vecCol)
     val mask = (1L << ecfg.prefixBits) - 1
+    // prefix planes only — the mask keeps the low prefixBits bits, and
+    // randomPlanes is a sequential seeded draw, so the masked sketch is
+    // bit-identical with just the prefix planes (same persisted buckets,
+    // fewer per-row dot products whenever nPlanes > prefixBits)
+    val nEff = math.min(ecfg.nPlanes, ecfg.prefixBits)
     val base = df.select(col(idCol).as("id"), quantVec(col(vecCol), ecfg).as("v"))
     ecfg.seeds.map { seed =>
-      val planes = Similarity.randomPlanes(ecfg.nPlanes, d, seed)
+      val planes = Similarity.randomPlanes(nEff, d, seed)
       base.select(col("id"), lit(seed).as("seed"),
         Similarity.srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
     }.reduce(_ unionByName _)

@@ -681,6 +681,8 @@ object Similarity {
                                  dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val mask = (1L << prefixBits) - 1
+    // prefix planes only — bit-identical after the mask (see annTopK)
+    val nEff = math.min(nPlanes, prefixBits)
     def quant(c: Column): Column = quantize(c, quantScale)
     val base = df.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
     // candidate generation carries ONLY (id, bucket) — the bucket self-join
@@ -688,7 +690,7 @@ object Similarity {
     // the vectors; vectors come back via two id-keyed joins on the (tiny)
     // candidate set, the jaccardOnPairs shape (Dedup.jaccardOnPairs)
     val pairs = seeds.map { seed =>
-      val planes = randomPlanes(nPlanes, d, seed)
+      val planes = randomPlanes(nEff, d, seed)
       // srpSketch folds integer-valued doubles < 2^53 — exact sign bits
       val b = base.select(col("id"),
         srpSketch(col("v"), planes).bitwiseAND(mask).as("bucket"))
