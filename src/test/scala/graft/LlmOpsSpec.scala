@@ -391,6 +391,14 @@ class LlmOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.epochMixture(df, "k", "src", "ntok", Map("zzz" -> 1.0))
     }
+    // default budget (None) = the observed corpus mass, through the same
+    // present-source normalizer: a is the only present source, so output
+    // mass ≈ input mass (1000 tokens), not half of it
+    val defBudget = Sampling.epochMixture(df, "k", "src",
+      "ntok", Map("a" -> 0.5, "b" -> 0.5))
+      .agg(sum(col("ntok"))).head().getLong(0)
+    assert(defBudget >= 950L && defBudget <= 1100L,
+      s"default budget must track input mass (got $defBudget, want ~1000)")
   }
 
   test("shuffleShard: complete permutation, dense per-shard positions, partition-stable") {
