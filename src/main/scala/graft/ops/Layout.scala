@@ -70,8 +70,15 @@ object Layout {
     // value goes through the SAME BIGINT truncation as the min/max stats
     // before widening to DECIMAL — a direct fractional→DECIMAL cast
     // rounds HALF_UP where the stats' long cast truncates, letting a
-    // double column quantize outside [0, 2^bits) (caught in review r12)
-    val x = s"CAST(CAST(`$c` AS BIGINT) AS DECIMAL(20,0))"
+    // double column quantize outside [0, 2^bits) (caught in review r12).
+    // The value is CLAMPED into [mn, mx] first: a no-op when the stats
+    // are the observed min/max, and the correctness condition when the
+    // caller declares bounds ([[zorderKeyN]]'s `bounds`) — an unclamped
+    // out-of-range value would quantize outside [0, 2^bits) and the bit
+    // spread would silently alias it into a wrong key
+    val x = "CAST(CAST(least(greatest(" +
+      s"CAST(`$c` AS BIGINT), CAST(`$mn` AS BIGINT)), " +
+      s"CAST(`$mx` AS BIGINT)) AS BIGINT) AS DECIMAL(20,0))"
     val lo = s"CAST(`$mn` AS DECIMAL(20,0))"
     val hi = s"CAST(`$mx` AS DECIMAL(20,0))"
     expr(s"CASE WHEN `$c` IS NULL THEN CAST(NULL AS BIGINT) " +
@@ -142,11 +149,30 @@ object Layout {
     * dim in a 2-dim key would shift past bit 63, and JVM shifts mask the
     * amount mod 64, silently aliasing bits — caught in review r12).
     * Same exact-integer quantizer, same 1-row broadcast stats frame,
-    * same NULL-propagates contract as the 2-D key. */
+    * same NULL-propagates contract as the 2-D key.
+    *
+    * `bounds` (optional, per column) declares a dimension's [min, max]
+    * instead of observing it — the 100 TB lever: a clustered write pays
+    * three corpus passes (stats aggregate, range-partitioner sampling,
+    * the write itself), and a caller that knows its domains (epoch
+    * ranges, enum cardinalities, hash spaces) drops the first pass
+    * entirely when every dimension is bound (no stats job, no broadcast
+    * join — the key is pure map-side literals). Values outside declared
+    * bounds CLAMP onto the grid edge (exact keys for in-range data,
+    * edge-bucketed stragglers — never a corrupted key), so approximate
+    * bounds degrade pruning quality, not correctness. Keys are
+    * bit-identical to the observed-stats path when the declared bounds
+    * equal the true min/max. */
   def zorderKeyN(df: DataFrame, dims: Seq[(String, Int)],
-                 out: String = "zkey"): DataFrame = {
+                 out: String = "zkey",
+                 bounds: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     require(dims.size >= 2, s"need >=2 dimensions (got ${dims.size})")
     require(dims.forall(_._2 > 0), s"bit budgets must be positive: $dims")
+    require(bounds.keySet.subsetOf(dims.map(_._1).toSet),
+      s"bounds name columns not in dims: ${bounds.keySet -- dims.map(_._1)}")
+    bounds.foreach { case (c, (lo, hi)) =>
+      require(lo <= hi, s"bounds for '$c' are inverted: [$lo, $hi]")
+    }
     val n = dims.size
     dims.zipWithIndex.foreach { case ((c, bits), j) =>
       require((bits - 1) * n + j <= 62,
@@ -155,15 +181,27 @@ object Layout {
           "non-negative BIGINT; shrink the budget or reorder dimensions")
     }
     val t = statsTag(df)
-    val aggs = dims.zipWithIndex.flatMap { case ((c, _), j) =>
-      Seq(min(col(c).cast("long")).as(s"${t}mn_$j"),
-        max(col(c).cast("long")).as(s"${t}mx_$j"))
-    }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val unbound = dims.zipWithIndex.filter { case ((c, _), _) => !bounds.contains(c) }
     val key = dims.zipWithIndex.map { case ((c, bits), j) =>
       spreadBits(quantize(c, s"${t}mn_$j", s"${t}mx_$j", bits), n, bits, j)
     }.reduce(_.bitwiseOR(_))
-    df.crossJoin(broadcast(stats))
+    val withStats =
+      if (unbound.isEmpty) df // every dimension declared: no stats job at all
+      else {
+        val aggs = unbound.flatMap { case ((c, _), j) =>
+          Seq(min(col(c).cast("long")).as(s"${t}mn_$j"),
+            max(col(c).cast("long")).as(s"${t}mx_$j"))
+        }
+        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      }
+    val withBounds = dims.zipWithIndex.foldLeft(withStats) {
+      case (acc, ((c, _), j)) => bounds.get(c) match {
+        case Some((lo, hi)) =>
+          acc.withColumn(s"${t}mn_$j", lit(lo)).withColumn(s"${t}mx_$j", lit(hi))
+        case None => acc
+      }
+    }
+    withBounds
       .withColumn(out, key)
       .drop(dims.indices.flatMap(j => Seq(s"${t}mn_$j", s"${t}mx_$j")): _*)
   }
@@ -191,11 +229,15 @@ object Layout {
     * range-repartition + in-file sort): file envelopes stay narrow in
     * EVERY listed dimension, so a range predicate on any of them prunes
     * files (LayoutSpec asserts all three on a 3-dim write). Same
-    * single-range-shuffle budget as [[zorderWrite]]. */
+    * single-range-shuffle budget as [[zorderWrite]]; with `bounds`
+    * covering every dimension the stats pass disappears too (see
+    * [[zorderKeyN]]), leaving sampling + write as the only corpus
+    * reads. */
   def zorderWriteN(df: DataFrame, dims: Seq[(String, Int)], nFiles: Int,
-                   path: String): Unit = {
+                   path: String,
+                   bounds: Map[String, (Long, Long)] = Map.empty): Unit = {
     require(nFiles > 0, s"nFiles must be positive (got $nFiles)")
-    zorderKeyN(df, dims)
+    zorderKeyN(df, dims, bounds = bounds)
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)

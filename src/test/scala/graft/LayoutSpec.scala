@@ -131,6 +131,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderKeyN with declared bounds: identical keys, no stats job, clamped stragglers") {
+    val triples = for { a <- 0 to 15; b <- 0 to 15; c <- 0 to 15 }
+      yield (a.toLong * 3, b.toLong * 3, c.toLong * 3)
+    val df = triples.toDF("a", "b", "c")
+    val dims = Seq(("a", 4), ("b", 4), ("c", 4))
+    // bounds = the true min/max → bit-identical to the observed-stats path
+    val bounds = Map("a" -> (0L, 45L), "b" -> (0L, 45L), "c" -> (0L, 45L))
+    val observed = Layout.zorderKeyN(df, dims)
+      .select("a", "b", "c", "zkey").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val declared = Layout.zorderKeyN(df, dims, bounds = bounds)
+      .select("a", "b", "c", "zkey").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(declared == observed, "declared-bounds keys diverged from observed-stats keys")
+    // fully-bound key is pure map-side: no aggregate, no broadcast join
+    val plan = Layout.zorderKeyN(df, dims, bounds = bounds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(800))
+    // out-of-range values clamp onto the grid edge — never a corrupted key
+    val stragglers = Seq((-100L, 500L, 7L)).toDF("a", "b", "c")
+    val Seq(k) = Layout.zorderKeyN(stragglers, dims, bounds = bounds)
+      .select("zkey").as[Long].collect().toSeq
+    val Seq(edge) = Layout.zorderKeyN(Seq((0L, 45L, 7L)).toDF("a", "b", "c"),
+        dims, bounds = bounds)
+      .select("zkey").as[Long].collect().toSeq
+    assert(k == edge && k >= 0 && k < (1L << 12),
+      s"straggler must clamp to the grid-edge key (got $k, want $edge)")
+    // misdeclared bounds fail loudly
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(df, dims, bounds = Map("zzz" -> (0L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(df, dims, bounds = Map("a" -> (10L, 5L)))
+    }
+  }
+
   test("zorderKeyN agrees with an independent bit-by-bit reference") {
     def refKeyN(qs: Seq[Long], bits: Seq[Int]): Long = {
       val n = qs.size
