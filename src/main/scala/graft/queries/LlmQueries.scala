@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Blocklist, Curate, CurateIncremental, Dedup, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.ops.{AnnIndex, Blocklist, Curate, CurateIncremental, Dedup, Layout, Multimodal, Packing, Pca, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.sources.Testdata.table
 
 /** LLM-training-data pipeline operators over the provisioned
@@ -1639,6 +1639,40 @@ object LlmQueries {
         |  graft_spreadbits(qa, 3, 8, 0) | graft_spreadbits(qb, 3, 8, 1)
         |    | graft_spreadbits(qc, 3, 7, 2) AS zkey
         |FROM q ORDER BY zkey, doc_id""".stripMargin)
+    }),
+
+    // Exact-integer PCA moments: the ONE corpus-scale pass of
+    // dimensionality reduction ([[Pca.fit]]) — per dimension pair i ≤ j
+    // the exact fixed-point sums (n, Σqi, Σqj, Σqi·qj) on the shared
+    // 2^20 grid (q43's quantization contract). Map-side partial
+    // aggregation collapses the d² explode to d(d+1)/2 cells before the
+    // exchange, so the shuffle is dimension-bounded (2 080 rows at d=64)
+    // at ANY corpus size; the oracle replays the same grid and sums.
+    // Everything downstream of this face (covariance → Jacobi →
+    // projection) is driver-side on these rows and unit-tested exact
+    // (PcaSpec) — the corpus is touched exactly once.
+    "q110_embed_moments" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Pca.moments(e.select(col("embedding")), "embedding")
+        .orderBy("i", "j")
+    }),
+
+    // Feature-correlation matrix over exact integer text statistics —
+    // the scalar face of the same one-pass moments contract, the
+    // quality-signal design tool of a curation pipeline ("is n_chars
+    // just a proxy for n_tokens?"). Moments are exact BIGINTs; corr is
+    // one pinned double chain over them, replayed identically by the
+    // oracle. n_lines is constant 1 on this corpus, so its pairs pin the
+    // NULL-on-zero-variance branch cross-engine.
+    "q111_feature_corr" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("n_tokens", size(docTokens(col("text"))).cast("long"))
+        .withColumn("n_distinct_tokens",
+          size(array_distinct(docTokens(col("text")))).cast("long"))
+        .withColumn("n_lines", size(split(col("text"), "\n")).cast("long"))
+      Pca.corrMatrix(d,
+          Seq("n_chars", "n_tokens", "n_distinct_tokens", "n_lines"))
+        .orderBy("feat_a", "feat_b")
     })
   )
 
@@ -3777,6 +3811,61 @@ object LlmQueries {
         |            ELSE 0 END)) AS BIGINT) AS zkey
         |  FROM q, (SELECT unnest(range(0, 8)) AS i) t
         |  GROUP BY doc_id)
-        |SELECT doc_id, zkey FROM sp ORDER BY zkey, doc_id""".stripMargin
+        |SELECT doc_id, zkey FROM sp ORDER BY zkey, doc_id""".stripMargin,
+
+    "q110_embed_moments" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, t.i AS i, qv[t.i+1] AS qi
+        |      FROM q, (SELECT unnest(range(0, 64)) AS i) t),
+        |b AS (SELECT vec_id, t.i AS j, qv[t.i+1] AS qj
+        |      FROM q, (SELECT unnest(range(0, 64)) AS i) t)
+        |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.qi) AS BIGINT) AS sum_qi,
+        |  CAST(sum(b.qj) AS BIGINT) AS sum_qj,
+        |  CAST(sum(a.qi * b.qj) AS BIGINT) AS sum_qij
+        |FROM a JOIN b ON a.vec_id = b.vec_id AND b.j >= a.i
+        |GROUP BY a.i, b.j ORDER BY i, j""".stripMargin,
+
+    "q111_feature_corr" ->
+      """WITH d AS (
+        |  SELECT [CAST(n_chars AS BIGINT),
+        |          CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
+        |          CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT),
+        |          CAST(len(string_split(text, chr(10))) AS BIGINT)] AS f
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT ta.i AS ia, tb.i AS ib, f[ta.i+1] AS fa, f[tb.i+1] AS fb
+        |  FROM d, (SELECT unnest(range(0, 4)) AS i) ta,
+        |          (SELECT unnest(range(0, 4)) AS i) tb
+        |  WHERE tb.i >= ta.i),
+        |m AS (
+        |  SELECT ia, ib,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(fa) AS BIGINT) AS sum_a,
+        |    CAST(sum(fb) AS BIGINT) AS sum_b,
+        |    CAST(sum(fa * fa) AS BIGINT) AS sum_aa,
+        |    CAST(sum(fb * fb) AS BIGINT) AS sum_bb,
+        |    CAST(sum(fa * fb) AS BIGINT) AS sum_ab
+        |  FROM pairs GROUP BY ia, ib),
+        |nm AS (SELECT ['n_chars', 'n_tokens', 'n_distinct_tokens', 'n_lines'] AS names)
+        |SELECT names[ia+1] AS feat_a, names[ib+1] AS feat_b,
+        |  n, sum_a, sum_b, sum_aa, sum_bb, sum_ab,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_aa AS DOUBLE)
+        |               - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(sum_bb AS DOUBLE)
+        |               - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sum_ab AS DOUBLE)
+        |               - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sum_aa AS DOUBLE)
+        |                      - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(sum_bb AS DOUBLE)
+        |                      - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)))
+        |  END AS corr
+        |FROM m, nm ORDER BY feat_a, feat_b""".stripMargin
   )
 }
