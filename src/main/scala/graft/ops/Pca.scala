@@ -98,6 +98,33 @@ object Pca {
         "sum_ab", "corr")
   }
 
+  /** Per-row embedding sanity score: the max over dimensions of the
+    * squared standardized deviation z²ᵢ = (n·qᵢ − Σq)² ∕ (n·Σq² − (Σq)²),
+    * against per-dimension stats computed IN-QUERY (one diagonal-moments
+    * pass — d rows, broadcast back onto the posexploded corpus; the
+    * grouped max collapses map-side so the exchange is one (id, double)
+    * row per vector). The corrupt-embedding filter of an ingest pipeline:
+    * a NaN-free, exact-integer-stats flavor of "drop rows > z σ out on
+    * any dimension". Zero-variance dimensions contribute NULL and are
+    * skipped by max(). Deterministic: stats are exact longs, z² is one
+    * pinned double chain, max is order-independent. */
+  def outlierScores(df: DataFrame, idCol: String, vecCol: String,
+                    quantScale: Double = (1L << 20).toDouble): DataFrame = {
+    val q = transform(col(vecCol),
+      x => round(x.cast("double") * quantScale).cast("long"))
+    val exploded = df.select(col(idCol), posexplode(q).as(Seq("i", "qi")))
+    val stats = exploded.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s1"),
+        sum(col("qi") * col("qi")).as("s2"))
+    def d(c: Column) = c.cast("double")
+    val varNum = d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))
+    val devNum = d(col("n")) * d(col("qi")) - d(col("s1"))
+    exploded.join(broadcast(stats), "i")
+      .withColumn("z2", when(varNum > 0, devNum * devNum / varNum))
+      .groupBy(col(idCol))
+      .agg(max(col("z2")).as("max_z2"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvectors-as-rows), unsorted. Deterministic: fixed
     * sweep order, rotation skipped below `tol`·(Frobenius scale). */

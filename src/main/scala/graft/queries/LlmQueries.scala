@@ -1673,6 +1673,31 @@ object LlmQueries {
       Pca.corrMatrix(d,
           Seq("n_chars", "n_tokens", "n_distinct_tokens", "n_lines"))
         .orderBy("feat_a", "feat_b")
+    }),
+
+    // Corrupt-embedding filter: every 40th vector gets a planted copy
+    // with dimension 0 bumped +8.0 (a stuck-feature ingest fault, ~60σ
+    // against the base per-dim spread). Per-dimension stats are exact
+    // integer sums computed in-query (d rows, broadcast back onto the
+    // corpus); the max standardized squared deviation is one pinned
+    // double chain, so the oracle replays it bit-for-bit. Planted rows
+    // score z² ≈ 37+ even though they inflate the dimension's own
+    // variance; clean maxima measured 17.9 (sf0.01) / 21.5 (sf0.1) —
+    // the 25.0 threshold splits them at the tested SFs, and because the
+    // oracle replays the identical chain, the hash compare holds no
+    // matter where a clean extreme lands.
+    "q112_embed_outliers" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = base.filter(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"),
+            (x, i) => when(i === 0, x + 8.0).otherwise(x)).as("v"))
+      val corpus = base.unionByName(planted)
+      Pca.outlierScores(corpus, "vec_id", "v")
+        .withColumn("is_outlier", col("max_z2") > 25.0)
+        .orderBy("vec_id")
     })
   )
 
@@ -3866,6 +3891,38 @@ object LlmQueries {
         |               * sqrt(CAST(n AS DOUBLE) * CAST(sum_bb AS DOUBLE)
         |                      - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)))
         |  END AS corr
-        |FROM m, nm ORDER BY feat_a, feat_b""".stripMargin
+        |FROM m, nm ORDER BY feat_a, feat_b""".stripMargin,
+
+    "q112_embed_outliers" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_prepend(v[1] + 8.0, v[2:]) AS v
+        |  FROM base WHERE vec_id % 40 = 0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 1048576) AS BIGINT)) AS qv
+        |  FROM corpus),
+        |ex AS (SELECT vec_id, t.i AS i, qv[t.i+1] AS qi
+        |       FROM q, (SELECT unnest(range(0, 64)) AS i) t),
+        |st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(qi) AS BIGINT) AS s1,
+        |              CAST(sum(qi * qi) AS BIGINT) AS s2
+        |       FROM ex GROUP BY i),
+        |z AS (
+        |  SELECT vec_id,
+        |    CASE WHEN (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+        |         THEN (CAST(n AS DOUBLE) * CAST(qi AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(qi AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    END AS z2
+        |  FROM ex JOIN st USING (i))
+        |SELECT vec_id, max(z2) AS max_z2, max(z2) > 25.0 AS is_outlier
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -137,6 +137,25 @@ class PcaSpec extends SparkSpec {
     assert(pca.toSeq == brute.toSeq)
   }
 
+  test("outlierScores: planted stuck-feature row dominates; constant dims skipped") {
+    // 30 clean seeded rows + one with dim 2 bumped far out; dim 0 is
+    // constant across all rows (zero variance → NULL z², skipped by max)
+    val clean = (0 until 30).map { i =>
+      val v = seededVec(300 + i, 6)
+      i -> (Seq(1.0) ++ v.tail)
+    }
+    val bumped = {
+      val v = clean(3)._2
+      99 -> v.updated(2, v(2) + 50.0)
+    }
+    val df = (clean :+ bumped).toDF("id", "v")
+    val out = Pca.outlierScores(df, "id", "v").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.size == 31)
+    val cleanMax = (out - 99).values.max
+    assert(out(99) > cleanMax * 2, s"planted ${out(99)} vs clean $cleanMax")
+  }
+
   test("corrMatrix: perfect correlation, NULL on zero variance") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 6L, 5L))
       .toDF("a", "b", "c")
