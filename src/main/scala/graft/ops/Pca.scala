@@ -237,7 +237,17 @@ object Pca {
     * cost recall, never wrong scores, because every returned cosine is
     * computed on the original vectors. Same broadcast contract as
     * [[Similarity.cosineTopK]]: the query side must be a bounded probe
-    * set. */
+    * set.
+    *
+    * WHEN to reduce: only when the spectrum decays. Check the model's
+    * eigenvalue mass first — `model.eigenvalues.sum / fit(..., dim)
+    * .eigenvalues.sum` — and keep enough components to hold most of it.
+    * On an isotropic corpus (varKept ≈ k/dim) reduction buys little
+    * recall per candidate (RecallEval's `pcaTopK` lines measure exactly
+    * this on the flat-spectrum testdata; its `pcaTopK-rank8` lines show
+    * the decayed-spectrum regime where the same knobs recover the true
+    * top-k). The fit is one d(d+1)/2-cell pass either way, so measuring
+    * before deciding is cheap. */
   def pcaTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
               candidates: Int, model: PcaModel,
               qId: String = "q_id", qVec: String = "q_vec",

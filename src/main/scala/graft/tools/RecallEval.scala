@@ -78,6 +78,61 @@ object RecallEval {
       }
     }
 
+    // --- pcaTopK: PCA-reduced candidate scan + exact full-dim rerank —
+    // recall vs kept components and candidate budget. The candidate
+    // scan's per-pair multiply cost shrinks by comps/64; varKept is the
+    // eigenvalue mass the kept basis explains ---
+    {
+      val full = graft.ops.Pca.fit(emb.select(col("v")), "v", k = 64)
+      val totalVar = full.eigenvalues.sum
+      for (comps <- Seq(4, 8, 16)) {
+        val model = graft.ops.Pca.PcaModel(full.dim, comps, full.mean,
+          full.basis.take(comps), full.eigenvalues.take(comps))
+        val varKept = model.eigenvalues.sum / totalVar
+        for (cands <- Seq(20, 50)) {
+          val r = recallAt10(graft.ops.Pca.pcaTopK(queries, corpus, k, cands, model))
+          println(f"RECALL pcaTopK comps=$comps cands=$cands " +
+            f"varKept=$varKept%.3f recall@10=$r%.3f")
+        }
+      }
+    }
+
+    // --- pcaTopK on a DECAYED spectrum: the synthetic embeddings above
+    // are isotropic (varKept ≈ comps/64 — spectral reduction's worst
+    // case, and the recall lines above show it honestly). Real embedding
+    // corpora have decaying spectra, so also measure on a deterministic
+    // rank-8 mix of the same vectors (64×8 seeded literal matrix applied
+    // map-side + 0.5% tail noise): varKept ≈ 1 at comps=8 and the
+    // reduced-candidate scan should recover the true top-10 ---
+    {
+      val rnd = new scala.util.Random(123)
+      val mix = Seq.fill(64)(Seq.fill(8)(rnd.nextGaussian() * 0.35))
+      val lowRank = emb.select(col("vec_id"),
+        array((0 until 64).map { d =>
+          (0 until 8).map(b => element_at(col("v"), b + 1) * lit(mix(d)(b)))
+            .reduce(_ + _) + element_at(col("v"), d + 1) * lit(0.005)
+        }: _*).as("v")).cache()
+      val lrCorpus = lowRank.select(col("vec_id").as("c_id"), col("v").as("c_vec"))
+      val lrQueries = lowRank.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val nLr = lrQueries.count()
+      val lrTruth = Similarity.cosineTopK(lrQueries, lrCorpus, k)
+        .select("q_id", "c_id").cache()
+      lrTruth.count()
+      val full = graft.ops.Pca.fit(lowRank.select(col("v")), "v", k = 64)
+      val totalVar = full.eigenvalues.sum
+      for (comps <- Seq(4, 8, 16); cands <- Seq(20, 50)) {
+        val model = graft.ops.Pca.PcaModel(full.dim, comps, full.mean,
+          full.basis.take(comps), full.eigenvalues.take(comps))
+        val got = graft.ops.Pca.pcaTopK(lrQueries, lrCorpus, k, cands, model)
+        val r = lrTruth.join(got.select("q_id", "c_id"), Seq("q_id", "c_id"))
+          .count().toDouble / (nLr * k)
+        println(f"RECALL pcaTopK-rank8 comps=$comps cands=$cands " +
+          f"varKept=${model.eigenvalues.sum / totalVar}%.3f recall@10=$r%.3f")
+      }
+      lowRank.unpersist(); lrTruth.unpersist()
+    }
+
     // --- pqTopK / ivfPqTopK: seeded ±1 codebooks vs trained (equal
     // settings otherwise — the trained-vs-fixed delta IS the number) ---
     val trainedBooks = Similarity.trainPqCodebooks(
