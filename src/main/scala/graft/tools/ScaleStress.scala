@@ -46,6 +46,7 @@ object ScaleStress {
     val onlyWinnow = args.contains("--only-winnow")
     val onlyOverlap = args.contains("--only-overlap")
     val onlyBlocklist = args.contains("--only-blocklist")
+    val onlyPca = args.contains("--only-pca")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -90,7 +91,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -105,7 +106,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -122,7 +123,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -144,7 +145,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -187,7 +188,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
+    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -218,9 +219,23 @@ object ScaleStress {
       bl.unpersist(); d.unpersist()
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist) { spark.stop(); return }
+    // PCA moments: the claim under test is the d(d+1)/2-cell partial
+    // aggregation — each task pre-combines its d² explode into ≤2 080
+    // cells, so the exchange is partitions × cells of longs, INDEPENDENT
+    // of corpus size. Shuffle bytes should stay ~flat as the corpus
+    // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
+    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+      val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
+      phase(s"${m}x_pca_moments") {
+        graft.ops.Pca.moments(e.select(col("v")), "v").count()
+      }
+      e.unpersist()
+    }
 
-    if (!onlyInc) mults.foreach { m =>
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca) { spark.stop(); return }
+
+    if (!onlyInc && !onlyPca) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== corpus ${m}x: ${d.count()} docs ===")
 
@@ -296,7 +311,7 @@ object ScaleStress {
       corpus(1).unionByName(
         spark.range(f).select((col("id") + 900000000L).as("doc_id"),
           lit(boiler).as("text")))
-    if (!onlyInc) Seq(500, 2000, 8000).foreach { f =>
+    if (!onlyInc && !onlyPca) Seq(500, 2000, 8000).foreach { f =>
       val d = flooded(f).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== hot-bucket flood $f: ${d.count()} docs ===")
       if (f <= 2000) phase(s"hotbucket_${f}_uncapped") {
