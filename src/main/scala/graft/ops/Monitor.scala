@@ -155,4 +155,42 @@ object Monitor {
       .drop("__gap", "__tot_a", "__tot_b")
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** Embedding-distribution drift between two snapshots — the embedding
+    * column's analog of [[histogramDrift]], catching encoder-version
+    * swaps and stuck-feature ingest faults that scalar histograms can't
+    * see. One diagonal-moments pass per side (d cells of exact integer
+    * sums on the shared 2^20 fixed-point grid — the [[Pca]] contract,
+    * map-side partial aggregation, exchange 2·d pre-combined cells at
+    * any corpus size), inner-joined per dimension; the mean/variance
+    * faces and the two-sample normalized shift
+    * z = (mean_b − mean_a) ∕ sqrt(var_a∕n_a + var_b∕n_b)
+    * are pinned double chains over the exact longs, so the whole report
+    * is oracle-replayable bit-for-bit. Zero-variance-both-sides
+    * dimensions get NULL z (mean_shift still reports). */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     quantScale: Double = (1L << 20).toDouble): DataFrame = {
+    def diag(df: DataFrame, suf: String): DataFrame = {
+      val q = transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long"))
+      df.select(posexplode(q).as(Seq("i", "qi")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          sum(col("qi")).as(s"s1_$suf"),
+          sum(col("qi") * col("qi")).as(s"s2_$suf"))
+    }
+    def d(c: Column) = c.cast("double")
+    def mean(suf: String): Column =
+      d(col(s"s1_$suf")) / d(col(s"n_$suf")) / quantScale
+    def variance(suf: String): Column =
+      (d(col(s"n_$suf")) * d(col(s"s2_$suf"))
+        - d(col(s"s1_$suf")) * d(col(s"s1_$suf"))) /
+        (d(col(s"n_$suf")) * d(col(s"n_$suf"))) / (quantScale * quantScale)
+    val sem2 = variance("a") / d(col("n_a")) + variance("b") / d(col("n_b"))
+    diag(a, "a").join(diag(b, "b"), Seq("i"))
+      .withColumn("mean_a", mean("a"))
+      .withColumn("mean_b", mean("b"))
+      .withColumn("mean_shift", col("mean_b") - col("mean_a"))
+      .withColumn("shift_z", when(sem2 > 0, col("mean_shift") / sqrt(sem2)))
+  }
 }

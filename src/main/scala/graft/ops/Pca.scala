@@ -44,11 +44,24 @@ object Pca {
   /** Exact integer second moments of a float/double array column: one row
     * per dimension pair i ≤ j with (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) on the
     * `quantScale` fixed-point grid. The only corpus-scale pass in PCA —
-    * everything downstream is driver-side on ≤ d(d+1)/2 rows. */
+    * everything downstream is driver-side on ≤ d(d+1)/2 rows.
+    *
+    * `decimalSums = true` accumulates Σqᵢqⱼ in DECIMAL(38,0) (operands
+    * widened to DECIMAL(19,0) before the multiply, same posture as
+    * [[Monitor]]'s drift numerators) — the overflow-proof surface for
+    * corpora past the documented N·(quantScale·maxAbs)² < 2⁶³ BIGINT
+    * bound, at a modest per-cell cost. The hash-checked q110 face stays
+    * on BIGINT. */
   def moments(df: DataFrame, vecCol: String,
-              quantScale: Double = (1L << 20).toDouble): DataFrame = {
+              quantScale: Double = (1L << 20).toDouble,
+              decimalSums: Boolean = false): DataFrame = {
     val q = transform(col(vecCol),
       x => round(x.cast("double") * quantScale).cast("long"))
+    val crossSum =
+      if (decimalSums)
+        sum(col("qi").cast("decimal(19,0)") * col("qj").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")
+      else sum(col("qi") * col("qj"))
     df.select(q.as("__q"))
       .select(col("__q"), posexplode(col("__q")).as(Seq("i", "qi")))
       .select(col("i"), col("qi"), posexplode(col("__q")).as(Seq("j", "qj")))
@@ -57,7 +70,7 @@ object Pca {
       .agg(count(lit(1)).as("n"),
         sum(col("qi")).as("sum_qi"),
         sum(col("qj")).as("sum_qj"),
-        sum(col("qi") * col("qj")).as("sum_qij"))
+        crossSum.as("sum_qij"))
   }
 
   /** Pearson correlation matrix over exact-integer feature columns (cast
@@ -188,8 +201,9 @@ object Pca {
     * result rows are the ONLY driver collect — dimension-bounded, not
     * corpus-bounded), then driver-side covariance + Jacobi. */
   def fit(df: DataFrame, vecCol: String, k: Int,
-          quantScale: Double = (1L << 20).toDouble): PcaModel = {
-    val rows = moments(df, vecCol, quantScale).collect()
+          quantScale: Double = (1L << 20).toDouble,
+          decimalSums: Boolean = false): PcaModel = {
+    val rows = moments(df, vecCol, quantScale, decimalSums).collect()
     require(rows.nonEmpty, "Pca.fit on an empty corpus")
     val dim = rows.iterator.map(_.getAs[Int]("j")).max + 1
     require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
@@ -201,7 +215,11 @@ object Pca {
       val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
       val si = r.getAs[Long]("sum_qi").toDouble
       val sj = r.getAs[Long]("sum_qj").toDouble
-      val sij = r.getAs[Long]("sum_qij").toDouble
+      val sij = r.get(r.fieldIndex("sum_qij")) match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => throw new IllegalStateException(s"sum_qij: $other")
+      }
       sum1(i) = si; sum1(j) = if (i == j) si else sj
       val c = (sij - si * sj / n) / ((n - 1.0) * quantScale * quantScale)
       cov(i)(j) = c; cov(j)(i) = c

@@ -1698,6 +1698,30 @@ object LlmQueries {
       Pca.outlierScores(corpus, "vec_id", "v")
         .withColumn("is_outlier", col("max_z2") > 25.0)
         .orderBy("vec_id")
+    }),
+
+    // Embedding-distribution drift: snapshot A = even vec_ids, snapshot
+    // B = odd vec_ids with dimension 3 shifted +0.1 — an encoder-version
+    // fault scalar histograms can't see. Per-dimension exact integer
+    // moments (2·64 cells total on the exchange, any corpus size);
+    // mean/shift/two-sample-z are pinned double chains the oracle
+    // replays bit-for-bit. The planted dimension lands at z ≈ 9 while
+    // null dimensions stay |z| ≲ 3 (different random halves), so the
+    // 5.0 flag splits with margin — and as with q112, the hash compare
+    // holds wherever a null extreme lands, because the oracle replays
+    // the identical chain.
+    "q113_embed_drift" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val snapA = base.filter(col("vec_id") % 2 === 0)
+      val snapB = base.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("v"),
+            (x, i) => when(i === 3, x + 0.1).otherwise(x)).as("v"))
+      graft.ops.Monitor.embeddingDrift(snapA, snapB, "v")
+        .withColumn("drifted", abs(col("shift_z")) > 5.0)
+        .orderBy("i")
     })
   )
 
@@ -3923,6 +3947,52 @@ object LlmQueries {
         |    END AS z2
         |  FROM ex JOIN st USING (i))
         |SELECT vec_id, max(z2) AS max_z2, max(z2) > 25.0 AS is_outlier
-        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q113_embed_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sa AS (SELECT v FROM base WHERE vec_id % 2 = 0),
+        |sb AS (SELECT v[1:3] || [v[4] + 0.1] || v[5:] AS v
+        |       FROM base WHERE vec_id % 2 = 1),
+        |qa AS (SELECT t.i AS i, CAST(round(v[t.i+1] * 1048576) AS BIGINT) AS qi
+        |       FROM sa, (SELECT unnest(range(0, 64)) AS i) t),
+        |qb AS (SELECT t.i AS i, CAST(round(v[t.i+1] * 1048576) AS BIGINT) AS qi
+        |       FROM sb, (SELECT unnest(range(0, 64)) AS i) t),
+        |ma AS (SELECT i, CAST(count(*) AS BIGINT) AS n_a,
+        |              CAST(sum(qi) AS BIGINT) AS s1_a,
+        |              CAST(sum(qi * qi) AS BIGINT) AS s2_a
+        |       FROM qa GROUP BY i),
+        |mb AS (SELECT i, CAST(count(*) AS BIGINT) AS n_b,
+        |              CAST(sum(qi) AS BIGINT) AS s1_b,
+        |              CAST(sum(qi * qi) AS BIGINT) AS s2_b
+        |       FROM qb GROUP BY i),
+        |f AS (
+        |  SELECT i, n_a, s1_a, s2_a, n_b, s1_b, s2_b,
+        |    CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1048576.0 AS mean_a,
+        |    CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1048576.0 AS mean_b,
+        |    (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+        |       - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |      / (1048576.0 * 1048576.0) AS var_a,
+        |    (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+        |       - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      / (1048576.0 * 1048576.0) AS var_b
+        |  FROM ma JOIN mb USING (i)),
+        |z AS (
+        |  SELECT i, n_a, s1_a, s2_a, n_b, s1_b, s2_b, mean_a, mean_b,
+        |    mean_b - mean_a AS mean_shift,
+        |    CASE WHEN (var_a / CAST(n_a AS DOUBLE)
+        |                 + var_b / CAST(n_b AS DOUBLE)) > 0
+        |         THEN (mean_b - mean_a)
+        |            / sqrt(var_a / CAST(n_a AS DOUBLE)
+        |                     + var_b / CAST(n_b AS DOUBLE))
+        |    END AS shift_z
+        |  FROM f)
+        |SELECT CAST(i AS INTEGER) AS i, n_a, s1_a, s2_a, n_b, s1_b, s2_b,
+        |  mean_a, mean_b, mean_shift, shift_z, abs(shift_z) > 5.0 AS drifted
+        |FROM z ORDER BY i""".stripMargin
   )
 }

@@ -71,4 +71,31 @@ class MonitorSpec extends SparkSpec {
         .orderBy("bucket").collect().toSeq
     assert(run(1) == run(7))
   }
+
+  test("embeddingDrift: planted mean shift flagged, null dims quiet, constant dim NULL z") {
+    // dim 0 constant on both sides (zero variance → NULL z, shift still
+    // reports); dim 2 shifted +0.5 on side B; dim 1 identical draw
+    val r = new scala.util.Random(3)
+    def vec(shift: Double) =
+      Seq(1.0, r.nextGaussian() * 0.1, r.nextGaussian() * 0.1 + shift)
+    val a = (0 until 60).map(i => i -> vec(0.0)).toDF("id", "v")
+    val b = (0 until 60).map(i => i -> vec(0.5)).toDF("id", "v")
+    val out = Monitor.embeddingDrift(a, b, "v").collect()
+      .map(r => r.getAs[Int]("i") ->
+        (r.getAs[Double]("mean_shift"),
+          Option(r.getAs[java.lang.Double]("shift_z")))).toMap
+    assert(out.size == 3)
+    assert(out(0)._2.isEmpty && math.abs(out(0)._1) < 1e-9) // constant dim
+    assert(math.abs(out(1)._2.get) < 4.0)                   // null dim quiet
+    assert(out(2)._2.get > 10.0 && out(2)._1 > 0.4)         // planted shift
+  }
+
+  test("embeddingDrift is partition-count independent") {
+    val a = (0 until 40).map(i => i -> Seq(i * 0.01, 1.0 - i * 0.02)).toDF("id", "v")
+    val b = (0 until 40).map(i => i -> Seq(i * 0.015, 0.5 + i * 0.01)).toDF("id", "v")
+    def run(parts: Int) =
+      Monitor.embeddingDrift(a.repartition(parts), b.repartition(parts), "v")
+        .orderBy("i").collect().toSeq
+    assert(run(1) == run(7))
+  }
 }

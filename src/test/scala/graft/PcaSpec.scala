@@ -27,6 +27,19 @@ class PcaSpec extends SparkSpec {
     assert(m((1, 1)) == ((2L, 6L, 6L, 2L * 2 + 4L * 4)))
   }
 
+  test("decimalSums moments agree with the BIGINT face; fit reads both") {
+    val vecs = (0 until 50).map(i => i -> seededVec(400 + i, 5))
+    val df = vecs.toDF("id", "v")
+    val longM = Pca.moments(df, "v").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        BigDecimal(r.getAs[Long]("sum_qij"))).toMap
+    val decM = Pca.moments(df, "v", decimalSums = true).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        BigDecimal(r.getAs[java.math.BigDecimal]("sum_qij"))).toMap
+    assert(longM == decM)
+    assert(Pca.fit(df, "v", k = 2, decimalSums = true) == Pca.fit(df, "v", k = 2))
+  }
+
   test("jacobiEigen: known 2x2 spectrum, orthonormal vectors, A·v = λ·v") {
     val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
     val (eig, rows) = Pca.jacobiEigen(a)

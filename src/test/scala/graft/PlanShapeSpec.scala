@@ -647,7 +647,8 @@ class PlanShapeSpec extends SparkSpec {
     // (i, j) cells with long sums: no array column may ride the exchange,
     // or the Gram pass would shuffle the corpus's vectors instead of
     // d(d+1)/2 cells.
-    for (q <- Seq("q110_embed_moments", "q111_feature_corr")) {
+    for (q <- Seq("q110_embed_moments", "q111_feature_corr",
+                  "q112_embed_outliers", "q113_embed_drift")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val s = p.toString
       assert(s.contains("partial_sum") || s.contains("partial_count"),
