@@ -167,18 +167,20 @@ object Monitor {
     * z = (mean_b − mean_a) ∕ sqrt(var_a∕n_a + var_b∕n_b)
     * are pinned double chains over the exact longs, so the whole report
     * is oracle-replayable bit-for-bit. Zero-variance-both-sides
-    * dimensions get NULL z (mean_shift still reports). */
+    * dimensions get NULL z (mean_shift still reports). The per-dimension
+    * join is FULL OUTER: a dimension present in only one snapshot — the
+    * encoder-dimensionality swap itself — reports NULL stats on the
+    * missing side (histogramDriftBy's vanished-group posture: the
+    * loudest signal, never silence), not a silently dropped row. */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
                      quantScale: Double = (1L << 20).toDouble): DataFrame = {
-    def diag(df: DataFrame, suf: String): DataFrame = {
-      val q = transform(col(vecCol),
-        x => round(x.cast("double") * quantScale).cast("long"))
-      df.select(posexplode(q).as(Seq("i", "qi")))
+    def diag(df: DataFrame, suf: String): DataFrame =
+      df.select(posexplode(Similarity.quantize(col(vecCol), quantScale))
+          .as(Seq("i", "qi")))
         .groupBy(col("i"))
         .agg(count(lit(1)).as(s"n_$suf"),
           sum(col("qi")).as(s"s1_$suf"),
           sum(col("qi") * col("qi")).as(s"s2_$suf"))
-    }
     def d(c: Column) = c.cast("double")
     def mean(suf: String): Column =
       d(col(s"s1_$suf")) / d(col(s"n_$suf")) / quantScale
@@ -187,7 +189,7 @@ object Monitor {
         - d(col(s"s1_$suf")) * d(col(s"s1_$suf"))) /
         (d(col(s"n_$suf")) * d(col(s"n_$suf"))) / (quantScale * quantScale)
     val sem2 = variance("a") / d(col("n_a")) + variance("b") / d(col("n_b"))
-    diag(a, "a").join(diag(b, "b"), Seq("i"))
+    diag(a, "a").join(diag(b, "b"), Seq("i"), "full_outer")
       .withColumn("mean_a", mean("a"))
       .withColumn("mean_b", mean("b"))
       .withColumn("mean_shift", col("mean_b") - col("mean_a"))

@@ -55,8 +55,7 @@ object Pca {
   def moments(df: DataFrame, vecCol: String,
               quantScale: Double = (1L << 20).toDouble,
               decimalSums: Boolean = false): DataFrame = {
-    val q = transform(col(vecCol),
-      x => round(x.cast("double") * quantScale).cast("long"))
+    val q = Similarity.quantize(col(vecCol), quantScale)
     val crossSum =
       if (decimalSums)
         sum(col("qi").cast("decimal(19,0)") * col("qj").cast("decimal(19,0)"))
@@ -123,8 +122,7 @@ object Pca {
     * pinned double chain, max is order-independent. */
   def outlierScores(df: DataFrame, idCol: String, vecCol: String,
                     quantScale: Double = (1L << 20).toDouble): DataFrame = {
-    val q = transform(col(vecCol),
-      x => round(x.cast("double") * quantScale).cast("long"))
+    val q = Similarity.quantize(col(vecCol), quantScale)
     val exploded = df.select(col(idCol), posexplode(q).as(Seq("i", "qi")))
     val stats = exploded.groupBy(col("i"))
       .agg(count(lit(1)).as("n"), sum(col("qi")).as("s1"),
@@ -207,7 +205,14 @@ object Pca {
     require(rows.nonEmpty, "Pca.fit on an empty corpus")
     val dim = rows.iterator.map(_.getAs[Int]("j")).max + 1
     require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
-    val n = rows.head.getAs[Long]("n").toDouble
+    // Every (i, j) cell must have aggregated the SAME row count, or the
+    // corpus is ragged (mixed dims / NULL elements) and a single n would
+    // silently skew the covariance — fail loudly instead (review r12c).
+    val ns = rows.iterator.map(_.getAs[Long]("n")).toSet
+    require(ns.size == 1,
+      s"Pca.fit: ragged corpus — moment cells saw row counts $ns " +
+        "(mixed vector dimensions or NULL elements); fix the input")
+    val n = ns.head.toDouble
     require(n >= 2, "Pca.fit needs at least 2 rows")
     val sum1 = Array.ofDim[Double](dim)
     val cov = Array.ofDim[Double](dim, dim)
@@ -278,9 +283,13 @@ object Pca {
       cp.select(col(cId), col("__cp").as(cVec)),
       candidates, qId, qVec, cId, cVec)
       .select(col(qId), col(cId))
-    val rescored = cand
+    // the candidate sliver (|queries| × candidates id pairs) is the
+    // bounded side — broadcast it so the corpus's full-dim vectors stay
+    // map-side instead of shuffling by c_id (review r12c; the r5
+    // id-only-exchange invariant)
+    val rescored = corpus.select(col(cId), col(cVec))
+      .join(broadcast(cand), cId)
       .join(broadcast(queries.select(col(qId), col(qVec))), qId)
-      .join(corpus.select(col(cId), col(cVec)), cId)
       .withColumn("cosine", Similarity.cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
     rescored.withColumn("rank", row_number().over(w))

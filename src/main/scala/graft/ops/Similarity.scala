@@ -104,7 +104,7 @@ object Similarity {
     * operator (review r12: seven call sites each re-defined the same
     * lambda; one formula, one place). float×2^20 is exact in double and
     * round-ties-away agrees across engines. */
-  private def quantize(c: Column, quantScale: Double): Column =
+  private[ops] def quantize(c: Column, quantScale: Double): Column =
     transform(c, x => round(x.cast("double") * quantScale).cast("long"))
 
   /** Exact integer dot product of two quantized vector columns — the

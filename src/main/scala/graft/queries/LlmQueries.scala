@@ -3980,7 +3980,7 @@ object LlmQueries {
         |       - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
         |      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
         |      / (1048576.0 * 1048576.0) AS var_b
-        |  FROM ma JOIN mb USING (i)),
+        |  FROM ma FULL JOIN mb USING (i)),
         |z AS (
         |  SELECT i, n_a, s1_a, s2_a, n_b, s1_b, s2_b, mean_a, mean_b,
         |    mean_b - mean_a AS mean_shift,

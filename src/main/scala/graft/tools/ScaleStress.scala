@@ -235,7 +235,7 @@ object ScaleStress {
 
     if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca) { spark.stop(); return }
 
-    if (!onlyInc && !onlyPca) mults.foreach { m =>
+    if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== corpus ${m}x: ${d.count()} docs ===")
 
@@ -311,7 +311,7 @@ object ScaleStress {
       corpus(1).unionByName(
         spark.range(f).select((col("id") + 900000000L).as("doc_id"),
           lit(boiler).as("text")))
-    if (!onlyInc && !onlyPca) Seq(500, 2000, 8000).foreach { f =>
+    if (!onlyInc) Seq(500, 2000, 8000).foreach { f =>
       val d = flooded(f).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== hot-bucket flood $f: ${d.count()} docs ===")
       if (f <= 2000) phase(s"hotbucket_${f}_uncapped") {

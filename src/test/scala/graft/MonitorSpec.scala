@@ -74,7 +74,9 @@ class MonitorSpec extends SparkSpec {
 
   test("embeddingDrift: planted mean shift flagged, null dims quiet, constant dim NULL z") {
     // dim 0 constant on both sides (zero variance → NULL z, shift still
-    // reports); dim 2 shifted +0.5 on side B; dim 1 identical draw
+    // reports); dim 2 shifted +0.5 on side B; dim 1 is two INDEPENDENT
+    // same-distribution draws (A and B consume disjoint RNG output), so
+    // its z is ~N(0,1) for this seed — quiet, not exactly zero
     val r = new scala.util.Random(3)
     def vec(shift: Double) =
       Seq(1.0, r.nextGaussian() * 0.1, r.nextGaussian() * 0.1 + shift)
@@ -88,6 +90,17 @@ class MonitorSpec extends SparkSpec {
     assert(out(0)._2.isEmpty && math.abs(out(0)._1) < 1e-9) // constant dim
     assert(math.abs(out(1)._2.get) < 4.0)                   // null dim quiet
     assert(out(2)._2.get > 10.0 && out(2)._1 > 0.4)         // planted shift
+  }
+
+  test("embeddingDrift: a dimensionality swap reports the vanished dims, not silence") {
+    val a = (0 until 20).map(i => i -> Seq(i * 0.1, 1.0, 2.0)).toDF("id", "v")
+    val b = (0 until 20).map(i => i -> Seq(i * 0.1, 1.0)).toDF("id", "v") // 3→2 dims
+    val out = Monitor.embeddingDrift(a, b, "v").collect()
+      .map(r => r.getAs[Int]("i") ->
+        (Option(r.getAs[java.lang.Long]("n_a")), Option(r.getAs[java.lang.Long]("n_b")))).toMap
+    assert(out.size == 3) // dim 2 present with NULL B-side stats — the loudest signal
+    assert(out(2) == ((Some(20L), None)))
+    assert(out(0) == ((Some(20L), Some(20L))))
   }
 
   test("embeddingDrift is partition-count independent") {

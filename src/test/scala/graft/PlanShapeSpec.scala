@@ -642,23 +642,32 @@ class PlanShapeSpec extends SparkSpec {
 
   test("r12b ops: moments aggregate partial+final; the exchange is cell-bounded scalars, never the vectors") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // q110/q111: the d² (feature-pair) explode must collapse map-side —
+    // q110–q113: the d² (feature-pair) explode must collapse map-side —
     // partial_sum before the exchange — and the shuffle rows are the
     // (i, j) cells with long sums: no array column may ride the exchange,
     // or the Gram pass would shuffle the corpus's vectors instead of
-    // d(d+1)/2 cells.
-    for (q <- Seq("q110_embed_moments", "q111_feature_corr",
-                  "q112_embed_outliers", "q113_embed_drift")) {
-      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
-      val s = p.toString
-      assert(s.contains("partial_sum") || s.contains("partial_count"),
-        s"$q lost its map-side partial aggregation:\n$s")
-      p.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
-        assert(!e.output.exists(_.dataType.isInstanceOf[
-            org.apache.spark.sql.types.ArrayType]),
-          s"$q shuffles an array payload:\n$s")
+    // d(d+1)/2 cells. AQE must be OFF while collecting: the adaptive
+    // wrapper is a leaf that hides ShuffleExchangeExec and would make
+    // the array assertion vacuously pass (review r12c).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q110_embed_moments", "q111_feature_corr",
+                    "q112_embed_outliers", "q113_embed_drift")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val s = p.toString
+        assert(s.contains("partial_sum") || s.contains("partial_count"),
+          s"$q lost its map-side partial aggregation:\n$s")
+        val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty,
+          s"$q: no ShuffleExchangeExec found — the assertion below would be vacuous:\n$s")
+        shuffles.foreach { e =>
+          assert(!e.output.exists(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType]),
+            s"$q shuffles an array payload:\n$s")
+        }
       }
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("no query plans an unbounded CartesianProduct") {
