@@ -162,7 +162,7 @@ object Monitor {
     * see. One diagonal-moments pass per side (d cells of exact integer
     * sums on the shared 2^20 fixed-point grid — the [[Pca]] contract,
     * map-side partial aggregation, exchange 2·d pre-combined cells at
-    * any corpus size), inner-joined per dimension; the mean/variance
+    * any corpus size), joined per dimension; the mean/variance
     * faces and the two-sample normalized shift
     * z = (mean_b − mean_a) ∕ sqrt(var_a∕n_a + var_b∕n_b)
     * are pinned double chains over the exact longs, so the whole report
@@ -173,14 +173,32 @@ object Monitor {
     * missing side (histogramDriftBy's vanished-group posture: the
     * loudest signal, never silence), not a silently dropped row. */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
-                     quantScale: Double = (1L << 20).toDouble): DataFrame = {
-    def diag(df: DataFrame, suf: String): DataFrame =
-      df.select(posexplode(Similarity.quantize(col(vecCol), quantScale))
-          .as(Seq("i", "qi")))
-        .groupBy(col("i"))
-        .agg(count(lit(1)).as(s"n_$suf"),
-          sum(col("qi")).as(s"s1_$suf"),
-          sum(col("qi") * col("qi")).as(s"s2_$suf"))
+                     quantScale: Double = (1L << 20).toDouble): DataFrame =
+    embeddingDriftFromMoments(
+      diagMoments(a, vecCol, quantScale),
+      diagMoments(b, vecCol, quantScale), quantScale)
+
+  /** Per-dimension diagonal moments (i, n, s1, s2) on the shared grid —
+    * the reusable half of [[embeddingDrift]]: the streaming face
+    * ([[graft.streaming.Streaming.embedDriftSink]]) computes the
+    * reference side ONCE and pins it across micro-batches. */
+  def diagMoments(df: DataFrame, vecCol: String,
+                  quantScale: Double = (1L << 20).toDouble): DataFrame =
+    df.select(posexplode(Similarity.quantize(col(vecCol), quantScale))
+        .as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("s1"),
+        sum(col("qi") * col("qi")).as("s2"))
+
+  /** [[embeddingDrift]] from pre-computed [[diagMoments]] frames — the
+    * same pinned chains, so a drift report built from a persisted or
+    * checkpointed reference is bit-identical to the two-corpus call. */
+  def embeddingDriftFromMoments(ma: DataFrame, mb: DataFrame,
+                                quantScale: Double = (1L << 20).toDouble): DataFrame = {
+    def side(m: DataFrame, suf: String): DataFrame =
+      m.select(col("i"), col("n").as(s"n_$suf"),
+        col("s1").as(s"s1_$suf"), col("s2").as(s"s2_$suf"))
     def d(c: Column) = c.cast("double")
     def mean(suf: String): Column =
       d(col(s"s1_$suf")) / d(col(s"n_$suf")) / quantScale
@@ -189,7 +207,7 @@ object Monitor {
         - d(col(s"s1_$suf")) * d(col(s"s1_$suf"))) /
         (d(col(s"n_$suf")) * d(col(s"n_$suf"))) / (quantScale * quantScale)
     val sem2 = variance("a") / d(col("n_a")) + variance("b") / d(col("n_b"))
-    diag(a, "a").join(diag(b, "b"), Seq("i"), "full_outer")
+    side(ma, "a").join(side(mb, "b"), Seq("i"), "full_outer")
       .withColumn("mean_a", mean("a"))
       .withColumn("mean_b", mean("b"))
       .withColumn("mean_shift", col("mean_b") - col("mean_a"))

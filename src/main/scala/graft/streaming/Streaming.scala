@@ -335,6 +335,42 @@ object Streaming {
       .start()
   }
 
+  /** Streaming face of [[graft.ops.Monitor.embeddingDrift]]: per
+    * micro-batch, the embedding column's distribution is compared
+    * against a STATIC reference corpus — encoder-version regressions
+    * surface within one batch of the swap. The reference's diagonal
+    * moments are computed once (d tiny rows) and pinned with
+    * localCheckpoint (driftSink's posture — no batch re-reads the
+    * reference input); each batch pays one d-cell moments pass and the
+    * map-side join/chain. batch_id-keyed dynamic-overwrite partitions
+    * make replays idempotent, and the report is bit-identical to the
+    * batch recompute ([[graft.ops.Monitor.embeddingDriftFromMoments]]'s
+    * contract, pinned by StreamingSpec). */
+  def embedDriftSink(stream: DataFrame, vecCol: String, reference: DataFrame,
+                     outDir: String, checkpointDir: String,
+                     quantScale: Double = (1L << 20).toDouble): StreamingQuery = {
+    val refMoments = graft.ops.Monitor
+      .diagMoments(reference, vecCol, quantScale)
+      .localCheckpoint(true)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Monitor
+            .embeddingDriftFromMoments(refMoments,
+              graft.ops.Monitor.diagMoments(batch, vecCol, quantScale),
+              quantScale)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   /** Incremental raw-zone ingestion: a file stream over the enveloped
     * JSON layout — new `date=` files are picked up per micro-batch and
     * flow through the same staging transforms as batch (S5/S6 streaming

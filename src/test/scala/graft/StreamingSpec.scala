@@ -400,6 +400,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedDriftSink: per-batch embedding drift equals the batch recompute") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val reference = (0 until 30).map(i => i.toLong -> Seq(0.1 * (i % 5), 1.0))
+      .toDF("id", "v")
+    val outDir = java.nio.file.Files.createTempDirectory("edrift-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("edrift-ckpt").toString
+    val q = Streaming.embedDriftSink(ms.toDF.toDF("id", "v"), "v", reference,
+      outDir = outDir, checkpointDir = ckpt)
+    val b0 = Seq(100L -> Seq(0.2, 1.0), 101L -> Seq(0.3, 1.0))
+    val b1 = Seq(200L -> Seq(5.0, 1.0), 201L -> Seq(6.0, 1.0)) // drifted dim 0
+    try {
+      ms.addData(b0: _*); q.processAllAvailable()
+      ms.addData(b1: _*); q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.select("batch_id").distinct().count() == 2)
+      for ((bid, data) <- Seq(0L -> b0, 1L -> b1)) {
+        val want = graft.ops.Monitor
+          .embeddingDrift(reference, data.toDF("id", "v"), "v")
+          .orderBy("i").collect().toSeq
+        val rows = got.filter(col("batch_id") === bid)
+          .select("i", "n_a", "s1_a", "s2_a", "n_b", "s1_b", "s2_b",
+            "mean_a", "mean_b", "mean_shift", "shift_z")
+          .orderBy("i").collect().toSeq
+        assert(rows == want, s"batch $bid embedding-drift != batch recompute")
+      }
+    } finally q.stop()
+  }
+
   test("enrichStream: static dim joins each micro-batch, misses flagged") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, Double)]
