@@ -242,13 +242,24 @@ object Pca {
 
   /** Map-side projection onto the model's basis: out_j = (v − mean)·bⱼ,
     * folded as v·bⱼ − mean·bⱼ with the mean dot a driver constant. Basis
-    * rows ride the plan as literals — no shuffle, no UDF. */
+    * rows ride the plan as literals — no shuffle, no UDF.
+    *
+    * `whiten = true` additionally scales component j by 1∕√λⱼ so every
+    * output component has unit sample variance — the standard
+    * pre-conditioning before distance-based clustering (SemDeDup-style
+    * [[Similarity.semanticNearDupsQuantized]]) when the leading
+    * components would otherwise dominate the metric. Requires strictly
+    * positive kept eigenvalues (a zero-variance component cannot be
+    * whitened — refit with smaller k). */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
-              outCol: String = "pca"): DataFrame = {
-    val comps = model.basis.map { b =>
+              outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    if (whiten) require(model.eigenvalues.forall(_ > 0),
+      s"whiten requires positive eigenvalues, got ${model.eigenvalues}")
+    val comps = model.basis.zip(model.eigenvalues).map { case (b, ev) =>
       val bl = array(b.map(lit): _*)
       val meanDot = model.mean.zip(b).map { case (m, x) => m * x }.sum
-      Similarity.dot(col(vecCol), bl) - lit(meanDot)
+      val raw = Similarity.dot(col(vecCol), bl) - lit(meanDot)
+      if (whiten) raw / lit(math.sqrt(ev)) else raw
     }
     df.withColumn(outCol, array(comps: _*))
   }

@@ -114,6 +114,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("whitened projection has unit sample variance per component") {
+    val vecs = (0 until 150).map(i => i -> seededVec(500 + i, 6))
+    val df = vecs.toDF("id", "v")
+    val model = Pca.fit(df, "v", k = 3)
+    val proj = Pca.project(df, "v", model, whiten = true)
+      .select("pca").collect().map(_.getSeq[Double](0))
+    for (j <- 0 until 3) {
+      val xs = proj.map(_(j))
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      assert(math.abs(variance - 1.0) < 0.02,
+        s"component $j variance $variance") // exact up to quantization noise
+    }
+    // zero-variance component cannot be whitened: fail loudly
+    val flat = (0 until 10).map(i => i -> Seq(1.0, i.toDouble)).toDF("id", "v")
+    val m2 = Pca.fit(flat, "v", k = 2)
+    intercept[IllegalArgumentException] {
+      Pca.project(flat, "v", m2, whiten = true)
+    }
+  }
+
   test("pcaTopK with candidates = corpus equals brute-force cosineTopK") {
     val corpus = (0 until 40).map(i => i -> seededVec(200 + i, 8))
       .toDF("c_id", "c_vec")
