@@ -1722,6 +1722,46 @@ object LlmQueries {
       graft.ops.Monitor.embeddingDrift(snapA, snapB, "v")
         .withColumn("drifted", abs(col("shift_z")) > 5.0)
         .orderBy("i")
+    }),
+
+    // Composed embedding curation with per-id audit labels (q100's
+    // story for the embedding side): stuck-feature outliers (q112's
+    // plant, every 40th + 8.0 on dim 0) are gated FIRST on the exact
+    // in-query z-score, then SemDeDup (q73's machinery: seeded 64-cell
+    // assignment + exact integer cosine ≥ 0.99) runs on the survivors
+    // and drops each confirmed pair's larger id. Every input id gets a
+    // status — dropped_outlier / dropped_near_dup / kept — so the
+    // recipe is auditable row-for-row; the oracle replays both stages
+    // and the labeling. Expected at any SF: every planted outlier
+    // copy dropped at stage 1, every planted scaled copy (every 25th,
+    // ×(1+2^-10), id+200000) dropped at stage 2, all base rows kept.
+    "q114_embed_curate" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val outliers = base.filter(col("id") % 40 === 0)
+        .select((col("id") + 100000).as("id"),
+          transform(col("v"),
+            (x, i) => when(i === 0, x + 8.0).otherwise(x)).as("v"))
+      val dups = base.filter(col("id") % 25 === 0)
+        .select((col("id") + 200000).as("id"),
+          transform(col("v"), x => x * 1.0009765625).as("v"))
+      val corpus = base.unionByName(outliers).unionByName(dups)
+      val scores = Pca.outlierScores(corpus, "id", "v")
+      val kept = corpus.join(
+        scores.filter(col("max_z2") <= 25.0).select("id"), "id")
+      val dupDropped = Similarity
+        .semanticNearDupsQuantized(kept, "id", "v",
+          threshold = 0.99, nCentroids = 64, seed = 7L, dim = 64)
+        .select(col("id_b").as("id")).distinct()
+        .withColumn("__dup", lit(true))
+      scores.join(dupDropped, Seq("id"), "left")
+        .withColumn("status",
+          when(col("max_z2") > 25.0, "dropped_outlier")
+            .when(col("__dup"), "dropped_near_dup")
+            .otherwise("kept"))
+        .select("id", "max_z2", "status")
+        .orderBy("id")
     })
   )
 
@@ -3993,6 +4033,79 @@ object LlmQueries {
         |  FROM f)
         |SELECT CAST(i AS INTEGER) AS i, n_a, s1_a, s2_a, n_b, s1_b, s2_b,
         |  mean_a, mean_b, mean_shift, shift_z, abs(shift_z) > 5.0 AS drifted
-        |FROM z ORDER BY i""".stripMargin
+        |FROM z ORDER BY i""".stripMargin,
+
+    "q114_embed_curate" -> {
+      // the SAME seeded ±1 centroid literals as the Spark side
+      // (Similarity.randomPlanes(64, 64, 7L)) — cell assignment cannot drift
+      val ctrRows = Similarity.randomPlanes(64, 64, 7L).zipWithIndex.map {
+        case (ctr, i) =>
+          val lst = ctr.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"($i, $lst)"
+      }.mkString(",\n        |    ")
+      s"""WITH base AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT id, dv FROM base
+        |  UNION ALL
+        |  SELECT id + 100000, list_prepend(dv[1] + 8.0, dv[2:])
+        |  FROM base WHERE id % 40 = 0
+        |  UNION ALL
+        |  SELECT id + 200000, list_transform(dv, x -> x * 1.0009765625)
+        |  FROM base WHERE id % 25 = 0),
+        |qv AS (
+        |  SELECT id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM corpus),
+        |ex AS (SELECT id, t.i AS i, v[t.i+1] AS qi
+        |       FROM qv, (SELECT unnest(range(0, 64)) AS i) t),
+        |st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(qi) AS BIGINT) AS s1,
+        |              CAST(sum(qi * qi) AS BIGINT) AS s2
+        |       FROM ex GROUP BY i),
+        |z AS (
+        |  SELECT id,
+        |    CASE WHEN (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+        |         THEN (CAST(n AS DOUBLE) * CAST(qi AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(qi AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    END AS z2
+        |  FROM ex JOIN st USING (i)),
+        |sc AS (SELECT id, max(z2) AS max_z2 FROM z GROUP BY id),
+        |keep AS (SELECT qv.id, qv.v FROM qv JOIN sc USING (id)
+        |         WHERE sc.max_z2 <= 25.0),
+        |ctr(i, p) AS (VALUES
+        |    $ctrRows),
+        |cells AS (
+        |  SELECT keep.id, keep.v, ctr.i,
+        |    list_aggregate(list_transform(range(64), j -> keep.v[j+1] * ctr.p[j+1]), 'sum') AS s
+        |  FROM keep, ctr),
+        |rc AS (
+        |  SELECT id, v, i,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, i) AS r
+        |  FROM cells),
+        |cc AS (SELECT id, v, i AS cell FROM rc WHERE r = 1),
+        |cand AS (
+        |  SELECT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+        |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.id < b.id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_aggregate(list_transform(range(64), j -> va[j+1] * vb[j+1]), 'sum') AS dot_i,
+        |    list_aggregate(list_transform(range(64), j -> va[j+1] * va[j+1]), 'sum') AS na2,
+        |    list_aggregate(list_transform(range(64), j -> vb[j+1] * vb[j+1]), 'sum') AS nb2
+        |  FROM cand),
+        |dropped AS (
+        |  SELECT DISTINCT id_b AS id FROM scored
+        |  WHERE na2 > 0 AND nb2 > 0
+        |    AND CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) >= 0.99)
+        |SELECT sc.id, sc.max_z2,
+        |  CASE WHEN sc.max_z2 > 25.0 THEN 'dropped_outlier'
+        |       WHEN dropped.id IS NOT NULL THEN 'dropped_near_dup'
+        |       ELSE 'kept' END AS status
+        |FROM sc LEFT JOIN dropped ON sc.id = dropped.id
+        |ORDER BY sc.id""".stripMargin
+    }
   )
 }
