@@ -429,4 +429,31 @@ object Sampling {
     val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
     df.filter(hashBucket(col(keyCol)) < floor(lit(256) * w))
   }
+
+  /** Rendezvous (highest-random-weight) routing: the key goes to the
+    * shard whose `md5(key ":" shard)` weight is lexicographically
+    * largest over the candidate `shards` array (ties — md5-impossible in
+    * practice, but pinned anyway — break toward the SMALLEST shard id
+    * via the negated-id struct field).
+    *
+    * Why HRW instead of [[shuffleShard]]'s hash-mod: removing (or
+    * adding) a shard reassigns ONLY that shard's keys — every surviving
+    * shard keeps its population bit-for-bit, where hash-mod reshuffles
+    * ~everything. That is the property a 100 TB corpus mirrored across
+    * storage shards needs for incremental rebalancing: drain one shard
+    * without churning the other N−1.
+    *
+    * Pass the candidate set as an array column (`sequence(0, n-1)`,
+    * optionally `filter`ed) so before/after assignments under a removal
+    * are two calls over the SAME row — no join, no second pass.
+    *
+    * 100 TB posture: pure map-side expression — O(|shards|) md5 calls
+    * per row, no shuffle, no state, no driver round-trips. Keep the
+    * candidate set at physical-shard granularity (≤ thousands); for
+    * file-count-sized sharding use [[shuffleShard]]. */
+  def rendezvousPick(key: Column, shards: Column): Column =
+    (lit(0) - array_max(transform(shards, s =>
+      struct(
+        md5(concat(key.cast("string"), lit(":"), s.cast("string"))).as("h"),
+        (lit(0) - s).as("ns")))).getField("ns")).cast("int")
 }

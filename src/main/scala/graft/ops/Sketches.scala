@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistics cardinality sketches.
+  *
+  * The streaming-state and heavy-hitter sketches live elsewhere
+  * ([[graft.functions.HeavyHitters]] is the Misra-Gries UDAF); this file
+  * holds the *distinct-count* side: K-minimum-values (KMV), the classic
+  * "keep the k smallest hashes" estimator (Bar-Yossef et al. 2002). It is
+  * chosen over HLL here because every intermediate is EXACT integer
+  * arithmetic over md5 — so the whole sketch, including the estimate, is
+  * bit-identical across engines and oracle-hash-checkable, which a
+  * register-rounding HLL is not.
+  *
+  * Determinism: values are hashed to 48-bit integers via the repo-standard
+  * `conv(substring(md5(x), 1, 12), 16, 10)` (DuckDB mirror:
+  * `CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)`); the estimate is one
+  * pinned IEEE chain over those integers.
+  */
+object Sketches {
+
+  /** Per-group K-minimum-values distinct-count estimate.
+    *
+    * Output per group: `nb_distinct` (exact distinct hash count — with
+    * 48-bit hashes, collision-free in practice and in any case computed
+    * identically by the oracle), `k_used` = min(k, nb_distinct),
+    * `kth_min` = the k-th smallest hash, and `est_distinct` — the KMV
+    * estimator (k−1)·2⁴⁸ ∕ kth_min when the sketch is full, or the exact
+    * count when the group has fewer than k distinct values (the sketch IS
+    * the value set then).
+    *
+    * 100 TB posture: the `distinct` is a partial-aggregated shuffle that
+    * collapses the corpus to its per-group VOCABULARY (bounded — token
+    * vocabularies are millions, not corpus-sized), and the rank window
+    * sorts only that collapsed set per group. The estimate itself needs
+    * only the k smallest — a production variant could fold per-partition
+    * top-k before the exchange, but the vocabulary collapse already does
+    * the corpus-sized reduction map-side. */
+  def kmvDistinct(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536] (got $k)")
+    val hashed = df
+      .select(col(groupCol),
+        conv(substring(md5(value.cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("h")))
+    hashed.withColumn("rn", rn)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("nb_distinct"),
+        sum(when(col("rn") <= k, lit(1L))).as("k_used"),
+        max(when(col("rn") <= k, col("h"))).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("k_used") < k, col("nb_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+            col("kth_min").cast("double")))
+  }
+}

@@ -1762,6 +1762,49 @@ object LlmQueries {
             .otherwise("kept"))
         .select("id", "max_z2", "status")
         .orderBy("id")
+    }),
+
+    // Rendezvous (HRW) shard routing + the minimal-movement face: route
+    // every doc over 8 shards, re-route with shard 5 removed, and report
+    // per shard how many docs left (`nb_moved_away`) and where the
+    // population landed (`nb_after`). HRW guarantees nb_moved_away = 0
+    // everywhere except the removed shard (= its whole population) — the
+    // oracle checks that property row-for-row, not just the counts.
+    "q115_rendezvous_shard" -> ((s, dir) => {
+      val all = sequence(lit(0), lit(7))
+      val asg = table(s, dir, "documents").select(col("doc_id"),
+        Sampling.rendezvousPick(col("doc_id"), all).as("shard_before"),
+        Sampling.rendezvousPick(col("doc_id"),
+          filter(all, x => x =!= 5)).as("shard_after"))
+      val perBefore = asg
+        .groupBy(col("shard_before").as("shard"))
+        .agg(count(lit(1)).as("nb_docs"),
+          sum(when(col("shard_after") =!= col("shard_before"), 1L)
+            .otherwise(0L)).as("nb_moved_away"))
+      val perAfter = asg
+        .groupBy(col("shard_after").as("shard"))
+        .agg(count(lit(1)).as("nb_after"))
+      perBefore.join(perAfter, Seq("shard"), "left")
+        .select(col("shard"), col("nb_docs"), col("nb_moved_away"),
+          coalesce(col("nb_after"), lit(0L)).as("nb_after"))
+        .orderBy("shard")
+    }),
+
+    // K-minimum-values distinct-token cardinality per language — the
+    // exact-arithmetic cardinality sketch (every intermediate an integer,
+    // the estimate one pinned IEEE chain), so the oracle hash-checks the
+    // ESTIMATE itself, not just the exact count it approximates. The
+    // per-doc `rare` token widens each language's vocabulary past k so
+    // the estimator branch (not the exact-fallback) is what's exercised.
+    "q116_kmv_distinct" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(
+          lower(concat(col("text"), lit(" rare"), col("doc_id"))))).as("t"))
+      graft.ops.Sketches.kmvDistinct(tok, "lang", col("t"), 128)
+        .withColumn("err_est",
+          (col("est_distinct") - col("nb_distinct").cast("double")) /
+            col("nb_distinct").cast("double"))
+        .orderBy("lang")
     })
   )
 
@@ -4106,6 +4149,58 @@ object LlmQueries {
         |       ELSE 'kept' END AS status
         |FROM sc LEFT JOIN dropped ON sc.id = dropped.id
         |ORDER BY sc.id""".stripMargin
-    }
+    },
+
+    "q115_rendezvous_shard" ->
+      """WITH asg AS (
+        |  SELECT doc_id,
+        |    CAST(-((list_aggregate(list_transform(range(8),
+        |        s -> {'h': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 'ns': -s}),
+        |      'max')).ns) AS INTEGER) AS shard_before,
+        |    CAST(-((list_aggregate(list_transform(list_filter(range(8), s -> s != 5),
+        |        s -> {'h': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 'ns': -s}),
+        |      'max')).ns) AS INTEGER) AS shard_after
+        |  FROM documents),
+        |pb AS (
+        |  SELECT shard_before AS shard,
+        |    CAST(count(*) AS BIGINT) AS nb_docs,
+        |    CAST(sum(CASE WHEN shard_after != shard_before THEN 1 ELSE 0 END) AS BIGINT) AS nb_moved_away
+        |  FROM asg GROUP BY 1),
+        |pa AS (
+        |  SELECT shard_after AS shard, CAST(count(*) AS BIGINT) AS nb_after
+        |  FROM asg GROUP BY 1)
+        |SELECT pb.shard, pb.nb_docs, pb.nb_moved_away,
+        |  COALESCE(pa.nb_after, CAST(0 AS BIGINT)) AS nb_after
+        |FROM pb LEFT JOIN pa USING (shard)
+        |ORDER BY shard""".stripMargin,
+
+    "q116_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(lower(text || ' rare' || CAST(doc_id AS VARCHAR)), ' '),
+        |                       t -> t != '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM tok),
+        |r AS (
+        |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h),
+        |g AS (
+        |  SELECT lang,
+        |    CAST(count(*) AS BIGINT) AS nb_distinct,
+        |    CAST(sum(CASE WHEN rn <= 128 THEN 1 END) AS BIGINT) AS k_used,
+        |    CAST(max(CASE WHEN rn <= 128 THEN h END) AS BIGINT) AS kth_min
+        |  FROM r GROUP BY lang),
+        |e AS (
+        |  SELECT lang, nb_distinct, k_used, kth_min,
+        |    CASE WHEN k_used < 128 THEN CAST(nb_distinct AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * 281474976710656.0 / CAST(kth_min AS DOUBLE)
+        |    END AS est_distinct
+        |  FROM g)
+        |SELECT lang, nb_distinct, k_used, kth_min, est_distinct,
+        |  (est_distinct - CAST(nb_distinct AS DOUBLE)) / CAST(nb_distinct AS DOUBLE) AS err_est
+        |FROM e ORDER BY lang""".stripMargin
   )
 }

@@ -423,6 +423,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("rendezvousPick: even spread; removal moves ONLY the removed shard's keys; add moves only to the new shard") {
+    import graft.ops.Sampling
+    val all8 = sequence(lit(0), lit(7))
+    val asg = (0L until 2000L).toDF("k").select(col("k"),
+        Sampling.rendezvousPick(col("k"), all8).as("s8"),
+        Sampling.rendezvousPick(col("k"),
+          filter(all8, x => x =!= 5)).as("s8_minus5"),
+        Sampling.rendezvousPick(col("k"), sequence(lit(0), lit(8))).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // even-ish spread over 8 shards (2000/8 = 250 expected)
+    val sizes = asg.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keySet == (0 until 8).toSet, sizes.toMap.toString)
+    assert(sizes.values.min > 150 && sizes.values.max < 350, sizes.toMap.toString)
+    // minimal movement on removal: keys NOT on shard 5 keep their shard;
+    // keys on shard 5 all land elsewhere
+    asg.foreach { case (k, before, after, _) =>
+      if (before != 5) assert(after == before, s"key $k moved $before->$after")
+      else assert(after != 5, s"key $k stayed on removed shard")
+    }
+    // minimal movement on addition: a key either keeps its shard or goes
+    // to the NEW shard 8 — never migrates between surviving shards
+    asg.foreach { case (k, before, _, plus) =>
+      assert(plus == before || plus == 8, s"key $k migrated $before->$plus on add")
+    }
+    assert(asg.count { case (_, b, _, p) => p == 8 && b != 8 } > 100,
+      "the added shard must actually attract keys")
+  }
+
+  test("kmvDistinct: exact below k, estimator within KMV error above k, multiset-invariant") {
+    import graft.ops.Sketches
+    val small = (0L until 60L).map(v => ("g", v)).toDF("grp", "v")
+    val s = Sketches.kmvDistinct(small, "grp", col("v"), 128).collect()(0)
+    assert(s.getAs[Long]("nb_distinct") == 60L)
+    assert(s.getAs[Long]("k_used") == 60L)
+    assert(s.getAs[Double]("est_distinct") == 60.0) // sketch not full => exact
+    val big = (0L until 5000L).map(v => ("g", v)).toDF("grp", "v")
+    val b = Sketches.kmvDistinct(big, "grp", col("v"), 256).collect()(0)
+    assert(b.getAs[Long]("k_used") == 256L)
+    // KMV std error ~ 1/sqrt(k) = 6.25%; allow 4 sigma
+    val est = b.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est too far from 5000")
+    // duplicates change nothing: the sketch sees the value SET
+    val dup = big.union(big).union(big.limit(700))
+    val d = Sketches.kmvDistinct(dup, "grp", col("v"), 256).collect()(0)
+    assert(d.getAs[Long]("nb_distinct") == 5000L)
+    assert(d.getAs[Double]("est_distinct") == est)
+  }
+
   test("temperatureSample: rarest source keeps all, dominant source shrinks toward sqrt rule") {
     import graft.ops.Sampling
     // sources with 100 / 400 / 1600 rows: keep fractions 1, 1/2, 1/4
