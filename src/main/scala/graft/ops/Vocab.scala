@@ -59,11 +59,23 @@ object Vocab {
     * rule list; stops early when no pair repeats (pair_count < 2 — a rule
     * observed once compresses nothing). Each round's argmax is a one-row
     * action; ties break lexicographically for partition-independence. */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): Seq[(String, String)] =
+    bpeTrainTrace(docs, textCol, merges).map(t => (t._2, t._3))
+
+  /** [[bpeTrain]] with the full per-round trace: (rank, a, b, pair_count,
+    * nb_symbols) where nb_symbols = Σ freq·|syms| over the word table
+    * AFTER applying the round's merge — the oracle-checkable face of the
+    * trainer (q117 hash-compares every round's argmax AND the
+    * segmentation state it left behind, so a greedy-application bug that
+    * happens to preserve the next argmax still fails). The nb_symbols
+    * probe rides the word table (vocabulary-sized), adding one tiny
+    * aggregate per round, never a corpus pass. */
+  def bpeTrainTrace(docs: DataFrame, textCol: String,
+                    merges: Int): Seq[(Int, String, String, Long, Long)] = {
     var words = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count()
-    val rules = Seq.newBuilder[(String, String)]
+    val trace = Seq.newBuilder[(Int, String, String, Long, Long)]
     var done = false
     var i = 0
     while (i < merges && !done) {
@@ -73,11 +85,13 @@ object Vocab {
       top.headOption.filter(_.getAs[Long]("pair_count") >= 2) match {
         case Some(r) =>
           val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
-          rules += ((a, b))
           val next = words
             .withColumn("syms", applyMerge(col("syms"), a, b))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
+          val nbSyms = next
+            .select(sum(col("freq") * size(col("syms"))).cast("long").as("n"))
+            .head().getLong(0)
+          trace += ((i + 1, a, b, r.getAs[Long]("pair_count"), nbSyms))
           words.unpersist()
           words = next
         case None => done = true
@@ -85,7 +99,7 @@ object Vocab {
       i += 1
     }
     words.unpersist()
-    rules.result()
+    trace.result()
   }
 
   /** Segment the corpus with a learned rule list: the map-side encode path

@@ -1805,6 +1805,22 @@ object LlmQueries {
           (col("est_distinct") - col("nb_distinct").cast("double")) /
             col("nb_distinct").cast("double"))
         .orderBy("lang")
+    }),
+
+    // The BPE trainer's oracle face: 6 merge rounds end-to-end, reporting
+    // each round's argmax rule AND the word table's total symbol mass
+    // after applying it — so both halves of the trainer (objective and
+    // greedy re-segmentation) are hash-checked at every round, not just
+    // the first pair count (q75). The oracle replays the loop as 6
+    // generated CTE stages over the same word-frequency collapse.
+    "q117_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(lower(col("text")).as("text"))
+      val trace = Vocab.bpeTrainTrace(docs, "text", merges = 6)
+      require(trace.size == 6,
+        s"q117 expects a corpus rich enough for 6 merges (got ${trace.size})")
+      trace.toDF("rank", "a", "b", "pair_count", "nb_symbols")
+        .orderBy("rank")
     })
   )
 
@@ -4201,6 +4217,44 @@ object LlmQueries {
         |  FROM g)
         |SELECT lang, nb_distinct, k_used, kth_min, est_distinct,
         |  (est_distinct - CAST(nb_distinct AS DOUBLE)) / CAST(nb_distinct AS DOUBLE) AS err_est
-        |FROM e ORDER BY lang""".stripMargin
+        |FROM e ORDER BY lang""".stripMargin,
+
+    // Generated stage-per-merge replay of the BPE training loop: the
+    // greedy left-to-right merge is a list_reduce fold with the SAME
+    // adjacent-repeat semantics as Vocab.applyMerge ("a a a" under (a,a)
+    // → [aa, a]; "x a b a b y" merges BOTH pairs — a plain string
+    // replace() would miss the second). chr(1) is the symbol separator
+    // inside the fold accumulator (tokens are whitespace-split text, so
+    // it cannot occur in a symbol). MATERIALIZED pins each stage to one
+    // evaluation — inlined CTEs would re-run the chain exponentially.
+    "q117_bpe_train" -> {
+      val stages = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT u.p.a AS a, u.p.b AS b, CAST(sum(w.freq) AS BIGINT) AS pair_count
+           |  FROM w${k - 1} w, unnest(list_transform(range(1, len(w.syms)),
+           |    i -> {'a': w.syms[i], 'b': w.syms[i+1]})) AS u(p)
+           |  GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (SELECT a, b, pair_count FROM p$k ORDER BY pair_count DESC, a, b LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT w.word, w.freq,
+           |    list_filter(string_split(list_reduce(list_prepend('', w.syms),
+           |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.a) AND x = m.b
+           |                  THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+           |                  ELSE acc || chr(1) || x END), chr(1)), s2 -> s2 != '') AS syms
+           |  FROM w${k - 1} w, m$k m),
+           |s$k AS (SELECT CAST($k AS INT) AS rank, m.a, m.b, m.pair_count,
+           |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$k) AS nb_symbols FROM m$k m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
+         |  FROM documents),
+         |wt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+         |w0 AS MATERIALIZED (SELECT word, freq,
+         |  list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM wt),
+         |$stages
+         |$union ORDER BY rank""".stripMargin
+    }
   )
 }
