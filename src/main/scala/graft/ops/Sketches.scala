@@ -58,4 +58,41 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
             col("kth_min").cast("double")))
   }
+
+  /** The mergeable face of KMV: per group, the ascending k-minimum hash
+    * ARRAY (`hs`, length min(k, nb_distinct)) plus the exact distinct
+    * count. Two groups' sketches union by `kmvMerge` — k ints per group
+    * travel, never the corpus — which is what makes an all-pairs overlap
+    * matrix tractable at 100 TB: one corpus pass builds the sketches,
+    * every pairwise union/Jaccard estimate after that is sketch-side
+    * arithmetic. */
+  def kmvMinHashes(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536] (got $k)")
+    val hashed = df
+      .select(col(groupCol),
+        conv(substring(md5(value.cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("h")))
+    hashed.withColumn("rn", rn)
+      .groupBy(groupCol)
+      .agg(
+        sort_array(collect_list(when(col("rn") <= k, col("h")))).as("hs"),
+        count(lit(1)).as("nb_distinct"))
+  }
+
+  /** KMV estimate from a sketch array: exact length when the sketch never
+    * filled (the array IS the value set then), else (k−1)·2⁴⁸ ∕ hs[k].
+    * `nbDistinct` supplies the exact count for the not-full branch —
+    * pass `size(hs)` for a MERGED sketch (where "not full" proves both
+    * inputs were exhaustive, so the merged array is the exact union). */
+  def kmvEstimate(hs: Column, nbDistinct: Column, k: Int): Column =
+    when(size(hs) < k, nbDistinct.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+        element_at(hs, k).cast("double"))
+
+  /** Union of two KMV sketches: the k smallest of the merged distinct
+    * hash sets — associative, commutative, idempotent. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
 }

@@ -1821,6 +1821,39 @@ object LlmQueries {
         s"q117 expects a corpus rich enough for 6 merges (got ${trace.size})")
       trace.toDF("rank", "a", "b", "pair_count", "nb_symbols")
         .orderBy("rank")
+    }),
+
+    // KMV sketch MERGEABILITY: per-source vocabulary sketches (k ints
+    // each), merged pairwise for union + Jaccard estimates with no
+    // corpus-side join at all — the sketch property that makes an
+    // all-pairs source-overlap matrix tractable at 100 TB (one corpus
+    // pass, then sketch-side arithmetic; contrast q85's exact matrix).
+    // The per-doc rare token pushes every source past k so the estimator
+    // branch is exercised; the 31 shared base tokens keep a real overlap.
+    "q118_kmv_overlap" -> ((s, dir) => {
+      val k = 32
+      val tok = table(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(
+          lower(concat(col("text"), lit(" rare"), col("doc_id"))))).as("t"))
+      val sk = graft.ops.Sketches.kmvMinHashes(tok, "source", col("t"), k)
+        .withColumn("idx", substring(col("source"), 4, 8).cast("int"))
+        .withColumn("pair", expr("idx div 2"))
+        .withColumn("side", expr("idx % 2"))
+      val a = sk.filter(col("side") === 0).select(col("pair"),
+        col("source").as("src_a"), col("hs").as("ha"), col("nb_distinct").as("nb_a"))
+      val b = sk.filter(col("side") === 1).select(col("pair"),
+        col("source").as("src_b"), col("hs").as("hb"), col("nb_distinct").as("nb_b"))
+      import graft.ops.Sketches
+      a.join(b, "pair")
+        .withColumn("u", Sketches.kmvMerge(col("ha"), col("hb"), k))
+        .select(col("src_a"), col("src_b"), col("nb_a"), col("nb_b"),
+          Sketches.kmvEstimate(col("ha"), col("nb_a"), k).as("est_a"),
+          Sketches.kmvEstimate(col("hb"), col("nb_b"), k).as("est_b"),
+          Sketches.kmvEstimate(col("u"),
+            size(col("u")).cast("long"), k).as("est_union"))
+        .withColumn("est_jaccard",
+          (col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+        .orderBy("src_a")
     })
   )
 
@@ -4255,6 +4288,44 @@ object LlmQueries {
          |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM wt),
          |$stages
          |$union ORDER BY rank""".stripMargin
-    }
+    },
+
+    "q118_kmv_overlap" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text || ' rare' || CAST(doc_id AS VARCHAR)), ' '),
+        |                       t -> t != '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM tok),
+        |r AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (
+        |  SELECT source,
+        |    list_sort(list(h) FILTER (WHERE rn <= 32)) AS hs,
+        |    CAST(count(*) AS BIGINT) AS nb_distinct,
+        |    CAST(substr(source, 4) AS INTEGER) // 2 AS pair,
+        |    CAST(substr(source, 4) AS INTEGER) % 2 AS side
+        |  FROM r GROUP BY source),
+        |j AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.hs AS ha, b.hs AS hb,
+        |         a.nb_distinct AS nb_a, b.nb_distinct AS nb_b
+        |  FROM sk a JOIN sk b ON a.pair = b.pair AND a.side = 0 AND b.side = 1),
+        |m AS (SELECT *, list_sort(list_distinct(ha || hb))[1:32] AS u FROM j),
+        |e AS (
+        |  SELECT src_a, src_b, nb_a, nb_b,
+        |    CASE WHEN len(ha) < 32 THEN CAST(nb_a AS DOUBLE)
+        |         ELSE CAST(31 AS DOUBLE) * 281474976710656.0 / CAST(ha[32] AS DOUBLE) END AS est_a,
+        |    CASE WHEN len(hb) < 32 THEN CAST(nb_b AS DOUBLE)
+        |         ELSE CAST(31 AS DOUBLE) * 281474976710656.0 / CAST(hb[32] AS DOUBLE) END AS est_b,
+        |    CASE WHEN len(u) < 32 THEN CAST(CAST(len(u) AS BIGINT) AS DOUBLE)
+        |         ELSE CAST(31 AS DOUBLE) * 281474976710656.0 / CAST(u[32] AS DOUBLE) END AS est_union
+        |  FROM m)
+        |SELECT src_a, src_b, nb_a, nb_b, est_a, est_b, est_union,
+        |  (est_a + est_b - est_union) / est_union AS est_jaccard
+        |FROM e ORDER BY src_a""".stripMargin
   )
 }

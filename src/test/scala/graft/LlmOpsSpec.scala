@@ -471,6 +471,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(d.getAs[Double]("est_distinct") == est)
   }
 
+  test("kmv sketches merge losslessly: merge(sk(A), sk(B)) == sk(A ∪ B)") {
+    import graft.ops.Sketches
+    val k = 128
+    val a = (0L until 3000L).map(v => ("a", v)).toDF("grp", "v")
+    val b = (1500L until 4500L).map(v => ("b", v)).toDF("grp", "v")
+    val sk = Sketches.kmvMinHashes(a.union(b), "grp", col("v"), k)
+      .collect().map(r => r.getAs[String]("grp") -> r.getSeq[Long](r.fieldIndex("hs"))).toMap
+    val mr = Sketches
+      .kmvMinHashes(a.union(b).withColumn("grp", lit("u")), "grp", col("v"), k)
+      .collect()(0)
+    val merged = mr.getSeq[Long](mr.fieldIndex("hs"))
+    // merge the two per-group sketches sketch-side and compare to the
+    // sketch built from the union corpus directly
+    val vr = Seq((sk("a").toArray, sk("b").toArray)).toDF("ha", "hb")
+      .select(Sketches.kmvMerge(col("ha"), col("hb"), k).as("u"))
+      .collect()(0)
+    val viaMerge = vr.getSeq[Long](vr.fieldIndex("u"))
+    assert(viaMerge == merged, "sketch-side merge must equal the union's sketch")
+  }
+
   test("temperatureSample: rarest source keeps all, dominant source shrinks toward sqrt rule") {
     import graft.ops.Sampling
     // sources with 100 / 400 / 1600 rows: keep fractions 1, 1/2, 1/4
