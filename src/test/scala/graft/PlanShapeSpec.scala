@@ -670,6 +670,46 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("r12c ops: HRW routing is window-free map-side; sketch exchanges carry hashes, never tokens") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q115: the per-key HRW argmax is an array expression inside the
+      // projection — no Window, no per-key sort; the only exchanges are
+      // the 8-row report aggregates, map-side combined
+      val s115 = SparkEntry.queries("q115_rendezvous_shard")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!s115.contains("Window"),
+        s"q115 planned a window for the HRW argmax (map-side contract broken):\n$s115")
+      assert(s115.contains("partial_count"),
+        s"q115 report aggregates lost map-side combine:\n$s115")
+      // q116/q118: the vocabulary collapse pre-combines map-side and the
+      // raw token string never rides an exchange — only the 48-bit hash
+      // and the group key survive the projection below the distinct
+      for (q <- Seq("q116_kmv_distinct", "q118_kmv_overlap")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val s = p.toString
+        assert(s.contains("partial_"),
+          s"$q lost map-side partial aggregation:\n$s")
+        val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty, s"$q: no exchange found — assertion vacuous:\n$s")
+        shuffles.foreach { e =>
+          assert(!e.output.exists(_.name == "t"),
+            s"$q shuffles the raw token column:\n$s")
+        }
+      }
+      // q117's trainer objective: pair counts over the word table combine
+      // map-side before the exchange (the loop's only per-round shuffle)
+      val words = graft.ops.Vocab.wordTable(
+        graft.sources.Testdata.table(spark, sf, "documents"), "text")
+      val pp = graft.ops.Vocab.pairCounts(words)
+        .queryExecution.executedPlan.toString
+      assert(pp.contains("partial_sum"),
+        s"Vocab.pairCounts lost map-side combine:\n$pp")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
