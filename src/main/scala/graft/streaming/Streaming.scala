@@ -162,6 +162,44 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class KmvState(hs: Seq[Long])
+  case class KmvUpdate(group: String, k_used: Int, kth_min: Long,
+                       est_distinct: Double)
+
+  /** Streaming KMV distinct-count — the streaming face of
+    * [[graft.ops.Sketches.kmvDistinct]]: per-group state is the k-minimum
+    * hash array (k longs, BOUNDED — unlike exact streaming distinct,
+    * whose state grows with cardinality), updated per micro-batch with
+    * the same 48-bit md5 hash and emitting the same estimate arithmetic,
+    * so after any prefix of batches the emitted estimate equals the batch
+    * operator's over the same rows (StreamingSpec pins that equivalence).
+    * A not-full sketch IS the group's exhaustive hash set, so its
+    * estimate is exact — matching the batch operator's fallback branch.
+    *
+    * 100 TB posture: one keyed exchange per batch; state k·8 bytes per
+    * group, no timeout needed (the sketch is the bound). */
+  def kmvDistinctStream(df: DataFrame, groupCol: String, value: Column,
+                        k: Int): Dataset[KmvUpdate] = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536] (got $k)")
+    import df.sparkSession.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        conv(substring(md5(value.cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvUpdate](GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          val merged = (state.getOption.map(_.hs).getOrElse(Seq.empty) ++
+              batch.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else (k - 1).toDouble * 281474976710656.0 / merged.last.toDouble
+          KmvUpdate(g, merged.size,
+            if (merged.isEmpty) 0L else merged.last, est)
+      }
+  }
+
   /** Streaming INCREMENTAL exact dedup — the streaming face of
     * [[graft.ops.CurateIncremental]]'s exact stage: arriving docs dedup
     * within the stream (watermark-bounded state, as [[dedupStream]]) AND

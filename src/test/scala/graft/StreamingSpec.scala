@@ -558,4 +558,43 @@ class StreamingSpec extends SparkSpec {
       assert(last.ts == ts("2026-03-01 12:00:00") && last.event_type == "view")
     } finally q.stop()
   }
+
+  test("kmvDistinctStream: sketch state matches the batch operator after every prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sketches
+    val k = 16
+    val ms = MemoryStream[(String, String)]
+    val q = Streaming.kmvDistinctStream(ms.toDF.toDF("g", "v"), "g", col("v"), k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    // the batch operator over the same prefix is the oracle here
+    def batchRow(rows: Seq[(String, String)], g: String) = {
+      val r = Sketches.kmvDistinct(rows.toDF("g", "v"), "g", col("v"), k)
+        .filter(col("g") === g).collect()(0)
+      (r.getAs[Long]("k_used"), r.getAs[Long]("kth_min"),
+        r.getAs[Double]("est_distinct"))
+    }
+    val b1 = (0 until 100).map(i => ("a", s"v$i")) ++
+      (0 until 5).map(i => ("b", s"w$i")) // "b" stays below k: exact branch
+    val b2 = (50 until 150).map(i => ("a", s"v$i")) // half-overlapping delta
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      val rows1 = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      for (g <- Seq("a", "b")) {
+        val last = rows1.filter(_._1 == g).last
+        assert((last._2.toLong, last._3, last._4) == batchRow(b1, g),
+          s"group $g diverges from the batch sketch after batch 1")
+      }
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val rows2 = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val last = rows2.filter(_._1 == "a").last
+      assert((last._2.toLong, last._3, last._4) == batchRow(b1 ++ b2, "a"),
+        "group a diverges from the batch sketch after batch 2")
+    } finally q.stop()
+  }
 }
