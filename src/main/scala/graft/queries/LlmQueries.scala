@@ -1854,6 +1854,31 @@ object LlmQueries {
         .withColumn("est_jaccard",
           (col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
         .orderBy("src_a")
+    }),
+
+    // Vocabulary-cardinality drift: per source, the KMV estimate on an
+    // earlier snapshot (every other doc within each source) vs the full corpus — a stalled or
+    // shrinking vocabulary between crawls signals a dedup/crawler bug
+    // upstream long before row counts move (q99 watches counts; this
+    // watches DISTINCT mass, which exact counting can't afford per-source
+    // at 100 TB). Growth is one pinned IEEE chain over the two estimates,
+    // so even the boolean flag is oracle-hash-checked.
+    "q119_kmv_drift" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val d = table(s, dir, "documents")
+      def tok(f: DataFrame) = f.select(col("source"),
+        explode(TextAnalysis.tokens(
+          lower(concat(col("text"), lit(" rare"), col("doc_id"))))).as("t"))
+      val a = Sketches.kmvDistinct(
+          tok(d.filter(expr("(doc_id div 20) % 2 = 0"))),
+          "source", col("t"), 32)
+        .select(col("source"), col("est_distinct").as("est_a"))
+      val b = Sketches.kmvDistinct(tok(d), "source", col("t"), 32)
+        .select(col("source"), col("est_distinct").as("est_b"))
+      a.join(b, "source")
+        .withColumn("growth", (col("est_b") - col("est_a")) / col("est_a"))
+        .withColumn("flag_stalled", col("growth") < 0.05)
+        .orderBy("source")
     })
   )
 
@@ -4326,6 +4351,42 @@ object LlmQueries {
         |  FROM m)
         |SELECT src_a, src_b, nb_a, nb_b, est_a, est_b, est_union,
         |  (est_a + est_b - est_union) / est_union AS est_jaccard
-        |FROM e ORDER BY src_a""".stripMargin
+        |FROM e ORDER BY src_a""".stripMargin,
+
+    "q119_kmv_drift" -> {
+      // one generated KMV-estimate chain per population — identical
+      // arithmetic to Sketches.kmvDistinct at k=32
+      def kmvCtes(alias: String, where: String) =
+        s"""tok_$alias AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split(lower(text || ' rare' || CAST(doc_id AS VARCHAR)), ' '),
+           |                       t -> t != '')) AS t
+           |  FROM documents$where),
+           |h_$alias AS (
+           |  SELECT DISTINCT source, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+           |  FROM tok_$alias),
+           |r_$alias AS (
+           |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           |  FROM h_$alias),
+           |g_$alias AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS nb,
+           |    CAST(sum(CASE WHEN rn <= 32 THEN 1 END) AS BIGINT) AS ku,
+           |    CAST(max(CASE WHEN rn <= 32 THEN h END) AS BIGINT) AS kth
+           |  FROM r_$alias GROUP BY source),
+           |e_$alias AS (
+           |  SELECT source,
+           |    CASE WHEN ku < 32 THEN CAST(nb AS DOUBLE)
+           |         ELSE CAST(31 AS DOUBLE) * 281474976710656.0 / CAST(kth AS DOUBLE)
+           |    END AS est
+           |  FROM g_$alias)""".stripMargin
+      s"""WITH ${kmvCtes("a", " WHERE (doc_id // 20) % 2 = 0")},
+         |${kmvCtes("b", "")},
+         |j AS (
+         |  SELECT a.source, a.est AS est_a, b.est AS est_b,
+         |    (b.est - a.est) / a.est AS growth
+         |  FROM e_a a JOIN e_b b ON a.source = b.source)
+         |SELECT source, est_a, est_b, growth, growth < 0.05 AS flag_stalled
+         |FROM j ORDER BY source""".stripMargin
+    }
   )
 }
