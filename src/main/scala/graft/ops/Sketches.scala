@@ -95,4 +95,45 @@ object Sketches {
     * hash sets — associative, commutative, idempotent. */
   def kmvMerge(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Persisted incremental face: fold a DELTA corpus's per-group sketches
+    * into the sketch state at `path` (parquet `(group, hs)`), returning
+    * the updated state. Daily cardinality monitoring then reads
+    * yesterday's sketches plus ONE pass over the new rows — never the
+    * historical corpus. Because [[kmvMerge]] is associative, commutative,
+    * and idempotent, any fold order gives the state a full rebuild would,
+    * and replaying a crashed day's delta changes nothing (at-least-once
+    * safe with no dedup bookkeeping).
+    *
+    * 100 TB posture: the state is sketch-sized (groups × k longs — MBs
+    * for thousands of groups), so the full-outer merge join is a
+    * broadcast-scale frame; the only corpus-scale work is the delta's own
+    * vocabulary collapse. The pre-overwrite localCheckpoint+count pins
+    * the merged rows before the old directory is cleared. */
+  def updateState(spark: org.apache.spark.sql.SparkSession, path: String,
+                  delta: DataFrame, groupCol: String, value: Column,
+                  k: Int): DataFrame = {
+    val d = kmvMinHashes(delta, groupCol, value, k)
+      .select(col(groupCol), col("hs"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = if (fs.exists(p)) {
+      val empty = array().cast("array<long>")
+      spark.read.parquet(path)
+        .select(col(groupCol), col("hs").as("__hs_state"))
+        .join(d.select(col(groupCol), col("hs").as("__hs_delta")),
+          Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          kmvMerge(coalesce(col("__hs_state"), empty),
+            coalesce(col("__hs_delta"), empty), k).as("hs"))
+    } else d
+    val rdd = merged.rdd
+    rdd.localCheckpoint()
+    rdd.count() // materialize BEFORE overwrite clears the input dir
+    try {
+      spark.createDataFrame(rdd, merged.schema)
+        .write.mode("overwrite").parquet(path)
+    } finally { rdd.unpersist(blocking = false); () }
+    spark.read.parquet(path)
+  }
 }

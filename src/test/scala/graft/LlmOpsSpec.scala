@@ -491,6 +491,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaMerge == merged, "sketch-side merge must equal the union's sketch")
   }
 
+  test("kmv sketch state: daily folds equal the full rebuild; replaying a delta is a no-op") {
+    import graft.ops.Sketches
+    val root = java.nio.file.Files.createTempDirectory("graft-kmvstate-")
+    val dir = root.resolve("state").toString
+    try {
+      val k = 64
+      val day1 = (0L until 2000L).map(v => ("a", v)) ++ (0L until 50L).map(v => ("b", v))
+      val day2 = (1000L until 3000L).map(v => ("a", v)) ++ (50L until 80L).map(v => ("b", v))
+      def sketchMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[String]("grp") -> r.getSeq[Long](r.fieldIndex("hs"))).toMap
+      Sketches.updateState(spark, dir, day1.toDF("grp", "v"), "grp", col("v"), k)
+      val s2 = sketchMap(
+        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+      val full = sketchMap(
+        Sketches.kmvMinHashes((day1 ++ day2).toDF("grp", "v"), "grp", col("v"), k))
+      assert(s2 == full, "two daily folds must equal the full-corpus sketch")
+      // at-least-once: re-folding day2 must not move the state
+      val s3 = sketchMap(
+        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+      assert(s3 == s2, "replaying a delta must be a no-op")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("temperatureSample: rarest source keeps all, dominant source shrinks toward sqrt rule") {
     import graft.ops.Sampling
     // sources with 100 / 400 / 1600 rows: keep fractions 1, 1/2, 1/4
