@@ -47,6 +47,7 @@ object ScaleStress {
     val onlyOverlap = args.contains("--only-overlap")
     val onlyBlocklist = args.contains("--only-blocklist")
     val onlyPca = args.contains("--only-pca")
+    val onlyKmv = args.contains("--only-kmv")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -91,7 +92,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -106,7 +107,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -123,7 +124,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -145,7 +146,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -188,7 +189,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap)) mults.foreach { m =>
+    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv)) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -224,7 +225,7 @@ object ScaleStress {
     // cells, so the exchange is partitions × cells of longs, INDEPENDENT
     // of corpus size. Shuffle bytes should stay ~flat as the corpus
     // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
-    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
       val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
       phase(s"${m}x_pca_moments") {
@@ -233,7 +234,38 @@ object ScaleStress {
       e.unpersist()
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca) { spark.stop(); return }
+    // KMV cardinality sketches: the exchanged frame is DISTINCT
+    // (source, hash48) pairs — vocabulary-bound — so a corpus multiplied
+    // with copies of the SAME words (plus 2 marker tokens per copy level)
+    // must hold the sketch-build shuffle ~flat while input rows multiply:
+    // the reduction that lets per-source distinct monitoring run at
+    // 100 TB. The incremental fold then exchanges only the sketch table
+    // itself (groups × k longs), corpus-independent by construction.
+    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+      val base = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val d = (0 until m).map { k =>
+        if (k == 0) base
+        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"),
+          concat(col("text"), lit(s" copymark$k tag$k")).as("text"))
+      }.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== kmv corpus ${m}x: ${d.count()} docs ===")
+      val toks = d.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      phase(s"${m}x_kmv_sketch128") {
+        graft.ops.Sketches.kmvMinHashes(toks, "source", col("t"), 128).count()
+      }
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-kmv-stress-").toString + "/state"
+      phase(s"${m}x_kmv_state_fold") {
+        graft.ops.Sketches.updateState(spark, stateDir, toks,
+          "source", col("t"), 128).count()
+      }
+      d.unpersist()
+    }
+
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
