@@ -106,17 +106,21 @@ object Sketches {
     * safe with no dedup bookkeeping).
     *
     * 100 TB posture: the state is sketch-sized (groups × k longs — MBs
-    * for thousands of groups), so the full-outer merge join is a
-    * broadcast-scale frame; the only corpus-scale work is the delta's own
-    * vocabulary collapse. The pre-overwrite localCheckpoint+count pins
-    * the merged rows before the old directory is cleared. */
+    * for thousands of groups; size `partitions` to that volume), so the
+    * full-outer merge join is a broadcast-scale frame; the only
+    * corpus-scale work is the delta's own vocabulary collapse. The write
+    * rides [[BucketedTables.writePlainSnapshot]]'s temp-sibling →
+    * atomic-swap discipline: a crash mid-write leaves the previous
+    * snapshot recoverable, never a torn state (and the tmp dir means the
+    * merged frame is never written over its own input). */
   def updateState(spark: org.apache.spark.sql.SparkSession, path: String,
                   delta: DataFrame, groupCol: String, value: Column,
-                  k: Int): DataFrame = {
+                  k: Int, partitions: Int = 1): DataFrame = {
     val d = kmvMinHashes(delta, groupCol, value, k)
       .select(col(groupCol), col("hs"))
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = BucketedTables.hadoopFs(spark, p)
+    BucketedTables.recoverSwap(fs, p)
     val merged = if (fs.exists(p)) {
       val empty = array().cast("array<long>")
       spark.read.parquet(path)
@@ -127,13 +131,7 @@ object Sketches {
           kmvMerge(coalesce(col("__hs_state"), empty),
             coalesce(col("__hs_delta"), empty), k).as("hs"))
     } else d
-    val rdd = merged.rdd
-    rdd.localCheckpoint()
-    rdd.count() // materialize BEFORE overwrite clears the input dir
-    try {
-      spark.createDataFrame(rdd, merged.schema)
-        .write.mode("overwrite").parquet(path)
-    } finally { rdd.unpersist(blocking = false); () }
+    BucketedTables.writePlainSnapshot(merged, path, partitions)
     spark.read.parquet(path)
   }
 }

@@ -511,6 +511,15 @@ class LlmOpsSpec extends SparkSpec {
       val s3 = sketchMap(
         Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
       assert(s3 == s2, "replaying a delta must be a no-op")
+      // crash window: live dir moved aside, .old left behind (between the
+      // swap's two renames) — the next fold must recover the previous
+      // snapshot, not restart from empty
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(live, new org.apache.hadoop.fs.Path(dir + ".old")))
+      val s4 = sketchMap(
+        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+      assert(s4 == s2, "a fold after a mid-swap crash must recover the snapshot")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
