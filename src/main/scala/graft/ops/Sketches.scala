@@ -113,9 +113,9 @@ object Sketches {
     * atomic-swap discipline: a crash mid-write leaves the previous
     * snapshot recoverable, never a torn state (and the tmp dir means the
     * merged frame is never written over its own input). */
-  def updateState(spark: org.apache.spark.sql.SparkSession, path: String,
-                  delta: DataFrame, groupCol: String, value: Column,
-                  k: Int, partitions: Int = 1): DataFrame = {
+  def kmvUpdateState(spark: org.apache.spark.sql.SparkSession, path: String,
+                     delta: DataFrame, groupCol: String, value: Column,
+                     k: Int, partitions: Int = 1): DataFrame = {
     val d = kmvMinHashes(delta, groupCol, value, k)
       .select(col(groupCol), col("hs"))
     val p = new org.apache.hadoop.fs.Path(path)
@@ -133,5 +133,129 @@ object Sketches {
     } else d
     BucketedTables.writePlainSnapshot(merged, path, partitions)
     spark.read.parquet(path)
+  }
+
+  // ---------------------------------------------------------------- Count-Min
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the *frequency*
+    * side of the sketch family (KMV above = cardinality,
+    * [[graft.functions.HeavyHitters]] = top-k identity). d independent
+    * hash rows × w buckets of ADDITIVE long counters; a point estimate is
+    * the min over the d counters a value hashes to — never an
+    * undercount, overcount bounded by ‖corpus‖∕w per row with
+    * probability 1−(1∕2)^d under pairwise-independent hashing.
+    *
+    * Like KMV, every intermediate is exact integer arithmetic over md5
+    * (bucket j of v = 48-bit md5("j:v") mod w), so the sketch AND its
+    * estimates are bit-identical cross-engine and oracle-hash-checkable —
+    * the property that puts the approximate path itself under the
+    * correctness gate, not just the exact counts it approximates. */
+
+  /** Bucket of `value` in hash row `j` (both columns): 48-bit md5 of
+    * "j:v" mod w. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 12)) AS BIGINT) % w`. */
+  def cmBucket(j: Column, value: Column, w: Int): Column =
+    conv(substring(md5(concat_ws(":", j, value.cast("string"))), 1, 12), 16, 10)
+      .cast("long") % w
+
+  /** Build a Count-Min sketch of `value` occurrences (weighted by
+    * `weight`, default 1 per row) as a frame `(j, bucket, cnt)` — only
+    * NONZERO counters materialize (absent = 0 at estimate time), so the
+    * frame is min(d·w, d·vocab) rows regardless of corpus size.
+    *
+    * 100 TB posture: this is where CM beats exact counting — the d
+    * buckets are computed MAP-SIDE per row, and the single aggregation's
+    * partial combine collapses every partition to ≤ d·w counter rows
+    * before the exchange, so the shuffle carries at most
+    * partitions × d × w (int, long, long) triples no matter how large
+    * the corpus is. No value string ever rides an exchange (contrast
+    * [[kmvDistinct]], whose vocabulary collapse is corpus-vocab-sized). */
+  def cmBuild(df: DataFrame, value: Column, d: Int, w: Int,
+              weight: Column = lit(1L)): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16] (got $d)")
+    require(w >= 2 && w <= (1 << 26), s"w must be in [2, 2^26] (got $w)")
+    df.select(value.cast("string").as("v"), weight.cast("long").as("c"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("v"), col("c"))
+      .groupBy(col("j"), cmBucket(col("j"), col("v"), w).as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (any frame with a `v` string column,
+    * deduplicated here) against a sketch frame: per probe value, the min
+    * over the d rows of the counter it hashes to, absent counters = 0.
+    * Output `(v, est)`; est ≥ the true count always (CM guarantee).
+    *
+    * The sketch is d·w bounded — broadcast it; probes then estimate
+    * map-side with one dimension-sized join, no corpus access at all. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, value: Column,
+                 d: Int, w: Int): DataFrame = {
+    val p = probes.select(value.cast("string").as("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", cmBucket(col("j"), col("v"), w))
+    p.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Union of two sketch frames built with the same (d, w): counters add
+    * elementwise — associative and commutative, so per-day / per-source
+    * sketches fold in any order. NOT idempotent (unlike [[kmvMerge]]):
+    * replaying a delta double-counts, which is why the persisted face
+    * [[cmUpdateState]] carries an applied-delta ledger. */
+  def cmMergeFrames(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("j", "bucket", "cnt").union(b.select("j", "bucket", "cnt"))
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  private def cmLedgerPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "applied.json")
+
+  /** Delta ids already folded into the CM state at `path`. */
+  def cmAppliedDeltas(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    BucketedTables.recoverSwap(BucketedTables.hadoopFs(spark, root), root)
+    BucketedTables.readJsonSidecar(spark, cmLedgerPath(root))
+      .map(body => """"([^"]+)"""".r.findAllMatchIn(
+        body.dropWhile(_ != '[')).map(_.group(1)).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Persisted incremental face: fold `delta`'s sketch into the state at
+    * `path`, AT-MOST-ONCE per `deltaId`. Addition is not idempotent, so
+    * exactly-once under crash-replay needs a ledger: applied delta ids
+    * live in an `applied.json` sidecar INSIDE the snapshot directory,
+    * written into the temp sibling BEFORE the atomic swap — counters and
+    * ledger become visible in the same rename, so a crash anywhere
+    * leaves them consistent (before the swap: neither; after: both) and
+    * a replayed day is a no-op, never a double count.
+    *
+    * State layout: `<path>/counters` parquet `(j, bucket, cnt)` +
+    * `<path>/applied.json`. Returns the updated counters frame. */
+  def cmUpdateState(spark: org.apache.spark.sql.SparkSession, path: String,
+                    delta: DataFrame, value: Column, d: Int, w: Int,
+                    deltaId: String, weight: Column = lit(1L),
+                    partitions: Int = 1): DataFrame = {
+    require(!deltaId.contains("\""), s"deltaId must not contain quotes: $deltaId")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = BucketedTables.hadoopFs(spark, root)
+    BucketedTables.recoverSwap(fs, root)
+    val counters = new org.apache.hadoop.fs.Path(root, "counters")
+    val applied = cmAppliedDeltas(spark, path)
+    if (applied.contains(deltaId)) return spark.read.parquet(counters.toString)
+    val dSketch = cmBuild(delta, value, d, w, weight)
+    val merged =
+      if (fs.exists(counters))
+        cmMergeFrames(spark.read.parquet(counters.toString), dSketch)
+      else dSketch
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    merged.repartition(partitions).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "counters").toString)
+    BucketedTables.writeJsonSidecar(spark, cmLedgerPath(tmp),
+      (applied + deltaId).toSeq.sorted
+        .mkString("{\"applied\":[\"", "\",\"", "\"]}"))
+    BucketedTables.swapInto(fs, tmp, root)
+    spark.catalog.refreshByPath(counters.toString)
+    spark.read.parquet(counters.toString)
   }
 }

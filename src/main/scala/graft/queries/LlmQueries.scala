@@ -1879,6 +1879,31 @@ object LlmQueries {
         .withColumn("growth", (col("est_b") - col("est_a")) / col("est_a"))
         .withColumn("flag_stalled", col("growth") < 0.05)
         .orderBy("source")
+    }),
+
+    // Count-Min frequency sketch — the FREQUENCY face of the sketch
+    // family (KMV q116 = cardinality, Misra-Gries q101 = heavy-hitter
+    // identity). w=256 buckets against a multi-thousand-token vocabulary
+    // forces real collisions, so the estimator path under test is the
+    // OVERCOUNT regime, not a degenerate exact table; every intermediate
+    // is exact integer arithmetic over md5 so the oracle hash-checks the
+    // estimates themselves, and `overcount >= 0` on every row is the CM
+    // never-undercount guarantee made visible in the checked result.
+    "q120_countmin" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val d = 3; val w = 256
+      val tok = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      val sketch = Sketches.cmBuild(tok, col("t"), d, w)
+      val probes = tok.groupBy(col("t").as("v"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("v")).limit(20)
+      Sketches.cmEstimate(sketch, probes, col("v"), d, w)
+        .join(probes, "v")
+        .select(col("v").as("token"), col("exact_cnt"),
+          col("est").as("est_cnt"),
+          (col("est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("token"))
     })
   )
 
@@ -4387,6 +4412,30 @@ object LlmQueries {
          |  FROM e_a a JOIN e_b b ON a.source = b.source)
          |SELECT source, est_a, est_b, growth, growth < 0.05 AS flag_stalled
          |FROM j ORDER BY source""".stripMargin
-    }
+    },
+
+    "q120_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t AS v, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |js AS (SELECT unnest(range(3)) AS j),
+        |cm AS (
+        |  SELECT j,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 12)) AS BIGINT) % 256 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM vocab CROSS JOIN js
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT v, c AS exact_cnt FROM vocab ORDER BY c DESC, v LIMIT 20),
+        |est AS (
+        |  SELECT p.v, CAST(min(coalesce(cm.cnt, 0)) AS BIGINT) AS est_cnt
+        |  FROM probes p CROSS JOIN js
+        |  LEFT JOIN cm ON cm.j = js.j AND cm.bucket =
+        |    CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || p.v), 1, 12)) AS BIGINT) % 256
+        |  GROUP BY 1)
+        |SELECT p.v AS token, p.exact_cnt, e.est_cnt,
+        |       e.est_cnt - p.exact_cnt AS overcount
+        |FROM probes p JOIN est e ON e.v = p.v
+        |ORDER BY p.exact_cnt DESC, token""".stripMargin
   )
 }

@@ -259,7 +259,7 @@ object ScaleStress {
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-kmv-stress-").toString + "/state"
       phase(s"${m}x_kmv_state_fold") {
-        graft.ops.Sketches.updateState(spark, stateDir, toks,
+        graft.ops.Sketches.kmvUpdateState(spark, stateDir, toks,
           "source", col("t"), 128).count()
       }
       d.unpersist()

@@ -501,15 +501,15 @@ class LlmOpsSpec extends SparkSpec {
       val day2 = (1000L until 3000L).map(v => ("a", v)) ++ (50L until 80L).map(v => ("b", v))
       def sketchMap(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getAs[String]("grp") -> r.getSeq[Long](r.fieldIndex("hs"))).toMap
-      Sketches.updateState(spark, dir, day1.toDF("grp", "v"), "grp", col("v"), k)
+      Sketches.kmvUpdateState(spark, dir, day1.toDF("grp", "v"), "grp", col("v"), k)
       val s2 = sketchMap(
-        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+        Sketches.kmvUpdateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
       val full = sketchMap(
         Sketches.kmvMinHashes((day1 ++ day2).toDF("grp", "v"), "grp", col("v"), k))
       assert(s2 == full, "two daily folds must equal the full-corpus sketch")
       // at-least-once: re-folding day2 must not move the state
       val s3 = sketchMap(
-        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+        Sketches.kmvUpdateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
       assert(s3 == s2, "replaying a delta must be a no-op")
       // crash window: live dir moved aside, .old left behind (between the
       // swap's two renames) — the next fold must recover the previous
@@ -518,8 +518,85 @@ class LlmOpsSpec extends SparkSpec {
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(fs.rename(live, new org.apache.hadoop.fs.Path(dir + ".old")))
       val s4 = sketchMap(
-        Sketches.updateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
+        Sketches.kmvUpdateState(spark, dir, day2.toDF("grp", "v"), "grp", col("v"), k))
       assert(s4 == s2, "a fold after a mid-swap crash must recover the snapshot")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("count-min: exact when buckets dwarf the vocabulary, never undercounts when they don't") {
+    import graft.ops.Sketches
+    val rows = (0 until 500).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val df = rows.toDF("v")
+    val exact = rows.groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    // w >> vocab: every estimate is the exact count
+    val wide = Sketches.cmBuild(df, col("v"), d = 3, w = 1 << 20)
+    val wideEst = Sketches.cmEstimate(wide, df, col("v"), 3, 1 << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wideEst == exact, "collision-free sketch must be exact")
+    // w << vocab: overcounts appear but NO estimate ever undercounts,
+    // and each hash row conserves total mass
+    val tight = Sketches.cmBuild(df, col("v"), d = 3, w = 16)
+    val tightEst = Sketches.cmEstimate(tight, df, col("v"), 3, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, c) =>
+      assert(tightEst(v) >= c, s"CM undercounted $v: ${tightEst(v)} < $c")
+    }
+    assert(exact.exists { case (v, c) => tightEst(v) > c },
+      "a 16-bucket sketch over a 500-token vocabulary must collide somewhere")
+    val mass = tight.groupBy("j").agg(sum("cnt").as("m")).collect()
+      .map(r => r.getAs[Long]("m"))
+    assert(mass.length == 3 && mass.forall(_ == rows.size.toLong),
+      s"every hash row must conserve total mass: ${mass.toSeq}")
+  }
+
+  test("count-min: sketch-side merge equals the union's sketch; weights fold in") {
+    import graft.ops.Sketches
+    val a = (0 until 300).map(i => s"t${i % 40}").toDF("v")
+    val b = (0 until 200).map(i => s"t${i % 55}").toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    val merged = m(Sketches.cmMergeFrames(
+      Sketches.cmBuild(a, col("v"), 2, 32), Sketches.cmBuild(b, col("v"), 2, 32)))
+    assert(merged == m(Sketches.cmBuild(a.union(b), col("v"), 2, 32)),
+      "elementwise counter addition must equal the union build")
+    // weighted build: each row counts its weight, not 1
+    val w = Seq(("x", 5L), ("y", 2L), ("x", 1L)).toDF("v", "wt")
+    val est = Sketches.cmEstimate(
+        Sketches.cmBuild(w, col("v"), 2, 1 << 16, weight = col("wt")),
+        w, col("v"), 2, 1 << 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("x" -> 6L, "y" -> 2L), s"weighted counts: $est")
+  }
+
+  test("count-min state: daily folds equal full rebuild; a replayed deltaId never double-counts") {
+    import graft.ops.Sketches
+    val root = java.nio.file.Files.createTempDirectory("graft-cmstate-")
+    val dir = root.resolve("state").toString
+    try {
+      val d = 3; val w = 64
+      val day1 = (0 until 400).map(i => s"t${i % 30}").toDF("v")
+      val day2 = (0 until 300).map(i => s"t${i % 50}").toDF("v")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+      Sketches.cmUpdateState(spark, dir, day1, col("v"), d, w, "2026-01-01")
+      val s2 = m(Sketches.cmUpdateState(spark, dir, day2, col("v"), d, w, "2026-01-02"))
+      assert(s2 == m(Sketches.cmBuild(day1.union(day2), col("v"), d, w)),
+        "two daily folds must equal the full-corpus sketch")
+      // counters are NOT idempotent — the ledger must make the replay a no-op
+      val s3 = m(Sketches.cmUpdateState(spark, dir, day2, col("v"), d, w, "2026-01-02"))
+      assert(s3 == s2, "replaying an applied deltaId must not double-count")
+      assert(Sketches.cmAppliedDeltas(spark, dir) == Set("2026-01-01", "2026-01-02"))
+      // mid-swap crash: live moved aside, .old left — next fold recovers
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(live, new org.apache.hadoop.fs.Path(dir + ".old")))
+      val s4 = m(Sketches.cmUpdateState(spark, dir, day2, col("v"), d, w, "2026-01-02"))
+      assert(s4 == s2, "a fold after a mid-swap crash must recover the snapshot, and the recovered ledger must still veto the replay")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -699,6 +699,27 @@ class PlanShapeSpec extends SparkSpec {
             s"$q shuffles the raw token column:\n$s")
         }
       }
+      // q120: the CM sketch build is ONE aggregation whose partial
+      // combine bounds the exchange at partitions × d × w counter rows —
+      // no value string on any exchange, and the probe side joins the
+      // d·w-bounded sketch by broadcast, never a shuffled join
+      locally {
+        val docs = graft.sources.Testdata.table(spark, sf, "documents")
+          .select(explode(graft.ops.TextAnalysis.tokens(
+            lower(col("text")))).as("t"))
+        val sk = graft.ops.Sketches.cmBuild(docs, col("t"), 3, 256)
+        val sp = sk.queryExecution.executedPlan
+        assert(sp.toString.contains("partial_sum"),
+          s"cmBuild lost map-side combine:\n$sp")
+        sp.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          assert(!e.output.exists(a => a.name == "t" || a.name == "v"),
+            s"cmBuild shuffles the raw value column:\n$sp")
+        }
+        val est = graft.ops.Sketches.cmEstimate(sk, docs.limit(50), col("t"), 3, 256)
+        val ep = est.queryExecution.executedPlan.toString
+        assert(ep.contains("BroadcastHashJoin") && !ep.contains("SortMergeJoin"),
+          s"cmEstimate must broadcast the d·w-bounded sketch:\n$ep")
+      }
       // q117's trainer objective: pair counts over the word table combine
       // map-side before the exchange (the loop's only per-round shuffle)
       val words = graft.ops.Vocab.wordTable(
