@@ -36,6 +36,11 @@ object LlmQueries {
   val EpochWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 3.0 else 1.0)).toMap
 
+  /** q121 probe ids, shared by the Spark point read and the oracle's IN
+    * list; the last id is absent from every corpus so the zero-hit path
+    * is exercised identically on both sides. */
+  val BloomProbeIds: Seq[Long] = (0 until 12).map(i => i * 37L + 3L) :+ 999983L
+
   /** md5-derived 16-bit SimHash per doc_id over a caller-chosen feature
     * array — the oracle-mirrorable demo flavor shared by q21 (token
     * features) and q50 (shingle features; the production path is the
@@ -1904,6 +1909,64 @@ object LlmQueries {
           col("est").as("est_cnt"),
           (col("est") - col("exact_cnt")).as("overcount"))
         .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
+    // Per-file Bloom point-lookup pruning — the id-lookup face of the
+    // lake layer. The fixture is written clustered by SOURCE, so every
+    // file's doc_id [min, max] envelope spans the whole domain and the
+    // q92/q108 min/max manifest can prune NOTHING on it; the per-file
+    // Bloom still answers a takedown-style multi-id probe from one
+    // driver-side manifest object. Soundness (zero false negatives +
+    // the exact IN-filter re-applied inside kept files) makes the result
+    // layout-independent — exactly what the oracle replays; one probe id
+    // is absent from the corpus so the empty-hit path is exercised too.
+    "q121_bloom_point_read" -> ((s, dir) => {
+      val root = cachedFixture("q121", dir) { r =>
+        table(s, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars")
+          .repartition(8, col("source"))
+          .write.parquet(s"$r/docs")
+        graft.io.StatsManifest.writeBloom(s, s"$r/docs", "doc_id",
+          expectedItemsPerFile = 4096L, fpp = 0.01)
+        ()
+      }
+      graft.io.StatsManifest.readPoints(s, s"$root/docs", "doc_id",
+        BloomProbeIds.map(_.toString))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental index refresh — the day-2 face of q121. A 100 TB table
+    // is never re-indexed after an append; updateBloom scans ONLY the
+    // appended files and merges their rows into the manifest driver-side.
+    // The require() makes the query fail LOUDLY if the refresh ever
+    // stopped restoring freshness (readPoints' fallback would otherwise
+    // mask a broken update with a silently-correct full scan), so this
+    // row hash-checks the refreshed index's pruned path specifically.
+    "q122_bloom_incremental" -> ((s, dir) => {
+      val root = cachedFixture("q122", dir) { r =>
+        val docs = table(s, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars")
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .repartition(6, col("source")).write.parquet(s"$r/docs")
+        graft.io.StatsManifest.writeBloom(s, s"$r/docs", "doc_id",
+          expectedItemsPerFile = 4096L, fpp = 0.01)
+        docs.filter(col("doc_id") % 5 === 0)
+          .repartition(2, col("source")).write.mode("append")
+          .parquet(s"$r/docs")
+        graft.io.StatsManifest.updateBloom(s, s"$r/docs", "doc_id",
+          expectedItemsPerFile = 4096L, fpp = 0.01)
+        ()
+      }
+      require(graft.io.StatsManifest.isFresh(s, s"$root/docs",
+        graft.io.StatsManifest.BloomDir),
+        "q122: incremental updateBloom failed to restore freshness")
+      // probes straddle the base write (ids ≢ 0 mod 5), the appended
+      // delta (ids ≡ 0), and one absent id
+      graft.io.StatsManifest.readPoints(s, s"$root/docs", "doc_id",
+        BloomProbeIds.map(_.toString))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -4436,6 +4499,18 @@ object LlmQueries {
         |SELECT p.v AS token, p.exact_cnt, e.est_cnt,
         |       e.est_cnt - p.exact_cnt AS overcount
         |FROM probes p JOIN est e ON e.v = p.v
-        |ORDER BY p.exact_cnt DESC, token""".stripMargin
+        |ORDER BY p.exact_cnt DESC, token""".stripMargin,
+
+    "q121_bloom_point_read" ->
+      s"""SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id IN (${BloomProbeIds.mkString(", ")})
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same IN-filter contract as q121: the base/append split and the
+    // incremental refresh are layout, invisible to the row set
+    "q122_bloom_incremental" ->
+      s"""SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id IN (${BloomProbeIds.mkString(", ")})
+         |ORDER BY doc_id""".stripMargin
   )
 }
