@@ -81,10 +81,13 @@ object StatsManifest {
     * mid-execution. The stage-then-rename also shrinks the reader-visible
     * gap to the two renames (vs. overwrite's full delete+write window). */
   private def writeManifest(spark: SparkSession, dir: String,
-                            m: DataFrame): Unit = {
+                            m: DataFrame, coalesceOne: Boolean = true): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
-    m.coalesce(1).sortWithinPartitions("file")
+    // stats manifests are bytes-per-file and coalesce to ONE object; the
+    // Bloom index is bits-per-ROW (GBs at 100 TB) and keeps its
+    // partitioning so neither the write nor the probe ever single-threads
+    (if (coalesceOne) m.coalesce(1) else m).sortWithinPartitions("file")
       .write.mode("overwrite").json(tmp.toString)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(target, true)
@@ -112,7 +115,8 @@ object StatsManifest {
     * exact; that is the documented manifest surface — `prunedFiles`
     * takes Long bounds). */
   private def update(spark: SparkSession, path: String, manifestDir: String,
-                     defaults: Seq[(String, Any)])
+                     defaults: Seq[(String, Any)],
+                     coalesceOne: Boolean = true)
                     (scan: Seq[String] => DataFrame): DataFrame = {
     val dir = s"$path/$manifestDir"
     val old = spark.read.json(dir)
@@ -128,7 +132,7 @@ object StatsManifest {
       else kept.unionByName(
         withEmptyFilesOf(spark, newPaths, scan(newPaths), defaults),
         allowMissingColumns = true)
-    writeManifest(spark, dir, merged)
+    writeManifest(spark, dir, merged, coalesceOne)
     spark.read.json(dir)
   }
 
@@ -308,7 +312,7 @@ object StatsManifest {
     val m = withEmptyFiles(spark, path,
       bloomOf(spark.read.parquet(path), keyCol, expectedItemsPerFile, fpp),
       Seq("nb_rows" -> 0L))
-    writeManifest(spark, s"$path/$BloomDir", m)
+    writeManifest(spark, s"$path/$BloomDir", m, coalesceOne = false)
     m
   }
 
@@ -317,32 +321,41 @@ object StatsManifest {
     * scanned and hashed; see [[update]]. */
   def updateBloom(spark: SparkSession, path: String, keyCol: String,
                   expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame =
-    update(spark, path, BloomDir, Seq("nb_rows" -> 0L)) { newPaths =>
+    update(spark, path, BloomDir, Seq("nb_rows" -> 0L),
+      coalesceOne = false) { newPaths =>
       bloomOf(spark.read.option("basePath", path).parquet(newPaths: _*),
         keyCol, expectedItemsPerFile, fpp)
     }
 
   /** Files whose Bloom might contain ANY of `keys` — sound (no false
     * negatives: a key present in a file always keeps that file), tight
-    * up to the filter's fpp. Driver-side over the one-object manifest. */
+    * up to the filter's fpp.
+    *
+    * The probe is a DISTRIBUTED scan of the index that collects only the
+    * hit file names: unlike the min/max manifest (a few dozen bytes per
+    * file), a Bloom index weighs ~9.6 bits per ROW at 1% fpp — ~0.12% of
+    * the table, GBs at 100 TB — so it must never be required to fit on
+    * the driver. The keys ride the task closure (point probes are a
+    * handful of ids), and the driver holds O(hit files). */
   def pointFiles(spark: SparkSession, path: String,
                  keys: Seq[String]): Seq[String] = {
     require(keys.nonEmpty, "keys must be non-empty")
-    // MIME decoder: Spark's base64() chunks its output with CRLF breaks
-    val dec = java.util.Base64.getMimeDecoder
     val m = spark.read.json(s"$path/$BloomDir")
     // zero-row files carry no bloom (NULL / column absent when ALL files
     // are empty) — no rows means no keys, so skipping them is sound
     if (!m.columns.contains("bloom_b64")) return Seq.empty
-    m.select("file", "bloom_b64").collect().toSeq
-      .filter { r =>
-        !r.isNullAt(1) && {
-          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(dec.decode(r.getString(1))))
-          keys.exists(bf.mightContainString)
-        }
+    val keyArr = keys.toArray
+    val hit = udf { (b64: String) =>
+      b64 != null && {
+        // MIME decoder: Spark's base64() chunks output with CRLF breaks
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getMimeDecoder.decode(b64)))
+        keyArr.exists(bf.mightContainString)
       }
-      .map(_.getString(0))
+    }
+    m.filter(hit(col("bloom_b64"))).select("file")
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** Bloom-pruned point read: rows with `keyCol ∈ keys`, reading only

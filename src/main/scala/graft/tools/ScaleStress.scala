@@ -48,6 +48,7 @@ object ScaleStress {
     val onlyBlocklist = args.contains("--only-blocklist")
     val onlyPca = args.contains("--only-pca")
     val onlyKmv = args.contains("--only-kmv")
+    val onlyBloom = args.contains("--only-bloom")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -92,7 +93,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -107,7 +108,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -124,7 +125,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -146,7 +147,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -189,7 +190,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv)) mults.foreach { m =>
+    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -225,7 +226,7 @@ object ScaleStress {
     // cells, so the exchange is partitions × cells of longs, INDEPENDENT
     // of corpus size. Shuffle bytes should stay ~flat as the corpus
     // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
-    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
       val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
       phase(s"${m}x_pca_moments") {
@@ -241,7 +242,7 @@ object ScaleStress {
     // the reduction that lets per-source distinct monitoring run at
     // 100 TB. The incremental fold then exchanges only the sketch table
     // itself (groups × k longs), corpus-independent by construction.
-    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist)) mults.foreach { m =>
+    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "text")
       val d = (0 until m).map { k =>
@@ -265,7 +266,57 @@ object ScaleStress {
       d.unpersist()
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv) { spark.stop(); return }
+    // Per-file Bloom point index (q121/q122 shapes): at 100 TB the
+    // questions are (a) does the index OBJECT stay a driver-side
+    // planning artifact (size linear in FILES, not rows), (b) does a
+    // point probe keep ~1 file regardless of corpus scale, and (c) does
+    // the incremental refresh after an append cost the APPEND's scan,
+    // not the table's. The sweep writes the multiplied corpus clustered
+    // by source (id envelopes span the domain -> min/max useless), then
+    // measures build, probe selectivity, and update-after-1x-append.
+    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+      val base = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "n_chars")
+      def slice(k: Int) =
+        if (k == 0) base
+        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+      val d = (0 until m).map(slice).reduce(_ unionByName _)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bloom-stress-").toString + "/docs"
+      d.repartition(8 * m, col("source")).write.parquet(root)
+      println(s"=== bloom corpus ${m}x at $root ===")
+      phase(s"${m}x_bloom_build") {
+        graft.io.StatsManifest.writeBloom(spark, root, "doc_id",
+          expectedItemsPerFile = 65536L, fpp = 0.01).count()
+      }
+      val manifestBytes = graft.io.StatsManifest
+        .liveDataPaths(spark, s"$root/${graft.io.StatsManifest.BloomDir}")
+        .map(pp => new java.io.File(new java.net.URI(pp)).length()).sum
+      val total = graft.io.StatsManifest.liveDataPaths(spark, root).size
+      val probes = (0 until 10).map(i => (i * 97L + 5L).toString)
+      val keptPerProbe = probes.map(k =>
+        graft.io.StatsManifest.pointFiles(spark, root, Seq(k)).size)
+      println(s"BLOOM ${m}x files=$total manifestKiB=${manifestBytes / 1024} " +
+        s"keptPerProbe=${keptPerProbe.mkString(",")}")
+      phase(s"${m}x_bloom_point_read10") {
+        graft.io.StatsManifest.readPoints(spark, root, "doc_id", probes).count()
+      }
+      // append one more 1x slice, then refresh incrementally vs rebuild
+      slice(m).select((col("doc_id") + lit(990000000L)).as("doc_id"),
+        col("source"), col("n_chars"))
+        .repartition(8, col("source")).write.mode("append").parquet(root)
+      phase(s"${m}x_bloom_update_after_1x_append") {
+        graft.io.StatsManifest.updateBloom(spark, root, "doc_id",
+          expectedItemsPerFile = 65536L, fpp = 0.01).count()
+      }
+      phase(s"${m}x_bloom_full_rebuild") {
+        graft.io.StatsManifest.writeBloom(spark, root, "doc_id",
+          expectedItemsPerFile = 65536L, fpp = 0.01).count()
+      }
+    }
+
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
