@@ -1967,6 +1967,35 @@ object LlmQueries {
         BloomProbeIds.map(_.toString))
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Small-file compaction as the query's input contract: a fragmented
+    // table (24 tiny files, unclustered) is compacted into doc_id-sorted
+    // bins, the stats manifest refreshed INCREMENTALLY (scans only the
+    // compacted bins — the vanished tiny files drop driver-side), and a
+    // range read runs through the restored pruning. The requires make
+    // the row fail loudly if compaction stops shrinking the table or the
+    // refresh stops restoring freshness; the oracle sees only the
+    // layout-independent contract: rows are preserved exactly.
+    "q123_compact_pruned_read" -> ((s, dir) => {
+      val root = cachedFixture("q123", dir) { r =>
+        table(s, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars")
+          .repartition(24)
+          .write.parquet(s"$r/docs")
+        graft.io.StatsManifest.write(s, s"$r/docs", Seq("doc_id"))
+        val rep = graft.ops.Compact.compact(s, s"$r/docs",
+          targetBytes = 512L << 10, sortCols = Seq("doc_id"))
+        require(rep.filesCompacted == 24 && rep.filesWritten < 24,
+          s"q123: compaction must shrink the fragmented table (got $rep)")
+        graft.io.StatsManifest.updateStats(s, s"$r/docs", Seq("doc_id"))
+        ()
+      }
+      require(graft.io.StatsManifest.isFresh(s, s"$root/docs"),
+        "q123: incremental updateStats failed to restore freshness")
+      graft.io.StatsManifest.readRange(s, s"$root/docs", "doc_id", 120L, 180L)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -4511,6 +4540,13 @@ object LlmQueries {
     "q122_bloom_incremental" ->
       s"""SELECT doc_id, source, lang, n_chars FROM documents
          |WHERE doc_id IN (${BloomProbeIds.mkString(", ")})
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // compaction + manifest refresh are layout; the row contract is the
+    // plain range filter
+    "q123_compact_pruned_read" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 120 AND 180
+        |ORDER BY doc_id""".stripMargin
   )
 }
