@@ -49,6 +49,7 @@ object ScaleStress {
     val onlyPca = args.contains("--only-pca")
     val onlyKmv = args.contains("--only-kmv")
     val onlyBloom = args.contains("--only-bloom")
+    val onlyCompact = args.contains("--only-compact")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -93,7 +94,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -108,7 +109,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -125,7 +126,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -147,7 +148,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -190,7 +191,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -226,7 +227,7 @@ object ScaleStress {
     // cells, so the exchange is partitions × cells of longs, INDEPENDENT
     // of corpus size. Shuffle bytes should stay ~flat as the corpus
     // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
-    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
       phase(s"${m}x_pca_moments") {
@@ -242,7 +243,7 @@ object ScaleStress {
     // the reduction that lets per-source distinct monitoring run at
     // 100 TB. The incremental fold then exchanges only the sketch table
     // itself (groups × k longs), corpus-independent by construction.
-    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom)) mults.foreach { m =>
+    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom && !onlyCompact)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "text")
       val d = (0 until m).map { k =>
@@ -274,7 +275,7 @@ object ScaleStress {
     // not the table's. The sweep writes the multiplied corpus clustered
     // by source (id envelopes span the domain -> min/max useless), then
     // measures build, probe selectivity, and update-after-1x-append.
-    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv)) mults.foreach { m =>
+    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyCompact)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "n_chars")
       def slice(k: Int) =
@@ -316,7 +317,40 @@ object ScaleStress {
       }
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom) { spark.stop(); return }
+    // Small-file compaction: the claim is that the rewrite cost tracks
+    // the FRAGMENTATION, not the table — a fixed 1x of tiny daily
+    // landings is compacted while the bulk of the table (m-1 slices
+    // written as big files) is never read. Wall and shuffle for the
+    // compact phase should stay ~flat as the big bulk multiplies.
+    if (onlyCompact || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+      val base = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "n_chars")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-compact-stress-").toString + "/docs"
+      // bulk: m-1 big-file slices (never rewritten); fragmentation: one
+      // 1x slice sprayed over 64 tiny files
+      (1 until m).foreach { k =>
+        base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+          .coalesce(1).write.mode("append").parquet(root)
+      }
+      base.repartition(64).write.mode("append").parquet(root)
+      val before = graft.io.StatsManifest.liveDataPaths(spark, root).size
+      println(s"=== compact corpus ${m}x: $before files ===")
+      phase(s"${m}x_compact_64_tiny") {
+        // target sized so the bulk slices (~29 KiB each) stay ABOVE the
+        // small threshold and only the 64 tiny landings rewrite
+        val rep = graft.ops.Compact.compact(spark, root,
+          targetBytes = 48L << 10, sortCols = Seq("doc_id"))
+        println(s"COMPACT ${m}x report=$rep")
+        rep.filesWritten.toLong
+      }
+      phase(s"${m}x_verify_rowcount") {
+        spark.read.parquet(root).count()
+      }
+    }
+
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom || onlyCompact) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
