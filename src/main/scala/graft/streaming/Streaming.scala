@@ -373,6 +373,55 @@ object Streaming {
       .start()
   }
 
+  /** Append-with-index streaming sink: each micro-batch lands as a
+    * `batch_id=N` partition and the table's data-skipping indexes
+    * refresh INCREMENTALLY in the same batch — [[graft.io.StatsManifest
+    * .updateStats]] (and `updateBloom` when `bloomKey` is set) scan only
+    * the files the batch just wrote, so index maintenance costs the
+    * batch's bytes, never the table's, and point/range reads through the
+    * manifest stay fresh for the life of the stream (no reader ever
+    * takes the staleness fallback between batches).
+    *
+    * Replay safety: `foreachBatch` is at-least-once; the dynamic
+    * partition overwrite on `batch_id` makes a redelivered batch rewrite
+    * its own partition (driftSink's posture), and the manifest update
+    * treats the replaced files as vanished+new — rows drop driver-side,
+    * only the rewrite is rescanned. The first batch bootstraps the
+    * manifests with a full build (which IS the batch at that point). */
+  def indexedAppendSink(stream: DataFrame, checkpointDir: String,
+                        path: String, statCols: Seq[String],
+                        bloomKey: Option[String] = None,
+                        expectedItemsPerFile: Long = 1L << 20,
+                        fpp: Double = 0.01): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          def has(dir: String) =
+            fs.exists(new org.apache.hadoop.fs.Path(s"$path/$dir"))
+          if (has(graft.io.StatsManifest.ManifestDir))
+            graft.io.StatsManifest.updateStats(spark, path, statCols)
+          else graft.io.StatsManifest.write(spark, path, statCols)
+          bloomKey.foreach { k =>
+            if (has(graft.io.StatsManifest.BloomDir))
+              graft.io.StatsManifest.updateBloom(spark, path, k,
+                expectedItemsPerFile, fpp)
+            else graft.io.StatsManifest.writeBloom(spark, path, k,
+              expectedItemsPerFile, fpp)
+          }
+        }
+      }
+      .start()
+
   /** Streaming face of [[graft.ops.Monitor.embeddingDrift]]: per
     * micro-batch, the embedding column's distribution is compared
     * against a STATIC reference corpus — encoder-version regressions

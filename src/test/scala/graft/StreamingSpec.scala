@@ -41,6 +41,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexedAppendSink: manifests stay fresh batch over batch; pruned reads stay exact") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.io.StatsManifest
+    val ms = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("idxappend").toString
+    val table = s"$dir/t"
+    val q = Streaming.indexedAppendSink(
+      ms.toDF.toDF("id", "v"), s"$dir/ckpt", table,
+      statCols = Seq("id"), bloomKey = Some("id"),
+      expectedItemsPerFile = 64L)
+    try {
+      ms.addData((0L until 50L).map(i => (i, i)): _*)
+      q.processAllAvailable()
+      assert(StatsManifest.isFresh(spark, table), "fresh after batch 0")
+      assert(StatsManifest.isFresh(spark, table, StatsManifest.BloomDir))
+      ms.addData((50L until 100L).map(i => (i, i)): _*)
+      q.processAllAvailable()
+      // no reader between batches ever needs the staleness fallback
+      assert(StatsManifest.isFresh(spark, table), "fresh after batch 1")
+      assert(StatsManifest.isFresh(spark, table, StatsManifest.BloomDir))
+      // range read sees BOTH batches through the pruned path
+      val got = StatsManifest.readRange(spark, table, "id", 40L, 60L)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == (40L to 60L).toSeq)
+      // point read straddles the batches + one absent key
+      val pts = StatsManifest.readPoints(spark, table, "id",
+          Seq("7", "77", "7777"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pts == Seq(7L, 77L))
+      // batch partitions are disjoint: the batch-1 keys prune to batch-1 files
+      val kept = StatsManifest.pointFiles(spark, table, Seq("77"))
+      assert(kept.nonEmpty && kept.forall(_.contains("batch_id=1")),
+        s"batch-1 key must resolve to batch-1 files (kept $kept)")
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream: re-crawls of persisted content never reach the sink") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // the persisted corpus state: fingerprints of two already-curated docs
