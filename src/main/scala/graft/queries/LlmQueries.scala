@@ -1996,6 +1996,20 @@ object LlmQueries {
       graft.io.StatsManifest.readRange(s, s"$root/docs", "doc_id", 120L, 180L)
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Fuzzy string join: all supplier-name pairs within edit distance 1,
+    // found via the q-gram count-filtering plan (lossless prefilter +
+    // exact levenshtein confirm) — never the quadratic compare the
+    // oracle is allowed to run. The supplier fixture is adversarial for
+    // banding: every name shares the 9-char "Supplier#" prefix, so gram
+    // selectivity is poor and the COUNT bound (not mere gram overlap)
+    // does the pruning.
+    "q124_fuzzy_join" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_name")
+      graft.ops.FuzzyJoin.editSelfJoin(sup, "s_suppkey", "s_name",
+        maxDist = 1)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4547,6 +4561,14 @@ object LlmQueries {
     "q123_compact_pruned_read" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 120 AND 180
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle MAY go quadratic (100 rows); the engine may not
+    "q124_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -50,6 +50,7 @@ object ScaleStress {
     val onlyKmv = args.contains("--only-kmv")
     val onlyBloom = args.contains("--only-bloom")
     val onlyCompact = args.contains("--only-compact")
+    val onlyFuzzy = args.contains("--only-fuzzy")
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -94,7 +95,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -109,7 +110,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -126,7 +127,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -148,7 +149,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -191,7 +192,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -227,7 +228,7 @@ object ScaleStress {
     // cells, so the exchange is partitions × cells of longs, INDEPENDENT
     // of corpus size. Shuffle bytes should stay ~flat as the corpus
     // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
-    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
       phase(s"${m}x_pca_moments") {
@@ -243,7 +244,7 @@ object ScaleStress {
     // the reduction that lets per-source distinct monitoring run at
     // 100 TB. The incremental fold then exchanges only the sketch table
     // itself (groups × k longs), corpus-independent by construction.
-    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "text")
       val d = (0 until m).map { k =>
@@ -275,7 +276,7 @@ object ScaleStress {
     // not the table's. The sweep writes the multiplied corpus clustered
     // by source (id envelopes span the domain -> min/max useless), then
     // measures build, probe selectivity, and update-after-1x-append.
-    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyCompact)) mults.foreach { m =>
+    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "n_chars")
       def slice(k: Int) =
@@ -322,7 +323,7 @@ object ScaleStress {
     // landings is compacted while the bulk of the table (m-1 slices
     // written as big files) is never read. Wall and shuffle for the
     // compact phase should stay ~flat as the big bulk multiplies.
-    if (onlyCompact || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom)) mults.foreach { m =>
+    if (onlyCompact || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyFuzzy)) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "n_chars")
       val root = java.nio.file.Files
@@ -350,7 +351,42 @@ object ScaleStress {
       }
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom || onlyCompact) { spark.stop(); return }
+    // Fuzzy edit-distance join: the adversarial corpus is m x the
+    // supplier names — EVERY string shares the 9-char "Supplier#"
+    // boilerplate, so the full count-filter plan's gram join fans out
+    // quadratically on the shared grams, while the rarest-first prefix
+    // plan indexes only each name's k*q+1 rarest gram occurrences (the
+    // distinguishing digits) and should grow ~linearly. True-pair volume
+    // is linear in m by construction (digit-neighbour pairs per slice;
+    // cross-slice distances are >= 2 by the suffix scheme).
+    if (onlyFuzzy || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+      val base = graft.sources.Testdata.table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")
+      val d = (0 until m).map { k =>
+        if (k == 0) base
+        else {
+          // per-slice suffix of TWO identical letters: any two slices
+          // differ by >= 2 substitutions and base-vs-slice by a 3-char
+          // insertion, so no cross-slice pair is within distance 1 and
+          // the planted pair volume stays linear in m
+          val c = ('a' + (k % 26)).toChar
+          base.select((col("s_suppkey") + lit(k * 1000000L)).as("s_suppkey"),
+            concat(col("s_name"), lit(s"~$c$c")).as("s_name"))
+        }
+      }.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== fuzzy corpus ${m}x: ${d.count()} names ===")
+      phase(s"${m}x_fuzzy_prefix") {
+        graft.ops.FuzzyJoin.editSelfJoin(d, "s_suppkey", "s_name",
+          maxDist = 1).count()
+      }
+      phase(s"${m}x_fuzzy_countfilter") {
+        graft.ops.FuzzyJoin.editSelfJoin(d, "s_suppkey", "s_name",
+          maxDist = 1, prefixFilter = false).count()
+      }
+      d.unpersist()
+    }
+
+    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom || onlyCompact || onlyFuzzy) { spark.stop(); return }
 
     if (!onlyInc) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
