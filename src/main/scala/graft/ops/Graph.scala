@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation — the value-propagation complement of
+  * `Dedup.componentsWithRounds` (label propagation): PageRank in EXACT
+  * fixed-point integer arithmetic.
+  *
+  * Why integer: floating-point PR depends on summation order, which
+  * depends on partitioning — it could never pass the repo's
+  * DeterminismGate (bit-identity across local[4]/local[16]) or a DuckDB
+  * hash-compare. Here every quantity is a BIGINT in units of
+  * 1/`scale`: per-node mass starts at `scale div N` (sum-normalized, so
+  * values are bounded by `scale` at ANY graph size — no overflow at
+  * 10⁹ nodes where a per-node-scaled scheme wraps), contributions are
+  * `pr div outdeg`, damping is `(dampNum · Σ) div dampDen`. Floor
+  * division loses ≤ 1 unit per op — deterministic, identical on every
+  * partitioning and replayable verbatim in DuckDB (`//`).
+  *
+  * Plan shape per iteration: one broadcast-or-shuffle join of the
+  * (node, pr, outdeg) frame with the edge list on src, one partial+final
+  * aggregation on dst, one left join back to the node set — exchanges
+  * carry (long, long) only. Lineage is CUT every iteration
+  * (`localCheckpoint`, the componentsWithRounds discipline) so k
+  * iterations cost k bounded jobs, not a 2^k plan.
+  *
+  * Semantics: nodes = distinct edge endpoints; pass a symmetrized edge
+  * list for undirected graphs. Dangling mass (nodes with no out-edges)
+  * is dropped, the standard simplification — totals shrink slightly,
+  * they never grow, preserving the overflow bound. */
+object Graph {
+
+  /** Exact integer PageRank. Returns (node, pr) for every distinct
+    * endpoint of `edges`, pr in units of 1/`scale` of the total mass. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int,
+               scale: Long = 1000000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0 (got $iterations)")
+    require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"need 0 <= dampNum <= dampDen, scale > 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("pr", lit(0L))
+    val init = scale / n
+    val base = (init * (dampDen - dampNum)) / dampDen
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(init))
+    for (_ <- 0 until iterations) {
+      val sums = pr.join(outdeg, pr("node") === outdeg("src"))
+        // integral div, NOT `/`: long / long is a DOUBLE divide in Spark,
+        // which rounds and would break both exactness and the oracle
+        .select(col("src"), expr("pr div deg").as("c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      pr = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -547,6 +547,24 @@ object RelationalQueries {
             .cast("double").as("revenue"),
           count(lit(1)).as("nb_items"))
         .orderBy("r_name", "n_name", "yr")
+    }),
+
+    // Exact integer PageRank over the part co-purchase graph (parts
+    // that share an order, symmetrized). Fixed-point arithmetic makes
+    // an ITERATIVE graph computation hash-comparable: every floor
+    // division is replayed verbatim by the oracle's // chain, and the
+    // result is bit-identical on any partitioning (GraphSpec +
+    // DeterminismGate). 3 iterations, mass normalized to 10^15.
+    "q125_pagerank" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "pa")
+      val b = li.toDF("o", "pb")
+      val pairs = a.join(b, "o").filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst")).distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
     })
   )
 
@@ -908,6 +926,51 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2, 3 ORDER BY r_name, n_name, yr""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY r_name, n_name, yr""".stripMargin,
+
+    // 3 generated iteration CTEs replaying pageRank's exact integer
+    // arithmetic: same init (scale // n), same base, same floor chain
+    "q125_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION SELECT dst, src FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |pr0 AS (SELECT node, (SELECT 1000000000000000 // n FROM nn) AS pr FROM nodes),
+        |pr1 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * COALESCE(sm.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr0 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node),
+        |pr2 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * COALESCE(sm.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr1 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node),
+        |pr3 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * COALESCE(sm.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr2 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node)
+        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000000L
+
+  test("two-node symmetric graph: exact hand-computed fixed point") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val init = Scale / 2
+    val base = (init * 15) / 100
+    // outdeg 1 each: every iteration pr = base + (85 * prev) / 100
+    var expected = init
+    for (_ <- 0 until 3) expected = base + (85L * expected) / 100
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> expected, 2L -> expected),
+      s"symmetric pair must hold the hand-computed value (got $got)")
+  }
+
+  test("star graph: the hub out-ranks every leaf; totals never grow") {
+    val leaves = (2L to 9L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(leaves.forall(l => pr(1L) > pr(l)), s"hub must dominate (got $pr)")
+    assert(pr.values.sum <= Scale, "floor arithmetic must never create mass")
+    assert(leaves.map(pr).toSet.size == 1, "leaves are symmetric")
+  }
+
+  test("result is partition-count independent (exact integer arithmetic)") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 7) % 37))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    def run(parts: Int) =
+      Graph.pageRank(sym.repartition(parts), "src", "dst", iterations = 4)
+        .as[(Long, Long)].collect().sorted.toSeq
+    assert(run(1) == run(13), "pagerank must be bit-identical on any partitioning")
+  }
+
+  test("node with in-edges only still accumulates; source-only node gets base") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // directed
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    val init = Scale / 3
+    val base = (init * 15) / 100
+    assert(pr(2L) == base + (85L * (init / 1 + init / 1)) / 100)
+    // 1 and 3 have no in-edges: base only (their own mass dangles out)
+    assert(pr(1L) == base && pr(3L) == base)
+  }
+}
