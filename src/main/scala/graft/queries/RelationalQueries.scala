@@ -565,6 +565,21 @@ object RelationalQueries {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .orderBy("node")
+    }),
+
+    // Exact per-node triangle counts on the same co-purchase graph —
+    // the orientation trick (a<b ⋈ b<c ⋈ a<c) materializes each
+    // triangle once; items sharing an order form cliques, so the count
+    // is C(k−1, 2)-ish per member and the oracle replays the identical
+    // triple join.
+    "q126_triangles" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "pa")
+      val b = li.toDF("o", "pb")
+      val pairs = a.join(b, "o").filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst")).distinct()
+      graft.ops.Graph.triangles(pairs, "src", "dst")
+        .orderBy("node")
     })
   )
 
@@ -971,6 +986,26 @@ object RelationalQueries {
         |    JOIN outdeg o ON o.src = p.node
         |    JOIN edges e ON e.src = p.node
         |    GROUP BY e.dst) sm ON sm.node = nd.node)
-        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+
+    "q126_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |nodes AS (SELECT src AS nd FROM pairs
+        |          UNION SELECT dst FROM pairs),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.src = e1.dst
+        |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |corners AS (SELECT a AS node FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
+        |SELECT n.nd AS node, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN cnt ON cnt.node = n.nd
+        |ORDER BY node""".stripMargin
   )
 }

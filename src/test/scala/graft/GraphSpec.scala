@@ -42,6 +42,28 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(13), "pagerank must be bit-identical on any partitioning")
   }
 
+  test("triangles: K4 has 3 per node; a path has none; direction/dups collapse") {
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst") // both directions + no dedup: must canonicalize
+    val got = Graph.triangles(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Graph.triangles(path, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      "a path has no triangles but every node must still report 0")
+  }
+
+  test("triangles: two glued triangles credit the shared edge's nodes twice") {
+    // 1-2-3 and 2-3-4 share edge (2,3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("node with in-edges only still accumulates; source-only node gets base") {
     val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // directed
     val pr = Graph.pageRank(edges, "src", "dst", iterations = 1)
