@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal modeling over snapshot series — the slowly-changing-
+  * dimension face of the lake layer: the engine writes day-partitioned
+  * snapshots (`LakeZones`), and an SCD2 collapse turns N daily copies
+  * of a dimension into one row per (key, version) with a validity
+  * interval, the shape warehouse queries join against.
+  *
+  * Plan shape: ONE window pass per step over (key, date) — lag to
+  * detect change points (null-safe, so NULL attribute values compare
+  * like values, not like "always changed"), a running sum to number
+  * versions, then a partial+final aggregation per (key, version).
+  * Everything shuffles on the key exactly once (the window and the
+  * final agg share the hash partitioning on key — no second exchange),
+  * and rows carry only keys + attrs + dates.
+  *
+  * Contract: versions break on ATTRIBUTE CHANGE between a key's
+  * consecutive snapshots. A key absent for a stretch and returning
+  * with identical attributes stays in the SAME version (its interval
+  * simply spans the gap) — presence gaps are not modeled; callers that
+  * need absence-as-deletion should densify against a snapshot calendar
+  * first. `valid_from`/`valid_to` are the run's first and last observed
+  * snapshot dates, both inclusive; `valid_to` of a key's last version
+  * is its last snapshot, not NULL/open — the collapse reports what was
+  * observed, an open-ended current row is presentation.
+  */
+object Temporal {
+
+  /** Collapse a snapshot series into SCD2 intervals: one row per (key,
+    * run of identical `attrCols`), with `valid_from`, `valid_to`
+    * (inclusive), `nb_snapshots`, and the run's attribute values.
+    * `snapshots` must have at most one row per (key, date). */
+  def scd2(snapshots: DataFrame, keyCols: Seq[String],
+           attrCols: Seq[String], dateCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(dateCol))
+    // a run breaks when ANY attribute null-safely differs from the
+    // previous snapshot; the first row of a key always breaks (lag is
+    // NULL and <=> against a NULL struct is false unless all-null attrs
+    // — wrap in a struct so one lag covers all attrs at once)
+    val attrs = struct(attrCols.map(col): _*)
+    val chg = when(lag(attrs, 1).over(w).isNull ||
+      !(attrs <=> lag(attrs, 1).over(w)), 1L).otherwise(0L)
+    snapshots
+      .withColumn("__ver", sum(chg).over(w))
+      .groupBy((keyCols :+ "__ver").map(col): _*)
+      .agg(min(col(dateCol)).as("valid_from"),
+        (Seq(max(col(dateCol)).as("valid_to"),
+          count(lit(1)).as("nb_snapshots")) ++
+          attrCols.map(c => first(col(c)).as(c))): _*)
+      .withColumnRenamed("__ver", "version")
+  }
+}

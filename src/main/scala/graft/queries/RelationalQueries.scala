@@ -580,6 +580,18 @@ object RelationalQueries {
         .select(col("pa").as("src"), col("pb").as("dst")).distinct()
       graft.ops.Graph.triangles(pairs, "src", "dst")
         .orderBy("node")
+    }),
+
+    // SCD2 snapshot collapse: each user's per-day dominant event type is
+    // a daily snapshot series; scd2 turns it into validity intervals —
+    // versions break on attribute change, presence gaps are spanned
+    // (both semantics replayed by the oracle's window chain).
+    "q127_scd2_user_type" -> ((s, dir) => {
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      graft.ops.Temporal.scd2(snap, Seq("user_id"), Seq("etype"), "snap_date")
+        .orderBy("user_id", "version")
     })
   )
 
@@ -1006,6 +1018,29 @@ object RelationalQueries {
         |cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
         |SELECT n.nd AS node, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
         |FROM nodes n LEFT JOIN cnt ON cnt.node = n.nd
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    "q127_scd2_user_type" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS snap_date,
+        |         max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, snap_date, etype,
+        |         CASE WHEN lag(etype) OVER
+        |                (PARTITION BY user_id ORDER BY snap_date)
+        |              IS DISTINCT FROM etype THEN 1 ELSE 0 END AS chg
+        |  FROM snap),
+        |v AS (
+        |  SELECT user_id, snap_date, etype,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY snap_date
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w)
+        |SELECT user_id, CAST(ver AS BIGINT) AS version,
+        |       min(snap_date) AS valid_from, max(snap_date) AS valid_to,
+        |       CAST(count(*) AS BIGINT) AS nb_snapshots,
+        |       min(etype) AS etype
+        |FROM v GROUP BY user_id, ver
+        |ORDER BY user_id, version""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("scd2 collapses runs, breaks on change, spans gaps, null-safe attrs") {
+    val snaps = Seq(
+      // key 1: A A B B A — three versions
+      (1L, d("2026-01-01"), Some("A")), (1L, d("2026-01-02"), Some("A")),
+      (1L, d("2026-01-03"), Some("B")), (1L, d("2026-01-04"), Some("B")),
+      (1L, d("2026-01-05"), Some("A")),
+      // key 2: present, absent 3 days, back with SAME attr — one version
+      (2L, d("2026-01-01"), Some("X")), (2L, d("2026-01-05"), Some("X")),
+      // key 3: NULL attr runs compare as values, not as perpetual change
+      (3L, d("2026-01-01"), None), (3L, d("2026-01-02"), None),
+      (3L, d("2026-01-03"), Some("C"))
+    ).toDF("id", "snap_date", "attr")
+    val got = Temporal.scd2(snaps, Seq("id"), Seq("attr"), "snap_date")
+      .select("id", "version", "valid_from", "valid_to", "nb_snapshots", "attr")
+      .as[(Long, Long, Date, Date, Long, Option[String])]
+      .collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L, d("2026-01-01"), d("2026-01-02"), 2L, Some("A")),
+      (1L, 2L, d("2026-01-03"), d("2026-01-04"), 2L, Some("B")),
+      (1L, 3L, d("2026-01-05"), d("2026-01-05"), 1L, Some("A")),
+      (2L, 1L, d("2026-01-01"), d("2026-01-05"), 2L, Some("X")),
+      (3L, 1L, d("2026-01-01"), d("2026-01-02"), 2L, None),
+      (3L, 2L, d("2026-01-03"), d("2026-01-03"), 1L, Some("C"))
+    ), s"got $got")
+  }
+
+  test("scd2 with multiple attrs breaks when ANY of them changes") {
+    val snaps = Seq(
+      (1L, d("2026-02-01"), "gold", 10),
+      (1L, d("2026-02-02"), "gold", 20), // second attr changes
+      (1L, d("2026-02-03"), "gold", 20)
+    ).toDF("id", "snap_date", "tier", "limit")
+    val got = Temporal.scd2(snaps, Seq("id"), Seq("tier", "limit"), "snap_date")
+      .select("id", "version", "nb_snapshots", "tier", "limit")
+      .as[(Long, Long, Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L, 1L, "gold", 10), (1L, 2L, 2L, "gold", 20)))
+  }
+
+  test("scd2 is partition-count independent") {
+    // i < 17*28 keeps (id, snap_date) unique — scd2's precondition
+    val snaps = (0L until 476L)
+      .map(i => (i % 17, d(f"2026-03-${(i / 17) % 28 + 1}%02d"), (i / 51) % 3))
+      .toDF("id", "snap_date", "attr")
+    def run(parts: Int) =
+      Temporal.scd2(snaps.repartition(parts), Seq("id"), Seq("attr"), "snap_date")
+        .select("id", "version", "valid_from", "valid_to")
+        .as[(Long, Long, Date, Date)].collect().sorted.toSeq
+    assert(run(1) == run(11))
+  }
+}
