@@ -30,6 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Point-in-time enrichment against an SCD2 dimension: each fact row
+    * joins the dimension version whose `[valid_from, valid_to]`
+    * (inclusive) covers the fact's date, on equal keys. INNER — facts
+    * dated outside every version drop (the caller decides how to
+    * default them). Plan: the key equality drives a hash/sort-merge
+    * join and the interval predicate rides along as the join residual —
+    * never a cartesian; intervals per key are disjoint by construction
+    * of [[scd2]], so the join is at most 1:1 per fact. The frames may
+    * share lineage (a dimension derived from the same table) — aliases
+    * keep the self-join unambiguous. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+              factDateCol: String, validFromCol: String = "valid_from",
+              validToCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty)
+    val f = facts.alias("__f")
+    val d = dim.alias("__d")
+    val cond = keyCols.map(k => col(s"__f.$k") === col(s"__d.$k")).reduce(_ && _) &&
+      col(s"__f.$factDateCol")
+        .between(col(s"__d.$validFromCol"), col(s"__d.$validToCol"))
+    keyCols.foldLeft(f.join(d, cond))((df, k) => df.drop(col(s"__d.$k")))
+  }
+
   /** Collapse a snapshot series into SCD2 intervals: one row per (key,
     * run of identical `attrCols`), with `valid_from`, `valid_to`
     * (inclusive), `nb_snapshots`, and the run's attribute values.

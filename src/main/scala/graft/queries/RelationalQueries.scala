@@ -592,6 +592,23 @@ object RelationalQueries {
         .agg(max(col("event_type")).as("etype"))
       graft.ops.Temporal.scd2(snap, Seq("user_id"), Seq("etype"), "snap_date")
         .orderBy("user_id", "version")
+    }),
+
+    // Point-in-time enrichment: every event joins the SCD2 version
+    // covering its date (dimension derived from the same events — the
+    // aliased self-lineage case). Coverage is total by construction, so
+    // the inner join returns one row per event.
+    "q128_pit_enrich" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("fd"))
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      val dim = graft.ops.Temporal.scd2(snap, Seq("user_id"), Seq("etype"),
+        "snap_date")
+      graft.ops.Temporal.pitJoin(ev, dim, Seq("user_id"), "fd")
+        .select("event_id", "user_id", "fd", "version", "etype")
+        .orderBy("event_id")
     })
   )
 
@@ -1041,6 +1058,34 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS nb_snapshots,
         |       min(etype) AS etype
         |FROM v GROUP BY user_id, ver
-        |ORDER BY user_id, version""".stripMargin
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q128_pit_enrich" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS snap_date,
+        |         max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, snap_date, etype,
+        |         CASE WHEN lag(etype) OVER
+        |                (PARTITION BY user_id ORDER BY snap_date)
+        |              IS DISTINCT FROM etype THEN 1 ELSE 0 END AS chg
+        |  FROM snap),
+        |v AS (
+        |  SELECT user_id, snap_date, etype,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY snap_date
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |dim AS (
+        |  SELECT user_id, CAST(ver AS BIGINT) AS version,
+        |         min(snap_date) AS valid_from, max(snap_date) AS valid_to,
+        |         min(etype) AS etype
+        |  FROM v GROUP BY user_id, ver)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS fd,
+        |       d.version, d.etype
+        |FROM events e JOIN dim d
+        |  ON d.user_id = e.user_id
+        | AND CAST(e.ts AS DATE) BETWEEN d.valid_from AND d.valid_to
+        |ORDER BY e.event_id""".stripMargin
   )
 }

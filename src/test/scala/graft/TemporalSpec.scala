@@ -47,6 +47,25 @@ class TemporalSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L, "gold", 10), (1L, 2L, 2L, "gold", 20)))
   }
 
+  test("pitJoin picks the covering version, boundaries inclusive, misses drop") {
+    val dim = Seq(
+      (1L, 1L, d("2026-01-01"), d("2026-01-03"), "A"),
+      (1L, 2L, d("2026-01-04"), d("2026-01-06"), "B"),
+      (2L, 1L, d("2026-01-02"), d("2026-01-02"), "X")
+    ).toDF("id", "version", "valid_from", "valid_to", "attr")
+    val facts = Seq(
+      (100L, 1L, d("2026-01-01")), // lower boundary of v1
+      (101L, 1L, d("2026-01-03")), // upper boundary of v1
+      (102L, 1L, d("2026-01-05")), // inside v2
+      (103L, 1L, d("2026-01-09")), // after every version: drops
+      (104L, 2L, d("2026-01-02")), // exact single-day interval
+      (105L, 3L, d("2026-01-02"))  // unknown key: drops
+    ).toDF("fact_id", "id", "fd")
+    val got = graft.ops.Temporal.pitJoin(facts, dim, Seq("id"), "fd")
+      .select("fact_id", "attr").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((100L, "A"), (101L, "A"), (102L, "B"), (104L, "X")))
+  }
+
   test("scd2 is partition-count independent") {
     // i < 17*28 keeps (id, snap_date) unique — scd2's precondition
     val snaps = (0L until 476L)
