@@ -121,6 +121,23 @@ object SpillStress {
       r.corpus.select(col("doc_id"), col("split"),
         length(col("text")).cast("long").as("n"))
     }
+    // the count-filter fuzzy plan is the newest shuffle-heavy operator
+    // (~300 MiB gram-join exchange at 8x — see PERF §fuzzy-join); its
+    // whole exchange must spill, not OOM, under the starved pool
+    phase("q124_fuzzy_countfilter_8x") {
+      val base = graft.sources.Testdata.table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")
+      val names = (0 until 8).map { k =>
+        if (k == 0) base
+        else {
+          val c = ('a' + (k % 26)).toChar
+          base.select((col("s_suppkey") + lit(k * 1000000L)).as("s_suppkey"),
+            concat(col("s_name"), lit(s"~$c$c")).as("s_name"))
+        }
+      }.reduce(_ unionByName _)
+      graft.ops.FuzzyJoin.editSelfJoin(names, "s_suppkey", "s_name",
+        maxDist = 1, prefixFilter = false)
+    }
     d.unpersist()
     spark.sparkContext.removeSparkListener(metrics)
     out.toSeq
