@@ -576,8 +576,13 @@ object RelationalQueries {
       val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val a = li.toDF("o", "pa")
       val b = li.toDF("o", "pb")
+      // repeat co-purchases only (>= 2 shared orders): single-order
+      // co-occurrence is noise and keeping it makes the graph dense
+      // enough that exact wedge enumeration dominates the whole bench
       val pairs = a.join(b, "o").filter(col("pa") < col("pb"))
-        .select(col("pa").as("src"), col("pb").as("dst")).distinct()
+        .groupBy(col("pa").as("src"), col("pb").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
       graft.ops.Graph.triangles(pairs, "src", "dst")
         .orderBy("node")
     }),
@@ -1019,9 +1024,10 @@ object RelationalQueries {
 
     "q126_triangles" ->
       """WITH pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |nodes AS (SELECT src AS nd FROM pairs
         |          UNION SELECT dst FROM pairs),
         |tri AS (
