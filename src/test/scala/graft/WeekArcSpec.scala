@@ -165,4 +165,71 @@ class WeekArcSpec extends SparkSpec {
         nProbes = 2, trained = trained)),
       "post-arc probe diverged from the in-query IVF operator")
   }
+
+  /** Lake-INDEX lifecycle (late r12): seven daily micro-batches stream
+    * through `indexedAppendSink` (stats manifest + Bloom index refreshed
+    * incrementally inside every batch), then the fragmented table is
+    * compacted and the indexes refreshed again. The properties a week of
+    * unattended landings depends on: no reader ever needs the staleness
+    * fallback; point/range reads stay exact at every step; compaction
+    * shrinks the file count and is invisible in the answers. */
+  test("seven-day lake-index lifecycle: streamed appends, fresh indexes, compaction invisible") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.StatsManifest
+    import graft.ops.Compact
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("weekidx").toString
+    val table = s"$root/t"
+    val ms = MemoryStream[(Long, Long)]
+    val q = graft.streaming.Streaming.indexedAppendSink(
+      ms.toDF.toDF("id", "v").repartition(4), s"$root/ckpt", table,
+      statCols = Seq("id"), bloomKey = Some("id"), expectedItemsPerFile = 256L)
+    try {
+      for (day <- 0 until 7) {
+        ms.addData((day * 100L until day * 100L + 100L).map(i => (i, i)): _*)
+        q.processAllAvailable()
+        // both indexes fresh after EVERY day — no fallback window
+        assert(StatsManifest.isFresh(spark, table), s"stats stale after day $day")
+        assert(StatsManifest.isFresh(spark, table, StatsManifest.BloomDir),
+          s"bloom stale after day $day")
+        // the day's rows are immediately point-readable via the index
+        val probe = (day * 100L + 17L).toString
+        val got = StatsManifest.readPoints(spark, table, "id", Seq(probe))
+          .select("id").as[Long].collect().toSeq
+        assert(got == Seq(day * 100L + 17L), s"day-$day probe missed ($got)")
+      }
+    } finally q.stop()
+    val expected = spark.read.parquet(table)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(expected.map(_._1) == (0L until 700L).toSeq)
+    val filesBefore = StatsManifest.liveDataFiles(spark, table).size
+
+    // compact the week's fragmentation PER PARTITION DIR (rows cannot
+    // cross a batch_id= boundary without changing their partition value
+    // — Compact's documented per-directory contract), then refresh both
+    // indexes incrementally: the update scans only the rewritten bins
+    val reps = (0 until 7).map(day =>
+      Compact.compact(spark, s"$table/batch_id=$day",
+        targetBytes = 1L << 20, sortCols = Seq("id")))
+    val compacted = reps.map(_.filesCompacted).sum
+    val written = reps.map(_.filesWritten).sum
+    assert(compacted >= 14 && written < compacted,
+      s"a week of fragmented landings must compact (got $reps)")
+    StatsManifest.updateStats(spark, table, Seq("id"))
+    StatsManifest.updateBloom(spark, table, "id", 1024L)
+    assert(StatsManifest.isFresh(spark, table))
+    assert(StatsManifest.isFresh(spark, table, StatsManifest.BloomDir))
+    assert(StatsManifest.liveDataFiles(spark, table).size < filesBefore)
+
+    // compaction + refresh are invisible: same rows, same pruned reads
+    val after = spark.read.parquet(table)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == expected, "compaction must be invisible in the rows")
+    val r = StatsManifest.readRange(spark, table, "id", 150L, 250L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(r == (150L to 250L).toSeq)
+    val pts = StatsManifest.readPoints(spark, table, "id", Seq("17", "617", "9999"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pts == Seq(17L, 617L))
+  }
 }
