@@ -572,4 +572,64 @@ object Dedup {
       .agg(count(lit(1)).as("nb_shared"))
       .filter(col("nb_shared") >= minShared)
   }
+
+  /** EXACT set-similarity self-join (AllPairs/PPJoin family): all
+    * unordered pairs whose token-set Jaccard is ≥ tNum/tDen — the exact
+    * complement of [[nearDupPairs]] (MinHash-LSH trades recall for
+    * bounded candidates; this trades a larger-but-still-prefix-bounded
+    * candidate set for a guarantee).
+    *
+    * Lossless pruning chain, every step integer-exact:
+    *  - size filter: t·|A| ≤ |B| ≤ |A|∕t (cross-multiplied);
+    *  - prefix filter: order each set's tokens by global rarity
+    *    (df asc, token); a pair with J ≥ t has overlap
+    *    α ≥ ⌈t·max(|A|,|B|)⌉, so each side's first |S| − ⌈t·|S|⌉ + 1
+    *    tokens must intersect — only those are indexed, and corpus-wide
+    *    boilerplate tokens (everyone's commonest) fall outside every
+    *    prefix;
+    *  - verify: candidates join their token ARRAYS back (arrays ride
+    *    the exchange for candidates only, the q55-confirm posture) and
+    *    the exact overlap passes `o·tDen ≥ tNum·(|A|+|B|−o)`.
+    *
+    * The token-df table is corpus-scale (shingle vocabularies grow with
+    * the corpus), so rarity attaches via a token-keyed shuffle join,
+    * never a broadcast. Returns (id_a, id_b, overlap, n_a, n_b) with
+    * id_a < id_b — integer columns only, so the result hash-compares
+    * exactly. Empty token sets drop. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                        tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must be in (0, 1]: got $tNum/$tDen")
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(tokensCol).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint(true)
+    val toks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
+      explode(col("ts")).as("tok"))
+    val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    // prefix length: n - ceil(t*n) + 1, ceil in exact integers
+    val prefLen = col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)
+    val pref = toks.join(dfTable, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy("tdf", "tok")))
+      .filter(col("rk") <= prefLen)
+      .select("id", "n", "tok")
+    val ca = pref.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a"))
+    val cb = pref.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b"))
+    val cand = ca.join(cb, "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") * tDen >= col("n_a") * tNum &&
+        col("n_a") * tDen >= col("n_b") * tNum)
+      .select("id_a", "id_b").distinct()
+    val aa = base.withColumnsRenamed(Map("id" -> "id_a", "ts" -> "ts_a"))
+    val bb = base.withColumnsRenamed(Map("id" -> "id_b", "ts" -> "ts_b"))
+    cand.join(aa, "id_a").join(bb, "id_b")
+      .withColumn("overlap",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("n_a", size(col("ts_a")).cast("long"))
+      .withColumn("n_b", size(col("ts_b")).cast("long"))
+      .filter(col("overlap") * tDen >=
+        (col("n_a") + col("n_b") - col("overlap")) * tNum)
+      .select("id_a", "id_b", "overlap", "n_a", "n_b")
+  }
 }

@@ -1998,6 +1998,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // EXACT set-similarity self-join: all document pairs with 3-shingle
+    // Jaccard >= 1/2, via the lossless size+rarity-prefix filter chain —
+    // 25 true pairs among 11.5k any-shared-shingle pairs at sf0.01, so
+    // the prefix filter does real pruning. Output is integer-only
+    // (overlap + set sizes); the oracle replays the quadratic
+    // shingle-join Jaccard.
+    "q129_exact_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("toks", expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', " +
+            "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+      graft.ops.Dedup.exactJaccardPairs(d, "doc_id", col("toks"), 1L, 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy string join: all supplier-name pairs within edit distance 1,
     // found via the q-gram count-filtering plan (lossless prefilter +
     // exact levenshtein confirm) — never the quadratic compare the
@@ -4562,6 +4580,26 @@ object LlmQueries {
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 120 AND 180
         |ORDER BY doc_id""".stripMargin,
+
+    "q129_exact_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |       FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |FROM ov JOIN sz sa ON sa.doc_id = id_a
+        |        JOIN sz sb ON sb.doc_id = id_b
+        |WHERE o * 2 >= (sa.n + sb.n - o)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the oracle MAY go quadratic (100 rows); the engine may not
     "q124_fuzzy_join" ->

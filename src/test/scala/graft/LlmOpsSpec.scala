@@ -75,6 +75,39 @@ class LlmOpsSpec extends SparkSpec {
       s"planted pair $i missing from $pairs")
   }
 
+  test("exactJaccardPairs equals brute-force Jaccard, prefix filter lossless") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "c", "d"),        // vs 2: o=3, union 5, J=0.6
+      2L -> Seq("a", "b", "c", "e"),
+      3L -> Seq("a", "b", "c", "d"),        // identical to 1: J=1
+      4L -> Seq("x", "y", "z"),             // disjoint family
+      5L -> Seq("x", "y", "z", "w", "v"),   // vs 4: o=3, union 5, J=0.6
+      6L -> Seq("a", "q"),                  // shares boilerplate 'a' only
+      7L -> Seq[String]()                   // empty: drops
+    ).toDF("doc_id", "toks")
+    def got(tn: Long, td: Long) =
+      Dedup.exactJaccardPairs(docs, "doc_id", col("toks"), tn, td)
+        .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    // brute force over the same sets
+    def brute(tn: Long, td: Long) = {
+      val sets = Map(1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","e"),
+        3L -> Set("a","b","c","d"), 4L -> Set("x","y","z"),
+        5L -> Set("x","y","z","w","v"), 6L -> Set("a","q"))
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        o = (sets(a) intersect sets(b)).size
+        if o.toLong * td >= (sets(a).size + sets(b).size - o).toLong * tn
+      } yield (a, b)).toSeq.sorted
+    }
+    for ((tn, td) <- Seq((1L, 2L), (3L, 5L), (1L, 1L)))
+      assert(got(tn, td) == brute(tn, td), s"mismatch at t=$tn/$td")
+    // overlap/size columns are exact
+    val row = Dedup.exactJaccardPairs(docs, "doc_id", col("toks"), 1L, 2L)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("overlap", "n_a", "n_b").as[(Long, Long, Long)].collect()
+    assert(row.toSeq == Seq((3L, 4L, 4L)))
+  }
+
   test("exactDedup + survivors collapse verbatim copies") {
     val df = Seq((1L, "a b c"), (2L, "x y z"), (3L, "a b c"), (4L, "a  b  c "))
       .toDF("doc_id", "text")
