@@ -573,6 +573,23 @@ object Dedup {
       .filter(col("nb_shared") >= minShared)
   }
 
+  /** Entity ids for EVERY row of `df` from a match-pair frame
+    * (id_a, id_b): transitive closure assigns each matched row its
+    * cluster's smallest member id; unmatched rows are their own entity.
+    * The resolution face of the dedup machinery — compose the pair
+    * frame from whatever matchers fit (edit-distance join, exact
+    * Jaccard, LSH+confirm) and this turns pairs into a stable
+    * entity-keyed corpus. Costs [[components]]' id-keyed rounds plus
+    * one left join; singleton rows never enter the closure. */
+  def entityIds(df: DataFrame, idCol: String, pairs: DataFrame,
+                maxIter: Int = 30): DataFrame = {
+    val labels = components(pairs, maxIter)
+      .withColumnsRenamed(Map("id" -> "__cid"))
+    df.join(labels, df(idCol) === col("__cid"), "left")
+      .withColumn("entity_id", coalesce(col("lbl"), col(idCol)))
+      .drop("__cid", "lbl")
+  }
+
   /** EXACT set-similarity self-join (AllPairs/PPJoin family): all
     * unordered pairs whose token-set Jaccard is ≥ tNum/tDen — the exact
     * complement of [[nearDupPairs]] (MinHash-LSH trades recall for

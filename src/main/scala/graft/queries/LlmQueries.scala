@@ -2016,6 +2016,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Entity resolution over the exact-Jaccard matches: q129's pair
+    // frame drives a transitive closure, every document gets its
+    // cluster's smallest member id as entity_id (own id when unmatched).
+    // The oracle replays the pair SQL plus a recursive closure.
+    "q130_entity_ids" -> ((s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("toks", expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', " +
+            "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+      val pairs = graft.ops.Dedup.exactJaccardPairs(sh, "doc_id",
+        col("toks"), 1L, 2L).select("id_a", "id_b")
+      graft.ops.Dedup.entityIds(
+        table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", pairs)
+        .select("doc_id", "source", "entity_id")
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy string join: all supplier-name pairs within edit distance 1,
     // found via the q-gram count-filtering plan (lossless prefilter +
     // exact levenshtein confirm) — never the quadratic compare the
@@ -4600,6 +4621,35 @@ object LlmQueries {
         |        JOIN sz sb ON sb.doc_id = id_b
         |WHERE o * 2 >= (sa.n + sb.n - o)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q130_entity_ids" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |       FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM ov
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE o * 2 >= (sa.n + sb.n - o)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |rep AS (SELECT a, min(least(a, b)) AS ent FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.source,
+        |       COALESCE(rep.ent, d.doc_id) AS entity_id
+        |FROM documents d LEFT JOIN rep ON rep.a = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle MAY go quadratic (100 rows); the engine may not
     "q124_fuzzy_join" ->

@@ -75,6 +75,16 @@ class LlmOpsSpec extends SparkSpec {
       s"planted pair $i missing from $pairs")
   }
 
+  test("entityIds: chains collapse to the min member, singletons keep their id") {
+    val rows = Seq(10L -> "x", 11L -> "x", 12L -> "x", 20L -> "y", 30L -> "z")
+      .toDF("doc_id", "payload")
+    // chain 12~11~10 (no 12~10 edge) plus untouched 20, 30
+    val pairs = Seq((11L, 12L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.entityIds(rows, "doc_id", pairs)
+      .select("doc_id", "entity_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (30L, 30L)))
+  }
+
   test("exactJaccardPairs equals brute-force Jaccard, prefix filter lossless") {
     val docs = Seq(
       1L -> Seq("a", "b", "c", "d"),        // vs 2: o=3, union 5, J=0.6
