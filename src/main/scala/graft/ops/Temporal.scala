@@ -30,6 +30,39 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Densify a per-key daily series to every date in the key's own
+    * [first, last] observation span and FORWARD-FILL the value columns
+    * across the gaps — resampling for downstream consumers that assume
+    * a gap-free calendar (charts, drift monitors, the scd2 caller that
+    * needs absence modeled). Synthesized rows carry the most recent
+    * observed value per column; a `was_observed` flag separates real
+    * rows from fill.
+    *
+    * Plan shape: one per-key min/max aggregation, a map-side
+    * `sequence()` explode of each key's span (rows generated ∝ the
+    * densified output, never a global calendar cross join), one left
+    * join back on (key, date), and one ordered window per key for the
+    * fill — everything shuffles on the key, and the window shares the
+    * join's partitioning. */
+  def densifyFfill(df: DataFrame, keyCols: Seq[String], dateCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty)
+    val keys = keyCols.map(col)
+    val spans = df.groupBy(keys: _*)
+      .agg(min(col(dateCol)).as("__from"), max(col(dateCol)).as("__to"))
+    val calendar = spans.select(keys :+ explode(
+      expr(s"sequence(__from, __to, interval 1 day)")).as(dateCol): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = calendar.join(
+      df.withColumn("__obs", lit(true)), keyCols :+ dateCol, "left")
+    valueCols.foldLeft(
+        joined.withColumn("was_observed",
+          coalesce(col("__obs"), lit(false))).drop("__obs")) {
+        (acc, c) => acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+  }
+
   /** Point-in-time enrichment against an SCD2 dimension: each fact row
     * joins the dimension version whose `[valid_from, valid_to]`
     * (inclusive) covers the fact's date, on equal keys. INNER — facts

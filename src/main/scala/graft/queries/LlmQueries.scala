@@ -2016,6 +2016,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Time-series densify + forward fill: each user's daily event-count
+    // series resampled to a gap-free calendar over the user's own
+    // observation span, gaps carrying the last observed value and a
+    // was_observed flag. The oracle replays the span/sequence/left-join/
+    // IGNORE NULLS window chain.
+    "q131_densify_ffill" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("nb_events"))
+      graft.ops.Temporal.densifyFfill(daily, Seq("user_id"), "dt",
+        Seq("nb_events"))
+        .select("user_id", "dt", "nb_events", "was_observed")
+        .orderBy("user_id", "dt")
+    }),
+
     // Entity resolution over the exact-Jaccard matches: q129's pair
     // frame drives a transitive closure, every document gets its
     // cluster's smallest member id as entity_id (own id when unmatched).
@@ -4621,6 +4636,28 @@ object LlmQueries {
         |        JOIN sz sb ON sb.doc_id = id_b
         |WHERE o * 2 >= (sa.n + sb.n - o)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q131_densify_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS dt,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(dt) AS f, max(dt) AS t
+        |          FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(f, t, INTERVAL 1 DAY))::DATE AS dt
+        |  FROM spans),
+        |j AS (
+        |  SELECT c.user_id, c.dt, d.nb, d.dt IS NOT NULL AS obs
+        |  FROM cal c LEFT JOIN daily d
+        |    ON d.user_id = c.user_id AND d.dt = c.dt)
+        |SELECT user_id, dt,
+        |       last_value(nb IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY dt
+        |         ROWS UNBOUNDED PRECEDING) AS nb_events,
+        |       obs AS was_observed
+        |FROM j ORDER BY user_id, dt""".stripMargin,
 
     "q130_entity_ids" ->
       """WITH RECURSIVE w AS (

@@ -66,6 +66,27 @@ class TemporalSpec extends SparkSpec {
     assert(got == Seq((100L, "A"), (101L, "A"), (102L, "B"), (104L, "X")))
   }
 
+  test("densifyFfill fills gaps with the last observation, flags synthesized rows") {
+    val df = Seq(
+      (1L, d("2026-01-01"), Some(10.0)),
+      (1L, d("2026-01-04"), Some(40.0)), // 2 gap days forward-filled 10.0
+      (2L, d("2026-01-02"), None),       // observed NULL stays NULL until 03
+      (2L, d("2026-01-03"), Some(3.0))
+    ).toDF("id", "dt", "v")
+    val got = graft.ops.Temporal.densifyFfill(df, Seq("id"), "dt", Seq("v"))
+      .select("id", "dt", "v", "was_observed")
+      .as[(Long, java.sql.Date, Option[Double], Boolean)]
+      .collect().sortBy(r => (r._1, r._2.toString)).toSeq
+    assert(got == Seq(
+      (1L, d("2026-01-01"), Some(10.0), true),
+      (1L, d("2026-01-02"), Some(10.0), false),
+      (1L, d("2026-01-03"), Some(10.0), false),
+      (1L, d("2026-01-04"), Some(40.0), true),
+      (2L, d("2026-01-02"), None, true),
+      (2L, d("2026-01-03"), Some(3.0), true)
+    ), s"got $got")
+  }
+
   test("scd2 is partition-count independent") {
     // i < 17*28 keeps (id, snap_date) unique — scd2's precondition
     val snaps = (0L until 476L)
