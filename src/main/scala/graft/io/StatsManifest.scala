@@ -90,9 +90,13 @@ object StatsManifest {
     (if (coalesceOne) m.coalesce(1) else m).sortWithinPartitions("file")
       .write.mode("overwrite").json(tmp.toString)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"manifest swap failed: could not rename $tmp over $dir")
+    // rename-aside swap (BucketedTables' discipline), NOT delete+rename:
+    // a crash between a delete and a rename would leave NO manifest and
+    // every later update would fail on the read instead of recovering
+    // (ADVICE r12) — here the previous manifest survives as `.old` until
+    // the new one is in place, and [[recoverSwap]] at update entry rolls
+    // a half-finished swap back
+    graft.ops.BucketedTables.swapInto(fs, tmp, target)
   }
 
   /** Collect and persist the manifest under `<path>/_graft_stats` (one
@@ -119,6 +123,13 @@ object StatsManifest {
                      coalesceOne: Boolean = true)
                     (scan: Seq[String] => DataFrame): DataFrame = {
     val dir = s"$path/$manifestDir"
+    // a previous update may have crashed mid-swap (manifest moved aside
+    // but its replacement not yet renamed in) — restore the previous
+    // manifest instead of failing the json read
+    graft.ops.BucketedTables.recoverSwap(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir))
     val old = spark.read.json(dir)
     val liveP = liveDataPaths(spark, path)
     def base(p: String) = new org.apache.hadoop.fs.Path(p).getName

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions.col
   *
   * Everything here is directory-path-based and caller-agnostic; the
   * owning operator decides layout, sidecar format and write order. */
-private[ops] object BucketedTables {
+private[graft] object BucketedTables {
 
   def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -157,9 +157,19 @@ object Compact {
     val staged = fs.listStatus(staging).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
 
-    // 2. write-ahead plan: olds to vanish, news to land
+    // 2. write-ahead plan: olds to vanish, news to land. The plan embeds
+    // raw names in JSON quotes with no escaping; a name carrying a quote
+    // or backslash would serialize a plan the crash-sweep mis-parses and
+    // the rollback would lose files — refuse up front (ADVICE r12; the
+    // cmUpdateState deltaId guard's posture). Spark part-files never
+    // contain either character, so this only bites hand-placed files.
     val oldNames = small.map(_.getPath.getName)
     val newNames = staged.map(_.getPath.getName)
+    (oldNames ++ newNames).foreach { n =>
+      require(!n.contains('"') && !n.contains('\\'),
+        s"""compact: data file name '$n' contains '"' or '\\' — the
+           |write-ahead plan cannot represent it safely""".stripMargin)
+    }
     def jarr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val planPath = new org.apache.hadoop.fs.Path(root, PlanFile)
     val out = fs.create(planPath, true)

@@ -583,11 +583,14 @@ object Dedup {
     * one left join; singleton rows never enter the closure. */
   def entityIds(df: DataFrame, idCol: String, pairs: DataFrame,
                 maxIter: Int = 30): DataFrame = {
+    // reserved __-prefixed names on the closure side: a caller frame that
+    // already carries a column named `lbl` (or `id`) must not make the
+    // coalesce ambiguous (ADVICE r12)
     val labels = components(pairs, maxIter)
-      .withColumnsRenamed(Map("id" -> "__cid"))
+      .withColumnsRenamed(Map("id" -> "__cid", "lbl" -> "__lbl"))
     df.join(labels, df(idCol) === col("__cid"), "left")
-      .withColumn("entity_id", coalesce(col("lbl"), col(idCol)))
-      .drop("__cid", "lbl")
+      .withColumn("entity_id", coalesce(col("__lbl"), col(idCol)))
+      .drop("__cid", "__lbl")
   }
 
   /** EXACT set-similarity self-join (AllPairs/PPJoin family): all
@@ -604,15 +607,21 @@ object Dedup {
     *    tokens must intersect — only those are indexed, and corpus-wide
     *    boilerplate tokens (everyone's commonest) fall outside every
     *    prefix;
-    *  - verify: candidates join their token ARRAYS back (arrays ride
-    *    the exchange for candidates only, the q55-confirm posture) and
-    *    the exact overlap passes `o·tDen ≥ tNum·(|A|+|B|−o)`.
+    *  - verify: candidate pairs join the EXPLODED token frame on both
+    *    sides and the exact overlap is a matching-token count — rows on
+    *    the verify exchanges are (long, long, token), never full token
+    *    arrays — passing `o·tDen ≥ tNum·(|A|+|B|−o)`.
     *
     * The token-df table is corpus-scale (shingle vocabularies grow with
     * the corpus), so rarity attaches via a token-keyed shuffle join,
-    * never a broadcast. Returns (id_a, id_b, overlap, n_a, n_b) with
-    * id_a < id_b — integer columns only, so the result hash-compares
-    * exactly. Empty token sets drop. */
+    * never a broadcast. Nothing is pinned in executor storage: the
+    * tokenization is recomputed per consumer (scan + split are cheap and
+    * lineage-recoverable — r12 eagerly `localCheckpoint`ed the whole
+    * token-array corpus, a corpus-sized, non-recomputable executor-
+    * storage pin that a single lost executor would kill at cluster
+    * scale). Returns (id_a, id_b, overlap, n_a, n_b) with id_a < id_b —
+    * integer columns only, so the result hash-compares exactly. Empty
+    * token sets drop. */
   def exactJaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
                         tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
@@ -620,7 +629,6 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       array_distinct(tokensCol).as("ts"))
       .filter(size(col("ts")) > 0)
-      .localCheckpoint(true)
     val toks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
       explode(col("ts")).as("tok"))
     val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
@@ -633,18 +641,24 @@ object Dedup {
       .select("id", "n", "tok")
     val ca = pref.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a"))
     val cb = pref.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b"))
+    // n_a/n_b are functionally dependent on the ids — carrying them
+    // through the distinct costs nothing and saves the verify step two
+    // size joins
     val cand = ca.join(cb, "tok")
       .filter(col("id_a") < col("id_b") &&
         col("n_b") * tDen >= col("n_a") * tNum &&
         col("n_a") * tDen >= col("n_b") * tNum)
-      .select("id_a", "id_b").distinct()
-    val aa = base.withColumnsRenamed(Map("id" -> "id_a", "ts" -> "ts_a"))
-    val bb = base.withColumnsRenamed(Map("id" -> "id_b", "ts" -> "ts_b"))
-    cand.join(aa, "id_a").join(bb, "id_b")
-      .withColumn("overlap",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
-      .withColumn("n_a", size(col("ts_a")).cast("long"))
-      .withColumn("n_b", size(col("ts_b")).cast("long"))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    // verify: overlap = count of tokens present on BOTH sides, computed
+    // candidate-keyed from the exploded frame (id-keyed fan-out join,
+    // then an (id_b, tok)-keyed equi-join — a pair with no shared token
+    // cannot be a candidate, so the inner join loses nothing)
+    val ta = toks.select(col("id").as("id_a"), col("tok"))
+    val tb = toks.select(col("id").as("id_b"), col("tok"))
+    cand.join(ta, "id_a")
+      .join(tb, Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") * tDen >=
         (col("n_a") + col("n_b") - col("overlap")) * tNum)
       .select("id_a", "id_b", "overlap", "n_a", "n_b")

@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   *
   * Degenerate strings shorter than `k·q − q + 2` have a non-positive
   * bound — count filtering carries no signal for them — so they route
-  * through a direct compare of the two SHORT buckets (a broadcast
-  * nested-loop over length-bounded buckets; at q=2, k=1 that is strings
-  * of ≤ 1 character). Everything else rides the gram plan.
+  * through a direct compare of the two SHORT buckets. At q=2, k=1 that
+  * is strings of ≤ 1 character; at k=2 it is ≤ 3 characters, and on a
+  * token-like corpus the short bucket can be a large fraction of the
+  * input (ADVICE r12). The compare is therefore NOT a broadcast nested
+  * loop: each short pair meets through a salted length-window equi-join
+  * (one side explodes its ±k admissible lengths, the other replicates
+  * across a fixed salt), so no unbounded frame is ever broadcast and
+  * the inherent within-length-window quadratic compare is spread across
+  * `ShortSalt` tasks instead of flooding one reducer. The quadratic is
+  * irreducible — below the gram length no q-gram signal exists — so the
+  * plan distributes it rather than pretending to prune it. Everything
+  * else rides the gram plan.
   *
   * Scale posture: candidate volume is Σ over INDEXED grams of
   * df_left(g)·df_right(g). Under the default prefix filter only each
@@ -108,6 +117,30 @@ object FuzzyJoin {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Salt fan for the short-bucket compare: the quadratic work inside
+    * one length window spreads across this many tasks. */
+  private val ShortSalt = 32
+
+  /** Every (a, b) row pair with `|len_a − len_b| ≤ maxDist`, met through
+    * an EQUI-join: side a explodes its 2k+1 admissible partner lengths
+    * and a deterministic id-hash salt, side b replicates across the salt
+    * — a pair meets exactly once, at (len_b, salt_a). Replaces the r12
+    * broadcast nested-loop (ADVICE: at k ≥ 2 the short bucket is all
+    * strings of ≤ k·q−q+1 chars — an unbounded broadcast on token-like
+    * corpora). Shuffle rows carry (id, len, str≤shortLen chars, salt);
+    * no driver-side size assumption anywhere. */
+  private def lengthWindowJoin(a: DataFrame, b: DataFrame,
+                               maxDist: Int): DataFrame = {
+    val ae = a
+      .withColumn("__pl", explode(sequence(
+        col("len_a") - maxDist, col("len_a") + maxDist)))
+      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(ShortSalt)))
+    val be = b.withColumn("__salt",
+      explode(sequence(lit(0L), lit(ShortSalt - 1L))))
+    ae.join(be, ae("__pl") === be("len_b") && ae("__salt") === be("__salt"))
+      .drop("__pl", "__salt")
+  }
+
   /** All (id_a, id_b, dist) pairs across `left` × `right` with
     * `levenshtein(strA, strB) ≤ maxDist`. Exact — equals the quadratic
     * filter row-for-row, under EITHER candidate plan: `prefixFilter =
@@ -129,9 +162,9 @@ object FuzzyJoin {
 
     // strings whose count bound is non-positive: len + q - 1 - k*q < 1
     val shortLen = maxDist * q - q + 1
-    val shortPairs = broadcast(la.filter(col("len_a") <= shortLen))
-      .join(rb.filter(col("len_b") <= shortLen),
-        abs(col("len_a") - col("len_b")) <= maxDist, "inner")
+    val shortPairs = lengthWindowJoin(
+      la.filter(col("len_a") <= shortLen),
+      rb.filter(col("len_b") <= shortLen), maxDist)
 
     val candidates =
       if (prefixFilter)
@@ -163,14 +196,13 @@ object FuzzyJoin {
     // long side's bound is positive, so the pair is in `candidates` IF
     // the short side grams too — it does not (filtered out). Cover the
     // mixed bucket directly: short side × long side, length-windowed.
-    val mixedPairs = broadcast(la.filter(col("len_a") <= shortLen))
-      .join(rb.filter(col("len_b") > shortLen &&
-        col("len_b") <= shortLen + maxDist),
-        abs(col("len_a") - col("len_b")) <= maxDist, "inner")
-      .unionByName(
-        la.filter(col("len_a") > shortLen && col("len_a") <= shortLen + maxDist)
-          .join(broadcast(rb.filter(col("len_b") <= shortLen)),
-            abs(col("len_a") - col("len_b")) <= maxDist, "inner"))
+    val mixedPairs = lengthWindowJoin(
+      la.filter(col("len_a") <= shortLen),
+      rb.filter(col("len_b") > shortLen &&
+        col("len_b") <= shortLen + maxDist), maxDist)
+      .unionByName(lengthWindowJoin(
+        la.filter(col("len_a") > shortLen && col("len_a") <= shortLen + maxDist),
+        rb.filter(col("len_b") <= shortLen), maxDist))
 
     val confirmed = candidates
       .join(la, "id_a").join(rb, "id_b")

@@ -1050,7 +1050,9 @@ object RelationalQueries {
         |  FROM events GROUP BY 1, 2),
         |w AS (
         |  SELECT user_id, snap_date, etype,
-        |         CASE WHEN lag(etype) OVER
+        |         CASE WHEN row_number() OVER
+        |                (PARTITION BY user_id ORDER BY snap_date) = 1
+        |              OR lag(etype) OVER
         |                (PARTITION BY user_id ORDER BY snap_date)
         |              IS DISTINCT FROM etype THEN 1 ELSE 0 END AS chg
         |  FROM snap),
@@ -1073,7 +1075,9 @@ object RelationalQueries {
         |  FROM events GROUP BY 1, 2),
         |w AS (
         |  SELECT user_id, snap_date, etype,
-        |         CASE WHEN lag(etype) OVER
+        |         CASE WHEN row_number() OVER
+        |                (PARTITION BY user_id ORDER BY snap_date) = 1
+        |              OR lag(etype) OVER
         |                (PARTITION BY user_id ORDER BY snap_date)
         |              IS DISTINCT FROM etype THEN 1 ELSE 0 END AS chg
         |  FROM snap),

@@ -731,6 +731,27 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("exact set-similarity lane pins no corpus-sized state (q129/q130)") {
+    // VERDICT r12 #1: q129 used to eagerly localCheckpoint the whole
+    // token-array corpus — a corpus-sized, non-recomputable executor-
+    // storage pin. The de-weaked plan recomputes the (cheap, lineage-
+    // recoverable) tokenize pass per consumer instead: no InMemoryTable-
+    // Scan and no checkpoint-RDD scan may appear anywhere in q129's plan.
+    val p129 = plan("q129_exact_jaccard")
+    for (bad <- Seq("InMemoryTableScan", "ExistingRDD"))
+      assert(!p129.contains(bad),
+        s"q129 pins state in executor storage ($bad):\n$p129")
+    // q130 consumes the SHARED pair fixture (a lake-side parquet read,
+    // VERDICT r12 #2) — its only ExistingRDD scan is the transitive-
+    // closure label frame, which is pair-endpoint-sized, never the
+    // corpus; the corpus itself must not be cached.
+    val p130 = plan("q130_entity_ids")
+    assert(!p130.contains("InMemoryTableScan"),
+      s"q130 pins a frame in executor storage:\n$p130")
+    assert(p130.contains("Scan parquet"),
+      s"q130 no longer reads the shared pair fixture from the lake:\n$p130")
+  }
+
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
