@@ -363,7 +363,7 @@ object AnnIndex {
     * content). Returns the number of postings removed. */
   def remove(ids: DataFrame, idCol: String, root: String): Long = {
     val spark = ids.sparkSession
-    val del = ids.select(col(idCol).as("__del_id")).distinct().localCheckpoint()
+    val del = Lineage.cut(ids.select(col(idCol).as("__del_id")).distinct())
     val (n, _) = readMeta(spark, root)
     val posts = spark.read.parquet(postingsDir(root))
     val removed = posts.join(del, posts("id") === col("__del_id"), "left_semi").count()

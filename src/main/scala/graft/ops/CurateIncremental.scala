@@ -182,13 +182,13 @@ object CurateIncremental {
     * refresh drops the dependent cache — without pinning, the second and
     * third table writes would silently RECOMPUTE the survivors against
     * the half-updated state (observed: a survivor present in one table
-    * but missing from the next). A localCheckpoint cuts the lineage at
+    * but missing from the next). A [[Lineage]] cut severs the lineage at
     * materialization, so every write sees the same rows and none
     * re-reads the mutated dirs. (Snapshot writes don't need this — they
     * write to a temp sibling and swap, never into a live input dir.) */
   private def pinned(df: DataFrame)(writes: DataFrame => Unit): Unit = {
     val rdd = df.rdd
-    rdd.localCheckpoint()
+    Lineage.mark(rdd, df.sparkSession)
     try writes(df.sparkSession.createDataFrame(rdd, df.schema))
     finally { rdd.unpersist(blocking = false); () }
   }
@@ -379,7 +379,7 @@ object CurateIncremental {
                                            root: String,
                                            afterCorpusWrite: () => Unit): Long = {
     val spark = ids.sparkSession
-    val del = ids.select(col(idCol).as("__del_id")).distinct().localCheckpoint()
+    val del = Lineage.cut(ids.select(col(idCol).as("__del_id")).distinct())
     val meta = readMeta(spark, root)
     val n = meta.getOrElse(defaultBuckets(spark))
     val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
@@ -541,7 +541,7 @@ object CurateIncremental {
         // the returned corpus must not race the freshly-written state
         // either; cheap at bootstrap cardinality and symmetric with daily
         val rdd = corpus.rdd
-        rdd.localCheckpoint(); rdd.count()
+        Lineage.mark(rdd, docs.sparkSession); rdd.count()
         val pinnedCorpus = docs.sparkSession.createDataFrame(rdd, corpus.schema)
         saveState(
           withEmbeddings(
@@ -601,11 +601,11 @@ object CurateIncremental {
         // sketch/vector dirs — each append below mutates what the other
         // (and the caller's re-reads) would otherwise recompute against
         val embRdd = embSurv.rdd
-        embRdd.localCheckpoint(); embRdd.count()
+        Lineage.mark(embRdd, spark); embRdd.count()
         val pinnedEmb = spark.createDataFrame(embRdd, embSurv.schema)
         val corpus0 = r.corpus.join(pinnedEmb.select(col(idCol)), Seq(idCol), "left_semi")
         val rdd = corpus0.rdd
-        rdd.localCheckpoint(); rdd.count()
+        Lineage.mark(rdd, spark); rdd.count()
         val corpus = spark.createDataFrame(rdd, corpus0.schema)
         // embedding tables first, text corpus last — the corpus append
         // stays the overall serving marker (see [[appendEmbedState]])
@@ -624,7 +624,7 @@ object CurateIncremental {
         // recompute against the updated state — every survivor would
         // anti-join against its own just-appended fingerprint and vanish
         val rdd = r.corpus.rdd
-        rdd.localCheckpoint()
+        Lineage.mark(rdd, spark)
         rdd.count()
         val corpus = spark.createDataFrame(rdd, r.corpus.schema)
         appendState(corpus, idCol, textCol, root, cfg)
@@ -828,7 +828,7 @@ object CurateIncremental {
     // the dirs this frame's lineage reads — an unpinned caller re-read
     // would recompute against the new state
     val rdd = curated.rdd
-    rdd.localCheckpoint()
+    Lineage.mark(rdd, spark)
     rdd.count()
     val corpus = spark.createDataFrame(rdd, curated.schema)
     val newState = buildState(corpus.select(col(idCol), col(textCol)),
@@ -837,7 +837,7 @@ object CurateIncremental {
       case Some(vecs) =>
         val pinnedVecs = {
           val vr = vecs.select(col("id"), col("v")).rdd
-          vr.localCheckpoint(); vr.count()
+          Lineage.mark(vr, spark); vr.count()
           spark.createDataFrame(vr, vecs.select(col("id"), col("v")).schema)
         }
         newState.copy(

@@ -301,8 +301,9 @@ object Dedup {
     * round every node adopts the smallest label among itself, its
     * neighbors, and its current label's label, until a fixpoint. Converges
     * in O(log diameter) rounds; each round is two shuffles keyed on id
-    * (edge propagation + label-of-label), with `localCheckpoint` cutting
-    * lineage so the plan stays flat at any iteration count. Returns
+    * (edge propagation + label-of-label), with a [[Lineage]] cut
+    * (executor-local by default, reliable-checkpoint opt-in) keeping
+    * the plan flat at any iteration count. Returns
     * (id, lbl) for every node that appears in `pairs`, lbl = component
     * minimum. Throws if `maxIter` rounds don't converge (pathological
     * diameter — raise the bound). */
@@ -324,13 +325,13 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
     val edgesRdd = edgesDf.rdd
-    edgesRdd.localCheckpoint() // lazy mark; round 1's action materializes it
+    Lineage.mark(edgesRdd, spark) // lazy mark; round 1's action materializes it
     val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
 
     val labels0 = edges.groupBy("a").agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))
     var labelsRdd = labels0.rdd
-    labelsRdd.localCheckpoint()
+    Lineage.mark(labelsRdd, spark)
     var labels = spark.createDataFrame(labelsRdd, labels0.schema)
 
     var iter = 0
@@ -351,7 +352,7 @@ object Dedup {
       val nextDf = prop.join(hop, Seq("lbl"), "left")
         .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("old")).as("chg"))
       val nextRdd = nextDf.rdd
-      nextRdd.localCheckpoint()
+      Lineage.mark(nextRdd, spark)
       // the single per-round action: caches this round, counts the delta
       changed = nextRdd.filter(_.getBoolean(2)).count()
       val prev = labelsRdd

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * Plan shape per iteration: one broadcast-or-shuffle join of the
   * (node, pr, outdeg) frame with the edge list on src, one partial+final
   * aggregation on dst, one left join back to the node set — exchanges
-  * carry (long, long) only. Lineage is CUT every iteration
-  * (`localCheckpoint`, the componentsWithRounds discipline) so k
-  * iterations cost k bounded jobs, not a 2^k plan.
+  * carry (long, long) only. Lineage is CUT every iteration (via
+  * [[Lineage.cut]] — executor-local by default, reliable checkpoint-dir
+  * backed under `spark.graft.checkpoint.reliable`, the
+  * componentsWithRounds discipline) so k iterations cost k bounded
+  * jobs, not a 2^k plan.
   *
   * Semantics: nodes = distinct edge endpoints; pass a symmetrized edge
   * list for undirected graphs. Dangling mass (nodes with no out-edges)
@@ -54,9 +56,8 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
-    val e = raw.select(least(col("s"), col("d")).as("x"),
-      greatest(col("s"), col("d")).as("y")).distinct()
-      .localCheckpoint(true)
+    val e = Lineage.cut(raw.select(least(col("s"), col("d")).as("x"),
+      greatest(col("s"), col("d")).as("y")).distinct())
     val nodes = e.select(col("x").as("node"))
       .unionAll(e.select(col("y").as("node"))).distinct()
     val deg = e.select(col("x").as("node"))
@@ -66,11 +67,10 @@ object Graph {
       .join(deg.withColumnsRenamed(Map("node" -> "x", "deg" -> "degx")), "x")
       .join(deg.withColumnsRenamed(Map("node" -> "y", "deg" -> "degy")), "y")
     val fwd = struct(col("degx"), col("x")) < struct(col("degy"), col("y"))
-    val o = withDeg.select(
+    val o = Lineage.cut(withDeg.select(
       when(fwd, col("x")).otherwise(col("y")).as("a"),
       when(fwd, col("y")).otherwise(col("x")).as("b"),
-      when(fwd, col("degy")).otherwise(col("degx")).as("rb"))
-      .localCheckpoint(true)
+      when(fwd, col("degy")).otherwise(col("degx")).as("rb")))
     // wedges at the lowest-rank corner a: rank-ordered out-neighbour
     // pairs (b, c); the triangle closes iff the oriented edge (b, c)
     // exists (it is oriented b→c because rank(b) < rank(c))
@@ -97,18 +97,16 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0 (got $iterations)")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, scale > 0")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val e = Lineage.cut(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = Lineage.cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("pr", lit(0L))
     val init = scale / n
     val base = (init * (dampDen - dampNum)) / dampDen
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val outdeg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")))
     var pr = nodes.withColumn("pr", lit(init))
     for (_ <- 0 until iterations) {
       val sums = pr.join(outdeg, pr("node") === outdeg("src"))
@@ -118,11 +116,10 @@ object Graph {
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("s"))
-      pr = nodes.join(sums, Seq("node"), "left")
+      pr = Lineage.cut(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
-            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
-        .localCheckpoint(true)
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr")))
     }
     pr
   }

@@ -375,7 +375,7 @@ object Sampling {
         .write.mode("overwrite").json(s"$path/_graft_manifest")
       // pin the shard-count-sized manifest before releasing the corpus
       // cache, so the RETURNED frame doesn't recompute the whole pass
-      manifest.localCheckpoint(true)
+      Lineage.cut(manifest)
     } finally sharded.unpersist(blocking = false)
   }
 

@@ -763,7 +763,7 @@ object Similarity {
     // per row (measured 4× the op's wall). Materialize the skinny
     // (id, cell) frame once instead: two longs per vector, bounded at any
     // corpus size the (id, cell) shuffle itself can handle.
-    val cells = cells0.localCheckpoint()
+    val cells = Lineage.cut(cells0)
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -350,11 +350,11 @@ object Streaming {
     // The reference histogram is STATIC for the life of the query:
     // aggregate it once to nBuckets rows and pin the tiny result
     // (review r12 — the first cut re-scanned the full reference corpus
-    // inside every micro-batch). localCheckpoint severs the lineage so
+    // inside every micro-batch). A Lineage cut severs the lineage so
     // no batch re-reads the reference input.
     val refHist = graft.ops.Monitor
       .histogram(reference, valueCol, bucketWidth, nBuckets)
-      .localCheckpoint(true)
+      .transform(graft.ops.Lineage.cut)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -438,7 +438,7 @@ object Streaming {
                      quantScale: Double = (1L << 20).toDouble): StreamingQuery = {
     val refMoments = graft.ops.Monitor
       .diagMoments(reference, vecCol, quantScale)
-      .localCheckpoint(true)
+      .transform(graft.ops.Lineage.cut)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
