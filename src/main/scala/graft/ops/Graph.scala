@@ -29,8 +29,23 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: nodes = distinct edge endpoints; pass a symmetrized edge
   * list for undirected graphs. Dangling mass (nodes with no out-edges)
-  * is dropped, the standard simplification — totals shrink slightly,
-  * they never grow, preserving the overflow bound. */
+  * is DROPPED by default — totals shrink slightly, never grow,
+  * preserving the overflow bound. `redistributeDangling = true` selects
+  * the standard treatment instead: each iteration the dangling nodes'
+  * total mass D is measured (one 1-row driver aggregate over the
+  * semi-joined pr frame) and every node's incoming sum gets `D div N`
+  * added before damping — still exact integers, still ≤ `scale` total
+  * (the two floor divisions lose ≤ N + 1 units per iteration), and the
+  * chain replays verbatim in DuckDB.
+  *
+  * `tol > 0` adds a convergence stop: after each iteration the total
+  * L1 delta `Σ|pr − pr_prev|` (exact integers, one extra id-keyed join
+  * per iteration over the already-cut frames) is compared against it,
+  * and iteration ends early once `delta < tol` — so the iteration count
+  * is a safety bound, not a blind knob. Early stop makes the ROUND
+  * COUNT data-dependent, which a fixed-depth SQL oracle cannot replay —
+  * oracle-checked queries pass `tol = 0` (default: never stop early)
+  * and unit tests pin the stop against closed-form fixed points. */
 object Graph {
 
   /** Per-node triangle counts over an UNDIRECTED graph (pass edges in
@@ -89,26 +104,57 @@ object Graph {
   }
 
   /** Exact integer PageRank. Returns (node, pr) for every distinct
-    * endpoint of `edges`, pr in units of 1/`scale` of the total mass. */
+    * endpoint of `edges`, pr in units of 1/`scale` of the total mass.
+    * See the object doc for `redistributeDangling` and `tol`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int,
                scale: Long = 1000000000000000L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+               dampNum: Long = 85, dampDen: Long = 100,
+               redistributeDangling: Boolean = false,
+               tol: Long = 0L): DataFrame =
+    pageRankWithRounds(edges, srcCol, dstCol, iterations, scale,
+      dampNum, dampDen, redistributeDangling, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run — the
+    * observable behind the convergence stop (the componentsWithRounds
+    * pattern). */
+  def pageRankWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                         iterations: Int,
+                         scale: Long = 1000000000000000L,
+                         dampNum: Long = 85, dampDen: Long = 100,
+                         redistributeDangling: Boolean = false,
+                         tol: Long = 0L): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0 (got $iterations)")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, scale > 0")
+    require(tol >= 0, s"tol must be >= 0 (got $tol)")
     val e = Lineage.cut(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct())
     val nodes = Lineage.cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct())
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("pr", lit(0L))
+    if (n == 0) return (nodes.withColumn("pr", lit(0L)), 0)
     val init = scale / n
     val base = (init * (dampDen - dampNum)) / dampDen
     val outdeg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // the dangling node SET is static (no out-edges ever); only its mass
+    // changes per iteration — compute the set once, cut it, and each
+    // round pays one bounded semi-join + 1-row aggregate
+    val dangling =
+      if (redistributeDangling)
+        Some(Lineage.cut(nodes.join(
+          outdeg.select(col("src").as("node")), Seq("node"), "left_anti")))
+      else None
     var pr = nodes.withColumn("pr", lit(init))
-    for (_ <- 0 until iterations) {
+    var iter = 0
+    var converged = false
+    while (iter < iterations && !converged) {
+      val share = dangling.map { d =>
+        val mass = pr.join(d, Seq("node"), "left_semi")
+          .agg(coalesce(sum("pr"), lit(0L))).head.getLong(0)
+        mass / n // floor: both non-negative
+      }.getOrElse(0L)
       val sums = pr.join(outdeg, pr("node") === outdeg("src"))
         // integral div, NOT `/`: long / long is a DOUBLE divide in Spark,
         // which rounds and would break both exactness and the oracle
@@ -116,11 +162,23 @@ object Graph {
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("s"))
-      pr = Lineage.cut(nodes.join(sums, Seq("node"), "left")
+      val next = Lineage.cut(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
-            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr")))
+            expr(s"($dampNum * (coalesce(s, 0L) + $share)) div $dampDen"))
+            .as("pr")))
+      if (tol > 0) {
+        // exact-integer L1 delta over the two cut frames (both sides are
+        // materialized blocks, the join is node-keyed longs only)
+        val delta = next.withColumnRenamed("pr", "pn")
+          .join(pr.withColumnRenamed("pr", "po"), "node")
+          .agg(coalesce(sum(abs(col("pn") - col("po"))), lit(0L)))
+          .head.getLong(0)
+        converged = delta < tol
+      }
+      pr = next
+      iter += 1
     }
-    pr
+    (pr, iter)
   }
 }

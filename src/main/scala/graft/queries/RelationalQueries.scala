@@ -567,6 +567,24 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // PageRank with dangling-mass REDISTRIBUTION (VERDICT r12 #5) on a
+    // genuinely dangling graph: the directed supplies graph
+    // supplier → part (parts offset by 100000 so key spaces never
+    // collide) has every part node sink-only, so most of the mass is
+    // dangling every iteration; each round measures it and hands every
+    // node `D div N` before damping — exact integers, replayed verbatim
+    // by the oracle's unrolled CTE chain (tol=0: a data-dependent early
+    // stop can't be replayed by fixed-depth SQL; the stop itself is
+    // unit-pinned against closed-form fixed points in GraphSpec).
+    "q132_pagerank_dangling" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 100000L).as("dst")).distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3,
+        redistributeDangling = true)
+        .orderBy("node")
+    }),
+
     // Exact per-node triangle counts on the same co-purchase graph —
     // the orientation trick (a<b ⋈ b<c ⋈ a<c) materializes each
     // triangle once; items sharing an order form cliques, so the count
@@ -1014,6 +1032,60 @@ object RelationalQueries {
         |  SELECT nd.node,
         |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
         |              + (85 * COALESCE(sm.s, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr2 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node)
+        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // Dangling-mass PageRank: the same unrolled chain as q125 plus a
+    // per-iteration dangling-mass scalar (sum over nodes with no
+    // out-edges, floor-divided by N) added to every node's incoming sum
+    // before damping — mirroring Graph.pageRankWithRounds exactly.
+    "q132_pagerank_dangling" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |pr0 AS (SELECT node, (SELECT 1000000000000000 // n FROM nn) AS pr
+        |        FROM nodes),
+        |d1 AS (SELECT COALESCE(SUM(pr), 0) // (SELECT n FROM nn) AS sh
+        |       FROM pr0 WHERE node NOT IN (SELECT src FROM outdeg)),
+        |pr1 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * (COALESCE(sm.s, 0) + (SELECT sh FROM d1))) // 100
+        |              AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr0 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node),
+        |d2 AS (SELECT COALESCE(SUM(pr), 0) // (SELECT n FROM nn) AS sh
+        |       FROM pr1 WHERE node NOT IN (SELECT src FROM outdeg)),
+        |pr2 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * (COALESCE(sm.s, 0) + (SELECT sh FROM d2))) // 100
+        |              AS BIGINT) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
+        |    FROM pr1 p
+        |    JOIN outdeg o ON o.src = p.node
+        |    JOIN edges e ON e.src = p.node
+        |    GROUP BY e.dst) sm ON sm.node = nd.node),
+        |d3 AS (SELECT COALESCE(SUM(pr), 0) // (SELECT n FROM nn) AS sh
+        |       FROM pr2 WHERE node NOT IN (SELECT src FROM outdeg)),
+        |pr3 AS (
+        |  SELECT nd.node,
+        |         CAST((SELECT (1000000000000000 // n) * 15 // 100 FROM nn)
+        |              + (85 * (COALESCE(sm.s, 0) + (SELECT sh FROM d3))) // 100
+        |              AS BIGINT) AS pr
         |  FROM nodes nd LEFT JOIN (
         |    SELECT e.dst AS node, SUM(p.pr // o.deg) AS s
         |    FROM pr2 p

@@ -22,6 +22,47 @@ class GraphSpec extends SparkSpec {
       s"symmetric pair must hold the hand-computed value (got $got)")
   }
 
+  test("convergence stop: the 2-cycle is a fixed point, one round suffices") {
+    // 1↔2 at a small scale: init = 500, base = 75, every iteration maps
+    // 500 → 75 + (85·500)/100 = 500 exactly — the L1 delta is 0 after
+    // round 1, so tol = 1 must stop there no matter the bound
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (pr, rounds) = Graph.pageRankWithRounds(edges, "src", "dst",
+      iterations = 50, scale = 1000L, tol = 1L)
+    assert(rounds == 1, s"fixed point must stop after one round (ran $rounds)")
+    assert(pr.as[(Long, Long)].collect().toMap == Map(1L -> 500L, 2L -> 500L))
+    // and the stop is genuinely data-driven: a graph NOT at its fixed
+    // point runs more rounds under the same tol
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    // tol sized to the damping contraction (delta ~ 0.85^k · scale):
+    // 1% of the mass is reached after ~20 rounds, safely inside the bound
+    val (_, r2) = Graph.pageRankWithRounds(chain, "src", "dst",
+      iterations = 50, scale = 1000000L, tol = 10000L)
+    assert(r2 > 1 && r2 < 50, s"asymmetric graph must iterate to converge (ran $r2)")
+  }
+
+  test("dangling redistribution: hand-computed 2-node chain, mass conserved") {
+    // 1 → 2 only; node 2 is dangling. scale 1000, N = 2: init 500, base 75.
+    // round 1: D = 500, share = 250;
+    //   pr(1) = 75 + 85·250 div 100        = 75 + 212 = 287
+    //   pr(2) = 75 + 85·(500+250) div 100  = 75 + 637 = 712
+    // round 2: D = 712, share = 356;
+    //   pr(1) = 75 + 85·356 div 100        = 75 + 302 = 377
+    //   pr(2) = 75 + 85·(287+356) div 100  = 75 + 546 = 621
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    def run(iters: Int) = Graph.pageRank(edges, "src", "dst", iters,
+      scale = 1000L, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 287L, 2L -> 712L))
+    assert(run(2) == Map(1L -> 377L, 2L -> 621L))
+    // without redistribution the dangling mass vanishes instead
+    val dropped = Graph.pageRank(edges, "src", "dst", 1, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(dropped == Map(1L -> 75L, 2L -> 500L))
+    // redistribution keeps totals ≤ scale (floors only lose mass)
+    assert(run(2).values.sum <= 1000L)
+  }
+
   test("star graph: the hub out-ranks every leaf; totals never grow") {
     val leaves = (2L to 9L)
     val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
