@@ -85,6 +85,53 @@ object Temporal {
     keyCols.foldLeft(f.join(d, cond))((df, k) => df.drop(col(s"__d.$k")))
   }
 
+  /** [[scd2]] with ABSENCE AS DELETION (VERDICT r12 #7): a key missing
+    * from a snapshot date on which OTHER keys were observed closes its
+    * interval — `valid_to` is its last observed date before the gap, and
+    * a later reappearance opens a NEW version even when the attributes
+    * come back identical (plain [[scd2]] spans such gaps by design).
+    * The calendar is the frame's own distinct snapshot dates (the
+    * observation grid); a key is only "absent" from dates on/after its
+    * first appearance — never retroactively before it was born.
+    *
+    * Plan shape: the calendar is date-count-bounded (one distinct over
+    * the date column, broadcast), the key×calendar grid is
+    * Σ per-key-span rows (output-proportional, the densify posture),
+    * then ONE key-shuffle drives the presence left-join, the run window
+    * and the final collapse. `version` is renumbered densely per key
+    * (1-based by `valid_from`) over the collapsed run frame — absent
+    * runs are dropped, not numbered. */
+  def scd2WithDeletions(snapshots: DataFrame, keyCols: Seq[String],
+                        attrCols: Seq[String], dateCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val keys = keyCols.map(col)
+    val calendar = snapshots.select(col(dateCol)).distinct()
+    val births = snapshots.groupBy(keys: _*)
+      .agg(min(col(dateCol)).as("__born"))
+    val grid = births.join(broadcast(calendar), col(dateCol) >= col("__born"))
+      .drop("__born")
+    val w = Window.partitionBy(keys: _*).orderBy(col(dateCol))
+    // a run breaks exactly like scd2's, with presence riding the attr
+    // struct: present→absent→present breaks twice, so the gap splits
+    // the version even when attributes return unchanged
+    val attrs = struct((attrCols :+ "__present").map(col): _*)
+    val chg = when(lag(attrs, 1).over(w).isNull ||
+      !(attrs <=> lag(attrs, 1).over(w)), 1L).otherwise(0L)
+    grid.join(snapshots.withColumn("__present", lit(true)),
+        keyCols :+ dateCol, "left")
+      .withColumn("__present", coalesce(col("__present"), lit(false)))
+      .withColumn("__ver", sum(chg).over(w))
+      .filter(col("__present"))
+      .groupBy((keyCols :+ "__ver").map(col): _*)
+      .agg(min(col(dateCol)).as("valid_from"),
+        (Seq(max(col(dateCol)).as("valid_to"),
+          count(lit(1)).as("nb_snapshots")) ++
+          attrCols.map(c => first(col(c)).as(c))): _*)
+      .withColumn("version", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("valid_from"))).cast("long"))
+      .drop("__ver")
+  }
+
   /** Collapse a snapshot series into SCD2 intervals: one row per (key,
     * run of identical `attrCols`), with `valid_from`, `valid_to`
     * (inclusive), `nb_snapshots`, and the run's attribute values.

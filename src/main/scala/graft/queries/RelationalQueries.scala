@@ -617,6 +617,24 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // SCD2 with ABSENCE AS DELETION (VERDICT r12 #7): same snapshot
+    // series as q127, but a user missing from a snapshot day (while
+    // other users were observed) CLOSES the running version — the
+    // events fixture is sparse per user, so most users carry several
+    // gap-closed intervals that plain scd2 would span. version is
+    // renumbered densely over the present runs; the oracle replays the
+    // calendar grid, presence flag and run collapse.
+    "q133_scd2_deletions" -> ((s, dir) => {
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      graft.ops.Temporal.scd2WithDeletions(snap, Seq("user_id"),
+        Seq("etype"), "snap_date")
+        .select("user_id", "version", "valid_from", "valid_to",
+          "nb_snapshots", "etype")
+        .orderBy("user_id", "version")
+    }),
+
     // Point-in-time enrichment: every event joins the SCD2 version
     // covering its date (dimension derived from the same events — the
     // aliased self-lineage case). Coverage is total by construction, so
@@ -1139,6 +1157,40 @@ object RelationalQueries {
         |       min(etype) AS etype
         |FROM v GROUP BY user_id, ver
         |ORDER BY user_id, version""".stripMargin,
+
+    "q133_scd2_deletions" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT DISTINCT d FROM snap),
+        |born AS (SELECT user_id, min(d) AS b FROM snap GROUP BY 1),
+        |grid AS (SELECT born.user_id, cal.d FROM born
+        |         JOIN cal ON cal.d >= born.b),
+        |j AS (
+        |  SELECT g.user_id, g.d, s.etype, s.user_id IS NOT NULL AS pres
+        |  FROM grid g LEFT JOIN snap s
+        |    ON s.user_id = g.user_id AND s.d = g.d),
+        |w AS (
+        |  SELECT user_id, d, etype, pres,
+        |         CASE WHEN row_number() OVER pk = 1
+        |              OR etype IS DISTINCT FROM lag(etype) OVER pk
+        |              OR pres IS DISTINCT FROM lag(pres) OVER pk
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM j WINDOW pk AS (PARTITION BY user_id ORDER BY d)),
+        |v AS (
+        |  SELECT user_id, d, etype, pres,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |runs AS (
+        |  SELECT user_id, ver, min(d) AS valid_from, max(d) AS valid_to,
+        |         CAST(count(*) AS BIGINT) AS nb_snapshots, min(etype) AS etype
+        |  FROM v WHERE pres GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY valid_from) AS BIGINT) AS version,
+        |       valid_from, valid_to, nb_snapshots, etype
+        |FROM runs ORDER BY user_id, version""".stripMargin,
 
     "q128_pit_enrich" ->
       """WITH snap AS (

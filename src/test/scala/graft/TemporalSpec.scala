@@ -35,6 +35,38 @@ class TemporalSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("scd2WithDeletions: an observed-elsewhere gap closes the interval") {
+    val snaps = Seq(
+      // the calendar (dates anyone was observed): 01..05
+      // key 1: present every day, attr constant — one open-run version
+      (1L, d("2026-01-01"), Some("A")), (1L, d("2026-01-02"), Some("A")),
+      (1L, d("2026-01-03"), Some("A")), (1L, d("2026-01-04"), Some("A")),
+      (1L, d("2026-01-05"), Some("A")),
+      // key 2: DELETED for 02..04, back with the SAME attr — plain scd2
+      // spans this as one version; the deletion face must close at 01
+      // and reopen at 05
+      (2L, d("2026-01-01"), Some("X")), (2L, d("2026-01-05"), Some("X")),
+      // key 3: born on 03 — days 01/02 are not absence (not yet born);
+      // vanished after 04 — its last version closes at 04
+      (3L, d("2026-01-03"), Some("C")), (3L, d("2026-01-04"), Some("C")),
+      // key 4: attr change AND a gap: B(01), B(02), gap(03), D(04)
+      (4L, d("2026-01-01"), Some("B")), (4L, d("2026-01-02"), Some("B")),
+      (4L, d("2026-01-04"), Some("D"))
+    ).toDF("id", "snap_date", "attr")
+    val got = Temporal.scd2WithDeletions(snaps, Seq("id"), Seq("attr"), "snap_date")
+      .select("id", "version", "valid_from", "valid_to", "nb_snapshots", "attr")
+      .as[(Long, Long, Date, Date, Long, Option[String])]
+      .collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L, d("2026-01-01"), d("2026-01-05"), 5L, Some("A")),
+      (2L, 1L, d("2026-01-01"), d("2026-01-01"), 1L, Some("X")),
+      (2L, 2L, d("2026-01-05"), d("2026-01-05"), 1L, Some("X")),
+      (3L, 1L, d("2026-01-03"), d("2026-01-04"), 2L, Some("C")),
+      (4L, 1L, d("2026-01-01"), d("2026-01-02"), 2L, Some("B")),
+      (4L, 2L, d("2026-01-04"), d("2026-01-04"), 1L, Some("D"))
+    ), s"got $got")
+  }
+
   test("scd2 with multiple attrs breaks when ANY of them changes") {
     val snaps = Seq(
       (1L, d("2026-02-01"), "gold", 10),
