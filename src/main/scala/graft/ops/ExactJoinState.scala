@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import BucketedTables._
+
+/** Incremental face of the EXACT set-similarity join (VERDICT r12 #3):
+  * the LSH lane persists band keys ([[CurateIncremental]]); this lane
+  * persists the corpus's rarity-ordered PREFIX-TOKEN table and full
+  * token table in the same bucketed-state discipline, so a daily delta
+  * finds every exact-Jaccard pair it participates in WITHOUT recomputing
+  * the corpus-side prefix index.
+  *
+  * State tables under `<root>/exact_state/`:
+  *  - `prefix` (tok, id, n) — each indexed doc's rarity-prefix token
+  *    occurrences, BUCKETED BY `tok`: the delta's full-token probe joins
+  *    on `tok` with zero state-side exchange;
+  *  - `tokens` (id, n, tok) — each indexed doc's full distinct token
+  *    rows, BUCKETED BY `id`: the verify overlap count joins on
+  *    (id, tok), and hash-clustering on `id` already satisfies the
+  *    join's distribution, so again only candidate rows shuffle;
+  *  - `_graft_exact.json` — bucket count + the state's (tNum, tDen)
+  *    threshold (a prefix index is only lossless for thresholds ≥ the
+  *    one it was built with; pinning it in the meta keeps probe and
+  *    build from drifting apart).
+  *
+  * Losslessness across index generations: the prefix lemma is
+  * ORDER-AGNOSTIC — for any set S and any choice of |S| − ⌈t·|S|⌉ + 1
+  * DISTINCT tokens of S, a T with J(S, T) ≥ t must intersect that
+  * choice (pigeonhole: |S \ T| ≤ |S| − ⌈t·|S|⌉). The probe therefore
+  * joins the STATE's prefixes against the DELTA's FULL token rows: it
+  * cannot miss a pair however the rarity order drifts between the build
+  * corpus and later appends (each append ranks its own delta's tokens —
+  * rarity order only tunes selectivity, never recall).
+  *
+  * Probe output = every qualifying pair INVOLVING the delta
+  * (delta↔state via the persisted index + delta↔delta via
+  * [[Dedup.exactJaccardPairs]]), normalized to `id_a < id_b` — so
+  * `pairs(state) ∪ probe(delta)` equals a full [[Dedup.exactJaccardPairs]]
+  * recompute of `state ∪ delta` (CurateStateSpec property). Ids must be
+  * disjoint between state and delta (the [[CurateIncremental]]
+  * contract). [[append]] is idempotent: delta docs whose ids are
+  * already indexed are skipped (an id-keyed anti-join against the
+  * bucketed token table — no state-side exchange), so a crashed-and-
+  * re-run day cannot double-count token rows.
+  */
+object ExactJoinState {
+
+  private def stateDir(root: String) = s"$root/exact_state"
+  private def prefixDir(root: String) = s"${stateDir(root)}/prefix"
+  private def toksDir(root: String) = s"${stateDir(root)}/tokens"
+  private def metaPath(root: String) = new Path(s"${stateDir(root)}/_graft_exact.json")
+
+  private val PrefixBucketCols = Seq("tok")
+  private val ToksBucketCols = Seq("id")
+
+  /** (full token rows (id, n, tok), prefix rows (tok, id, n)) for
+    * `docs`, prefixes rarity-ordered (df asc, tok) within the frame. */
+  private def tokenTables(docs: DataFrame, idCol: String, tokensCol: Column,
+                          tNum: Long, tDen: Long): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(tokensCol).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val toks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
+      explode(col("ts")).as("tok"))
+    val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val prefLen = col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)
+    val pref = toks.join(dfTable, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy("tdf", "tok")))
+      .filter(col("rk") <= prefLen)
+      .select("tok", "id", "n")
+    (toks.select("id", "n", "tok"), pref)
+  }
+
+  /** Build the state from the current corpus (once; deltas then extend
+    * it via [[append]]). `buckets = 0` → `spark.sql.shuffle.partitions`. */
+  def build(docs: DataFrame, idCol: String, tokensCol: Column,
+            tNum: Long, tDen: Long, root: String, buckets: Int = 0): Unit = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must be in (0, 1]: got $tNum/$tDen")
+    val spark = docs.sparkSession
+    val n = if (buckets > 0) buckets
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (toks, pref) = tokenTables(docs, idCol, tokensCol, tNum, tDen)
+    writeBucketedSnapshot(pref, prefixDir(root),
+      tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    writeBucketedSnapshot(toks, toksDir(root),
+      tableName("xjt", toksDir(root)), n, ToksBucketCols)
+    writeJsonSidecar(spark, metaPath(root),
+      s"""{"buckets": $n, "tNum": $tNum, "tDen": $tDen}""")
+  }
+
+  private def load(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame, Int, Long, Long) = {
+    recoverSwap(hadoopFs(spark, new Path(prefixDir(root))), new Path(prefixDir(root)))
+    recoverSwap(hadoopFs(spark, new Path(toksDir(root))), new Path(toksDir(root)))
+    val body = readJsonSidecar(spark, metaPath(root))
+      .getOrElse(sys.error(s"no exact-join state at $root"))
+    val n = jsonInt(body, "buckets")
+      .getOrElse(sys.error(s"exact-join meta missing buckets: $body"))
+    val tNum = jsonInt(body, "tNum").map(_.toLong)
+      .getOrElse(sys.error(s"exact-join meta missing tNum: $body"))
+    val tDen = jsonInt(body, "tDen").map(_.toLong)
+      .getOrElse(sys.error(s"exact-join meta missing tDen: $body"))
+    ensureRegistered(spark, prefixDir(root),
+      tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    ensureRegistered(spark, toksDir(root),
+      tableName("xjt", toksDir(root)), n, ToksBucketCols)
+    (spark.table(tableName("xjp", prefixDir(root))),
+      spark.table(tableName("xjt", toksDir(root))), n, tNum, tDen)
+  }
+
+  /** Every exact-Jaccard pair (threshold = the state's) involving the
+    * delta: delta↔state through the persisted prefix index plus
+    * delta↔delta in full. Returns (id_a, id_b, overlap, n_a, n_b) with
+    * `id_a < id_b`, integer columns only. */
+  def probe(delta: DataFrame, idCol: String, tokensCol: Column,
+            root: String): DataFrame = {
+    val spark = delta.sparkSession
+    val (pref, stToks, _, tNum, tDen) = load(spark, root)
+    val dd = Dedup.exactJaccardPairs(delta, idCol, tokensCol, tNum, tDen)
+    val base = delta.select(col(idCol).as("id"),
+      array_distinct(tokensCol).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val dToks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
+      explode(col("ts")).as("tok"))
+    // candidates: state PREFIX rows ⋈ delta FULL token rows on tok —
+    // only the delta side shuffles (tok-bucketed state), size filter
+    // cross-multiplied in exact integers
+    val cand = pref.withColumnsRenamed(Map("id" -> "id_s", "n" -> "n_s"))
+      .join(dToks.withColumnsRenamed(Map("id" -> "id_d", "n" -> "n_d")), "tok")
+      .filter(col("n_d") * tDen >= col("n_s") * tNum &&
+        col("n_s") * tDen >= col("n_d") * tNum)
+      .select("id_s", "id_d", "n_s", "n_d").distinct()
+    // verify: overlap counted from token rows — delta side re-exploded,
+    // state side read from the id-bucketed table (no state exchange)
+    val verified = cand
+      .join(dToks.select(col("id").as("id_d"), col("tok")), "id_d")
+      .join(stToks.select(col("id").as("id_s"), col("tok")), Seq("id_s", "tok"))
+      .groupBy("id_s", "id_d", "n_s", "n_d")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * tDen >=
+        (col("n_s") + col("n_d") - col("overlap")) * tNum)
+    val cross = verified.select(
+      least(col("id_s"), col("id_d")).as("id_a"),
+      greatest(col("id_s"), col("id_d")).as("id_b"),
+      col("overlap"),
+      when(col("id_s") < col("id_d"), col("n_s")).otherwise(col("n_d")).as("n_a"),
+      when(col("id_s") < col("id_d"), col("n_d")).otherwise(col("n_s")).as("n_b"))
+    dd.unionByName(cross.select("id_a", "id_b", "overlap", "n_a", "n_b"))
+  }
+
+  /** Extend the state with the delta's token and prefix rows (ranked by
+    * the DELTA's own rarity order — lossless, see object doc). EACH
+    * table independently skips docs whose ids it already holds (an
+    * id-keyed anti-join against the bucketed table — no state-side
+    * exchange), so any re-run after any crash point is exactly-once per
+    * table: a crash between the two appends leaves docs verifiable but
+    * not yet probe-discoverable (missed pairs until the re-run — the
+    * fail-safe direction), and the re-run lands only the missing
+    * prefixes, never a second copy of the token rows. */
+  def append(delta: DataFrame, idCol: String, tokensCol: Column,
+             root: String): Unit = {
+    val spark = delta.sparkSession
+    val (pref0, stToks, n, tNum, tDen) = load(spark, root)
+    val freshT = delta.join(stToks.select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    appendBucketed(
+      tokenTables(freshT, idCol, tokensCol, tNum, tDen)._1,
+      toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
+    val freshP = delta.join(pref0.select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    appendBucketed(
+      tokenTables(freshP, idCol, tokensCol, tNum, tDen)._2,
+      prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+  }
+}

@@ -90,17 +90,16 @@ object LlmQueries {
       dir
     })
 
-  /** The exact set-similarity pair pipeline of q129: 3-shingle token
-    * sets over `documents`, all pairs with Jaccard ≥ 1/2 via
-    * [[Dedup.exactJaccardPairs]]'s lossless size+rarity-prefix chain. */
-  private def exactPairsFrame(s: SparkSession, dir: String): DataFrame = {
-    // 3-shingles via zip_with over three slices — NOT
-    // `transform(sequence(1, n-2), i -> element_at(ws, i)…)`: the
-    // ordinal-indexed lambda evaluates ~10× slower (measured 6.5 s vs
-    // 0.65 s for this corpus' tokenize pass at sf0.1; element_at's
-    // per-call ordinal checks dominate), and this pass used to run once
-    // per consumer of the token frame
-    val d = table(s, dir, "documents")
+  /** (doc_id, toks) — each document's word 3-shingle array, the shared
+    * tokenization of the exact set-similarity queries (q129/q130/q134).
+    * 3-shingles via zip_with over three slices — NOT
+    * `transform(sequence(1, n-2), i -> element_at(ws, i)…)`: the
+    * ordinal-indexed lambda evaluates ~10× slower (measured 6.5 s vs
+    * 0.65 s for this corpus' tokenize pass at sf0.1; element_at's
+    * per-call ordinal checks dominate), and this pass runs once per
+    * consumer of the token frame. */
+  private def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -108,8 +107,12 @@ object LlmQueries {
         "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
           "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
           "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
-    Dedup.exactJaccardPairs(d, "doc_id", col("toks"), 1L, 2L)
-  }
+
+  /** The exact set-similarity pair pipeline of q129: 3-shingle token
+    * sets over `documents`, all pairs with Jaccard ≥ 1/2 via
+    * [[Dedup.exactJaccardPairs]]'s lossless size+rarity-prefix chain. */
+  private def exactPairsFrame(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(shingleDocs(s, dir), "doc_id", col("toks"), 1L, 2L)
 
   /** Match-pair frame SHARED by q129 (the pair report) and q130 (entity
     * resolution): materialized ONCE per (JVM, sf-dir) as a lake-side
@@ -2037,6 +2040,26 @@ object LlmQueries {
     // shingle-join Jaccard.
     "q129_exact_jaccard" -> ((s, dir) =>
       exactPairsFrame(s, dir).orderBy("id_a", "id_b")),
+
+    // Incremental exact set-similarity (VERDICT r12 #3, the q67/q68
+    // pattern): the EVEN documents' rarity-prefix and token tables are
+    // persisted ONCE as tok-/id-bucketed state; the odd-doc delta then
+    // probes them — state prefixes ⋈ delta FULL tokens (lossless under
+    // any rarity-order drift, see ExactJoinState) — and pairs up within
+    // itself. Output = every Jaccard ≥ 1/2 pair involving a delta doc;
+    // the oracle replays the full quadratic chain filtered to pairs
+    // touching an odd id.
+    "q134_delta_exact_jaccard" -> ((s, dir) => {
+      val sh = shingleDocs(s, dir)
+      val root = cachedFixture("q134", dir) { r =>
+        graft.ops.ExactJoinState.build(
+          sh.filter(col("doc_id") % 2 === 0), "doc_id", col("toks"),
+          1L, 2L, r)
+      }
+      graft.ops.ExactJoinState.probe(
+        sh.filter(col("doc_id") % 2 === 1), "doc_id", col("toks"), root)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Time-series densify + forward fill: each user's daily event-count
     // series resampled to a gap-free calendar over the user's own
@@ -4655,6 +4678,30 @@ object LlmQueries {
         |FROM ov JOIN sz sa ON sa.doc_id = id_a
         |        JOIN sz sb ON sb.doc_id = id_b
         |WHERE o * 2 >= (sa.n + sb.n - o)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q129 chain, filtered to pairs involving a DELTA (odd) doc —
+    // the persisted prefix state changes where the corpus side is read
+    // from, never which pairs come back
+    "q134_delta_exact_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |       FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |FROM ov JOIN sz sa ON sa.doc_id = id_a
+        |        JOIN sz sb ON sb.doc_id = id_b
+        |WHERE o * 2 >= (sa.n + sb.n - o)
+        |  AND (id_a % 2 = 1 OR id_b % 2 = 1)
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q131_densify_ffill" ->

@@ -661,4 +661,57 @@ class CurateStateSpec extends SparkSpec {
     assert(got == want, s"incremental ($got) != batch ($want)")
     full.release()
   }
+
+  test("exact-join state: pairs(state) \u222a probe(delta) == full recompute of the union") {
+    import graft.ops.{Dedup, ExactJoinState}
+    val root = java.nio.file.Files.createTempDirectory("graft-xjs-").toString
+    // token-set families straddling the state/delta split: (1,2) inside
+    // the state, (2,11) and (11,13) across it, (11,15) inside the delta,
+    // plus boilerplate-heavy non-pairs
+    def row(id: Long, toks: Seq[String]) = (id, toks)
+    val all = Seq(
+      row(2L,  Seq("a", "b", "c", "d")),
+      row(4L,  Seq("a", "b", "c", "e")),          // J(2,4)=3/5 state pair
+      row(6L,  Seq("x", "y", "z")),
+      row(8L,  Seq("p", "q", "r", "s", "t")),
+      row(11L, Seq("a", "b", "c", "d", "f")),     // J(2,11)=4/5 cross pair
+      row(13L, Seq("a", "b", "c", "d", "f", "g")),// J(11,13)=5/6 delta pair
+      row(15L, Seq("x", "y", "z", "w")),          // J(6,15)=3/4 cross pair
+      row(17L, Seq("m", "n"))
+    ).toDF("doc_id", "toks")
+    val state = all.filter(col("doc_id") % 2 === 0)
+    val delta = all.filter(col("doc_id") % 2 === 1)
+    ExactJoinState.build(state, "doc_id", col("toks"), 1L, 2L, root, buckets = 4)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "overlap", "n_a", "n_b")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val full = norm(Dedup.exactJaccardPairs(all, "doc_id", col("toks"), 1L, 2L))
+    val statePairs = norm(Dedup.exactJaccardPairs(state, "doc_id", col("toks"), 1L, 2L))
+    val probed = norm(ExactJoinState.probe(delta, "doc_id", col("toks"), root))
+    assert((statePairs ++ probed).sorted == full,
+      s"state ($statePairs) \u222a probe ($probed) != full ($full)")
+    // the probe must include cross pairs in BOTH directions of rarity
+    // drift and the delta-internal pair
+    assert(probed.map(p => (p._1, p._2)).toSet ==
+      full.map(p => (p._1, p._2)).toSet -- statePairs.map(p => (p._1, p._2)))
+
+    // day 2: append the delta, probe a second delta; equality holds over
+    // the grown union (state \u222a delta now persisted)
+    ExactJoinState.append(delta, "doc_id", col("toks"), root)
+    val delta2 = Seq(
+      row(21L, Seq("a", "b", "c", "d", "f", "h")), // pairs with 13 (J=5/7? no: overlap 5, union 7) and 11
+      row(23L, Seq("p", "q", "r", "s", "t", "u"))  // J(8,23)=5/6 cross to ORIGINAL state
+    ).toDF("doc_id", "toks")
+    val all2 = all.unionByName(delta2)
+    val full2 = norm(Dedup.exactJaccardPairs(all2, "doc_id", col("toks"), 1L, 2L))
+    val probed2 = norm(ExactJoinState.probe(delta2, "doc_id", col("toks"), root))
+    assert((full ++ probed2).sorted == full2,
+      s"after append: union pairs ($full) \u222a probe2 ($probed2) != full2 ($full2)")
+
+    // append is idempotent: re-appending the same delta is a no-op
+    ExactJoinState.append(delta, "doc_id", col("toks"), root)
+    val probed2b = norm(ExactJoinState.probe(delta2, "doc_id", col("toks"), root))
+    assert(probed2b == probed2, "re-append double-counted token rows")
+  }
 }
