@@ -121,6 +121,18 @@ object Curate {
       // collapses (and span dedup, when both are on): whole-doc drop of
       // later-id docs sharing sampled span fingerprints with a keeper
       winnowFilter: Option[Winnow] = None,
+      // opt-in entity resolution (stage 3.9): the matcher proposes match
+      // pairs (id_a, id_b) over the collapse survivors — edit-distance
+      // join, exact Jaccard, LSH+confirm, whatever fits the corpus —
+      // and the transitive closure keeps each cluster's min-id member
+      // (the recipe's survivor policy). Fixpoint note: the property is
+      // preserved for PAIRWISE-CORPUS-INDEPENDENT matchers (a pair's
+      // verdict depends only on the two texts — exactJaccardPairs,
+      // editSelfJoin): survivors are cluster minima, and any pair among
+      // minima would have merged their clusters in the previous run. A
+      // corpus-dependent matcher (rarity-weighted) is the documented
+      // fourth exception.
+      entityMatcher: Option[(DataFrame, String, String) => DataFrame] = None,
       // opt-in per-group relative quality cut: (groupCol, keepFrac) keeps
       // the top fraction of each group by qualityScore — corpus-dependent
       // like the temperature stage (re-curating with it on keeps shaving
@@ -246,8 +258,21 @@ object Curate {
       case None => spanned
     }
 
+    // 3.9 (opt-in) entity resolution: matcher pairs → transitive
+    // closure → min-id survivor per cluster. Runs after the content
+    // collapses so the matcher prices the deduped corpus, before
+    // quality so a cluster's survivor is judged once.
+    val resolved = cfg.entityMatcher match {
+      case Some(matcher) =>
+        val pairs = matcher(winnowed, idCol, textCol).select("id_a", "id_b")
+        Dedup.entityIds(winnowed, idCol, pairs)
+          .filter(col("entity_id") === col(idCol))
+          .drop("entity_id")
+      case None => winnowed
+    }
+
     // 4. quality floor
-    val qualityAbs = winnowed
+    val qualityAbs = resolved
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
 
     // 4.25 (opt-in) per-group relative quality cut: top keepFrac of each
@@ -333,6 +358,7 @@ object Curate {
           "near_dup" -> nearDeduped,
           "span_empty" -> spanned,
           "winnow_borrow" -> winnowed,
+          "entity_dup" -> resolved,
           "quality_floor" -> qualityAbs,
           "quality_quantile" -> qualityBase,
           "bigram_lm" -> quality,

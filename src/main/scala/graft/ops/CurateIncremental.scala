@@ -578,6 +578,10 @@ object CurateIncremental {
             autoCompact: Option[Int] = None): Curate.Result = {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
+    require(cfg.entityMatcher.isEmpty,
+      "entity resolution is corpus-global (a delta-only matcher would " +
+        "miss state↔delta matches) — run it in the periodic full " +
+        "re-curate, or probe ExactJoinState for the cross pairs")
     val spark = delta.sparkSession
     val st = loadState(spark, root)
     require(st.embeddings.isEmpty || deltaVecs.nonEmpty,

@@ -1492,6 +1492,44 @@ object LlmQueries {
       r.audit.get.orderBy("doc_id")
     }),
 
+    // Entity resolution as a CURATE STAGE (VERDICT r12 #4): the corpus
+    // plants exact re-keys (%5, die at exact_dup) and appended-alias
+    // variants (%7 — same text + 3 trailing tokens: exact fingerprints
+    // differ, 3-shingle Jaccard ≥ 1/2 for docs of ≥ 5 words), the
+    // matcher is the exact set-similarity join, and the audit must
+    // label every doc with the stage that dropped it — entity_dup for
+    // cluster non-minima, in precedence between exact_dup and
+    // quality_floor. Near-dup off (2.0) and a no-match benchmark keep
+    // every remaining label DuckDB-replayable; the closure replays as
+    // recursive SQL.
+    "q135_entity_stage" -> ((s, dir) => {
+      import s.implicits._
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" alias postscript marker")).as("text"))
+      val corpus = base.unionByName(copies).unionByName(variants)
+      val bench = Seq((900000L,
+        "benchmark holdout phrase matching nothing in this corpus"))
+        .toDF("doc_id", "text")
+      val matcher = (df: DataFrame, idCol: String, textCol: String) => {
+        val sh = df.filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .withColumn("toks", expr(
+            "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
+              "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
+              "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
+        Dedup.exactJaccardPairs(sh, idCol, col("toks"), 1L, 2L)
+      }
+      val r = Curate.curate(corpus, bench, "doc_id", "text",
+        Curate.Config(nearDupThreshold = 2.0, audit = true,
+          entityMatcher = Some(matcher)))
+      r.audit.get.orderBy("doc_id")
+    }),
+
     // The Misra-Gries heavy-hitters Aggregator through the oracle gate:
     // with capacity ≥ the distinct vocabulary, reduce never decrements
     // and merge never truncates, so the sketch's counts are EXACT
@@ -4082,6 +4120,83 @@ object LlmQueries {
         |              THEN 'contaminated'
         |         ELSE 'survived' END AS stage
         |  FROM blk b LEFT JOIN q ON q.doc_id = b.doc_id)
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
+
+    // the q100 label chain plus the entity stage: exact keeper groups,
+    // then 3-shingle Jaccard >= 1/2 pairs among the exact survivors,
+    // recursive closure, min-id survivor; contamination is omitted — the
+    // benchmark phrase shares no 5-gram with the corpus by construction
+    "q135_entity_stage" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' alias postscript marker'
+        |  FROM base WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM corpus),
+        |adm AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fp),
+        |surv AS (SELECT doc_id, text FROM adm WHERE doc_id = keeper),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM surv WHERE length(trim(text)) > 0),
+        |shg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |       FROM shg a JOIN shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM ov
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE o * 2 >= (sa.n + sb.n - o)),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |rep AS (SELECT a, min(least(a, b)) AS ent FROM reach GROUP BY a),
+        |ent AS (
+        |  SELECT s.doc_id, COALESCE(rep.ent, s.doc_id) AS eid
+        |  FROM surv s LEFT JOIN rep ON rep.a = s.doc_id),
+        |esurv AS (
+        |  SELECT s.doc_id, s.text FROM surv s
+        |  JOIN ent ON ent.doc_id = s.doc_id WHERE ent.eid = s.doc_id),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(CAST((
+        |      CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+        |                AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+        |           WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+        |           ELSE 0.0 END * 0.4
+        |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+        |                  AND CAST(len(list_filter(string_split(text, ' '),
+        |                        t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+        |                      / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+        |             THEN 1.0 ELSE 0.3 END * 0.4
+        |      + CASE WHEN (CASE WHEN length(text) > 0
+        |                        THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |                        ELSE 0.0 END) <= 0.2
+        |             THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE) AS quality
+        |  FROM esurv),
+        |lab AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id != a.keeper THEN 'exact_dup'
+        |         WHEN e.eid != e.doc_id THEN 'entity_dup'
+        |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         ELSE 'survived' END AS stage
+        |  FROM adm a
+        |  LEFT JOIN ent e ON e.doc_id = a.doc_id
+        |  LEFT JOIN q ON q.doc_id = a.doc_id)
         |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
 
     // exact regime: plain GROUP BY count equals the saturated sketch
