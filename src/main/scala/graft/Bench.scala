@@ -190,12 +190,24 @@ object Bench {
     // only line can lose the window to interleaved stderr).
     spark.stop()
     val line = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    // VERDICT r12 #6: wall is host-noisy (byte-identical plans have
+    // swung ±50% round-over-round) — the FILE copy of the bench line
+    // also carries per-query shuffle-read bytes (qNN keys, captured on
+    // the warm-up pass) so a regression call can be byte-scoped from
+    // BENCH_rNN alone. Only the file grows; the PRINTED line below stays
+    // inside the harness's ~2 KB tail window.
+    val readBytes = names.flatMap { n =>
+      shuffleBytes.get(n).collect { case (true, r, _) =>
+        s""""${esc(short(n))}":$r"""
+      }
+    }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"shuffle_read":$readBytes,"sf":"${esc(sfDir)}"}"""
     // Belt-and-braces (VERDICT r11 #3): the harness extracts the line from
     // a ~2 KB output tail and sbt's [info]/[error] prefixes have defeated
     // that extractor two rounds running — so ALSO write the compact line
     // to a fixed file where no tail window or log prefix can lose it.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LINE.json"), fileLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LINE.json: ${e.getMessage}")
     }

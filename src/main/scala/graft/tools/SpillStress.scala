@@ -124,10 +124,10 @@ object SpillStress {
     // the count-filter fuzzy plan is the newest shuffle-heavy operator
     // (~300 MiB gram-join exchange at 8x — see PERF §fuzzy-join); its
     // whole exchange must spill, not OOM, under the starved pool
-    phase("q124_fuzzy_countfilter_8x") {
+    def fuzzyNames: DataFrame = {
       val base = graft.sources.Testdata.table(spark, sfDir, "supplier")
         .select("s_suppkey", "s_name")
-      val names = (0 until 8).map { k =>
+      (0 until 8).map { k =>
         if (k == 0) base
         else {
           val c = ('a' + (k % 26)).toChar
@@ -135,8 +135,30 @@ object SpillStress {
             concat(col("s_name"), lit(s"~$c$c")).as("s_name"))
         }
       }.reduce(_ unionByName _)
-      graft.ops.FuzzyJoin.editSelfJoin(names, "s_suppkey", "s_name",
+    }
+    phase("q124_fuzzy_countfilter_8x") {
+      graft.ops.FuzzyJoin.editSelfJoin(fuzzyNames, "s_suppkey", "s_name",
         maxDist = 1, prefixFilter = false)
+    }
+    // VERDICT r12 #8: the exact-join lanes under the same starvation.
+    // The bench-default prefix-filtered fuzzy plan…
+    phase("q124_fuzzy_prefix_8x") {
+      graft.ops.FuzzyJoin.editSelfJoin(fuzzyNames, "s_suppkey", "s_name",
+        maxDist = 1, prefixFilter = true)
+    }
+    // …and the exact set-similarity join at 4× (copies append 2 trailing
+    // tokens, so every copy family fully pairs at J ≥ 1/2 — the verify
+    // token-count exchange, the lane's biggest, is what gets starved)
+    phase("q129_exact_jaccard_4x") {
+      val c4 = corpus(spark, sfDir, math.min(4, m))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("toks", expr(
+          "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
+            "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
+            "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
+      Dedup.exactJaccardPairs(c4, "doc_id", col("toks"), 1L, 2L)
     }
     d.unpersist()
     spark.sparkContext.removeSparkListener(metrics)
