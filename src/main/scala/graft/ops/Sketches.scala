@@ -258,4 +258,65 @@ object Sketches {
     spark.catalog.refreshByPath(counters.toString)
     spark.read.parquet(counters.toString)
   }
+
+  // ------------------------------------------------------- Quantile sketch
+
+  /** Log-histogram QUANTILE sketch — the order-statistics side of the
+    * family (KMV = cardinality, Count-Min = frequency, HeavyHitters =
+    * identity). Exact per-group percentiles (q32) sort the group's whole
+    * value set; at 100 TB the scale path is a MERGEABLE fixed-resolution
+    * histogram: non-negative longs bucket by their top 4 binary digits
+    * (power-of-2 octave + 8 sub-buckets → every bucket spans ≤ 12.5% of
+    * its lower bound), per-partition bucket counts combine map-side
+    * (plain partial+final aggregation), and the whole sketch is ≤ 8·61
+    * counters per group whatever the corpus size. A rank query returns
+    * the bucket LOWER BOUND holding the ⌈q·N⌉-th value: a true value-
+    * domain lower bound L with L ≤ exact-quantile < L·9∕8 + 1 (exact for
+    * values ≤ 7, which bucket individually).
+    *
+    * Determinism: the octave is `length(bin(v)) − 1` — STRING length of
+    * the binary form, identical in Spark and DuckDB — never float
+    * `log2`, whose rounding flips `floor` at large power-of-two
+    * boundaries (log2(2⁵⁰−1) rounds to 50.0 in IEEE); the truncation is
+    * integer shifts. Every count and rank is a long, so the sketch AND
+    * its answers hash-compare cross-engine. */
+
+  /** Lower bound of `value`'s log-histogram bucket (`value` ≥ 0: the top
+    * 4 binary digits, lower bits zeroed; 0–7 pass through). DuckDB
+    * mirror: `CASE WHEN v <= 7 THEN v ELSE (v >> (length(bin(v)) - 4))
+    * << (length(bin(v)) - 4) END`. */
+  def logBucketLb(value: Column): Column = {
+    val bits = length(bin(value)) - 4
+    when(value <= 7, value).otherwise(
+      call_function("shiftleft", call_function("shiftright", value, bits), bits))
+  }
+
+  /** Per-group log-histogram: (group, lb, cnt) — the persistable,
+    * mergeable sketch rows (merge = sum counts per (group, lb)). */
+  def logHistogram(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    df.select(col(groupCol), logBucketLb(value).as("lb"))
+      .groupBy(groupCol, "lb").agg(count(lit(1)).as("cnt"))
+
+  /** Named quantile lower bounds per group from the sketch: for each
+    * (name, qNum, qDen) the bucket lower bound holding rank
+    * ⌈qNum·N∕qDen⌉ (exact integer ceil). Two group-keyed passes over the
+    * SKETCH rows (≤ 488 per group), never the corpus. */
+  def logQuantiles(df: DataFrame, groupCol: String, value: Column,
+                   quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, n, d) => n > 0 && n <= d },
+      s"quantiles must be in (0, 1]: got $quantiles")
+    val hist = logHistogram(df, groupCol, value)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy(groupCol).orderBy("lb")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(groupCol)))
+    cum.groupBy(groupCol).agg(
+      quantiles.head match { case (name, qn, qd) =>
+        min(when(col("cum") * qd >= col("total") * qn, col("lb"))).as(name)
+      },
+      quantiles.tail.map { case (name, qn, qd) =>
+        min(when(col("cum") * qd >= col("total") * qn, col("lb"))).as(name)
+      }: _*)
+  }
 }

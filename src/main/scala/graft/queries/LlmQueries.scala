@@ -1495,7 +1495,10 @@ object LlmQueries {
     // Entity resolution as a CURATE STAGE (VERDICT r12 #4): the corpus
     // plants exact re-keys (%5, die at exact_dup) and appended-alias
     // variants (%7 — same text + 3 trailing tokens: exact fingerprints
-    // differ, 3-shingle Jaccard ≥ 1/2 for docs of ≥ 5 words), the
+    // differ, 3-shingle Jaccard = n/(n+3) ≥ 2/3 for docs of ≥ 8
+    // words; the matcher threshold is 2/3, tight enough that prefixes
+    // index only a third of each doc's shingles — at 1/2 the matcher
+    // dominated the whole bench query), the
     // matcher is the exact set-similarity join, and the audit must
     // label every doc with the stage that dropped it — entity_dup for
     // cluster non-minima, in precedence between exact_dup and
@@ -1522,7 +1525,7 @@ object LlmQueries {
             "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
               "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
               "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
-        Dedup.exactJaccardPairs(sh, idCol, col("toks"), 1L, 2L)
+        Dedup.exactJaccardPairs(sh, idCol, col("toks"), 2L, 3L)
       }
       val r = Curate.curate(corpus, bench, "doc_id", "text",
         Curate.Config(nearDupThreshold = 2.0, audit = true,
@@ -2097,6 +2100,21 @@ object LlmQueries {
       graft.ops.ExactJoinState.probe(
         sh.filter(col("doc_id") % 2 === 1), "doc_id", col("toks"), root)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Mergeable log-histogram QUANTILE sketch (the order-statistics
+    // sketch completing KMV/Count-Min/heavy-hitters): per-source n_chars
+    // p50/p90/p99 lower bounds from 4-significant-binary-digit buckets —
+    // ≤ 12.5% relative resolution, counters not values on every
+    // exchange, octave from length(bin(v)) so the bucketing is integer-
+    // exact in both engines (float log2 flips floor at large power-of-2
+    // boundaries). The oracle replays the bucket/rank arithmetic.
+    "q136_quantile_sketch" -> ((s, dir) => {
+      graft.ops.Sketches.logQuantiles(
+        table(s, dir, "documents"), "source",
+        col("n_chars").cast("long"),
+        Seq(("p50_lb", 1L, 2L), ("p90_lb", 9L, 10L), ("p99_lb", 99L, 100L)))
+        .orderBy("source")
     }),
 
     // Time-series densify + forward fill: each user's daily event-count
@@ -4123,7 +4141,7 @@ object LlmQueries {
         |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
 
     // the q100 label chain plus the entity stage: exact keeper groups,
-    // then 3-shingle Jaccard >= 1/2 pairs among the exact survivors,
+    // then 3-shingle Jaccard >= 2/3 pairs among the exact survivors,
     // recursive closure, min-id survivor; contamination is omitted — the
     // benchmark phrase shares no 5-gram with the corpus by construction
     "q135_entity_stage" ->
@@ -4157,7 +4175,7 @@ object LlmQueries {
         |pairs AS (
         |  SELECT id_a, id_b FROM ov
         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE o * 2 >= (sa.n + sb.n - o)),
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach AS (
@@ -4818,6 +4836,29 @@ object LlmQueries {
         |WHERE o * 2 >= (sa.n + sb.n - o)
         |  AND (id_a % 2 = 1 OR id_b % 2 = 1)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical bucket arithmetic: bin() is unpadded in both engines,
+    // shifts and rank cross-multiplication are integer-exact
+    "q136_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars <= 7 THEN CAST(n_chars AS BIGINT)
+        |         ELSE CAST((n_chars >> (length(bin(n_chars)) - 4))
+        |              << (length(bin(n_chars)) - 4) AS BIGINT)
+        |    END AS lb
+        |  FROM documents),
+        |g AS (SELECT source, lb, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, lb, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY lb
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS total
+        |  FROM g)
+        |SELECT source,
+        |  min(CASE WHEN cum * 2 >= total * 1 THEN lb END) AS p50_lb,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_lb,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_lb
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q131_densify_ffill" ->
       """WITH daily AS (

@@ -534,6 +534,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaMerge == merged, "sketch-side merge must equal the union's sketch")
   }
 
+  test("log-histogram quantiles: bounded error, exact small values, partition-invariant") {
+    import graft.ops.Sketches
+    // skewed values across five octaves plus the exact 0..7 band
+    val vals = (0L to 7L) ++ (1L to 400L).map(i => (i * i * 37) % 50000L + 8L)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val row = Sketches.logQuantiles(df, "grp", col("v"), qs).collect()(0)
+    val sorted = vals.sorted
+    def exact(qn: Long, qd: Long): Long =
+      sorted(((qn * sorted.size + qd - 1) / qd - 1).toInt)
+    for (((name, qn, qd), i) <- qs.zipWithIndex) {
+      val lb = row.getLong(i + 1)
+      val ex = exact(qn, qd)
+      assert(lb <= ex, s"$name: lower bound $lb above exact $ex")
+      assert(ex < lb + math.max(lb / 8, 1) + 1,
+        s"$name: exact $ex outside the 12.5% band above $lb")
+    }
+    // small values bucket individually: a corpus inside 0..7 is exact
+    val tiny = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(v => ("t", v)).toDF("grp", "v")
+    val t = Sketches.logQuantiles(tiny, "grp", col("v"),
+      Seq(("p50", 1L, 2L))).collect()(0)
+    assert(t.getLong(1) == 2L)
+    // the sketch is a plain partial+final aggregation — bit-identical on
+    // any partitioning (the merge property, tested the Spark way)
+    val r1 = Sketches.logQuantiles(df.repartition(1), "grp", col("v"), qs)
+      .collect()(0).toSeq
+    val r13 = Sketches.logQuantiles(df.repartition(13), "grp", col("v"), qs)
+      .collect()(0).toSeq
+    assert(r1 == r13)
+  }
+
   test("kmv sketch state: daily folds equal the full rebuild; replaying a delta is a no-op") {
     import graft.ops.Sketches
     val root = java.nio.file.Files.createTempDirectory("graft-kmvstate-")
