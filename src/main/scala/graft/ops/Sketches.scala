@@ -234,7 +234,21 @@ object Sketches {
   def cmUpdateState(spark: org.apache.spark.sql.SparkSession, path: String,
                     delta: DataFrame, value: Column, d: Int, w: Int,
                     deltaId: String, weight: Column = lit(1L),
-                    partitions: Int = 1): DataFrame = {
+                    partitions: Int = 1): DataFrame =
+    ledgeredAdditiveFold(spark, path, deltaId,
+      cmBuild(delta, value, d, w, weight), cmMergeFrames, partitions)
+
+  /** Shared exactly-once fold for ADDITIVE sketches (Count-Min counters,
+    * quantile histograms): counters parquet + `applied.json` ledger land
+    * in a temp sibling and become visible in the same atomic swap, so a
+    * crash anywhere leaves them consistent and a replayed `deltaId` is a
+    * no-op — the discipline [[cmUpdateState]] established, now the one
+    * implementation both sketch states ride. */
+  private def ledgeredAdditiveFold(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaId: String, dSketch: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      partitions: Int): DataFrame = {
     require(!deltaId.contains("\""), s"deltaId must not contain quotes: $deltaId")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = BucketedTables.hadoopFs(spark, root)
@@ -242,10 +256,9 @@ object Sketches {
     val counters = new org.apache.hadoop.fs.Path(root, "counters")
     val applied = cmAppliedDeltas(spark, path)
     if (applied.contains(deltaId)) return spark.read.parquet(counters.toString)
-    val dSketch = cmBuild(delta, value, d, w, weight)
     val merged =
       if (fs.exists(counters))
-        cmMergeFrames(spark.read.parquet(counters.toString), dSketch)
+        merge(spark.read.parquet(counters.toString), dSketch)
       else dSketch
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -297,16 +310,35 @@ object Sketches {
     df.select(col(groupCol), logBucketLb(value).as("lb"))
       .groupBy(groupCol, "lb").agg(count(lit(1)).as("cnt"))
 
-  /** Named quantile lower bounds per group from the sketch: for each
-    * (name, qNum, qDen) the bucket lower bound holding rank
-    * ⌈qNum·N∕qDen⌉ (exact integer ceil). Two group-keyed passes over the
-    * SKETCH rows (≤ 488 per group), never the corpus. */
-  def logQuantiles(df: DataFrame, groupCol: String, value: Column,
-                   quantiles: Seq[(String, Long, Long)]): DataFrame = {
+  /** Merge two histogram-sketch frames: counts sum per (group, lb). */
+  def lhMergeFrames(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filterNot(_ == "cnt").map(col).toSeq
+    a.unionByName(b).groupBy(keys: _*).agg(sum("cnt").as("cnt"))
+  }
+
+  /** Persisted incremental face of the quantile sketch: fold `delta`'s
+    * per-group histogram into the state at `path`, AT-MOST-ONCE per
+    * `deltaId` (the [[cmUpdateState]] ledger discipline — histogram
+    * addition is not idempotent either). Daily length/latency
+    * distribution monitoring then reads yesterday's ≤ 488-counters-per-
+    * group state plus one pass over the new rows, never the history. */
+  def lhUpdateState(spark: org.apache.spark.sql.SparkSession, path: String,
+                    delta: DataFrame, groupCol: String, value: Column,
+                    deltaId: String, partitions: Int = 1): DataFrame =
+    ledgeredAdditiveFold(spark, path, deltaId,
+      logHistogram(delta, groupCol, value), lhMergeFrames, partitions)
+
+  /** Named quantile lower bounds per group from an already-built
+    * histogram frame (fresh from [[logHistogram]] or read back from the
+    * [[lhUpdateState]] state): for each (name, qNum, qDen) the bucket
+    * lower bound holding rank ⌈qNum·N∕qDen⌉ (exact integer ceil). Two
+    * group-keyed passes over the SKETCH rows (≤ 488 per group), never
+    * the corpus. */
+  def logQuantilesFromHist(hist: DataFrame, groupCol: String,
+                           quantiles: Seq[(String, Long, Long)]): DataFrame = {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, n, d) => n > 0 && n <= d },
       s"quantiles must be in (0, 1]: got $quantiles")
-    val hist = logHistogram(df, groupCol, value)
     val cum = hist
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy(groupCol).orderBy("lb")))
@@ -319,4 +351,9 @@ object Sketches {
         min(when(col("cum") * qd >= col("total") * qn, col("lb"))).as(name)
       }: _*)
   }
+
+  /** One-shot face: build the histogram and query it. */
+  def logQuantiles(df: DataFrame, groupCol: String, value: Column,
+                   quantiles: Seq[(String, Long, Long)]): DataFrame =
+    logQuantilesFromHist(logHistogram(df, groupCol, value), groupCol, quantiles)
 }

@@ -2117,6 +2117,33 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Persisted incremental face of the quantile sketch (the q67/q68
+    // state pattern, the cmUpdateState ledger): day 0 folds the EVEN
+    // docs' histogram into the state (inside the fixture), the query
+    // folds the odd-doc delta under a fresh deltaId — REPLAYING day 0's
+    // id first, which the ledger must no-op or p-values double — and
+    // answers quantiles from the persisted counters. state ∪ delta =
+    // the whole corpus, so the oracle is q136's arithmetic over ALL
+    // documents; histograms are additive, so the fold order is
+    // invisible in the answer.
+    "q137_quantile_state" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val root = cachedFixture("q137", dir) { r =>
+        Sketches.lhUpdateState(s, s"$r/lh", d.filter(col("v") % 2 === 0),
+          "source", col("v"), deltaId = "day0")
+        ()
+      }
+      Sketches.lhUpdateState(s, s"$root/lh", d.filter(col("v") % 2 === 0),
+        "source", col("v"), deltaId = "day0") // replay: must be a no-op
+      val hist = Sketches.lhUpdateState(s, s"$root/lh",
+        d.filter(col("v") % 2 === 1), "source", col("v"), deltaId = "day1")
+      Sketches.logQuantilesFromHist(hist, "source",
+        Seq(("p50_lb", 1L, 2L), ("p90_lb", 9L, 10L), ("p99_lb", 99L, 100L)))
+        .orderBy("source")
+    }),
+
     // Time-series densify + forward fill: each user's daily event-count
     // series resampled to a gap-free calendar over the user's own
     // observation span, gaps carrying the last observed value and a
@@ -4836,6 +4863,30 @@ object LlmQueries {
         |WHERE o * 2 >= (sa.n + sb.n - o)
         |  AND (id_a % 2 = 1 OR id_b % 2 = 1)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the persisted state is day0 ∪ day1 = every document, histograms
+    // are additive, and the ledger no-ops the replayed day0 — so the
+    // state's answers equal q136's one-shot arithmetic over the corpus
+    "q137_quantile_state" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars <= 7 THEN CAST(n_chars AS BIGINT)
+        |         ELSE CAST((n_chars >> (length(bin(n_chars)) - 4))
+        |              << (length(bin(n_chars)) - 4) AS BIGINT)
+        |    END AS lb
+        |  FROM documents),
+        |g AS (SELECT source, lb, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, lb, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY lb
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS total
+        |  FROM g)
+        |SELECT source,
+        |  min(CASE WHEN cum * 2 >= total * 1 THEN lb END) AS p50_lb,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_lb,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_lb
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // identical bucket arithmetic: bin() is unpadded in both engines,
     // shifts and rank cross-multiplication are integer-exact

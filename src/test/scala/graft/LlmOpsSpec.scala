@@ -565,6 +565,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1 == r13)
   }
 
+  test("quantile-histogram state: daily folds equal the full rebuild; replay is a no-op") {
+    import graft.ops.Sketches
+    val root = java.nio.file.Files.createTempDirectory("graft-lhstate-")
+    val dir = root.resolve("lh").toString
+    try {
+      val day1 = (1L to 300L).map(v => ("a", v * 13 % 4096))
+      val day2 = (1L to 200L).map(v => ("a", v * 29 % 70000)) ++
+        Seq(("b", 5L), ("b", 900L))
+      Sketches.lhUpdateState(spark, dir, day1.toDF("grp", "v"), "grp",
+        col("v"), deltaId = "d1")
+      val st = Sketches.lhUpdateState(spark, dir, day2.toDF("grp", "v"), "grp",
+        col("v"), deltaId = "d2")
+      val qs = Seq(("p50", 1L, 2L), ("p95", 19L, 20L))
+      val fromState = Sketches.logQuantilesFromHist(st, "grp", qs)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val full = Sketches.logQuantiles(
+        (day1 ++ day2).toDF("grp", "v"), "grp", col("v"), qs)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(fromState == full, s"state folds ($fromState) != rebuild ($full)")
+      // replaying an applied delta must not double any counter
+      val replayed = Sketches.lhUpdateState(spark, dir, day2.toDF("grp", "v"),
+        "grp", col("v"), deltaId = "d2")
+      val after = Sketches.logQuantilesFromHist(replayed, "grp", qs)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(after == full, "replayed delta changed the state")
+      val total = replayed.agg(sum("cnt")).head.getLong(0)
+      assert(total == day1.size + day2.size, s"counter total $total drifted")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("kmv sketch state: daily folds equal the full rebuild; replaying a delta is a no-op") {
     import graft.ops.Sketches
     val root = java.nio.file.Files.createTempDirectory("graft-kmvstate-")
