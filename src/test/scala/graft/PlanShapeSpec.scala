@@ -46,8 +46,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("aggregates are partial+final (map-side combine before the exchange)") {
-    // q65's grouping sets must also pre-combine map-side after the Expand
-    for (q <- Seq("q07_kpi_daily", "q01_agg_pricing", "q65_corpus_report"))
+    // q65's grouping sets must also pre-combine map-side after the Expand;
+    // q136's histogram build is the quantile sketch's merge property —
+    // per-partition bucket counts must combine before the exchange
+    for (q <- Seq("q07_kpi_daily", "q01_agg_pricing", "q65_corpus_report",
+        "q136_quantile_sketch"))
       assert(plan(q).contains("partial_"),
         s"$q lost map-side partial aggregation")
   }
