@@ -163,6 +163,14 @@ private[graft] object BucketedTables {
   def jsonInt(body: String, field: String): Option[Int] =
     s""""$field"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
 
+  /** Pull a long field out of a sidecar body — for values that can
+    * legitimately exceed Int.MaxValue (threshold numerators, row
+    * counts): parsing those through [[jsonInt]] crashes every LOAD with
+    * NumberFormatException after the WRITE silently succeeded
+    * (ADVICE r13). */
+  def jsonLong(body: String, field: String): Option[Long] =
+    s""""$field"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+
   /** Pull a double field out of a sidecar body (accepts integers too). */
   def jsonDouble(body: String, field: String): Option[Double] =
     s""""$field"\\s*:\\s*(-?\\d+(?:\\.\\d+)?([eE]-?\\d+)?)""".r

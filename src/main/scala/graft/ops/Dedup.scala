@@ -324,14 +324,18 @@ object Dedup {
     val edgesDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
+    // snapshot the reliable-checkpoint flag ONCE for the whole loop
+    // (ADVICE r13): a mid-loop conf flip must not mix cut mechanisms
+    // within one invocation — recoverability is all-or-nothing per job
+    val rel = Lineage.reliable(spark)
     val edgesRdd = edgesDf.rdd
-    Lineage.mark(edgesRdd, spark) // lazy mark; round 1's action materializes it
+    Lineage.mark(edgesRdd, rel) // lazy mark; round 1's action materializes it
     val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
 
     val labels0 = edges.groupBy("a").agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))
     var labelsRdd = labels0.rdd
-    Lineage.mark(labelsRdd, spark)
+    Lineage.mark(labelsRdd, rel)
     var labels = spark.createDataFrame(labelsRdd, labels0.schema)
 
     var iter = 0
@@ -352,7 +356,7 @@ object Dedup {
       val nextDf = prop.join(hop, Seq("lbl"), "left")
         .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("old")).as("chg"))
       val nextRdd = nextDf.rdd
-      Lineage.mark(nextRdd, spark)
+      Lineage.mark(nextRdd, rel)
       // the single per-round action: caches this round, counts the delta
       changed = nextRdd.filter(_.getBoolean(2)).count()
       val prev = labelsRdd

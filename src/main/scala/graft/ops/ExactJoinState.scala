@@ -57,23 +57,32 @@ object ExactJoinState {
   private val PrefixBucketCols = Seq("tok")
   private val ToksBucketCols = Seq("id")
 
-  /** (full token rows (id, n, tok), prefix rows (tok, id, n)) for
-    * `docs`, prefixes rarity-ordered (df asc, tok) within the frame. */
-  private def tokenTables(docs: DataFrame, idCol: String, tokensCol: Column,
-                          tNum: Long, tDen: Long): (DataFrame, DataFrame) = {
-    val base = docs.select(col(idCol).as("id"),
-      array_distinct(tokensCol).as("ts"))
+  /** Full token rows (id, n, tok) for `docs` — empty token sets drop. */
+  private def tokenRows(docs: DataFrame, idCol: String,
+                        tokensCol: Column): DataFrame =
+    docs.select(col(idCol).as("id"), array_distinct(tokensCol).as("ts"))
       .filter(size(col("ts")) > 0)
-    val toks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
-      explode(col("ts")).as("tok"))
+      .select(col("id"), size(col("ts")).cast("long").as("n"),
+        explode(col("ts")).as("tok"))
+
+  /** Prefix rows (tok, id, n) from a token-row frame, rarity-ordered
+    * (df asc, tok) within that frame. */
+  private def prefixOf(toks: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
     val prefLen = col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)
-    val pref = toks.join(dfTable, "tok")
+    toks.join(dfTable, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy("tdf", "tok")))
       .filter(col("rk") <= prefLen)
       .select("tok", "id", "n")
-    (toks.select("id", "n", "tok"), pref)
+  }
+
+  /** (full token rows (id, n, tok), prefix rows (tok, id, n)) for
+    * `docs`, prefixes rarity-ordered (df asc, tok) within the frame. */
+  private def tokenTables(docs: DataFrame, idCol: String, tokensCol: Column,
+                          tNum: Long, tDen: Long): (DataFrame, DataFrame) = {
+    val toks = tokenRows(docs, idCol, tokensCol)
+    (toks, prefixOf(toks, tNum, tDen))
   }
 
   /** Build the state from the current corpus (once; deltas then extend
@@ -102,9 +111,12 @@ object ExactJoinState {
       .getOrElse(sys.error(s"no exact-join state at $root"))
     val n = jsonInt(body, "buckets")
       .getOrElse(sys.error(s"exact-join meta missing buckets: $body"))
-    val tNum = jsonInt(body, "tNum").map(_.toLong)
+    // jsonLong, not jsonInt (ADVICE r13): build() writes Long threshold
+    // components — an Int-regex parse would make any tNum/tDen beyond
+    // Int.MaxValue a state every later load crashes on
+    val tNum = jsonLong(body, "tNum")
       .getOrElse(sys.error(s"exact-join meta missing tNum: $body"))
-    val tDen = jsonInt(body, "tDen").map(_.toLong)
+    val tDen = jsonLong(body, "tDen")
       .getOrElse(sys.error(s"exact-join meta missing tDen: $body"))
     ensureRegistered(spark, prefixDir(root),
       tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
@@ -167,15 +179,26 @@ object ExactJoinState {
              root: String): Unit = {
     val spark = delta.sparkSession
     val (pref0, stToks, n, tNum, tDen) = load(spark, root)
-    val freshT = delta.join(stToks.select(col("id").as(idCol)),
-      Seq(idCol), "left_anti")
-    appendBucketed(
-      tokenTables(freshT, idCol, tokensCol, tNum, tDen)._1,
-      toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
+    // ONE tokenization pass serves both appends (ADVICE r13 — the old
+    // shape recomputed the explode per table): tokens write before
+    // prefixes, so prefix-fresh ⊇ token-fresh in every reachable crash
+    // state — tokenize the prefix-fresh superset once, pin the exploded
+    // rows (delta-bounded executor storage), and each table lands its
+    // own anti-joined slice from the pin. Rarity ranks over the pinned
+    // frame's own df — the order-agnostic prefix lemma (object doc)
+    // makes any ranking basis lossless.
     val freshP = delta.join(pref0.select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
-    appendBucketed(
-      tokenTables(freshP, idCol, tokensCol, tNum, tDen)._2,
-      prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    val toksDf = tokenRows(freshP, idCol, tokensCol)
+    val toksRdd = toksDf.rdd
+    Lineage.mark(toksRdd, spark)
+    val toksPinned = spark.createDataFrame(toksRdd, toksDf.schema)
+    try {
+      appendBucketed(
+        toksPinned.join(stToks.select(col("id")).distinct(), Seq("id"), "left_anti"),
+        toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
+      appendBucketed(prefixOf(toksPinned, tNum, tDen),
+        prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    } finally { toksRdd.unpersist(blocking = false); () }
   }
 }

@@ -117,9 +117,19 @@ object FuzzyJoin {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Salt fan for the short-bucket compare: the quadratic work inside
-    * one length window spreads across this many tasks. */
-  private val ShortSalt = 32
+  /** Salt-fan cap for the short-bucket compare: the quadratic work
+    * inside one length window spreads across at most this many tasks. */
+  private val ShortSaltMax = 32L
+
+  /** Adaptive salt fan (ADVICE r13 — a fixed 32 made every tiny short
+    * bucket pay a 32× b-side replication for no skew benefit): one salt
+    * step per ~512 b-side rows in the short/mixed length range, capped.
+    * A typical prose corpus at k=1 (short = 1-char strings) gets fan 1 —
+    * no replication at all; a token-like corpus at k≥2 still spreads its
+    * irreducible quadratic across up to [[ShortSaltMax]] tasks. Costs one
+    * count job over the (map-side-filtered) b frame per [[editJoin]]. */
+  private def saltFor(nShortB: Long): Long =
+    math.min(ShortSaltMax, math.max(1L, nShortB / 512L))
 
   /** Every (a, b) row pair with `|len_a − len_b| ≤ maxDist`, met through
     * an EQUI-join: side a explodes its 2k+1 admissible partner lengths
@@ -130,13 +140,13 @@ object FuzzyJoin {
     * corpora). Shuffle rows carry (id, len, str≤shortLen chars, salt);
     * no driver-side size assumption anywhere. */
   private def lengthWindowJoin(a: DataFrame, b: DataFrame,
-                               maxDist: Int): DataFrame = {
+                               maxDist: Int, salt: Long): DataFrame = {
     val ae = a
       .withColumn("__pl", explode(sequence(
         col("len_a") - maxDist, col("len_a") + maxDist)))
-      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(ShortSalt)))
+      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt)))
     val be = b.withColumn("__salt",
-      explode(sequence(lit(0L), lit(ShortSalt - 1L))))
+      explode(sequence(lit(0L), lit(salt - 1L))))
     ae.join(be, ae("__pl") === be("len_b") && ae("__salt") === be("__salt"))
       .drop("__pl", "__salt")
   }
@@ -162,9 +172,14 @@ object FuzzyJoin {
 
     // strings whose count bound is non-positive: len + q - 1 - k*q < 1
     val shortLen = maxDist * q - q + 1
+    // one salt fan for all three length-window joins, sized from the
+    // b-side rows any of them can replicate (short + mixed range);
+    // maxDist = 0 has no short bucket at q >= 2 — skip the count job
+    val salt = if (shortLen < 1) 1L
+      else saltFor(rb.filter(col("len_b") <= shortLen + maxDist).count())
     val shortPairs = lengthWindowJoin(
       la.filter(col("len_a") <= shortLen),
-      rb.filter(col("len_b") <= shortLen), maxDist)
+      rb.filter(col("len_b") <= shortLen), maxDist, salt)
 
     val candidates =
       if (prefixFilter)
@@ -199,10 +214,10 @@ object FuzzyJoin {
     val mixedPairs = lengthWindowJoin(
       la.filter(col("len_a") <= shortLen),
       rb.filter(col("len_b") > shortLen &&
-        col("len_b") <= shortLen + maxDist), maxDist)
+        col("len_b") <= shortLen + maxDist), maxDist, salt)
       .unionByName(lengthWindowJoin(
         la.filter(col("len_a") > shortLen && col("len_a") <= shortLen + maxDist),
-        rb.filter(col("len_b") <= shortLen), maxDist))
+        rb.filter(col("len_b") <= shortLen), maxDist, salt))
 
     val confirmed = candidates
       .join(la, "id_a").join(rb, "id_b")

@@ -128,23 +128,27 @@ object Graph {
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, scale > 0")
     require(tol >= 0, s"tol must be >= 0 (got $tol)")
+    // snapshot the reliable-checkpoint flag ONCE for the whole loop
+    // (ADVICE r13): a mid-loop conf flip must not mix cut mechanisms
+    // within one invocation — recoverability is all-or-nothing per job
+    val rel = Lineage.reliable(edges.sparkSession)
     val e = Lineage.cut(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct())
+      col(dstCol).cast("long").as("dst")).distinct(), rel)
     val nodes = Lineage.cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct())
+      .distinct(), rel)
     val n = nodes.count()
     if (n == 0) return (nodes.withColumn("pr", lit(0L)), 0)
     val init = scale / n
     val base = (init * (dampDen - dampNum)) / dampDen
-    val outdeg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val outdeg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")), rel)
     // the dangling node SET is static (no out-edges ever); only its mass
     // changes per iteration — compute the set once, cut it, and each
     // round pays one bounded semi-join + 1-row aggregate
     val dangling =
       if (redistributeDangling)
         Some(Lineage.cut(nodes.join(
-          outdeg.select(col("src").as("node")), Seq("node"), "left_anti")))
+          outdeg.select(col("src").as("node")), Seq("node"), "left_anti"), rel))
       else None
     var pr = nodes.withColumn("pr", lit(init))
     var iter = 0
@@ -166,7 +170,7 @@ object Graph {
         .select(col("node"),
           (lit(base) +
             expr(s"($dampNum * (coalesce(s, 0L) + $share)) div $dampDen"))
-            .as("pr")))
+            .as("pr")), rel)
       if (tol > 0) {
         // exact-integer L1 delta over the two cut frames (both sides are
         // materialized blocks, the join is node-keyed longs only)

@@ -51,7 +51,16 @@ object Lineage {
 
   /** EAGER DataFrame cut: materializes now, returns the cut frame. */
   def cut(df: DataFrame): DataFrame =
-    if (reliable(df.sparkSession)) df.checkpoint(eager = true)
+    cut(df, reliable(df.sparkSession))
+
+  /** [[cut]] with the reliable flag PRE-RESOLVED — iterative operators
+    * snapshot the conf once per invocation and pass it into their loop
+    * (ADVICE r13): re-reading the session conf per cut lets a mid-job
+    * flip of `spark.graft.checkpoint.reliable` mix local and reliable
+    * cuts within one job, making the recoverability the flag promises
+    * only partial. Results are bit-identical either way. */
+  def cut(df: DataFrame, reliableResolved: Boolean): DataFrame =
+    if (reliableResolved) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
   /** LAZY RDD mark (the componentsWithRounds discipline): the caller's
@@ -60,7 +69,12 @@ object Lineage {
     * BEFORE the checkpoint mark so the materializing action doesn't pay
     * a second recompute for the checkpoint write. */
   def mark(rdd: RDD[_], spark: SparkSession): Unit =
-    if (reliable(spark)) {
+    mark(rdd, reliable(spark))
+
+  /** [[mark]] with the reliable flag pre-resolved (see the two-arg
+    * [[cut]] for why loops snapshot it once). */
+  def mark(rdd: RDD[_], reliableResolved: Boolean): Unit =
+    if (reliableResolved) {
       rdd.persist(StorageLevel.MEMORY_AND_DISK)
       rdd.checkpoint()
     } else {

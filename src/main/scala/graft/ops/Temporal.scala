@@ -100,7 +100,16 @@ object Temporal {
     * then ONE key-shuffle drives the presence left-join, the run window
     * and the final collapse. `version` is renumbered densely per key
     * (1-based by `valid_from`) over the collapsed run frame — absent
-    * runs are dropped, not numbered. */
+    * runs are dropped, not numbered.
+    *
+    * Precondition (same as [[scd2]]'s): at most one row per (key, date).
+    * Duplicate snapshot rows for a key/date would fan out through the
+    * calendar-grid left join — inflating `nb_snapshots` and making the
+    * run splitting / `first(attr)` nondeterministic when the duplicates
+    * disagree — so pre-aggregate multi-row snapshots first (the q133
+    * caller's `groupBy(key, date)` shape). Not checked here: the
+    * defensive dropDuplicates would add a (key, date) exchange every
+    * caller with clean input pays for nothing. */
   def scd2WithDeletions(snapshots: DataFrame, keyCols: Seq[String],
                         attrCols: Seq[String], dateCol: String): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty)
