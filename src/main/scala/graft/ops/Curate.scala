@@ -81,6 +81,19 @@ object Curate {
   case class Winnow(k: Int = 5, w: Int = 4, minShared: Int = 2,
                     maxDf: Int = 10)
 
+  /** Knobs of the EXACT-JACCARD entity matcher — the special case of
+    * [[Config.entityMatcher]] the INCREMENTAL pipeline can run (VERDICT
+    * r13 #1): pairs are [[Dedup.exactJaccardPairs]] over
+    * `tokens(textCol)` at threshold `tNum/tDen`, and because the pair
+    * predicate is token-set-local, [[ExactJoinState]] can persist the
+    * corpus's prefix/token index and a daily delta probes it for every
+    * state↔delta match a delta-only matcher would miss. `tokens` maps
+    * the text column to a token-array Column (e.g. word 3-shingles);
+    * docs with no tokens never pair. The threshold is PINNED in the
+    * persisted state's sidecar at bootstrap — later runs must pass the
+    * same values or the state probe and the batch matcher drift. */
+  case class EntityExact(tokens: Column => Column, tNum: Long, tDen: Long)
+
   case class Config(
       nearDupThreshold: Double = 0.5,
       shingleN: Int = 3,
@@ -133,6 +146,12 @@ object Curate {
       // corpus-dependent matcher (rarity-weighted) is the documented
       // fourth exception.
       entityMatcher: Option[(DataFrame, String, String) => DataFrame] = None,
+      // opt-in exact-Jaccard entity resolution — the entityMatcher
+      // special case the incremental pipeline supports (see
+      // [[EntityExact]]); mutually exclusive with entityMatcher. Runs
+      // as the same stage 3.9 with the same survivor policy, and is
+      // pairwise-corpus-independent, so the fixpoint property holds.
+      entityExact: Option[EntityExact] = None,
       // opt-in per-group relative quality cut: (groupCol, keepFrac) keeps
       // the top fraction of each group by qualityScore — corpus-dependent
       // like the temperature stage (re-curating with it on keeps shaving
@@ -164,6 +183,9 @@ object Curate {
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String,
              cfg: Config = Config()): Result = {
+    require(cfg.entityMatcher.isEmpty || cfg.entityExact.isEmpty,
+      "entityMatcher and entityExact are mutually exclusive — entityExact " +
+        "IS an entity matcher (the incremental-capable exact-Jaccard one)")
     // 0. boilerplate removal (opt-in): corpus-frequent lines stripped
     // before any hashing; docs reduced to nothing are dropped
     val docs0 = cfg.boilerplateMaxDocs match {
@@ -268,7 +290,11 @@ object Curate {
     // without the pin every downstream consumer (quality, decontam, the
     // audit's per-stage id frames) re-ran it — measured 13.5 s → ~6 s
     // on the q135 bench fixture at sf0.1.
-    val resolved = cfg.entityMatcher match {
+    val effectiveMatcher: Option[(DataFrame, String, String) => DataFrame] =
+      cfg.entityMatcher.orElse(cfg.entityExact.map(ee =>
+        (df: DataFrame, ic: String, tc: String) =>
+          Dedup.exactJaccardPairs(df, ic, ee.tokens(col(tc)), ee.tNum, ee.tDen)))
+    val resolved = effectiveMatcher match {
       case Some(matcher) =>
         val pairs = matcher(winnowed, idCol, textCol).select("id_a", "id_b")
         val res = Dedup.entityIds(winnowed, idCol, pairs)
@@ -404,7 +430,7 @@ object Curate {
     Result(emitted, stats,
       () => {
         clean.unpersist()
-        if (cfg.entityMatcher.nonEmpty) { resolved.unpersist(); () }
+        if (effectiveMatcher.nonEmpty) { resolved.unpersist(); () }
         auditRelease()
       }, auditFrame)
   }

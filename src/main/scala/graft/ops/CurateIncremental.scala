@@ -66,7 +66,12 @@ object CurateIncremental {
   case class State(corpus: DataFrame, fingerprints: DataFrame, bandKeys: DataFrame,
                    embeddings: Option[DataFrame] = None,
                    srpBuckets: Option[DataFrame] = None,
-                   winnowFps: Option[DataFrame] = None)
+                   winnowFps: Option[DataFrame] = None,
+                   // root passed to [[ExactJoinState]] when the state
+                   // carries the exact-Jaccard entity index (VERDICT r13
+                   // #1) — present iff the state was written with
+                   // cfg.entityExact; set by [[loadState]]
+                   exactRoot: Option[String] = None)
 
   /** Knobs of the incremental embedding near-dup stage — mirrors the
     * arguments of [[Similarity.embeddingNearDupsQuantized]], whose exact
@@ -135,6 +140,11 @@ object CurateIncremental {
       srpBuckets = Some(srpSketchTable(embs, idCol, vecCol, ecfg)))
 
   private def stateDir(root: String) = s"$root/curate_state"
+  // ExactJoinState roots itself at `<x>/exact_state`; passing the state
+  // dir nests the entity index beside the other state tables
+  private def exactStateRoot(root: String) = stateDir(root)
+  private def hasExactState(spark: SparkSession, root: String): Boolean =
+    ExactJoinState.exists(spark, exactStateRoot(root))
   private def corpusDir(root: String) = s"${stateDir(root)}/corpus"
   private def fpsDir(root: String) = s"${stateDir(root)}/fingerprints"
   private def bksDir(root: String) = s"${stateDir(root)}/band_keys"
@@ -234,6 +244,7 @@ object CurateIncremental {
     // was written with them
     val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
     val hasWnf = hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root)))
+    val xRoot = if (hasExactState(spark, root)) Some(exactStateRoot(root)) else None
     readMeta(spark, root) match {
       case Some(n) =>
         ensureRegistered(spark, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
@@ -248,7 +259,8 @@ object CurateIncremental {
           spark.table(tableName("bks", bksDir(root))),
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
           if (hasEmb) Some(spark.table(tableName("srp", srpDir(root)))) else None,
-          if (hasWnf) Some(spark.table(tableName("wnf", wnfDir(root)))) else None)
+          if (hasWnf) Some(spark.table(tableName("wnf", wnfDir(root)))) else None,
+          xRoot)
       case None =>
         State(
           spark.read.parquet(corpusDir(root)),
@@ -256,7 +268,8 @@ object CurateIncremental {
           spark.read.parquet(bksDir(root)),
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
           if (hasEmb) Some(spark.read.parquet(srpDir(root))) else None,
-          if (hasWnf) Some(spark.read.parquet(wnfDir(root))) else None)
+          if (hasWnf) Some(spark.read.parquet(wnfDir(root))) else None,
+          xRoot)
     }
   }
 
@@ -287,12 +300,22 @@ object CurateIncremental {
     require(!hasWnf || cfg.winnowFilter.nonEmpty,
       "state carries a winnow-fingerprint table — appendState needs " +
         "cfg.winnowFilter to keep it in sync")
+    val hasXj = hasExactState(spark, root)
+    require(!hasXj || cfg.entityExact.nonEmpty,
+      "state carries an exact-join entity index — appendState needs " +
+        "cfg.entityExact to keep it in sync")
     pinned(survivors.select(col(idCol), col(textCol))) { slim =>
       val fps = fingerprintTable(slim, idCol, textCol)
       val bks = Dedup.lshBandKeys(slim, idCol, textCol,
         cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
       val wnf = cfg.winnowFilter.map(wf =>
         Dedup.winnowTable(slim, idCol, textCol, wf.k, wf.w))
+      // exact-join entity index rides with the other INDEX appends
+      // (before the corpus write — over-drop, never re-admit); its own
+      // append is per-table idempotent, so a crashed day replays clean
+      if (hasXj) for (ee <- cfg.entityExact)
+        ExactJoinState.append(slim, idCol, ee.tokens(col(textCol)),
+          exactStateRoot(root))
       buckets match {
         case Some(n) =>
           appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
@@ -407,6 +430,8 @@ object CurateIncremental {
     sweepBucketed(bksDir(root), "bks", BksBucketCols)
     if (hasEmb) sweepBucketed(srpDir(root), "srp", SrpBucketCols)
     if (hasWnf) sweepBucketed(wnfDir(root), "wnf", WnfBucketCols)
+    if (hasExactState(spark, root))
+      ExactJoinState.remove(del, exactStateRoot(root))
     del.unpersist()
     removed
   }
@@ -442,6 +467,8 @@ object CurateIncremental {
     if (hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root))))
       writeBucketedSnapshot(spark.read.parquet(wnfDir(root)), wnfDir(root),
         tableName("wnf", wnfDir(root)), n, WnfBucketCols)
+    if (hasExactState(spark, root))
+      ExactJoinState.compact(spark, exactStateRoot(root))
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
@@ -456,7 +483,9 @@ object CurateIncremental {
       case Some(n) =>
         val counts = Seq(fpsDir(root), bksDir(root), srpDir(root), wnfDir(root))
           .map(d => partFileCount(spark, d)).filter(_ > 0)
-        if (counts.isEmpty) 0.0 else counts.max.toDouble / n
+        val own = if (counts.isEmpty) 0.0 else counts.max.toDouble / n
+        math.max(own,
+          ExactJoinState.filesPerBucket(spark, exactStateRoot(root)))
     }
 
   /** Opt-in hands-off compaction: run [[compactState]] when the WORST
@@ -492,13 +521,21 @@ object CurateIncremental {
       for (d <- Seq(corpusDir(root), fpsDir(root), bksDir(root),
                     embDir(root), srpDir(root), wnfDir(root)))
         recoverSwap(fs, new Path(d))
-      val stray = fs.listStatus(sd).map(_.getPath).filter { p =>
-        val n = p.getName
-        n.contains(".tmp-") ||
-          (n.endsWith(".old") && fs.exists(new Path(sd, n.stripSuffix(".old"))))
-      }
+      if (hasExactState(spark, root))
+        ExactJoinState.recover(spark, exactStateRoot(root))
+      // exact_state nests its tables one level down — sweep that dir's
+      // crash residue with the same rules
+      def strayIn(dir: Path): Seq[Path] =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).map(_.getPath).filter { p =>
+          val n = p.getName
+          n.contains(".tmp-") ||
+            (n.endsWith(".old") && fs.exists(new Path(dir, n.stripSuffix(".old"))))
+        }.toSeq
+      val stray = strayIn(sd) ++
+        strayIn(new Path(s"${exactStateRoot(root)}/exact_state"))
       stray.foreach(fs.delete(_, true))
-      stray.map(_.toString).toSeq
+      stray.map(_.toString)
     }
   }
 
@@ -522,8 +559,18 @@ object CurateIncremental {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
     val r = Curate.curate(docs, benchmark, idCol, textCol, cfg)
+    // exact-Jaccard entity index (VERDICT r13 #1): built from the FINAL
+    // survivors, like every other state table — the daily delta probes
+    // it for state↔delta entity pairs. Index-first write order is moot
+    // at bootstrap (no prior state), but build() snapshot-writes, so a
+    // crashed bootstrap simply re-runs.
+    def buildExact(corpus: DataFrame): Unit =
+      for (ee <- cfg.entityExact)
+        ExactJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
+          ee.tokens(col(textCol)), ee.tNum, ee.tDen, exactStateRoot(root))
     vecs match {
       case None =>
+        buildExact(r.corpus)
         saveState(buildState(r.corpus.select(col(idCol), col(textCol)),
           idCol, textCol, cfg), root)
         r
@@ -543,6 +590,7 @@ object CurateIncremental {
         val rdd = corpus.rdd
         Lineage.mark(rdd, docs.sparkSession); rdd.count()
         val pinnedCorpus = docs.sparkSession.createDataFrame(rdd, corpus.schema)
+        buildExact(pinnedCorpus)
         saveState(
           withEmbeddings(
             buildState(pinnedCorpus.select(col(idCol), col(textCol)), idCol, textCol, cfg),
@@ -579,9 +627,10 @@ object CurateIncremental {
     require(cfg.chunk.isEmpty,
       "state must be document-level — chunk downstream of curation")
     require(cfg.entityMatcher.isEmpty,
-      "entity resolution is corpus-global (a delta-only matcher would " +
-        "miss state↔delta matches) — run it in the periodic full " +
-        "re-curate, or probe ExactJoinState for the cross pairs")
+      "a GENERIC entityMatcher is corpus-global (a delta-only matcher " +
+        "would miss state↔delta matches) — use cfg.entityExact (its " +
+        "persisted ExactJoinState probe finds every cross pair) or run " +
+        "the matcher in the periodic full re-curate")
     val spark = delta.sparkSession
     val st = loadState(spark, root)
     require(st.embeddings.isEmpty || deltaVecs.nonEmpty,
@@ -589,7 +638,24 @@ object CurateIncremental {
     require(st.winnowFps.isEmpty || cfg.winnowFilter.nonEmpty,
       "state carries a winnow-fingerprint table — daily needs " +
         "cfg.winnowFilter to keep it in sync")
+    require(st.exactRoot.isEmpty || cfg.entityExact.nonEmpty,
+      "state carries an exact-join entity index — daily needs " +
+        "cfg.entityExact to keep it in sync")
     val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
+
+    // pin the audit (when requested) BEFORE any state append: its id
+    // frames' lineage reads the very dirs the appends mutate — an
+    // unpinned audit read by the caller after the appends would relabel
+    // every doc against the half-updated state
+    def pinAudit(a: Option[DataFrame]): (Option[DataFrame], () => Unit) =
+      a match {
+        case None => (None, () => ())
+        case Some(f) =>
+          val aRdd = f.rdd
+          Lineage.mark(aRdd, spark); aRdd.count()
+          (Some(spark.createDataFrame(aRdd, f.schema)),
+            () => { aRdd.unpersist(blocking = false); () })
+      }
 
     (st.embeddings, deltaVecs) match {
       case (Some(_), Some(dv)) =>
@@ -611,6 +677,16 @@ object CurateIncremental {
         val rdd = corpus0.rdd
         Lineage.mark(rdd, spark); rdd.count()
         val corpus = spark.createDataFrame(rdd, corpus0.schema)
+        // the embedding stage drops docs the curateDelta audit saw as
+        // survivors — relabel them before the pin
+        val (audit, auditRel) = pinAudit(r.audit.map { a =>
+          a.join(pinnedEmb.select(col(idCol)).withColumn("__fin", lit(true)),
+              Seq(idCol), "left")
+            .withColumn("stage",
+              when(col("stage") === "survived" && col("__fin").isNull,
+                lit("embedding_dup")).otherwise(col("stage")))
+            .drop("__fin")
+        })
         // embedding tables first, text corpus last — the corpus append
         // stays the overall serving marker (see [[appendEmbedState]])
         appendEmbedState(pinnedEmb, idCol, vecCol, root, ecfg)
@@ -618,9 +694,10 @@ object CurateIncremental {
         autoCompact.foreach(t => maybeCompactState(spark, root, t))
         Curate.Result(corpus, r.stats, () => {
           r.release()
+          auditRel()
           embRdd.unpersist(blocking = false)
           rdd.unpersist(blocking = false); ()
-        })
+        }, audit)
       case _ =>
         // pin the survivors EAGERLY before appendState mutates the dirs
         // their lineage reads: the append's refresh drops the result's
@@ -631,10 +708,12 @@ object CurateIncremental {
         Lineage.mark(rdd, spark)
         rdd.count()
         val corpus = spark.createDataFrame(rdd, r.corpus.schema)
+        val (audit, auditRel) = pinAudit(r.audit)
         appendState(corpus, idCol, textCol, root, cfg)
         autoCompact.foreach(t => maybeCompactState(spark, root, t))
         Curate.Result(corpus, r.stats,
-          () => { r.release(); rdd.unpersist(blocking = false); () })
+          () => { r.release(); auditRel(); rdd.unpersist(blocking = false); () },
+          audit)
     }
   }
 
@@ -802,6 +881,9 @@ object CurateIncremental {
     require(st.winnowFps.isEmpty || cfg.winnowFilter.nonEmpty,
       "state carries a winnow-fingerprint table — refresh with " +
         "cfg.winnowFilter set, or the rebuilt state would leave it stale")
+    require(st.exactRoot.isEmpty || cfg.entityExact.nonEmpty,
+      "state carries an exact-join entity index — refresh with " +
+        "cfg.entityExact set, or the rebuilt state would leave it stale")
     val union = st.corpus.select(col(idCol), col(textCol))
       .unionByName(pending.select(col(idCol), col(textCol)))
     val r = Curate.curate(union, benchmark, idCol, textCol, cfg)
@@ -850,6 +932,12 @@ object CurateIncremental {
             ecfg.copy(quantScale = 1.0))))
       case None => newState
     }
+    // exact-join entity index rebuilds from the refreshed corpus, before
+    // the other tables (index-first; build() snapshot-swaps, so a crash
+    // leaves either generation whole)
+    for (ee <- cfg.entityExact)
+      ExactJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
+        ee.tokens(col(textCol)), ee.tNum, ee.tDen, exactStateRoot(root))
     saveState(newStateFull, root,
       buckets = readMeta(spark, root).getOrElse(defaultBuckets(spark)))
     Curate.Result(corpus, r.stats,
@@ -865,6 +953,9 @@ object CurateIncremental {
                   cfg: Curate.Config = Curate.Config()): Curate.Result = {
     require(cfg.boilerplateMaxDocs.isEmpty,
       "boilerplate removal is corpus-global; run it in the periodic full re-curate")
+    require(cfg.entityMatcher.isEmpty,
+      "a generic entityMatcher cannot run incrementally — use " +
+        "cfg.entityExact (see daily) or the periodic full re-curate")
 
     // 0.75 (opt-in) NFC canonicalization, exactly like the full recipe —
     // the persisted state's hashes were taken over NFC text, so the
@@ -958,8 +1049,46 @@ object CurateIncremental {
       case _ => nearDeduped
     }
 
+    // 3.9 (opt-in) exact-Jaccard entity resolution against the persisted
+    // index (VERDICT r13 #1): [[ExactJoinState.probe]] returns EVERY
+    // qualifying pair involving the delta — delta↔state through the
+    // tok-bucketed prefix index (no state-side exchange), delta↔delta in
+    // full — so the closure over the probe's pairs alone equals the
+    // closure over state∪delta pairs: the persisted corpus is already
+    // entity-resolved, and a pairwise-corpus-independent matcher admits
+    // no pair among cluster minima (the Curate fixpoint note). Survivor
+    // policy mirrors the near-dup stage: the existing corpus wins —
+    // any delta doc whose component touches a persisted survivor drops;
+    // delta-only components keep their min id.
+    val resolved = (cfg.entityExact, st.exactRoot) match {
+      case (Some(ee), Some(xr)) =>
+        val pairs = ExactJoinState.probe(winnowed, idCol,
+            ee.tokens(col(textCol)), xr)
+          .select("id_a", "id_b")
+        val comp = Dedup.components(pairs)
+        val stateLbls = comp.join(st.corpus.select(col(idCol).as("id")),
+            Seq("id"), "left_semi")
+          .select(col("lbl")).distinct()
+        val dups = comp.join(stateLbls, Seq("lbl"), "left_semi").select(col("id"))
+          .unionByName(comp.filter(col("lbl") < col("id")).select(col("id")))
+          .distinct()
+          .withColumnRenamed("id", "__entity_dup")
+        // persisted like the batch stage (probe + closure is the most
+        // expensive optional pipeline; unpinned, every downstream
+        // consumer re-ran it)
+        val res = winnowed
+          .join(dups, winnowed(idCol) === col("__entity_dup"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        res.count()
+        res
+      case (Some(_), None) => sys.error(
+        "cfg.entityExact is on but the state has no exact-join entity " +
+          "index — bootstrap/refresh with entityExact set to build it")
+      case _ => winnowed
+    }
+
     // 4.–6. per-doc stages, identical to the full recipe
-    val quality = winnowed
+    val quality = resolved
       .filter(TextAnalysis.qualityScore(col(textCol)).cast("double") >= cfg.qualityFloor)
     val benchmarkRedacted = benchmark
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -986,6 +1115,52 @@ object CurateIncremental {
       (total, nExact, nNear, nClean)
     )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
       "nb_after_quality_decontam")
-    Curate.Result(emitted, stats, () => { clean.unpersist(); () })
+
+    // opt-in per-doc disposition audit, the incremental face of the
+    // batch recipe's (same walk over the DELTA's stage handoffs; stage
+    // names match so one consumer reads both). NOTE for [[daily]]: the
+    // id frames' lineage reads the state dirs appendState mutates —
+    // daily pins the audit frame BEFORE appending, exactly like the
+    // corpus. Direct curateDelta callers mutate nothing, so lazy is
+    // safe there.
+    val (auditFrame, auditRelease: (() => Unit)) =
+      if (!cfg.audit) (None, () => ())
+      else {
+        val handoffs: Seq[(String, DataFrame)] = Seq(
+          "blocklist" -> admitted,
+          "exact_dup" -> exact,
+          "near_dup" -> nearDeduped,
+          "winnow_borrow" -> winnowed,
+          "entity_dup" -> resolved,
+          "quality_floor" -> quality,
+          "contaminated" -> clean) ++
+          (cfg.chunk match {
+            case Some(_) =>
+              Seq("chunk_empty" -> emitted.select(col(idCol)).distinct())
+            case None => Seq.empty
+          })
+        val ids = handoffs.map { case (n, f) =>
+          n -> f.select(col(idCol))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+        val dropped = (delta.select(col(idCol)) +: ids.map(_._2))
+          .zip(ids)
+          .map { case (prev, (stage, cur)) =>
+            prev.join(cur, Seq(idCol), "left_anti")
+              .withColumn("stage", lit(stage))
+          }
+        (Some(dropped
+          .reduce(_.unionByName(_))
+          .unionByName(ids.last._2.withColumn("stage", lit("survived")))),
+          () => ids.foreach(_._2.unpersist()))
+      }
+    Curate.Result(emitted, stats,
+      () => {
+        clean.unpersist()
+        if (cfg.entityExact.nonEmpty && st.exactRoot.nonEmpty) {
+          resolved.unpersist(); ()
+        }
+        auditRelease()
+      }, auditFrame)
   }
 }

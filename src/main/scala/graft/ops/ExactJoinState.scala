@@ -201,4 +201,57 @@ object ExactJoinState {
         prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
     } finally { toksRdd.unpersist(blocking = false); () }
   }
+
+  /** Is there a persisted exact-join state under `root`? */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(stateDir(root))
+    hadoopFs(spark, p).exists(p)
+  }
+
+  /** Remove every token/prefix row of `del` (a one-column `__del_id`
+    * frame, already distinct/materialized by the caller) — the takedown
+    * sweep [[CurateIncremental.removeFromState]] routes through. Each
+    * table rewrites as an id-anti-joined bucketed snapshot (temp sibling
+    * + atomic swap, same discipline as the other state tables). */
+  def remove(del: DataFrame, root: String): Unit = {
+    val spark = del.sparkSession
+    val (pref, toks, n, _, _) = load(spark, root)
+    def sweep(df: DataFrame) =
+      df.join(del, df("id") === col("__del_id"), "left_anti")
+    writeBucketedSnapshot(sweep(spark.read.parquet(prefixDir(root))),
+      prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    writeBucketedSnapshot(sweep(spark.read.parquet(toksDir(root))),
+      toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
+    // `pref`/`toks` are catalog reads — referenced only to force a load
+    // (bucket registration + swap recovery) before the path-based sweeps
+    val _ = (pref, toks)
+  }
+
+  /** Rewrite both tables back to one file per bucket — daily appends add
+    * one file per bucket per day (path-based reads for the same planner
+    * reason as [[CurateIncremental.compactState]]). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val (_, _, n, _, _) = load(spark, root)
+    writeBucketedSnapshot(spark.read.parquet(prefixDir(root)),
+      prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    writeBucketedSnapshot(spark.read.parquet(toksDir(root)),
+      toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
+  }
+
+  /** Max files-per-bucket across the two tables — feeds the caller's
+    * auto-compaction policy. 0.0 when the state is absent. */
+  def filesPerBucket(spark: SparkSession, root: String): Double =
+    if (!exists(spark, root)) 0.0
+    else {
+      val body = readJsonSidecar(spark, metaPath(root)).getOrElse(return 0.0)
+      val n = jsonInt(body, "buckets").getOrElse(return 0.0)
+      val counts = Seq(prefixDir(root), toksDir(root))
+        .map(d => partFileCount(spark, d)).filter(_ > 0)
+      if (counts.isEmpty) 0.0 else counts.max.toDouble / n
+    }
+
+  /** Roll half-finished swaps forward — the vacuum hook. */
+  def recover(spark: SparkSession, root: String): Unit =
+    for (d <- Seq(prefixDir(root), toksDir(root)))
+      recoverSwap(hadoopFs(spark, new Path(d)), new Path(d))
 }

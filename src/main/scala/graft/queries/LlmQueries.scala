@@ -90,6 +90,25 @@ object LlmQueries {
       dir
     })
 
+  /** Recursive directory copy for per-invocation STATE CLONES (q138:
+    * daily() appends to the state it probes, so re-running the query
+    * against the shared fixture would change its own input — each run
+    * clones the bootstrapped fixture instead, staying bit-identical
+    * across bench passes). Clones register in the same shutdown-hook
+    * cleanup as the fixtures. */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    fixtureCache.putIfAbsent(s"clone|$dst", dst.toString)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+  }
+
   /** (doc_id, toks) — each document's word 3-shingle array, the shared
     * tokenization of the exact set-similarity queries (q129/q130/q134).
     * 3-shingles via zip_with over three slices — NOT
@@ -2142,6 +2161,55 @@ object LlmQueries {
       Sketches.logQuantilesFromHist(hist, "source",
         Seq(("p50_lb", 1L, 2L), ("p90_lb", 9L, 10L), ("p99_lb", 99L, 100L)))
         .orderBy("source")
+    }),
+
+    // Entity resolution ACROSS the incremental state boundary (VERDICT
+    // r13 #1 — q134's persisted probe composed with q135's audited
+    // stage): the EVEN documents bootstrap a curate state WITH the
+    // exact-Jaccard entity index (near-dup off, threshold 2/3, the q135
+    // matcher as an EntityExact); the delta = the ODD documents plus
+    // planted exact re-crawls (evens %10, +100000) and alias variants
+    // (evens %14, +200000 — text + 3 trailing tokens). daily() probes
+    // the persisted tok-bucketed prefix index for every state↔delta
+    // pair, closes over probe pairs with corpus-wins survivors, appends
+    // the survivors, and the audit labels each delta doc: exact_dup for
+    // re-crawls, entity_dup for aliases of state survivors (the label
+    // that crosses the state boundary), per-doc stages for the rest.
+    // daily() MUTATES the state, so each invocation copies the
+    // bootstrapped fixture to a fresh dir first — bit-identical across
+    // passes, and the bench prices the daily probe, not the bootstrap.
+    // The oracle replays bootstrap AND the incremental delta pipeline
+    // (recursive closure over pairs involving the delta).
+    "q138_entity_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sh3: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t => {
+        val ws = split(trim(t), "\\s+")
+        val len = greatest(size(ws) - 2, lit(0))
+        zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+          (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+          (ab, c) => concat(ab, lit(" "), c))
+      }
+      val cfg = Curate.Config(nearDupThreshold = 2.0, audit = true,
+        entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+      val bench = Seq((900000L,
+        "benchmark holdout phrase matching nothing in this corpus"))
+        .toDF("doc_id", "text")
+      val fixture = cachedFixture("q138", dir) { r =>
+        CurateIncremental.bootstrap(base.filter(col("doc_id") % 2 === 0),
+          bench, "doc_id", "text", r, cfg.copy(audit = false)).release()
+      }
+      // fresh copy per invocation: daily appends to the state it probes
+      val root = java.nio.file.Files.createTempDirectory("graft-q138-").toString
+      copyTree(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(root))
+      val delta = base.filter(col("doc_id") % 2 === 1)
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" alias postscript marker")).as("text")))
+      val r = CurateIncremental.daily(delta, bench, "doc_id", "text", root, cfg)
+      r.audit.get.orderBy("doc_id")
     }),
 
     // Time-series densify + forward fill: each user's daily event-count
@@ -4910,6 +4978,141 @@ object LlmQueries {
         |  min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_lb,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_lb
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays bootstrap over the evens (q135's pipeline), then the
+    // incremental delta pipeline: within-delta fingerprint dedup,
+    // state-fingerprint probe, entity closure over pairs INVOLVING the
+    // delta (the probe's exact output set — lossless), corpus-wins
+    // survivors, quality floor; the no-match benchmark keeps
+    // contamination empty
+    "q138_entity_incremental" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |evens AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+        |s_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM evens),
+        |s_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM s_fp),
+        |s_ex AS (SELECT doc_id, text FROM s_adm WHERE doc_id = keeper),
+        |s_w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM s_ex WHERE length(trim(text)) > 0),
+        |s_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM s_w WHERE len(ws) >= 3),
+        |s_sz AS (SELECT doc_id, count(*) AS n FROM s_shg GROUP BY 1),
+        |s_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM s_shg a JOIN s_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |s_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM s_ov
+        |  JOIN s_sz sa ON sa.doc_id = id_a JOIN s_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |s_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM s_pairs
+        |            UNION SELECT id_b, id_a FROM s_pairs),
+        |s_reach AS (
+        |  SELECT a, b FROM s_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM s_reach r JOIN s_edges e ON r.b = e.a),
+        |s_rep AS (SELECT a, min(least(a, b)) AS ent FROM s_reach GROUP BY a),
+        |s_esurv AS (
+        |  SELECT s.doc_id, s.text FROM s_ex s LEFT JOIN s_rep ON s_rep.a = s.doc_id
+        |  WHERE COALESCE(s_rep.ent, s.doc_id) = s.doc_id),
+        |s_state AS MATERIALIZED (
+        |  SELECT doc_id, text FROM s_esurv
+        |  WHERE CAST(CAST((
+        |    CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+        |              AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+        |         WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+        |         ELSE 0.0 END * 0.4
+        |    + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+        |                AND CAST(len(list_filter(string_split(text, ' '),
+        |                      t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+        |                    / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+        |           THEN 1.0 ELSE 0.3 END * 0.4
+        |    + CASE WHEN (CASE WHEN length(text) > 0
+        |                      THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |                      ELSE 0.0 END) <= 0.2
+        |           THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE) >= 0.5),
+        |delta AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' alias postscript marker'
+        |  FROM base WHERE doc_id % 14 = 0),
+        |d_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM delta),
+        |d_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d_fp),
+        |st_fps AS MATERIALIZED (
+        |  SELECT DISTINCT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM s_state),
+        |d_ex AS MATERIALIZED (
+        |  SELECT doc_id, text FROM d_adm
+        |  WHERE doc_id = keeper AND fp NOT IN (SELECT fp FROM st_fps)),
+        |u AS (SELECT doc_id, text FROM s_state UNION ALL SELECT doc_id, text FROM d_ex),
+        |u_w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM u WHERE length(trim(text)) > 0),
+        |u_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM u_w WHERE len(ws) >= 3),
+        |u_sz AS (SELECT doc_id, count(*) AS n FROM u_shg GROUP BY 1),
+        |u_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM u_shg a JOIN u_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |u_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_ov
+        |  JOIN u_sz sa ON sa.doc_id = id_a JOIN u_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |p_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_pairs
+        |  WHERE id_a IN (SELECT doc_id FROM d_ex) OR id_b IN (SELECT doc_id FROM d_ex)),
+        |e_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p_pairs
+        |            UNION SELECT id_b, id_a FROM p_pairs),
+        |e_reach AS (
+        |  SELECT a, b FROM e_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM e_reach r JOIN e_edges e ON r.b = e.a),
+        |e_rep AS (SELECT a, min(least(a, b)) AS ent FROM e_reach GROUP BY a),
+        |state_lbls AS (
+        |  SELECT DISTINCT ent FROM e_rep JOIN s_state ON s_state.doc_id = e_rep.a),
+        |d_entdrop AS (
+        |  SELECT d.doc_id FROM d_ex d JOIN e_rep ON e_rep.a = d.doc_id
+        |  WHERE e_rep.ent IN (SELECT ent FROM state_lbls) OR e_rep.ent < d.doc_id),
+        |d_esurv AS (
+        |  SELECT doc_id, text FROM d_ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM d_entdrop)),
+        |d_q AS (
+        |  SELECT doc_id,
+        |    CAST(CAST((
+        |      CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+        |                AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+        |           WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+        |           ELSE 0.0 END * 0.4
+        |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+        |                  AND CAST(len(list_filter(string_split(text, ' '),
+        |                        t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+        |                      / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+        |             THEN 1.0 ELSE 0.3 END * 0.4
+        |      + CASE WHEN (CASE WHEN length(text) > 0
+        |                        THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |                        ELSE 0.0 END) <= 0.2
+        |             THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE) AS quality
+        |  FROM d_esurv),
+        |lab AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id != a.keeper OR a.fp IN (SELECT fp FROM st_fps)
+        |           THEN 'exact_dup'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM d_entdrop) THEN 'entity_dup'
+        |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         ELSE 'survived' END AS stage
+        |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
 
     "q131_densify_ffill" ->
       """WITH daily AS (

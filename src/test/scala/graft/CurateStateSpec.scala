@@ -714,4 +714,111 @@ class CurateStateSpec extends SparkSpec {
     val probed2b = norm(ExactJoinState.probe(delta2, "doc_id", col("toks"), root))
     assert(probed2b == probed2, "re-append double-counted token rows")
   }
+
+  test("entity resolution in incremental curation: bootstrap -> daily x2 equals full entity-stage curate of the union") {
+    import org.apache.spark.sql.Column
+    // word 3-shingles — the q135 matcher's tokenization as a Column fn
+    val sh3: Column => Column = t => {
+      val ws = split(trim(t), "\\s+")
+      val len = greatest(size(ws) - 2, lit(0))
+      zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+        (ab, c) => concat(ab, lit(" "), c))
+    }
+    // near-dup OFF (threshold 2.0) so alias variants reach the entity
+    // stage instead of dying at LSH; threshold 2/3 matches q135's
+    val cfg = Curate.Config(nearDupThreshold = 2.0,
+      entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+    val root = java.nio.file.Files.createTempDirectory("graft-xent-").toString
+    def alias(of: (Long, String), id: Long): (Long, String) =
+      (id, of._2 + " alias suffix marker")
+
+    val d2 = doc(2, "alpha"); val d4 = doc(4, "beta"); val d10 = doc(10, "delta")
+    val day0 = docsDf(Seq(d2, d4, doc(6, "gamma"), alias(d2, 8)))
+    val b = CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root, cfg)
+    assert(b.corpus.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 6L),
+      "within-bootstrap alias must drop at the batch entity stage")
+    b.release()
+
+    // day 1: 14 aliases day-0 SURVIVOR 4 (state<->delta pair found only
+    // through the persisted prefix index), 16 aliases fresh doc 10
+    // (delta<->delta pair) — both must drop, 10 survives as its
+    // cluster's minimum
+    val day1 = docsDf(Seq(d10, alias(d4, 14), alias(d10, 16)))
+    val r1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root, cfg)
+    assert(r1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "state<->delta and delta<->delta entity aliases must both drop")
+    r1.release()
+
+    // day 2 probes the APPENDED index: an alias of day-1 survivor 10
+    // must drop through state extended by day 1's appendState
+    val day2 = docsDf(Seq(doc(22, "epsilon"), alias(d10, 24)))
+    val r2 = CurateIncremental.daily(day2, bench, "doc_id", "text", root, cfg)
+    assert(r2.corpus.select("doc_id").as[Long].collect().toSet == Set(22L),
+      "day-2 alias of a day-1 survivor must drop via the appended index")
+    r2.release()
+
+    // the property: persisted state corpus == ONE full entity-stage
+    // curate over the union of all three days
+    val full = Curate.curate(day0.unionByName(day1).unionByName(day2),
+      bench, "doc_id", "text", cfg)
+    val want = full.corpus.select("doc_id").as[Long].collect().toSet
+    val got = CurateIncremental.loadState(spark, root)
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"incremental ($got) != batch ($want)")
+    full.release()
+
+    // sync guard: a daily that omits entityExact against this state must
+    // refuse rather than silently let the index go stale
+    val ex = intercept[IllegalArgumentException] {
+      CurateIncremental.daily(docsDf(Seq(doc(30, "zeta"))), bench,
+        "doc_id", "text", root, Curate.Config(nearDupThreshold = 2.0))
+    }
+    assert(ex.getMessage.contains("exact-join entity index"))
+    // and a generic entityMatcher still refuses, pointing at entityExact
+    val ex2 = intercept[IllegalArgumentException] {
+      CurateIncremental.daily(docsDf(Seq(doc(31, "eta"))), bench,
+        "doc_id", "text", root, cfg.copy(entityExact = None,
+          entityMatcher = Some((df, ic, tc) =>
+            graft.ops.Dedup.exactJaccardPairs(df, ic, sh3(col(tc)), 2L, 3L))))
+    }
+    assert(ex2.getMessage.contains("entityExact"))
+  }
+
+  test("takedown and refresh keep the exact-join entity index in sync") {
+    import org.apache.spark.sql.Column
+    val sh3: Column => Column = t => {
+      val ws = split(trim(t), "\\s+")
+      val len = greatest(size(ws) - 2, lit(0))
+      zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+        (ab, c) => concat(ab, lit(" "), c))
+    }
+    val cfg = Curate.Config(nearDupThreshold = 2.0,
+      entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+    val root = java.nio.file.Files.createTempDirectory("graft-xtkd-").toString
+    val d2 = doc(2, "alpha")
+    CurateIncremental.bootstrap(
+      docsDf(Seq(d2, doc(4, "beta"))), bench, "doc_id", "text", root, cfg).release()
+
+    // take down doc 2: its token/prefix rows must leave the index, so a
+    // re-crawl of (an alias of) its content is re-admittable
+    val removed = CurateIncremental.removeFromState(
+      Seq(2L).toDF("doc_id"), "doc_id", root)
+    assert(removed == 1L)
+    val recrawl = docsDf(Seq((50L, d2._2 + " alias suffix marker")))
+    val r = CurateIncremental.daily(recrawl, bench, "doc_id", "text", root, cfg)
+    assert(r.corpus.select("doc_id").as[Long].collect().toSet == Set(50L),
+      "after takedown the content's alias must probe clean and re-admit")
+    r.release()
+
+    // refresh rebuilds the index from the union; an alias of a refreshed
+    // survivor then drops on the next daily
+    CurateIncremental.refresh(
+      docsDf(Seq(doc(60, "gamma"))), bench, "doc_id", "text", root, cfg).release()
+    val day = docsDf(Seq((70L, doc(60, "gamma")._2 + " alias suffix marker")))
+    val r2 = CurateIncremental.daily(day, bench, "doc_id", "text", root, cfg)
+    assert(r2.corpus.isEmpty, "alias of a refreshed survivor must drop")
+    r2.release()
+  }
 }
