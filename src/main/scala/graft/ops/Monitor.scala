@@ -156,6 +156,42 @@ object Monitor {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Per-group QUANTILE drift between two log-histogram sketch frames
+    * (VERDICT r13 #6 — [[Sketches.logHistogram]] output, fresh or read
+    * back from a [[Sketches.lhUpdateState]] state via
+    * [[Sketches.readState]]): for each group and each named quantile
+    * `(name, qNum, qDen)`, both sides' bucket lower bounds plus the
+    * exact integer shift `<name>_shift = <name>_b − <name>_a`. Where
+    * [[histogramDriftBy]] reports per-bucket SHARE movement (sensitive
+    * to any reshuffling), this reports ORDER-STATISTIC movement — the
+    * "documents got 4× longer from source X" crawler-change signal,
+    * answered from ≤ 8·61 counters per group per side, never a corpus
+    * rescan. Everything is the log-bucket integer arithmetic of
+    * [[Sketches.logQuantilesFromHist]], so the report hash-replays in
+    * the oracle. A group present on only one side reports NULL on the
+    * missing side and a NULL shift — the vanished-group posture of
+    * [[histogramDriftBy]]: the loudest signal, never a dropped row. */
+  def quantileDriftFromHists(ha: DataFrame, hb: DataFrame, groupCol: String,
+                             quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    def side(h: DataFrame, suf: String): DataFrame =
+      quantiles.foldLeft(Sketches.logQuantilesFromHist(h, groupCol, quantiles)) {
+        case (df, (name, _, _)) => df.withColumnRenamed(name, s"${name}_$suf")
+      }
+    val joined = side(ha, "a").join(side(hb, "b"), Seq(groupCol), "full_outer")
+    quantiles.foldLeft(joined) { case (df, (name, _, _)) =>
+      df.withColumn(s"${name}_shift", col(s"${name}_b") - col(s"${name}_a"))
+    }
+  }
+
+  /** [[quantileDriftFromHists]] over two raw frames — builds each side's
+    * log-histogram first (one map-side pass per corpus). */
+  def quantileDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                    value: Column,
+                    quantiles: Seq[(String, Long, Long)]): DataFrame =
+    quantileDriftFromHists(
+      Sketches.logHistogram(a, groupCol, value),
+      Sketches.logHistogram(b, groupCol, value), groupCol, quantiles)
+
   /** Embedding-distribution drift between two snapshots — the embedding
     * column's analog of [[histogramDrift]], catching encoder-version
     * swaps and stuck-feature ingest faults that scalar histograms can't

@@ -518,12 +518,16 @@ object Multimodal {
       if (sample < sizes.length) None else Some(out)
     }
 
-    override def frames(r: MediaRow, stride: Int): Iterator[Frame] = {
+    /** (frame index, coded sample bytes) for every `stride`-th SYNC
+      * sample — the shared box-walk behind [[frames]] and the
+      * perceptual-hash feed [[keyframePayloads]]. None when the
+      * container doesn't parse (callers choose their fallback). */
+    private def syncSlices(r: MediaRow,
+                           stride: Int): Option[Vector[(Int, Array[Byte])]] = {
       val b = r.bytes
       val s = math.max(stride, 1)
       try {
-        val moov = find(b, 0, b.length, List("moov")).getOrElse(
-          return StubDemuxer.frames(r, stride))
+        val moov = find(b, 0, b.length, List("moov")).getOrElse(return None)
         val traks = children(b, moov._1, moov._2).filter(_._1 == "trak")
           .map(t => (t._2, t._3))
         def handler(t: (Int, Int)): String =
@@ -534,27 +538,42 @@ object Multimodal {
         val trak = traks.find(handler(_) == "vide")
           .orElse(traks.find(handler(_) == "soun"))
           .orElse(traks.headOption)
-          .getOrElse(return StubDemuxer.frames(r, stride))
-        val ranges = sampleRanges(b, trak).getOrElse(
-          return StubDemuxer.frames(r, stride))
+          .getOrElse(return None)
+        val ranges = sampleRanges(b, trak).getOrElse(return None)
         // sync samples (1-based in stss; absent → every sample is sync)
         val sync = find(b, trak._1, trak._2, List("mdia", "minf", "stbl", "stss"))
           .flatMap(r2 => u32Table(b, r2, skip = 0))
           .map(_.map(_.toInt - 1).filter(i => i >= 0 && i < ranges.length))
           .getOrElse(Array.range(0, ranges.length))
-        val frames = Iterator.range(0, sync.length, s).map(sync).flatMap { idx =>
+        val out = Iterator.range(0, sync.length, s).map(sync).flatMap { idx =>
           val (off, len) = ranges(idx)
           // drop samples pointing past a truncated mdat rather than clamp:
           // a partial coded sample would hash to a meaningless value
           if (off < 0 || len < 0 || off + len > b.length) None
-          else Some(Frame(r.media_id, idx, java.util.Arrays.hashCode(
-            java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt))))
+          else Some((idx,
+            java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)))
         }.toVector
-        if (frames.isEmpty) StubDemuxer.frames(r, stride) else frames.iterator
+        if (out.isEmpty) None else Some(out)
       } catch {
-        case scala.util.control.NonFatal(_) => StubDemuxer.frames(r, stride)
+        case scala.util.control.NonFatal(_) => None
       }
     }
+
+    /** The perceptual-hash feed (VERDICT r13 #7): keyframe payload
+      * slices, ready for [[aHash64]]. Unlike [[frames]] there is no stub
+      * fallback — a non-parsing container returns None and the CALLER
+      * decides (e.g. hash the whole payload as a single still). */
+    def keyframePayloads(r: MediaRow,
+                         stride: Int): Option[Iterator[(Int, Array[Byte])]] =
+      syncSlices(r, stride).map(_.iterator)
+
+    override def frames(r: MediaRow, stride: Int): Iterator[Frame] =
+      syncSlices(r, stride) match {
+        case Some(slices) => slices.iterator.map { case (idx, bytes) =>
+          Frame(r.media_id, idx, java.util.Arrays.hashCode(bytes))
+        }
+        case None => StubDemuxer.frames(r, stride)
+      }
   }
 
   /** Real MPEG-audio demux — frame-sync byte parsing (no codec): an MP3
@@ -708,6 +727,74 @@ object Multimodal {
   /** Back-compat alias for the pre-seam entry point. */
   def frameSampleStub(media: Dataset[MediaRow], stride: Int): DataFrame =
     frameSample(media, stride, StubDemuxer)
+
+  /** Per-keyframe PERCEPTUAL hashes (VERDICT r13 #7 — the video face of
+    * [[imageHashes]]): MP4 containers demux to their `stride`-th sync
+    * samples ([[Mp4Demuxer.keyframePayloads]]) and each keyframe payload
+    * runs through [[aHash64]]; payloads that aren't an MP4 hash whole as
+    * a single still (frame 0 — images join the same pairing space).
+    * Keyframes whose codec ImageIO can't decode drop (None — a real
+    * deployment swaps a decoder into [[aHash64]]'s seam; the fixtures
+    * carry PNG/BMP-coded keyframes, so the plumbing is fully exercised).
+    * One partition pass; frame BYTES never leave the iterator — only
+    * (media_id, frame_idx, 64-bit hash) rows exist Spark-side. */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Mp4Demuxer.keyframePayloads(r, stride) match {
+        case Some(frames) => frames.flatMap { case (idx, bytes) =>
+          aHash64(bytes).map(h => (r.media_id, idx, h)) }
+        case None => aHash64(r.bytes).map(h => (r.media_id, 0, h)).iterator
+      }
+    }).toDF("media_id", "frame_idx", "ahash")
+  }
+
+  /** Video-level perceptual near-dup pairs from a frame-hash table —
+    * [[Dedup.simhashNearDups]]'s banded machinery lifted one level: two
+    * VIDEOS pair when at least `minSharedFrames` distinct (frame_a,
+    * frame_b) combinations match within `maxHamming` bits (banded
+    * candidates — a pair within hamming k < bands shares at least one
+    * exact band — then an exact popcount confirm). Re-encoded copies
+    * match frame-for-frame (hashes drift a few bits, never whole bands);
+    * TRIMMED copies still share their surviving keyframes, which is
+    * exactly what the frame-count threshold measures. Exchanges carry
+    * (id, frame idx, long) only; returns (id_a, id_b,
+    * nb_shared_frames) with id_a < id_b. */
+  def videoNearDupsFromFrameHashes(frames: DataFrame, idCol: String,
+                                   frameCol: String, hashCol: String,
+                                   bands: Int = 4, width: Int = 16,
+                                   maxHamming: Int = 3,
+                                   minSharedFrames: Long = 2L): DataFrame = {
+    val mask = (1L << width) - 1
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(mask).as("key"))
+    }: _*)
+    val banded = frames
+      .select(col(idCol).as("id"), col(frameCol).as("f"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("f"), col("h"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("f"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.withColumnsRenamed(Map("id" -> "id_a", "f" -> "f_a", "h" -> "h_a"))
+    val b = banded.withColumnsRenamed(Map("id" -> "id_b", "f" -> "f_b", "h" -> "h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "f_a", "h_a", "id_b", "f_b", "h_b").distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("nb_shared_frames"))
+      .filter(col("nb_shared_frames") >= minSharedFrames)
+  }
+
+  /** End-to-end video near-dup: demux → perceptual frame hashes → banded
+    * video pairing. */
+  def videoNearDups(media: Dataset[MediaRow], stride: Int,
+                    bands: Int = 4, width: Int = 16, maxHamming: Int = 3,
+                    minSharedFrames: Long = 2L): DataFrame =
+    videoNearDupsFromFrameHashes(videoFrameHashes(media, stride),
+      "media_id", "frame_idx", "ahash", bands, width, maxHamming,
+      minSharedFrames)
 
   /** Size-aware repartition: media blobs are orders of magnitude bigger
     * than their metadata, so partition count follows total payload bytes,

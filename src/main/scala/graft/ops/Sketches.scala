@@ -328,6 +328,16 @@ object Sketches {
     ledgeredAdditiveFold(spark, path, deltaId,
       logHistogram(delta, groupCol, value), lhMergeFrames, partitions)
 
+  /** Read a persisted additive-sketch state's counters WITHOUT folding a
+    * delta — the monitoring face: two snapshots' persisted histograms
+    * answer a quantile-drift question ([[Monitor.quantileDriftFromHists]])
+    * from ≤ 488 counters per group, never a corpus rescan. */
+  def readState(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    BucketedTables.recoverSwap(BucketedTables.hadoopFs(spark, root), root)
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, "counters").toString)
+  }
+
   /** Named quantile lower bounds per group from an already-built
     * histogram frame (fresh from [[logHistogram]] or read back from the
     * [[lhUpdateState]] state): for each (name, qNum, qDen) the bucket

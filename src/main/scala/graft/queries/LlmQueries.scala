@@ -82,7 +82,7 @@ object LlmQueries {
       }))
     ()
   }
-  private def cachedFixture(name: String, sfDir: String)(write: String => Unit): String =
+  private[queries] def cachedFixture(name: String, sfDir: String)(write: String => Unit): String =
     fixtureCache.getOrElseUpdate(s"$name|$sfDir", {
       fixtureCleanup
       val dir = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
@@ -96,7 +96,7 @@ object LlmQueries {
     * clones the bootstrapped fixture instead, staying bit-identical
     * across bench passes). Clones register in the same shutdown-hook
     * cleanup as the fixtures. */
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[queries] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     fixtureCache.putIfAbsent(s"clone|$dst", dst.toString)
     java.nio.file.Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p))
@@ -2160,6 +2160,71 @@ object LlmQueries {
         d.filter(col("v") % 2 === 1), "source", col("v"), deltaId = "day1")
       Sketches.logQuantilesFromHist(hist, "source",
         Seq(("p50_lb", 1L, 2L), ("p90_lb", 9L, 10L), ("p99_lb", 99L, 100L)))
+        .orderBy("source")
+    }),
+
+    // Perceptual VIDEO dedup (VERDICT r13 #7 — the missing modality in
+    // the perceptual family, q107's pseudo-raster pattern one level up):
+    // every doc becomes a 6-keyframe video whose frame hashes derive
+    // deterministically from (media_id, frame_idx); re-ENCODES (%10,
+    // +1000000) keep all frames with 2 bits flipped inside band 0 (a
+    // re-encoded raster drifts a few aHash bits, never whole bands);
+    // TRIMS (%12, +2000000) keep only frames 2..5 bit-exact. Videos pair
+    // on >= 3 distinct frame matches within hamming 3 — so re-encodes,
+    // trims, and the re-encode↔trim diagonal all pair, exactly what
+    // videoNearDupsFromFrameHashes computes. The REAL demux+decode feed
+    // (Mp4Demuxer keyframes → aHash64) is golden-tested on handcrafted
+    // PNG-keyframe MP4s (LlmOpsSpec) — the right evidence kind for a
+    // codec boundary DuckDB can't cross.
+    "q141_video_neardup" -> ((s, dir) => {
+      val k = col("media_id") * 8 + col("frame_idx")
+      val src = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"))
+        .withColumn("frame_idx", explode(expr("sequence(0, 5)")))
+        .withColumn("ahash",
+          (k * lit(2654435761L)).bitwiseAND(lit(281474976710655L))
+            .bitwiseOR(expr(
+              "shiftleft(CAST((media_id * 8 + frame_idx) & 32767 AS BIGINT), 48)")))
+      val twins = src.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), col("frame_idx"),
+          expr("ahash ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % 16 AS INT)) " +
+            "^ shiftleft(CAST(1 AS BIGINT), CAST((media_id + 5) % 16 AS INT))")
+            .as("ahash"))
+      val trims = src.filter(col("media_id") % 12 === 0 && col("frame_idx") >= 2)
+        .select((col("media_id") + 2000000L).as("media_id"),
+          col("frame_idx"), col("ahash"))
+      Multimodal.videoNearDupsFromFrameHashes(
+          src.unionByName(twins).unionByName(trims),
+          "media_id", "frame_idx", "ahash",
+          bands = 4, width = 16, maxHamming = 3, minSharedFrames = 3L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Quantile-drift monitor face (VERDICT r13 #6 — the r13 log-
+    // histogram sketch composed with the histogramDrift pattern): two
+    // SNAPSHOT states persist their per-source length histograms via the
+    // ledgered lhUpdateState fold (snapshot B plants a crawler change:
+    // src3's doc lengths ×4, two octaves up); the query answers the
+    // per-source p50/p90/p99 SHIFT purely from the two persisted
+    // counter sets (Sketches.readState → Monitor.quantileDriftFromHists)
+    // — no corpus rescan — and the planted source is the only one with a
+    // large positive shift. The oracle replays q136's bucket arithmetic
+    // for both sides and joins.
+    "q140_quantile_drift" -> ((s, dir) => {
+      import graft.ops.{Monitor, Sketches}
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val planted = d.withColumn("v",
+        when(col("source") === "src3", col("v") * 4).otherwise(col("v")))
+      val root = cachedFixture("q140", dir) { r =>
+        Sketches.lhUpdateState(s, s"$r/a", d, "source", col("v"), deltaId = "snapA")
+        Sketches.lhUpdateState(s, s"$r/b", planted, "source", col("v"), deltaId = "snapB")
+        ()
+      }
+      Monitor.quantileDriftFromHists(
+        Sketches.readState(s, s"$root/a"), Sketches.readState(s, s"$root/b"),
+        "source",
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
         .orderBy("source")
     }),
 
@@ -4955,6 +5020,84 @@ object LlmQueries {
         |  min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_lb,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_lb
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // the banded frame-match arithmetic replayed bit-for-bit
+    "q141_video_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, f.f AS frame_idx,
+        |    (((doc_id * 8 + f.f) * 2654435761) & 281474976710655)
+        |      | (((doc_id * 8 + f.f) & 32767) << 48) AS ahash
+        |  FROM documents, (SELECT unnest(range(6)) AS f) f),
+        |tw AS (
+        |  SELECT media_id + 1000000 AS media_id, frame_idx,
+        |    xor(xor(ahash, 1::BIGINT << CAST(media_id % 16 AS INT)),
+        |        1::BIGINT << CAST((media_id + 5) % 16 AS INT)) AS ahash
+        |  FROM d WHERE media_id % 10 = 0),
+        |tr AS (
+        |  SELECT media_id + 2000000 AS media_id, frame_idx, ahash
+        |  FROM d WHERE media_id % 12 = 0 AND frame_idx >= 2),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM tw
+        |           UNION ALL SELECT * FROM tr),
+        |bd AS (
+        |  SELECT media_id, frame_idx, ahash, band.band AS band,
+        |    (ahash >> (band.band * 16)) & 65535 AS key
+        |  FROM corpus, (SELECT unnest(range(4)) AS band) band),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, a.frame_idx AS fa, a.ahash AS ha,
+        |         b.media_id AS id_b, b.frame_idx AS fb, b.ahash AS hb
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS nb_shared_frames
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q136's bucket arithmetic replayed per side, joined on source;
+    // shifts are exact bucket-lower-bound integer differences
+    "q140_quantile_drift" ->
+      """WITH va AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |vb AS (SELECT source,
+        |         CASE WHEN source = 'src3' THEN CAST(n_chars AS BIGINT) * 4
+        |              ELSE CAST(n_chars AS BIGINT) END AS v
+        |       FROM documents),
+        |hA AS (SELECT source,
+        |         CASE WHEN v <= 7 THEN v
+        |              ELSE CAST((v >> (length(bin(v)) - 4))
+        |                   << (length(bin(v)) - 4) AS BIGINT) END AS lb
+        |       FROM va),
+        |gA AS (SELECT source, lb, count(*) AS cnt FROM hA GROUP BY 1, 2),
+        |cA AS (SELECT source, lb, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY lb
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS total
+        |       FROM gA),
+        |qA AS (SELECT source,
+        |         min(CASE WHEN cum * 2 >= total * 1 THEN lb END) AS p50_a,
+        |         min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_a,
+        |         min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_a
+        |       FROM cA GROUP BY source),
+        |hB AS (SELECT source,
+        |         CASE WHEN v <= 7 THEN v
+        |              ELSE CAST((v >> (length(bin(v)) - 4))
+        |                   << (length(bin(v)) - 4) AS BIGINT) END AS lb
+        |       FROM vb),
+        |gB AS (SELECT source, lb, count(*) AS cnt FROM hB GROUP BY 1, 2),
+        |cB AS (SELECT source, lb, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY lb
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS total
+        |       FROM gB),
+        |qB AS (SELECT source,
+        |         min(CASE WHEN cum * 2 >= total * 1 THEN lb END) AS p50_b,
+        |         min(CASE WHEN cum * 10 >= total * 9 THEN lb END) AS p90_b,
+        |         min(CASE WHEN cum * 100 >= total * 99 THEN lb END) AS p99_b
+        |       FROM cB GROUP BY source)
+        |SELECT qA.source, p50_a, p90_a, p99_a, p50_b, p90_b, p99_b,
+        |       p50_b - p50_a AS p50_shift,
+        |       p90_b - p90_a AS p90_shift,
+        |       p99_b - p99_a AS p99_shift
+        |FROM qA JOIN qB ON qA.source = qB.source
+        |ORDER BY qA.source""".stripMargin,
 
     // identical bucket arithmetic: bin() is unpadded in both engines,
     // shifts and rank cross-multiplication are integer-exact

@@ -635,6 +635,69 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Incremental SCD2 (VERDICT r13 #3): the first N−3 snapshot dates
+    // bootstrap a persisted fold state (each key's open/closed latest
+    // version, key-bucketed, ledgered); the query clones the fixture
+    // (folds mutate the state they read — the q138 discipline) and folds
+    // the LAST 3 dates one at a time, each a single key-shuffle over
+    // current ∪ delta with no history rescan. Output = the state's
+    // intervals, which must equal — and the oracle replays — a one-shot
+    // scd2WithDeletions over ALL snapshots (q133's calendar-grid SQL).
+    "q139_scd2_fold" -> ((s, dir) => {
+      import graft.ops.Scd2State
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      // calendar-bounded driver-side list: the split adapts to whatever
+      // date range a testdata regeneration produces
+      val dates = snap.select(date_format(col("snap_date"), "yyyy-MM-dd").as("d"))
+        .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+      require(dates.length >= 4, s"q139 needs >= 4 snapshot dates, got $dates")
+      val (bootDates, foldDates) = dates.splitAt(dates.length - 3)
+      val fixture = LlmQueries.cachedFixture("q139", dir) { r =>
+        Scd2State.bootstrap(
+          snap.filter(date_format(col("snap_date"), "yyyy-MM-dd")
+            .isin(bootDates: _*)),
+          Seq("user_id"), Seq("etype"), "snap_date", r)
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft-q139-").toString
+      LlmQueries.copyTree(java.nio.file.Paths.get(fixture),
+        java.nio.file.Paths.get(root))
+      foldDates.foreach { dt =>
+        Scd2State.fold(
+          snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dt)
+            .select("user_id", "etype"), root, dt)
+      }
+      Scd2State.intervals(s, root)
+        .select("user_id", "version", "valid_from", "valid_to",
+          "nb_snapshots", "etype")
+        .orderBy("user_id", "version")
+    }),
+
+    // DELETION-AWARE point-in-time (VERDICT r13 #8): the dimension is
+    // scd2WithDeletions — a user's absence closes their interval — and
+    // the fact side plants every event AGAIN dated one day later
+    // (+10000000 ids). A planted fact whose user was observed the next
+    // day joins that run; one falling in a deletion gap (or past the
+    // user's last observation) finds NO covering version and provably
+    // DROPS from the inner join — the semantics plain scd2 (q128) can't
+    // express, since its gap-spanning intervals would cover it.
+    "q142_pit_deletions" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("fd"))
+      val facts = ev.unionByName(ev.select(
+        (col("event_id") + 10000000L).as("event_id"), col("user_id"),
+        date_add(col("fd"), 1).as("fd")))
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      val dim = graft.ops.Temporal.scd2WithDeletions(snap, Seq("user_id"),
+        Seq("etype"), "snap_date")
+      graft.ops.Temporal.pitJoin(facts, dim, Seq("user_id"), "fd")
+        .select("event_id", "user_id", "fd", "version", "etype")
+        .orderBy("event_id")
+    }),
+
     // Point-in-time enrichment: every event joins the SCD2 version
     // covering its date (dimension derived from the same events — the
     // aliased self-lineage case). Coverage is total by construction, so
@@ -1159,6 +1222,88 @@ object RelationalQueries {
         |ORDER BY user_id, version""".stripMargin,
 
     "q133_scd2_deletions" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT DISTINCT d FROM snap),
+        |born AS (SELECT user_id, min(d) AS b FROM snap GROUP BY 1),
+        |grid AS (SELECT born.user_id, cal.d FROM born
+        |         JOIN cal ON cal.d >= born.b),
+        |j AS (
+        |  SELECT g.user_id, g.d, s.etype, s.user_id IS NOT NULL AS pres
+        |  FROM grid g LEFT JOIN snap s
+        |    ON s.user_id = g.user_id AND s.d = g.d),
+        |w AS (
+        |  SELECT user_id, d, etype, pres,
+        |         CASE WHEN row_number() OVER pk = 1
+        |              OR etype IS DISTINCT FROM lag(etype) OVER pk
+        |              OR pres IS DISTINCT FROM lag(pres) OVER pk
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM j WINDOW pk AS (PARTITION BY user_id ORDER BY d)),
+        |v AS (
+        |  SELECT user_id, d, etype, pres,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |runs AS (
+        |  SELECT user_id, ver, min(d) AS valid_from, max(d) AS valid_to,
+        |         CAST(count(*) AS BIGINT) AS nb_snapshots, min(etype) AS etype
+        |  FROM v WHERE pres GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY valid_from) AS BIGINT) AS version,
+        |       valid_from, valid_to, nb_snapshots, etype
+        |FROM runs ORDER BY user_id, version""".stripMargin,
+
+    // q133's dimension replay + the interval-covering join; gap-dated
+    // planted facts appear on neither side
+    "q142_pit_deletions" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT DISTINCT d FROM snap),
+        |born AS (SELECT user_id, min(d) AS b FROM snap GROUP BY 1),
+        |grid AS (SELECT born.user_id, cal.d FROM born
+        |         JOIN cal ON cal.d >= born.b),
+        |j AS (
+        |  SELECT g.user_id, g.d, s.etype, s.user_id IS NOT NULL AS pres
+        |  FROM grid g LEFT JOIN snap s
+        |    ON s.user_id = g.user_id AND s.d = g.d),
+        |w AS (
+        |  SELECT user_id, d, etype, pres,
+        |         CASE WHEN row_number() OVER pk = 1
+        |              OR etype IS DISTINCT FROM lag(etype) OVER pk
+        |              OR pres IS DISTINCT FROM lag(pres) OVER pk
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM j WINDOW pk AS (PARTITION BY user_id ORDER BY d)),
+        |v AS (
+        |  SELECT user_id, d, etype, pres,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |runs AS (
+        |  SELECT user_id, ver, min(d) AS valid_from, max(d) AS valid_to,
+        |         min(etype) AS etype
+        |  FROM v WHERE pres GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY valid_from) AS BIGINT) AS version,
+        |         valid_from, valid_to, etype
+        |  FROM runs),
+        |facts AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS fd FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, CAST(ts AS DATE) + 1
+        |  FROM events)
+        |SELECT f.event_id, f.user_id, f.fd, d.version, d.etype
+        |FROM facts f JOIN dim d
+        |  ON d.user_id = f.user_id AND f.fd BETWEEN d.valid_from AND d.valid_to
+        |ORDER BY f.event_id""".stripMargin,
+
+    // the fold state's intervals must equal the one-shot batch collapse
+    // — the oracle IS q133's calendar-grid replay over all snapshots
+    "q139_scd2_fold" ->
       """WITH snap AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
         |  FROM events GROUP BY 1, 2),

@@ -344,6 +344,39 @@ object Streaming {
     * by `batch_id` and written with dynamic partition overwrite, so a
     * replayed batch rewrites ITS OWN partition with identical content —
     * effectively-once reporting, same discipline as [[lakeSink]]. */
+  /** Per-batch QUANTILE-drift sink (VERDICT r13 #6 — [[driftSink]]'s
+    * discipline over the log-histogram sketch): each micro-batch's
+    * per-group quantile lower bounds compare against a PINNED reference
+    * histogram via [[graft.ops.Monitor.quantileDriftFromHists]], and the
+    * exact-integer report lands keyed by `batch_id` with dynamic
+    * partition overwrite (replayed batches rewrite their own partition —
+    * effectively-once). The reference corpus aggregates ONCE to ≤ 8·61
+    * counters per group and is lineage-cut, so no batch re-reads it. */
+  def quantileDriftSink(stream: DataFrame, groupCol: String, valueCol: String,
+                        reference: DataFrame,
+                        quantiles: Seq[(String, Long, Long)],
+                        outDir: String, checkpointDir: String): StreamingQuery = {
+    val refHist = graft.ops.Sketches
+      .logHistogram(reference, groupCol, col(valueCol))
+      .transform(graft.ops.Lineage.cut)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Monitor.quantileDriftFromHists(refHist,
+              graft.ops.Sketches.logHistogram(batch, groupCol, col(valueCol)),
+              groupCol, quantiles)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   def driftSink(stream: DataFrame, valueCol: String, reference: DataFrame,
                 bucketWidth: Long, nBuckets: Int, outDir: String,
                 checkpointDir: String): StreamingQuery = {

@@ -2041,6 +2041,69 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.MediaRow(24L, "x", hostile), 8).toVector == viaStub(24L, hostile))
   }
 
+  test("videoNearDups: MP4 PNG-keyframe aHash pairing, re-encode + trim (golden)") {
+    // 16x16 rasters whose 8x8 aHash cells are 2x2 pixel blocks driven by
+    // a 64-bit mask — aHash64 recovers the mask EXACTLY (all-white cells
+    // sit above the global mean, all-black below), so the pairing layer
+    // is tested against known hashes while the bytes still cross a real
+    // PNG/BMP encode + MP4 demux + ImageIO decode
+    def raster(mask: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (c <- 0 until 64; dy <- 0 until 2; dx <- 0 until 2)
+        img.setRGB((c % 8) * 2 + dx, (c / 8) * 2 + dy,
+          if (((mask >> c) & 1L) == 1L) 0xffffff else 0x000000)
+      img
+    }
+    def enc(mask: Long, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(raster(mask), fmt, bos)
+      bos.toByteArray
+    }
+    // single-chunk all-sync MP4: ftyp + mdat(samples) + moov/trak('vide')
+    def mp4(samples: Seq[Array[Byte]]): Array[Byte] = {
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.flatten.toArray
+        be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0))
+      val mdat = box("mdat", samples.flatten.toArray)
+      val stbl = box("stbl",
+        box("stsz", be32(0), be32(0), be32(samples.length),
+          samples.flatMap(s => be32(s.length).toSeq).toArray),
+        box("stsc", be32(0), be32(1), be32(1), be32(samples.length), be32(1)),
+        box("stco", be32(0), be32(1), be32(ftyp.length + 8)))
+      ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+        box("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII")),
+        box("minf", stbl))))
+    }
+    val masks = Seq(0x00000000FFFFFFFFL, 0xFFFFFFFF00000000L,
+      0x5555555555555555L, 0x7AAAAAAAAAAAAAAAL)
+    val other = Seq(0x0F0F0F0F0F0F0F0FL, 0x70F0F0F0F0F0F0F0L,
+      0x00FF00FF00FF00FFL, 0x7F00FF00FF00FF00L)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", mp4(masks.map(enc(_, "png")))),
+      Multimodal.MediaRow(2L, "video/mp4", mp4(masks.map(enc(_, "bmp")))), // re-encode
+      Multimodal.MediaRow(3L, "video/mp4", mp4(masks.drop(1).map(enc(_, "png")))), // trim
+      Multimodal.MediaRow(4L, "video/mp4", mp4(other.map(enc(_, "png"))))
+    ).toDS()
+    // the hash feed recovers the masks exactly through PNG and BMP alike
+    val hashes = Multimodal.videoFrameHashes(media, stride = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(hashes.filter(_._1 == 1L).map(_._3) == masks.toSet,
+      s"PNG keyframe hashes must equal the planted masks: $hashes")
+    assert(hashes.filter(_._1 == 2L).map(_._3) == masks.toSet,
+      "BMP re-encode must hash identically (same rasters)")
+    val pairs = Multimodal.videoNearDups(media, stride = 1,
+        minSharedFrames = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 4L), (1L, 3L, 3L), (2L, 3L, 3L)),
+      s"re-encode pairs on all 4 frames, trim on its surviving 3; " +
+        s"the unrelated video never pairs — got $pairs")
+  }
+
   // 3 handcrafted MPEG-1 Layer III frames (128 kbps / 44.1 kHz: 417 bytes,
   // +1 when the padding bit is set) behind a 27-byte ID3v2 tag — built from
   // the header arithmetic directly, so a frame-length mis-parse desyncs the

@@ -436,6 +436,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileDriftSink: per-batch quantile drift equals the batch recompute") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val reference = Seq(("web", 100L), ("web", 120L), ("web", 900L),
+      ("pdf", 40L), ("pdf", 50L)).toDF("src", "v")
+    val outDir = java.nio.file.Files.createTempDirectory("qdrift-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qdrift-ckpt").toString
+    val quants = Seq(("p50", 1L, 2L), ("p90", 9L, 10L))
+    val q = Streaming.quantileDriftSink(ms.toDF.toDF("src", "v"), "src", "v",
+      reference, quants, outDir = outDir, checkpointDir = ckpt)
+    val b0 = Seq(("web", 110L), ("web", 130L), ("pdf", 45L))
+    val b1 = Seq(("web", 4000L), ("web", 5000L)) // 4x-length crawler change
+    try {
+      ms.addData(b0: _*); q.processAllAvailable()
+      ms.addData(b1: _*); q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+      assert(got.select("batch_id").distinct().count() == 2)
+      for ((bid, data) <- Seq(0L -> b0, 1L -> b1)) {
+        val want = graft.ops.Monitor
+          .quantileDrift(reference, data.toDF("src", "v"), "src", col("v"), quants)
+          .orderBy("src").collect().toSeq
+        val rows = got.filter(col("batch_id") === bid)
+          .select("src", "p50_a", "p90_a", "p50_b", "p90_b",
+            "p50_shift", "p90_shift")
+          .orderBy("src").collect().toSeq
+        assert(rows == want, s"batch $bid quantile report != batch recompute")
+      }
+      // the drifted batch flags the planted source: p50 jumped octaves
+      val drifted = got.filter(col("batch_id") === 1L && col("src") === "web")
+        .select("p50_shift").collect().head.getLong(0)
+      assert(drifted > 0, s"planted 4x shift must surface (got $drifted)")
+    } finally q.stop()
+  }
+
   test("embedDriftSink: per-batch embedding drift equals the batch recompute") {
     import org.apache.spark.sql.functions.col
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
