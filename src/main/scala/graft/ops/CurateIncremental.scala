@@ -956,6 +956,22 @@ object CurateIncremental {
     require(cfg.entityMatcher.isEmpty,
       "a generic entityMatcher cannot run incrementally — use " +
         "cfg.entityExact (see daily) or the periodic full re-curate")
+    // the remaining corpus-dependent stages REFUSE rather than silently
+    // run delta-only (a delta-local quantile cut / bigram LM /
+    // temperature budget prices the day, not the corpus — wrong answers
+    // that look plausible); they belong in the periodic full re-curate
+    require(cfg.qualityQuantile.isEmpty,
+      "qualityQuantile is corpus-relative (top fraction of each GROUP) — " +
+        "a delta-only window prices one day, not the corpus; run it in " +
+        "the periodic full re-curate")
+    require(cfg.bigramLmFloor.isEmpty,
+      "bigramLmFloor trains the corpus-LM on its input — a delta-only " +
+        "model scores against one day's bigrams; run it in the periodic " +
+        "full re-curate")
+    require(cfg.temperatureBalanceCol.isEmpty,
+      "temperature balancing budgets sources against CORPUS counts — a " +
+        "delta-only √-rule rebalances one day; run it in the periodic " +
+        "full re-curate")
 
     // 0.75 (opt-in) NFC canonicalization, exactly like the full recipe —
     // the persisted state's hashes were taken over NFC text, so the

@@ -19,9 +19,10 @@ import BucketedTables._
   *    occurrences, BUCKETED BY `tok`: the delta's full-token probe joins
   *    on `tok` with zero state-side exchange;
   *  - `tokens` (id, n, tok) — each indexed doc's full distinct token
-  *    rows, BUCKETED BY `id`: the verify overlap count joins on
-  *    (id, tok), and hash-clustering on `id` already satisfies the
-  *    join's distribution, so again only candidate rows shuffle;
+  *    rows, BUCKETED BY `id`: the verify overlap count joins on `id`
+  *    ALONE (the delta doc's token array rides the candidate row and
+  *    overlap is an array-membership count), so the join key equals the
+  *    bucket column and again only candidate rows shuffle;
   *  - `_graft_exact.json` — bucket count + the state's (tNum, tDen)
   *    threshold (a prefix index is only lossless for thresholds ≥ the
   *    one it was built with; pinning it in the meta keeps probe and
@@ -148,11 +149,22 @@ object ExactJoinState {
       .filter(col("n_d") * tDen >= col("n_s") * tNum &&
         col("n_s") * tDen >= col("n_d") * tNum)
       .select("id_s", "id_d", "n_s", "n_d").distinct()
-    // verify: overlap counted from token rows — delta side re-exploded,
-    // state side read from the id-bucketed table (no state exchange)
+    // verify: each candidate pair ships the DELTA doc's token array into
+    // the state doc's bucket and the overlap is an array_contains count
+    // over the state doc's token rows. The join key is id_s ALONE —
+    // exactly the token table's bucket column, so the corpus-scale state
+    // side plans NO exchange (r14 PlanShapeSpec finding: the previous
+    // (id_s, tok) equi-join could not ride the id-only bucketing —
+    // subset join keys disable the bucketed scan — and silently
+    // re-shuffled the WHOLE token table on every probe, the one scale
+    // killer in this lane). The candidate-side exchange carries each
+    // pair's delta token array once (prefix-bounded pairs); per-pair CPU
+    // is n_s membership probes against the array, bounded by the size
+    // filter. Exchanged bytes ≈ the old exploded-delta shuffle.
     val verified = cand
-      .join(dToks.select(col("id").as("id_d"), col("tok")), "id_d")
-      .join(stToks.select(col("id").as("id_s"), col("tok")), Seq("id_s", "tok"))
+      .join(base.select(col("id").as("id_d"), col("ts")), "id_d")
+      .join(stToks.select(col("id").as("id_s"), col("tok")), Seq("id_s"))
+      .filter(array_contains(col("ts"), col("tok")))
       .groupBy("id_s", "id_d", "n_s", "n_d")
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") * tDen >=

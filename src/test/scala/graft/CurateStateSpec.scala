@@ -785,6 +785,24 @@ class CurateStateSpec extends SparkSpec {
     assert(ex2.getMessage.contains("entityExact"))
   }
 
+  test("curateDelta refuses every corpus-dependent stage instead of running it delta-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-refuse-").toString
+    CurateIncremental.bootstrap(docsDf(Seq(doc(1, "alpha"))), bench,
+      "doc_id", "text", root).release()
+    val st = CurateIncremental.loadState(spark, root)
+    val delta = docsDf(Seq(doc(10, "beta")))
+    def refuse(cfg: Curate.Config, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        CurateIncremental.curateDelta(delta, bench, "doc_id", "text", st, cfg)
+      }
+      assert(ex.getMessage.contains(needle), ex.getMessage)
+    }
+    refuse(Curate.Config(boilerplateMaxDocs = Some(10L)), "corpus-global")
+    refuse(Curate.Config(qualityQuantile = Some(("doc_id", 0.5))), "corpus-relative")
+    refuse(Curate.Config(bigramLmFloor = Some((2L, 0.5))), "corpus-LM")
+    refuse(Curate.Config(temperatureBalanceCol = Some("src")), "CORPUS counts")
+  }
+
   test("takedown and refresh keep the exact-join entity index in sync") {
     import org.apache.spark.sql.Column
     val sh3: Column => Column = t => {

@@ -209,7 +209,18 @@ class PlanShapeSpec extends SparkSpec {
       // both state references (the per-fp df aggregate and the pair join)
       // must ride the table's fp bucketing — no state-side exchange
       "winnowDropIds" -> CurateIncremental.winnowDropIds(
-        delta, "doc_id", "text", st, Curate.Winnow())))
+        delta, "doc_id", "text", st, Curate.Winnow()),
+      // r14: the exact-join entity probe — the tok-bucketed prefix index
+      // and the id-bucketed token table are both corpus-scale; only the
+      // delta side may shuffle into them
+      "exactJoinProbe" -> {
+        val sh2: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          t => split(t, " ")
+        graft.ops.ExactJoinState.build(docs, "doc_id", sh2(col("text")),
+          1L, 2L, s"$root/curate_state", buckets = 4)
+        graft.ops.ExactJoinState.probe(delta, "doc_id", sh2(col("text")),
+          s"$root/curate_state")
+      }))
   }
 
   test("r10 ops: shard exchange is reused, mixtures broadcast, no text rides a shuffle") {
