@@ -179,39 +179,74 @@ object ExactJoinState {
   }
 
   /** Extend the state with the delta's token and prefix rows (ranked by
-    * the DELTA's own rarity order — lossless, see object doc). EACH
-    * table independently skips docs whose ids it already holds (an
-    * id-keyed anti-join against the bucketed table — no state-side
-    * exchange), so any re-run after any crash point is exactly-once per
-    * table: a crash between the two appends leaves docs verifiable but
-    * not yet probe-discoverable (missed pairs until the re-run — the
-    * fail-safe direction), and the re-run lands only the missing
-    * prefixes, never a second copy of the token rows. */
+    * the DELTA's own rarity order — lossless, see object doc). TOKEN
+    * rows are exactly-once (an id-keyed anti-join riding the token
+    * table's id bucketing — zero state-side exchange); a crash between
+    * the two writes leaves docs verifiable but not yet
+    * probe-discoverable (missed pairs until the re-run — the fail-safe
+    * direction), and the re-run's repair path (a leftover
+    * `_append_pending` marker) re-prefixes the whole delta — duplicate
+    * PREFIX rows being harmless by construction (see [[appendHooked]]).
+    * Re-appending an already-landed delta is a no-op. */
+  private def pendingPath(root: String) =
+    new Path(s"${stateDir(root)}/_append_pending")
+
   def append(delta: DataFrame, idCol: String, tokensCol: Column,
-             root: String): Unit = {
+             root: String): Unit =
+    appendHooked(delta, idCol, tokensCol, root, () => ())
+
+  /** [[append]] with a fault-injection point between the token and
+    * prefix writes — test-only seam for the crash/repair contract.
+    *
+    * Exchange inventory (r14 — the old shape anti-joined the delta
+    * against the PREFIX table's ids, whose bucket key is `tok`, so every
+    * append exchanged corpus-scale ids): the ONLY state reference is now
+    * the id-keyed anti-join against the id-BUCKETED token table — zero
+    * state-side exchange; everything else is delta-bounded. The prefix
+    * table needs no anti-join at all because DUPLICATE PREFIX ROWS ARE
+    * HARMLESS by construction — [[probe]]'s candidates are
+    * `distinct()`-ed and the verify overlap counts from the TOKEN table
+    * — so crash repair is a MARKER, not a join: `_append_pending` is
+    * created before the token write and deleted after the prefix write;
+    * an append that finds it left over re-prefixes the WHOLE delta (the
+    * crashed day's re-run, per the contract), landing at worst a
+    * duplicate prefix row per surviving doc, which [[compact]] folds
+    * away. Token rows stay exactly-once through the anti-join (their
+    * duplication WOULD double-count overlaps). One tokenization pass
+    * serves both writes (ADVICE r13): the exploded rows pin once, the
+    * anti-joined fresh slice pins before any write (its lineage reads
+    * the very table the first write mutates). */
+  private[graft] def appendHooked(delta: DataFrame, idCol: String,
+                                  tokensCol: Column, root: String,
+                                  betweenWrites: () => Unit): Unit = {
     val spark = delta.sparkSession
-    val (pref0, stToks, n, tNum, tDen) = load(spark, root)
-    // ONE tokenization pass serves both appends (ADVICE r13 — the old
-    // shape recomputed the explode per table): tokens write before
-    // prefixes, so prefix-fresh ⊇ token-fresh in every reachable crash
-    // state — tokenize the prefix-fresh superset once, pin the exploded
-    // rows (delta-bounded executor storage), and each table lands its
-    // own anti-joined slice from the pin. Rarity ranks over the pinned
-    // frame's own df — the order-agnostic prefix lemma (object doc)
-    // makes any ranking basis lossless.
-    val freshP = delta.join(pref0.select(col("id").as(idCol)),
-      Seq(idCol), "left_anti")
-    val toksDf = tokenRows(freshP, idCol, tokensCol)
-    val toksRdd = toksDf.rdd
-    Lineage.mark(toksRdd, spark)
-    val toksPinned = spark.createDataFrame(toksRdd, toksDf.schema)
+    val (_, stToks, n, tNum, tDen) = load(spark, root)
+    val fs = hadoopFs(spark, pendingPath(root))
+    val repair = fs.exists(pendingPath(root))
+    fs.create(pendingPath(root), true).close()
+    val allDf = tokenRows(delta, idCol, tokensCol)
+    val allRdd = allDf.rdd
+    Lineage.mark(allRdd, spark)
+    val allPinned = spark.createDataFrame(allRdd, allDf.schema)
+    val freshDf = allPinned.join(stToks.select(col("id")).distinct(),
+      Seq("id"), "left_anti")
+    val freshRdd = freshDf.rdd
+    Lineage.mark(freshRdd, spark)
+    freshRdd.count() // materialize BEFORE the write mutates its input
+    val freshPinned = spark.createDataFrame(freshRdd, freshDf.schema)
     try {
-      appendBucketed(
-        toksPinned.join(stToks.select(col("id")).distinct(), Seq("id"), "left_anti"),
+      appendBucketed(freshPinned,
         toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
-      appendBucketed(prefixOf(toksPinned, tNum, tDen),
+      betweenWrites()
+      appendBucketed(
+        prefixOf(if (repair) allPinned else freshPinned, tNum, tDen),
         prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
-    } finally { toksRdd.unpersist(blocking = false); () }
+      fs.delete(pendingPath(root), false)
+      ()
+    } finally {
+      allRdd.unpersist(blocking = false)
+      freshRdd.unpersist(blocking = false); ()
+    }
   }
 
   /** Is there a persisted exact-join state under `root`? */
@@ -241,10 +276,13 @@ object ExactJoinState {
 
   /** Rewrite both tables back to one file per bucket — daily appends add
     * one file per bucket per day (path-based reads for the same planner
-    * reason as [[CurateIncremental.compactState]]). */
+    * reason as [[CurateIncremental.compactState]]). The prefix rewrite
+    * also folds away any duplicate rows a crash-repair append landed
+    * (harmless to correctness, see [[appendHooked]] — this just reclaims
+    * the bytes). */
   def compact(spark: SparkSession, root: String): Unit = {
     val (_, _, n, _, _) = load(spark, root)
-    writeBucketedSnapshot(spark.read.parquet(prefixDir(root)),
+    writeBucketedSnapshot(spark.read.parquet(prefixDir(root)).distinct(),
       prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
     writeBucketedSnapshot(spark.read.parquet(toksDir(root)),
       toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)

@@ -713,6 +713,45 @@ class CurateStateSpec extends SparkSpec {
     ExactJoinState.append(delta, "doc_id", col("toks"), root)
     val probed2b = norm(ExactJoinState.probe(delta2, "doc_id", col("toks"), root))
     assert(probed2b == probed2, "re-append double-counted token rows")
+
+    // crash between the token and prefix writes: the pending marker
+    // routes the re-run through the repair path (re-prefix the WHOLE
+    // delta); later probes find the crashed doc and overlaps count ONCE
+    val delta3 = Seq(row(31L, Seq("p", "q", "r", "s", "t", "v")))
+      .toDF("doc_id", "toks") // J(8,31)=5/6
+    val boom = intercept[RuntimeException] {
+      ExactJoinState.appendHooked(delta3, "doc_id", col("toks"), root,
+        () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    ExactJoinState.append(delta3, "doc_id", col("toks"), root) // repair re-run
+    val delta4 = Seq((33L, Seq("p", "q", "r", "s", "t", "v", "w")))
+      .toDF("doc_id", "toks") // J(31,33)=6/7, J(8,33)=5/7 (23 was never appended)
+    val probed4 = norm(ExactJoinState.probe(delta4, "doc_id", col("toks"), root))
+    assert(probed4.map(p => (p._1, p._2)).toSet ==
+      Set((8L, 33L), (31L, 33L)),
+      s"crash-repaired doc 31 must be probe-discoverable: $probed4")
+    assert(probed4.forall(p => p._3 <= math.min(p._4, p._5)),
+      s"an overlap above min(n_a, n_b) means duplicated token rows: $probed4")
+
+    // a marker left over AFTER a fully-landed append (crash before the
+    // marker delete) makes the next repair land DUPLICATE prefix rows —
+    // harmless to the probe by construction, and compact() folds them
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/exact_state/_append_pending"), true).close()
+    ExactJoinState.append(delta3, "doc_id", col("toks"), root)
+    val prefDir = s"$root/exact_state/prefix"
+    val withDups = spark.read.parquet(prefDir).count()
+    val distinctRows = spark.read.parquet(prefDir).distinct().count()
+    assert(withDups > distinctRows, "repair should have landed duplicate prefixes")
+    assert(norm(ExactJoinState.probe(delta4, "doc_id", col("toks"), root)) == probed4,
+      "duplicate prefix rows changed the probe result")
+    ExactJoinState.compact(spark, root)
+    assert(spark.read.parquet(prefDir).count() == distinctRows,
+      "compact must fold the repair duplicates")
+    assert(norm(ExactJoinState.probe(delta4, "doc_id", col("toks"), root)) == probed4)
   }
 
   test("entity resolution in incremental curation: bootstrap -> daily x2 equals full entity-stage curate of the union") {
