@@ -112,6 +112,10 @@ object Scd2State {
     spark.table(curTable(root))
   }
 
+  /** The registered current table (test/diagnostic face). */
+  private[graft] def currentTable(spark: SparkSession, root: String): DataFrame =
+    loadCurrent(spark, root, readMeta(spark, root))
+
   /** Day-0 bootstrap: batch-collapse the history so far
     * ([[Temporal.scd2WithDeletions]]) and persist it as fold state —
     * each key's latest version becomes the `current` row (`is_open` iff
@@ -160,17 +164,35 @@ object Scd2State {
       s"scd2 folds must be date-ordered: $date <= last folded ${m.last}")
     if (snapshot.isEmpty) return
     val cur = loadCurrent(spark, root, m)
-    val keys = m.keyCols.map(col)
+    val (retired, nextCur) =
+      foldFrames(cur, snapshot, m.keyCols, m.attrCols, date)
+    // history first (per-date overwrite = replay-idempotent), then the
+    // current swap carries the ledger — a crash between them re-runs the
+    // date: same history bytes, then the swap lands
+    retired.write.mode("overwrite").parquet(s"${histDir(root)}/d=$date")
+    writeCurrent(nextCur, root,
+      m.copy(applied = m.applied + date, last = date))
+  }
+
+  /** The fold's two output frames (retired-to-history, next current) —
+    * pure plan construction, shared by [[fold]] and the plan-shape
+    * tests: the full-outer join's keys equal the current table's bucket
+    * columns exactly, so the corpus-scale state side must plan no
+    * exchange (asserted in PlanShapeSpec). */
+  private[graft] def foldFrames(cur: DataFrame, snapshot: DataFrame,
+                                keyCols: Seq[String], attrCols: Seq[String],
+                                date: String): (DataFrame, DataFrame) = {
+    val keys = keyCols.map(col)
     val dLit = lit(date).cast("date")
     val d = snapshot.select(keys ++
-        m.attrCols.map(c => col(c).as(s"__d_$c")): _*)
+        attrCols.map(c => col(c).as(s"__d_$c")): _*)
       .withColumn("__in_d", lit(true))
-    val j = cur.join(d, m.keyCols, "full_outer")
+    val j = cur.join(d, keyCols, "full_outer")
     val inDelta = col("__in_d").isNotNull
     val hasCur = col("version").isNotNull
     val open = coalesce(col("is_open"), lit(false))
-    val sameAttrs = struct(m.attrCols.map(col): _*) <=>
-      struct(m.attrCols.map(c => col(s"__d_$c")): _*)
+    val sameAttrs = struct(attrCols.map(col): _*) <=>
+      struct(attrCols.map(c => col(s"__d_$c")): _*)
     val extendRun = inDelta && hasCur && open && sameAttrs
     val newRun = inDelta && (!hasCur || !open || !sameAttrs)
     // rows whose CURRENT version retires to history this fold: an open
@@ -178,7 +200,7 @@ object Scd2State {
     // reappearance
     val retired = j.filter(hasCur && inDelta && (!open || !sameAttrs))
       .select(keys ++ Seq(col("version"), col("valid_from"), col("valid_to"),
-        col("nb_snapshots")) ++ m.attrCols.map(col): _*)
+        col("nb_snapshots")) ++ attrCols.map(col): _*)
     val nextCur = j.select(keys ++ Seq(
         when(newRun, coalesce(col("version"), lit(0L)) + 1L)
           .otherwise(col("version")).as("version"),
@@ -187,15 +209,10 @@ object Scd2State {
           .otherwise(col("valid_to")).as("valid_to"),
         when(newRun, lit(1L)).when(extendRun, col("nb_snapshots") + 1L)
           .otherwise(col("nb_snapshots")).as("nb_snapshots")) ++
-      m.attrCols.map(c =>
+      attrCols.map(c =>
         when(inDelta, col(s"__d_$c")).otherwise(col(c)).as(c)) :+
       inDelta.as("is_open"): _*)
-    // history first (per-date overwrite = replay-idempotent), then the
-    // current swap carries the ledger — a crash between them re-runs the
-    // date: same history bytes, then the swap lands
-    retired.write.mode("overwrite").parquet(s"${histDir(root)}/d=$date")
-    writeCurrent(nextCur, root,
-      m.copy(applied = m.applied + date, last = date))
+    (retired, nextCur)
   }
 
   /** All intervals so far: history ∪ current — column-identical to a

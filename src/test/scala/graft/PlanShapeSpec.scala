@@ -402,6 +402,55 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("scd2 fold joins the current table on its bucket keys — zero state-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2ps-").toString
+    val day0 = (1L to 40L).map(k => (k, java.sql.Date.valueOf("2024-01-01"),
+      s"attr${k % 3}")).toDF("k", "d", "attr")
+    graft.ops.Scd2State.bootstrap(day0, Seq("k"), Seq("attr"), "d", root,
+      buckets = 4)
+    val delta = ((1L to 20L) ++ (50L to 60L))
+      .map(k => (k, s"attr${(k + 1) % 3}")).toDF("k", "attr")
+    val cur = graft.ops.Scd2State.currentTable(spark, root)
+    val (retired, nextCur) = graft.ops.Scd2State.foldFrames(
+      cur, delta, Seq("k"), Seq("attr"), "2024-01-02")
+    def isStateScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(root))
+      case _ => false
+    }
+    def stateFeedsDirectly(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => isStateScan(f)
+      case _: BaseJoinExec => false
+      case other => other.children.exists(stateFeedsDirectly)
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, frame) <- Seq("retired" -> retired, "nextCur" -> nextCur)) {
+        val plan = frame.queryExecution.executedPlan
+        val stateScans = plan.collect {
+          case f: FileSourceScanExec if isStateScan(f) => f
+        }
+        assert(stateScans.nonEmpty &&
+          stateScans.forall(_.relation.bucketSpec.isDefined),
+          s"scd2 fold $name lost the bucketed current scan:\n$plan")
+        val bad = plan.collect { case e: ShuffleExchangeExec => e }
+          .filter(_.children.exists(stateFeedsDirectly))
+        assert(bad.isEmpty,
+          s"scd2 fold $name re-shuffles the corpus-scale current table:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("IVF centroid folds stay at the accepted 2x filter-copy (no 4x regression)") {
     // isnotnull pushdown copies the corpus-side cell-argmax expression
     // into the scan filter — accepted at 16 centroids (PERF.md r9 note:
