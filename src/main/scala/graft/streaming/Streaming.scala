@@ -273,6 +273,42 @@ object Streaming {
       }
       .start()
 
+  /** Stream → persisted SCD2 fold state ([[graft.ops.Scd2State]]'s
+    * streaming face): each micro-batch's snapshot rows fold into the
+    * interval state DATE BY DATE (ascending — a batch may carry several
+    * snapshot dates), so the dimension's open/closed versions stay
+    * current for the life of the stream with no history rescan.
+    * `foreachBatch` is the seam for the same reason as [[curateSink]]
+    * (a fold is a keyed join plus two table writes, and batch
+    * serialization is the state's lock); the per-batch date list is a
+    * calendar-bounded driver collect.
+    *
+    * Replay safety: folds are LEDGERED per date inside the state's
+    * atomic swap, so a re-delivered batch's dates no-op — at-least-once
+    * delivery lands exactly-once state (the Scd2StateSpec replay
+    * contract). The batch caller's preconditions carry over: one row
+    * per (key, date), and a date arrives COMPLETE within one batch
+    * (folds are date-monotone — a later batch cannot reopen an earlier
+    * date; bootstrap the state before starting the stream). */
+  def scd2FoldSink(stream: DataFrame, keyCols: Seq[String],
+                   attrCols: Seq[String], dateCol: String, root: String,
+                   checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val dates = batch
+            .select(date_format(col(dateCol), "yyyy-MM-dd").as("__d"))
+            .distinct().orderBy("__d").collect().map(_.getString(0))
+          for (d <- dates)
+            graft.ops.Scd2State.fold(
+              batch.filter(date_format(col(dateCol), "yyyy-MM-dd") === d)
+                .select((keyCols ++ attrCols).map(col): _*), root, d)
+        }
+      }
+      .start()
+
   /** Stream → lake zone: every micro-batch merge-upserts into the same
     * partitioned Parquet layout the batch pipeline writes
     * ([[LakeZones.mergeUpsertByDay]]), so incremental results land beside

@@ -436,6 +436,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2FoldSink: streamed daily snapshots equal the one-shot batch collapse") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val root = java.nio.file.Files.createTempDirectory("scd2sink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2sink-ckpt").toString
+    // key 1 extends, key 2 changes attrs, key 3 vanishes then returns
+    // identical (the gap must split its version), key 4 is born late
+    val all = Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "x"), (3L, "2024-01-01", "m"),
+      (1L, "2024-01-02", "a"), (2L, "2024-01-02", "y"),
+      (1L, "2024-01-03", "a"), (2L, "2024-01-03", "y"), (3L, "2024-01-03", "m"),
+      (4L, "2024-01-03", "q"))
+    def snaps(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "d", "attr").select(col("k"),
+        to_date(col("d")).as("d"), col("attr"))
+    // day 0 bootstraps the state; the stream then delivers day 1 AND a
+    // replay of day 0 in one batch (ledger no-op), day 2 in the next
+    graft.ops.Scd2State.bootstrap(snaps(all.filter(_._2 == "2024-01-01")),
+      Seq("k"), Seq("attr"), "d", root, buckets = 4)
+    val q = Streaming.scd2FoldSink(
+      ms.toDF.toDF("k", "d", "attr")
+        .select(col("k"), to_date(col("d")).as("d"), col("attr")),
+      Seq("k"), Seq("attr"), "d", root, ckpt)
+    try {
+      ms.addData(all.filter(r => r._2 <= "2024-01-02"): _*) // day 0 replay + day 1
+      q.processAllAvailable()
+      ms.addData(all.filter(_._2 == "2024-01-03"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("version"), col("valid_from").cast("string"),
+          col("valid_to").cast("string"), col("nb_snapshots"), col("attr"))
+        .as[(Long, Long, String, String, Long, String)].collect().sorted.toSeq
+    val got = norm(graft.ops.Scd2State.intervals(spark, root))
+    val want = norm(graft.ops.Temporal.scd2WithDeletions(
+      snaps(all), Seq("k"), Seq("attr"), "d"))
+    assert(got == want, s"streamed folds ($got) != batch collapse ($want)")
+    assert(got.filter(_._1 == 3L).map(_._2).sorted == Seq(1L, 2L),
+      "the gap must split key 3's version across the stream")
+  }
+
   test("quantileDriftSink: per-batch quantile drift equals the batch recompute") {
     import org.apache.spark.sql.functions.col
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
