@@ -149,16 +149,28 @@ object SpillStress {
     // …and the exact set-similarity join at 4× (copies append 2 trailing
     // tokens, so every copy family fully pairs at J ≥ 1/2 — the verify
     // token-count exchange, the lane's biggest, is what gets starved)
+    def shingled4x: DataFrame = corpus(spark, sfDir, math.min(4, m))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("toks", expr(
+        "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
+          "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
     phase("q129_exact_jaccard_4x") {
-      val c4 = corpus(spark, sfDir, math.min(4, m))
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .withColumn("toks", expr(
-          "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
-            "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
-            "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
-      Dedup.exactJaccardPairs(c4, "doc_id", col("toks"), 1L, 2L)
+      Dedup.exactJaccardPairs(shingled4x, "doc_id", col("toks"), 1L, 2L)
+    }
+    // …and the incremental face's PROBE (r14: the verify ships each
+    // candidate pair's delta token ARRAY into the state doc's bucket —
+    // the lane's widest shuffle rows; they must spill, not OOM)
+    phase("q134_state_probe_4x") {
+      val sh = shingled4x
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spill-xjs-").toString
+      graft.ops.ExactJoinState.build(sh.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("toks"), 1L, 2L, root)
+      graft.ops.ExactJoinState.probe(sh.filter(col("doc_id") % 2 === 1),
+        "doc_id", col("toks"), root)
     }
     d.unpersist()
     spark.sparkContext.removeSparkListener(metrics)
