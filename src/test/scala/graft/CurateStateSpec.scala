@@ -217,6 +217,63 @@ class CurateStateSpec extends SparkSpec {
     r2.release()
   }
 
+  test("combined entity + embedding daily: both indexes probe, audit labels entity_dup and embedding_dup") {
+    import org.apache.spark.sql.Column
+    val sh3: Column => Column = t => {
+      val ws = split(trim(t), "\\s+")
+      val len = greatest(size(ws) - 2, lit(0))
+      zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+        (ab, c) => concat(ab, lit(" "), c))
+    }
+    val cfg = Curate.Config(nearDupThreshold = 2.0, audit = true,
+      entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+    val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, dim = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-xembd-").toString
+
+    val d2 = doc(2, "alpha"); val d4 = doc(4, "beta")
+    val day0 = docsDf(Seq(d2, d4))
+    CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root,
+      cfg.copy(audit = false),
+      vecs = Some(embDf(Seq((2L, vec(2)), (4L, vec(4))))), ecfg = ecfg)
+      .release()
+
+    // day 1: 10 is fresh on both axes; 12 aliases state doc 2's TEXT
+    // (entity index kills it); 14 has fresh text but a jitter of state
+    // doc 4's VECTOR (embedding index kills it); 16 is an exact text
+    // re-crawl of doc 4 (fingerprint kills it first)
+    val day1 = docsDf(Seq(doc(10, "gamma"),
+      (12L, d2._2 + " alias suffix marker"), doc(14, "delta"),
+      (16L, d4._2)))
+    val day1Vecs = embDf(Seq((10L, vec(10)), (12L, vec(12)),
+      (14L, jitter(vec(4))), (16L, vec(16))))
+    val r1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root,
+      cfg, deltaVecs = Some(day1Vecs), ecfg = ecfg)
+    assert(r1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "entity alias, embedding near-dup and exact re-crawl must all drop")
+    val labels = r1.audit.get.select("doc_id", "stage")
+      .as[(Long, String)].collect().toMap
+    assert(labels == Map(10L -> "survived", 12L -> "entity_dup",
+      14L -> "embedding_dup", 16L -> "exact_dup"),
+      s"audit must name each axis's stage: $labels")
+    r1.release()
+
+    // day 2 probes BOTH appended indexes: an alias of day-1 survivor 10
+    // and a vector jitter of 10's embedding must each drop
+    val day2 = docsDf(Seq((20L, doc(10, "gamma")._2 + " alias suffix marker"),
+      doc(22, "epsilon")))
+    val day2Vecs = embDf(Seq((20L, vec(20)), (22L, jitter(vec(10)))))
+    val r2 = CurateIncremental.daily(day2, bench, "doc_id", "text", root,
+      cfg, deltaVecs = Some(day2Vecs), ecfg = ecfg)
+    assert(r2.corpus.isEmpty,
+      "day-2 alias and embedding jitter of day-1 survivors must drop")
+    val labels2 = r2.audit.get.select("doc_id", "stage")
+      .as[(Long, String)].collect().toMap
+    assert(labels2 == Map(20L -> "entity_dup", 22L -> "embedding_dup"),
+      s"day-2 labels must cross the APPENDED state boundary: $labels2")
+    r2.release()
+  }
+
   test("refresh: bootstrap -> daily x2 -> refresh equals one full curate of the union") {
     import graft.ops.Curate
     val root = java.nio.file.Files.createTempDirectory("graft-refresh-").toString
