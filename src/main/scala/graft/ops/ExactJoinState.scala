@@ -108,6 +108,7 @@ object ExactJoinState {
       : (DataFrame, DataFrame, Int, Long, Long) = {
     recoverSwap(hadoopFs(spark, new Path(prefixDir(root))), new Path(prefixDir(root)))
     recoverSwap(hadoopFs(spark, new Path(toksDir(root))), new Path(toksDir(root)))
+    repairPendingRemove(spark, root)
     val body = readJsonSidecar(spark, metaPath(root))
       .getOrElse(sys.error(s"no exact-join state at $root"))
     val n = jsonInt(body, "buckets")
@@ -259,19 +260,71 @@ object ExactJoinState {
     * frame, already distinct/materialized by the caller) — the takedown
     * sweep [[CurateIncremental.removeFromState]] routes through. Each
     * table rewrites as an id-anti-joined bucketed snapshot (temp sibling
-    * + atomic swap, same discipline as the other state tables). */
-  def remove(del: DataFrame, root: String): Unit = {
+    * + atomic swap, same discipline as the other state tables).
+    *
+    * Crash repair (ADVICE r14): unlike [[appendHooked]]'s fail-safe
+    * direction, a crash BETWEEN the two sweeps would leave the taken-
+    * down docs' content-bearing token rows resident with nothing
+    * recording the partial takedown — probe stays correct, but the
+    * retention would be silently permanent. So the id list persists in
+    * a `_remove_pending` marker BEFORE the first sweep and deletes
+    * after the second; [[load]] (every probe/append/compact) and
+    * [[recover]] finish a pending removal by re-running both sweeps
+    * (idempotent anti-joins). */
+  def remove(del: DataFrame, root: String): Unit =
+    removeHooked(del, root, () => ())
+
+  /** [[remove]] with a fault-injection point between the prefix and
+    * token sweeps — test-only seam for the marker-repair contract. */
+  private[graft] def removeHooked(del: DataFrame, root: String,
+                                  betweenSweeps: () => Unit): Unit = {
     val spark = del.sparkSession
     val (pref, toks, n, _, _) = load(spark, root)
+    val fs = hadoopFs(spark, removeMarker(root))
+    val tmp = new Path(removeMarker(root).toString + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    del.select(col("__del_id")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(removeMarker(root))) fs.delete(removeMarker(root), true)
+    if (!fs.rename(tmp, removeMarker(root)))
+      sys.error(s"exact-join remove marker rename failed at $root")
+    completeRemove(spark, root, n, betweenSweeps)
+    // `pref`/`toks` are catalog reads — referenced only to force a load
+    // (bucket registration + swap recovery) before the path-based sweeps
+    val _ = (pref, toks)
+  }
+
+  private def removeMarker(root: String) =
+    new Path(s"${stateDir(root)}/_remove_pending")
+
+  /** The removal sweeps, driven from the persisted marker — shared by
+    * [[remove]] and the [[load]]/[[recover]] repair path (which must
+    * not recurse through load). */
+  private def completeRemove(spark: SparkSession, root: String, n: Int,
+                             betweenSweeps: () => Unit = () => ()): Unit = {
+    val fs = hadoopFs(spark, removeMarker(root))
+    val del = spark.read.parquet(removeMarker(root).toString)
     def sweep(df: DataFrame) =
       df.join(del, df("id") === col("__del_id"), "left_anti")
     writeBucketedSnapshot(sweep(spark.read.parquet(prefixDir(root))),
       prefixDir(root), tableName("xjp", prefixDir(root)), n, PrefixBucketCols)
+    betweenSweeps()
     writeBucketedSnapshot(sweep(spark.read.parquet(toksDir(root))),
       toksDir(root), tableName("xjt", toksDir(root)), n, ToksBucketCols)
-    // `pref`/`toks` are catalog reads — referenced only to force a load
-    // (bucket registration + swap recovery) before the path-based sweeps
-    val _ = (pref, toks)
+    fs.delete(removeMarker(root), true)
+    ()
+  }
+
+  /** Finish a half-done [[remove]] if its marker is present. */
+  private def repairPendingRemove(spark: SparkSession, root: String): Unit = {
+    val fs = hadoopFs(spark, removeMarker(root))
+    if (fs.exists(removeMarker(root))) {
+      val body = readJsonSidecar(spark, metaPath(root))
+        .getOrElse(sys.error(s"no exact-join state at $root"))
+      val n = jsonInt(body, "buckets")
+        .getOrElse(sys.error(s"exact-join meta missing buckets: $body"))
+      completeRemove(spark, root, n)
+    }
   }
 
   /** Rewrite both tables back to one file per bucket — daily appends add
@@ -300,8 +353,11 @@ object ExactJoinState {
       if (counts.isEmpty) 0.0 else counts.max.toDouble / n
     }
 
-  /** Roll half-finished swaps forward — the vacuum hook. */
-  def recover(spark: SparkSession, root: String): Unit =
+  /** Roll half-finished swaps forward and finish a half-done removal —
+    * the vacuum hook. */
+  def recover(spark: SparkSession, root: String): Unit = {
     for (d <- Seq(prefixDir(root), toksDir(root)))
       recoverSwap(hadoopFs(spark, new Path(d)), new Path(d))
+    repairPendingRemove(spark, root)
+  }
 }

@@ -765,6 +765,12 @@ object Multimodal {
                                    bands: Int = 4, width: Int = 16,
                                    maxHamming: Int = 3,
                                    minSharedFrames: Long = 2L): DataFrame = {
+    // the banded recall guarantee (a pair within hamming k shares an
+    // exact band) needs k < bands over a full 64-bit cover — fail fast
+    // instead of silently losing qualifying frame matches (ADVICE r14)
+    require(maxHamming < bands && bands * width == 64,
+      s"banded recall needs maxHamming < bands and bands*width == 64: " +
+        s"got maxHamming=$maxHamming bands=$bands width=$width")
     val mask = (1L << width) - 1
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -71,15 +71,13 @@ object LlmQueries {
     * repeated Verify/Bench invocations stop leaking a temp dir each. All
     * cached dirs are removed by a JVM shutdown hook. */
   private val fixtureCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
   private lazy val fixtureCleanup: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      fixtureCache.values.foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }))
+      fixtureCache.values.foreach(dir => rmTree(new java.io.File(dir)))))
     ()
   }
   private[queries] def cachedFixture(name: String, sfDir: String)(write: String => Unit): String =
@@ -90,15 +88,12 @@ object LlmQueries {
       dir
     })
 
-  /** Recursive directory copy for per-invocation STATE CLONES (q138:
-    * daily() appends to the state it probes, so re-running the query
-    * against the shared fixture would change its own input — each run
-    * clones the bootstrapped fixture instead, staying bit-identical
-    * across bench passes). Clones register in the same shutdown-hook
-    * cleanup as the fixtures. */
+  /** Recursive directory copy (the walk stream is closed — a leaked
+    * Files.walk holds directory handles for the JVM's life, ADVICE
+    * r14). */
   private[queries] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    fixtureCache.putIfAbsent(s"clone|$dst", dst.toString)
-    java.nio.file.Files.walk(src).forEach { p =>
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) {
         java.nio.file.Files.createDirectories(t); ()
@@ -106,7 +101,26 @@ object LlmQueries {
         java.nio.file.Files.copy(p, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
       }
-    }
+    } finally walk.close()
+  }
+
+  /** Per-invocation STATE CLONE (q138/q139: daily()/fold() mutate the
+    * state they probe, so re-running the query against the shared
+    * fixture would change its own input — each run clones the
+    * bootstrapped fixture instead, staying bit-identical across bench
+    * passes). Exactly ONE clone lives per (query, sf-dir): the previous
+    * pass's clone — fully consumed by the time the next pass starts —
+    * is deleted here rather than accumulating until the JVM shutdown
+    * hook (ADVICE r14: a bench run leaked 3 clones per query). The
+    * latest clone still rides the shutdown-hook cleanup. */
+  private[queries] def cloneFixture(name: String, sfDir: String, src: String): String = {
+    fixtureCleanup
+    val key = s"clone|$name|$sfDir"
+    fixtureCache.remove(key).foreach(old => rmTree(new java.io.File(old)))
+    val dst = java.nio.file.Files.createTempDirectory(s"graft-$name-clone-").toString
+    copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+    fixtureCache.put(key, dst)
+    dst
   }
 
   /** (doc_id, toks) — each document's word 3-shingle array, the shared
@@ -2265,8 +2279,7 @@ object LlmQueries {
           bench, "doc_id", "text", r, cfg.copy(audit = false)).release()
       }
       // fresh copy per invocation: daily appends to the state it probes
-      val root = java.nio.file.Files.createTempDirectory("graft-q138-").toString
-      copyTree(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(root))
+      val root = cloneFixture("q138", dir, fixture)
       val delta = base.filter(col("doc_id") % 2 === 1)
         .unionByName(base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))

@@ -660,9 +660,7 @@ object RelationalQueries {
             .isin(bootDates: _*)),
           Seq("user_id"), Seq("etype"), "snap_date", r)
       }
-      val root = java.nio.file.Files.createTempDirectory("graft-q139-").toString
-      LlmQueries.copyTree(java.nio.file.Paths.get(fixture),
-        java.nio.file.Paths.get(root))
+      val root = LlmQueries.cloneFixture("q139", dir, fixture)
       foldDates.foreach { dt =>
         Scd2State.fold(
           snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dt)

@@ -811,6 +811,43 @@ class CurateStateSpec extends SparkSpec {
     assert(norm(ExactJoinState.probe(delta4, "doc_id", col("toks"), root)) == probed4)
   }
 
+  test("exact-join remove: marker survives a mid-sweep crash, the next load finishes the purge") {
+    import graft.ops.ExactJoinState
+    val root = java.nio.file.Files.createTempDirectory("graft-xjr-").toString
+    val state = Seq(
+      (2L, Seq("a", "b", "c", "d")),
+      (4L, Seq("a", "b", "c", "e")),
+      (6L, Seq("x", "y", "z"))
+    ).toDF("doc_id", "toks")
+    ExactJoinState.build(state, "doc_id", col("toks"), 1L, 2L, root, buckets = 4)
+    // crash between the prefix sweep and the token sweep: without the
+    // marker the taken-down doc's content-bearing token rows would stay
+    // resident forever (ADVICE r14)
+    val boom = intercept[RuntimeException] {
+      ExactJoinState.removeHooked(Seq(4L).toDF("__del_id"), root,
+        () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    assert(new java.io.File(s"$root/exact_state/_remove_pending").exists(),
+      "the pending-removal marker must survive the crash")
+    assert(spark.read.parquet(s"$root/exact_state/tokens")
+      .filter(col("id") === 4L).count() > 0,
+      "precondition: the crash left doc 4's token rows resident")
+    // ANY later load (here: a probe) finishes the removal
+    val probe = Seq((11L, Seq("a", "b", "c", "e")))
+      .toDF("doc_id", "toks") // exact copy of purged doc 4
+    val pairs = ExactJoinState.probe(probe, "doc_id", col("toks"), root)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"purged doc 4 must not pair: $pairs")
+    assert(pairs.contains((2L, 11L)), s"unrelated docs must keep pairing: $pairs")
+    assert(spark.read.parquet(s"$root/exact_state/tokens")
+      .filter(col("id") === 4L).count() == 0,
+      "the repair must purge the token rows")
+    assert(!new java.io.File(s"$root/exact_state/_remove_pending").exists(),
+      "the marker must clear once both sweeps complete")
+  }
+
   test("entity resolution in incremental curation: bootstrap -> daily x2 equals full entity-stage curate of the union") {
     import org.apache.spark.sql.Column
     // word 3-shingles — the q135 matcher's tokenization as a Column fn

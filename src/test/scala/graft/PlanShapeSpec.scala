@@ -414,9 +414,9 @@ class PlanShapeSpec extends SparkSpec {
       buckets = 4)
     val delta = ((1L to 20L) ++ (50L to 60L))
       .map(k => (k, s"attr${(k + 1) % 3}")).toDF("k", "attr")
-    val cur = graft.ops.Scd2State.currentTable(spark, root)
+    val cur = graft.ops.Scd2State.genRows(spark, root)
     val (retired, nextCur) = graft.ops.Scd2State.foldFrames(
-      cur, delta, Seq("k"), Seq("attr"), "2024-01-02")
+      cur, delta, Seq("k"), Seq("attr"), "2024-01-01", "2024-01-02")
     def isStateScan(p: SparkPlan): Boolean = p match {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.exists(_.toString.contains(root))

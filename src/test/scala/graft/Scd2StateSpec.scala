@@ -84,6 +84,123 @@ class Scd2StateSpec extends SparkSpec {
     assert(normalize(Scd2State.intervals(spark, root)) == before)
   }
 
+  test("fold write cost is delta-proportional: bootstrap files are never rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2w-").toString
+    val df = snaps(week)
+    Scd2State.bootstrap(df.filter(col("d") === "2024-01-01"),
+      Seq("k"), Seq("attr"), "d", root, buckets = 4)
+    val curDir = new java.io.File(s"$root/scd2_state/current")
+    def partFiles() = curDir.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val gen0 = partFiles()
+    assert(gen0.nonEmpty)
+    for (dt <- Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+      Scd2State.fold(df.filter(col("d") === lit(dt)).select("k", "attr"), root, dt)
+    // every bootstrap part-file survives byte-for-byte: folds APPEND a
+    // generation of delta-key rows, they never rewrite the state
+    assert(gen0.subsetOf(partFiles()),
+      s"fold rewrote bootstrap files:\n$gen0\nvs\n${partFiles()}")
+    assert(normalize(Scd2State.intervals(spark, root)) == normalize(
+      Temporal.scd2WithDeletions(snaps(week), Seq("k"), Seq("attr"), "d")))
+  }
+
+  test("a torn generation append is invisible and its replay lands cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2t-").toString
+    val df = snaps(week)
+    Scd2State.bootstrap(df.filter(col("d") === "2024-01-01"),
+      Seq("k"), Seq("attr"), "d", root, buckets = 4)
+    val day2 = df.filter(col("d") === "2024-01-02").select("k", "attr")
+    // crash AFTER the generation append, BEFORE the ledger: the
+    // generation is on disk but unledgered
+    intercept[RuntimeException] {
+      Scd2State.foldHooked(day2, root, "2024-01-02",
+        () => sys.error("boom before ledger"))
+    }
+    // the torn generation must be invisible to every reader
+    val visible = normalize(Scd2State.intervals(spark, root))
+    assert(visible == normalize(Temporal.scd2WithDeletions(
+      snaps(week.filter(_._2 == "2024-01-01")), Seq("k"), Seq("attr"), "d")),
+      "an unledgered generation leaked into intervals")
+    // the replayed fold appends byte-identical rows (LWW absorbs the
+    // duplicates) and the final state equals the batch collapse
+    Scd2State.fold(day2, root, "2024-01-02")
+    for (dt <- Seq("2024-01-03", "2024-01-04"))
+      Scd2State.fold(df.filter(col("d") === lit(dt)).select("k", "attr"), root, dt)
+    assert(normalize(Scd2State.intervals(spark, root)) == normalize(
+      Temporal.scd2WithDeletions(snaps(week), Seq("k"), Seq("attr"), "d")))
+  }
+
+  test("compaction folds generations and history dirs; intervals row-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2k-").toString
+    foldAll(root, week, Seq("2024-01-01"),
+      Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+    val before = normalize(Scd2State.intervals(spark, root))
+    val filesBefore = Scd2State.currentFileCount(spark, root)
+    val dirsBefore = Scd2State.historyDirCount(spark, root)
+    assert(filesBefore > 4, s"expected >1 file per bucket, got $filesBefore")
+    assert(dirsBefore == 4, s"expected bootstrap + 3 fold dirs, got $dirsBefore")
+    Scd2State.compact(spark, root)
+    assert(Scd2State.currentFileCount(spark, root) <= 4,
+      "compactCurrent must land at most one file per bucket")
+    assert(Scd2State.historyDirCount(spark, root) == 1,
+      "compactHistory must fold the per-date dirs into one generation")
+    assert(normalize(Scd2State.intervals(spark, root)) == before)
+    // folding continues normally on the compacted state
+    Scd2State.fold(snaps(Seq((1L, "2024-01-05", "b"))).select("k", "attr"),
+      root, "2024-01-05")
+    val got = normalize(Scd2State.intervals(spark, root))
+    val want = normalize(Temporal.scd2WithDeletions(
+      snaps(week :+ ((1L, "2024-01-05", "b"))), Seq("k"), Seq("attr"), "d"))
+    assert(got == want)
+  }
+
+  test("removeKeys purges a key everywhere, survives a mid-sweep crash, refold re-admits at version 1") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2d-").toString
+    foldAll(root, week, Seq("2024-01-01"),
+      Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+    // key 2 has multiple versions (history + current) — crash between
+    // the current sweep and the history sweep
+    intercept[RuntimeException] {
+      Scd2State.removeKeysHooked(Seq(2L).toDF("k"), root,
+        () => sys.error("boom between sweeps"))
+    }
+    // any later load finishes the removal through the persisted marker
+    val after = normalize(Scd2State.intervals(spark, root))
+    assert(!after.exists(_._1 == 2L),
+      s"key 2 must be purged from current AND history: $after")
+    assert(!new java.io.File(s"$root/scd2_state/_remove_pending").exists(),
+      "the remove marker must clear once the sweeps complete")
+    // everything else is untouched
+    val others = normalize(Temporal.scd2WithDeletions(
+      snaps(week), Seq("k"), Seq("attr"), "d")).filterNot(_._1 == 2L)
+    assert(after == others)
+    // a purged key folding again is simply unknown: version 1
+    Scd2State.fold(snaps(Seq((2L, "2024-01-06", "z"))).select("k", "attr"),
+      root, "2024-01-06")
+    val re = normalize(Scd2State.intervals(spark, root)).filter(_._1 == 2L)
+    assert(re.map(_._2) == Seq(1L), s"refolded purged key must re-admit as v1: $re")
+  }
+
+  test("an empty snapshot replayed after later folds no-ops instead of throwing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2e-").toString
+    foldAll(root, week, Seq("2024-01-01"), Seq("2024-01-02", "2024-01-03"))
+    val before = normalize(Scd2State.intervals(spark, root))
+    // ADVICE r14: the empty check must precede the date-order require
+    Scd2State.fold(snaps(week).filter(lit(false)).select("k", "attr"),
+      root, "2024-01-02")
+    assert(normalize(Scd2State.intervals(spark, root)) == before)
+  }
+
+  test("ledger-pinned column names are validated at bootstrap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2v-").toString
+    val bad = snaps(week).withColumnRenamed("attr", "at,tr")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2State.bootstrap(bad, Seq("k"), Seq("at,tr"), "d", root, buckets = 4)
+    }
+    assert(ex.getMessage.contains("[A-Za-z0-9_]"))
+  }
+
   test("crash between the history write and the current swap replays cleanly") {
     val root = java.nio.file.Files.createTempDirectory("graft-scd2c-").toString
     val df = snaps(week)
