@@ -38,19 +38,13 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // `--only-inc` skips ahead to the incremental-curation section;
-    // `--only-span` / `--only-vocab` run just that sweep
-    val onlyInc = args.contains("--only-inc")
-    val onlySpan = args.contains("--only-span")
-    val onlyVocab = args.contains("--only-vocab")
-    val onlyWinnow = args.contains("--only-winnow")
-    val onlyOverlap = args.contains("--only-overlap")
-    val onlyBlocklist = args.contains("--only-blocklist")
-    val onlyPca = args.contains("--only-pca")
-    val onlyKmv = args.contains("--only-kmv")
-    val onlyBloom = args.contains("--only-bloom")
-    val onlyCompact = args.contains("--only-compact")
-    val onlyFuzzy = args.contains("--only-fuzzy")
+    // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/
+    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/inc); no flag
+    // runs everything
+    val onlyFlags = args.filter(_.startsWith("--only-"))
+      .map(_.stripPrefix("--only-")).toSet
+    def runSection(name: String): Boolean =
+      onlyFlags.isEmpty || onlyFlags.contains(name)
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
@@ -95,7 +89,7 @@ object ScaleStress {
     // every non-base copy shares its full base text verbatim (a run far
     // above k), so affected docs = (m−1)·base and each loses its whole
     // borrowed run — the worst-case covered-position volume.
-    if (onlySpan || (!onlyPca && !onlyInc && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("span")) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== span corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_q71_span_dedup") {
@@ -110,7 +104,7 @@ object ScaleStress {
     // is vocabulary-bound — the multiplied corpus adds copies of the SAME
     // words (plus m−1 marker tokens), so per-round cost should stay ~flat
     // as the corpus multiplies.
-    if (onlyVocab || (!onlyPca && !onlyInc && !onlySpan && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("vocab")) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== vocab corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_vocab_bpe_train8") {
@@ -127,7 +121,7 @@ object ScaleStress {
     // what is there), while a cap BELOW it drops the flood at the df gate
     // before the self-join — the knob that keeps one viral/boilerplate
     // span from detonating the pairing at 100 TB.
-    if (onlyWinnow || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("winnow")) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== winnow corpus ${m}x: ${d.count()} docs ===")
       phase(s"${m}x_winnow_pairs_dfOpen") {
@@ -149,7 +143,7 @@ object ScaleStress {
     // grams) should cut the exchange near-proportionally while the
     // Jaccard ESTIMATE stays close to the exact matrix (reported as
     // max/mean abs error over all source pairs).
-    if (onlyOverlap || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("overlap")) mults.foreach { m =>
       def corpusSrc(mm: Int): DataFrame = {
         val d = graft.sources.Testdata.table(spark, sfDir, "documents")
           .select("doc_id", "text", "source")
@@ -192,7 +186,7 @@ object ScaleStress {
     // clean ~90% map-side and shuffles only the candidate sliver, so its
     // read bytes should be ~the blocklist + hits while the plain join's
     // grow with the corpus. Row counts must agree exactly at every scale.
-    if (onlyBlocklist || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("blocklist")) mults.foreach { m =>
       val d = corpus(m)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -228,7 +222,7 @@ object ScaleStress {
     // cells, so the exchange is partitions × cells of longs, INDEPENDENT
     // of corpus size. Shuffle bytes should stay ~flat as the corpus
     // multiplies; only scan/compute (the O(N·d²) Gram work) grows.
-    if (onlyPca || (!onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("pca")) mults.foreach { m =>
       val e = embedCorpus(spark, sfDir, m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== pca embeddings ${m}x: ${e.count()} vectors ===")
       phase(s"${m}x_pca_moments") {
@@ -244,7 +238,7 @@ object ScaleStress {
     // the reduction that lets per-source distinct monitoring run at
     // 100 TB. The incremental fold then exchanges only the sketch table
     // itself (groups × k longs), corpus-independent by construction.
-    if (onlyKmv || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyBloom && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("kmv")) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "text")
       val d = (0 until m).map { k =>
@@ -276,7 +270,7 @@ object ScaleStress {
     // not the table's. The sweep writes the multiplied corpus clustered
     // by source (id envelopes span the domain -> min/max useless), then
     // measures build, probe selectivity, and update-after-1x-append.
-    if (onlyBloom || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyCompact && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("bloom")) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "n_chars")
       def slice(k: Int) =
@@ -323,7 +317,7 @@ object ScaleStress {
     // landings is compacted while the bulk of the table (m-1 slices
     // written as big files) is never read. Wall and shuffle for the
     // compact phase should stay ~flat as the big bulk multiplies.
-    if (onlyCompact || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyFuzzy)) mults.foreach { m =>
+    if (runSection("compact")) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "documents")
         .select("doc_id", "source", "n_chars")
       val root = java.nio.file.Files
@@ -359,7 +353,7 @@ object ScaleStress {
     // distinguishing digits) and should grow ~linearly. True-pair volume
     // is linear in m by construction (digit-neighbour pairs per slice;
     // cross-slice distances are >= 2 by the suffix scheme).
-    if (onlyFuzzy || (!onlyPca && !onlyInc && !onlySpan && !onlyVocab && !onlyWinnow && !onlyOverlap && !onlyBlocklist && !onlyKmv && !onlyBloom && !onlyCompact)) mults.foreach { m =>
+    if (runSection("fuzzy")) mults.foreach { m =>
       val base = graft.sources.Testdata.table(spark, sfDir, "supplier")
         .select("s_suppkey", "s_name")
       val d = (0 until m).map { k =>
@@ -386,9 +380,102 @@ object ScaleStress {
       d.unpersist()
     }
 
-    if (onlySpan || onlyVocab || onlyWinnow || onlyOverlap || onlyBlocklist || onlyPca || onlyKmv || onlyBloom || onlyCompact || onlyFuzzy) { spark.stop(); return }
+    // On-disk bytes under a path — the WRITE-cost observable behind the
+    // delta-proportional claims of the two persisted-state sweeps below.
+    def dirMiB(path: String): Double = {
+      def size(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      size(new java.io.File(path)) / 1048576.0
+    }
 
-    if (!onlyInc) mults.foreach { m =>
+    // Incremental SCD2 fold (VERDICT r14 #1/#2): the dimension state is
+    // m× keys, the daily delta is FIXED at 5k keys (half attribute
+    // changes, half births). The claims under measure: the fold's
+    // SHUFFLE is delta-bound (the key-bucketed current table plans no
+    // state-side exchange — only the delta exchanges) and its WRITE is
+    // delta-proportional (a generation append, never a state rewrite) —
+    // both should stay ~flat as the state multiplies, while the
+    // bootstrap cost and the state's on-disk size grow linearly.
+    if (runSection("scd2")) mults.foreach { m =>
+      val n = m * 100000L
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scd2-stress-").toString
+      val day0 = spark.range(n).select(col("id").as("k"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("d"),
+        concat(lit("a"), (col("id") % 97).cast("string")).as("attr"))
+      println(s"=== scd2 state ${m}x: $n keys ===")
+      phase(s"${m}x_scd2_bootstrap") {
+        graft.ops.Scd2State.bootstrap(day0, Seq("k"), Seq("attr"), "d", root)
+        n
+      }
+      val curDir = s"$root/scd2_state/current"
+      val stateMiB = dirMiB(curDir)
+      val delta = spark.range(2500L).select(col("id").as("k"),
+          lit("changed").as("attr"))
+        .unionByName(spark.range(2500L).select((col("id") + n + 7L).as("k"),
+          concat(lit("a"), (col("id") % 97).cast("string")).as("attr")))
+      phase(s"${m}x_scd2_fold_5k_delta") {
+        graft.ops.Scd2State.fold(delta, root, "2024-01-02"); 5000L
+      }
+      println(f"SCD2 ${m}x stateMiB=$stateMiB%.2f " +
+        f"foldWriteMiB=${dirMiB(curDir) - stateMiB}%.3f")
+    }
+
+    // Incremental exact set-similarity state (VERDICT r14 #2): the
+    // persisted prefix/token index multiplies with the corpus, the
+    // daily delta is FIXED — ~1/37 of the 1× docs token-disjoint from
+    // the state (every word suffixed) plus 50 exact copies of base docs
+    // (real probe hits, family size ∝ m by construction). Probe shuffle
+    // and append write bytes must stay ~delta-bound while the state
+    // grows: the tok-bucketed prefix join and the id-bucketed verify
+    // and anti-join plan no state-side exchange.
+    if (runSection("xjoin")) mults.foreach { m =>
+      import graft.ops.ExactJoinState
+      val toksExpr =
+        "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
+          "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"
+      def toks(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("text"),
+          split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("toks", expr(toksExpr)).select("doc_id", "toks")
+      val d = toks(corpus(m)).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== exact-join state ${m}x: ${d.count()} docs ===")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-xjoin-stress-").toString
+      phase(s"${m}x_xjoin_build") {
+        ExactJoinState.build(d, "doc_id", col("toks"), 1L, 2L, root)
+        d.count()
+      }
+      val stateDir = s"$root/exact_state"
+      val stateMiB = dirMiB(stateDir)
+      val base1 = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val delta = toks(
+        base1.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 800000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1zq").as("text"))
+          .unionByName(base1.filter(col("doc_id") % 1201 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nd = delta.count()
+      phase(s"${m}x_xjoin_probe_fixed_delta") {
+        ExactJoinState.probe(delta, "doc_id", col("toks"), root).count()
+      }
+      phase(s"${m}x_xjoin_append_fixed_delta") {
+        ExactJoinState.append(delta, "doc_id", col("toks"), root)
+        nd
+      }
+      println(f"XJOIN ${m}x deltaDocs=$nd stateMiB=$stateMiB%.2f " +
+        f"appendWriteMiB=${dirMiB(stateDir) - stateMiB}%.3f")
+      delta.unpersist(); d.unpersist()
+    }
+
+    if ((onlyFlags -- Set("inc")).nonEmpty) { spark.stop(); return }
+
+    if (onlyFlags.isEmpty) mults.foreach { m =>
       val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== corpus ${m}x: ${d.count()} docs ===")
 
@@ -464,7 +551,7 @@ object ScaleStress {
       corpus(1).unionByName(
         spark.range(f).select((col("id") + 900000000L).as("doc_id"),
           lit(boiler).as("text")))
-    if (!onlyInc) Seq(500, 2000, 8000).foreach { f =>
+    if (onlyFlags.isEmpty) Seq(500, 2000, 8000).foreach { f =>
       val d = flooded(f).persist(StorageLevel.MEMORY_AND_DISK)
       println(s"=== hot-bucket flood $f: ${d.count()} docs ===")
       if (f <= 2000) phase(s"hotbucket_${f}_uncapped") {
