@@ -76,7 +76,7 @@ object FuzzyJoin {
     * per-row HOF fold — O(len²) per string, map-side, no shuffle; this
     * operator targets entity-matching strings (names, titles), not
     * documents. */
-  private def gramElems(df: DataFrame, idCol: String, strCol: String,
+  private[graft] def gramElems(df: DataFrame, idCol: String, strCol: String,
                         q: Int): DataFrame = {
     val p = padded(col(strCol), q)
     df.select(col(idCol).as("id"), length(col(strCol)).as("len"), p.as("p"))
@@ -128,7 +128,7 @@ object FuzzyJoin {
     * no replication at all; a token-like corpus at k≥2 still spreads its
     * irreducible quadratic across up to [[ShortSaltMax]] tasks. Costs one
     * count job over the (map-side-filtered) b frame per [[editJoin]]. */
-  private def saltFor(nShortB: Long): Long =
+  private[graft] def saltFor(nShortB: Long): Long =
     math.min(ShortSaltMax, math.max(1L, nShortB / 512L))
 
   /** Every (a, b) row pair with `|len_a − len_b| ≤ maxDist`, met through
@@ -139,7 +139,7 @@ object FuzzyJoin {
     * strings of ≤ k·q−q+1 chars — an unbounded broadcast on token-like
     * corpora). Shuffle rows carry (id, len, str≤shortLen chars, salt);
     * no driver-side size assumption anywhere. */
-  private def lengthWindowJoin(a: DataFrame, b: DataFrame,
+  private[graft] def lengthWindowJoin(a: DataFrame, b: DataFrame,
                                maxDist: Int, salt: Long): DataFrame = {
     val ae = a
       .withColumn("__pl", explode(sequence(

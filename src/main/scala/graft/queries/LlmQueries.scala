@@ -2336,6 +2336,33 @@ object LlmQueries {
       graft.ops.FuzzyJoin.editSelfJoin(sup, "s_suppkey", "s_name",
         maxDist = 1)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Incremental fuzzy entity matching (VERDICT r14 #3): even-keyed
+    // suppliers bootstrap a persisted rarest-gram prefix index + string
+    // table ([[graft.ops.FuzzyJoinState]]); the delta (odd-keyed
+    // suppliers plus planted one-char aliases of state names) probes it
+    // for every edit-distance-1 pair it participates in — state↔delta
+    // through the index (zero state-side exchange on the gram and
+    // confirm joins), delta↔delta in full. The probe is read-only, so
+    // the fixture needs no per-invocation clone. The oracle replays the
+    // quadratic levenshtein join over the union, filtered to pairs
+    // involving the delta.
+    "q143_fuzzy_incremental" -> ((s, dir) => {
+      import graft.ops.FuzzyJoinState
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_name")
+      val state = sup.filter(col("s_suppkey") % 2 === 0)
+      val fixture = cachedFixture("q143", dir) { r =>
+        FuzzyJoinState.build(state, "s_suppkey", "s_name", maxDist = 1,
+          q = 2, root = r)
+      }
+      val delta = sup.filter(col("s_suppkey") % 2 === 1)
+        .unionByName(sup.filter(col("s_suppkey") % 10 === 0)
+          .select((col("s_suppkey") + 1000000L).as("s_suppkey"),
+            concat(expr("substring(s_name, 1, length(s_name) - 1)"),
+              lit("X")).as("s_name")))
+      FuzzyJoinState.probe(delta, "s_suppkey", "s_name", fixture)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5327,6 +5354,23 @@ object LlmQueries {
         |       levenshtein(a.s_name, b.s_name) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // quadratic levenshtein over state ∪ delta, filtered to pairs
+    // involving the delta — the engine probes the persisted gram index
+    "q143_fuzzy_incremental" ->
+      """WITH state AS (
+        |  SELECT s_suppkey AS id, s_name AS s FROM supplier WHERE s_suppkey % 2 = 0),
+        |delta AS (
+        |  SELECT s_suppkey AS id, s_name AS s FROM supplier WHERE s_suppkey % 2 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, substr(s_name, 1, length(s_name) - 1) || 'X'
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |allr AS (SELECT * FROM state UNION ALL SELECT * FROM delta)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+        |FROM allr a JOIN allr b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |  AND (a.id IN (SELECT id FROM delta) OR b.id IN (SELECT id FROM delta))
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

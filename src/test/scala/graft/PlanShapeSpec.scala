@@ -402,6 +402,56 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy-join probe: gram and confirm lanes plan zero state-side exchange; only the bounded short lane shuffles state") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fzps-").toString
+    val state = (1L to 40L).map(i => (i, f"Entity#$i%08d")).toDF("id", "s")
+    graft.ops.FuzzyJoinState.build(state, "id", "s", maxDist = 1, q = 2,
+      root, buckets = 4)
+    val delta = (1L to 10L).map(i => (100L + i, f"Entity#$i%08dX"))
+      .toDF("id", "s")
+    val probe = graft.ops.FuzzyJoinState.probe(delta, "id", "s", root)
+    def isStateScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(root))
+      case _ => false
+    }
+    def stateFeedsDirectly(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => isStateScan(f)
+      case _: BaseJoinExec => false
+      case other => other.children.exists(stateFeedsDirectly)
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = probe.queryExecution.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec if isStateScan(f) => f
+      }
+      assert(stateScans.nonEmpty &&
+        stateScans.forall(_.relation.bucketSpec.isDefined),
+        s"fuzzy probe lost its bucketed state scans:\n$plan")
+      // the gram-prefix join and the string confirm must ride the
+      // bucket hashes; the ONLY state-fed exchanges allowed are the
+      // salted length-window joins of the SHORT slice (strings of
+      // ≤ shortLen + k chars — bounded by construction), recognizable
+      // by the __salt key in their partitioning
+      val bad = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.children.exists(stateFeedsDirectly))
+        .filterNot(_.outputPartitioning.toString.contains("__salt"))
+      assert(bad.isEmpty,
+        s"fuzzy probe re-shuffles the corpus-scale state outside the short lane:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("scd2 fold joins the current table on its bucket keys — zero state-side exchange") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
