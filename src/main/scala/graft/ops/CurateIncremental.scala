@@ -71,7 +71,12 @@ object CurateIncremental {
                    // carries the exact-Jaccard entity index (VERDICT r13
                    // #1) — present iff the state was written with
                    // cfg.entityExact; set by [[loadState]]
-                   exactRoot: Option[String] = None)
+                   exactRoot: Option[String] = None,
+                   // root passed to [[FuzzyJoinState]] when the state
+                   // carries the edit-distance entity index (VERDICT r14
+                   // #3) — present iff the state was written with
+                   // cfg.entityFuzzy; set by [[loadState]]
+                   fuzzyRoot: Option[String] = None)
 
   /** Knobs of the incremental embedding near-dup stage — mirrors the
     * arguments of [[Similarity.embeddingNearDupsQuantized]], whose exact
@@ -145,6 +150,10 @@ object CurateIncremental {
   private def exactStateRoot(root: String) = stateDir(root)
   private def hasExactState(spark: SparkSession, root: String): Boolean =
     ExactJoinState.exists(spark, exactStateRoot(root))
+  // FuzzyJoinState roots itself at `<x>/fuzzy_state`, nested the same way
+  private def fuzzyStateRoot(root: String) = stateDir(root)
+  private def hasFuzzyState(spark: SparkSession, root: String): Boolean =
+    FuzzyJoinState.exists(spark, fuzzyStateRoot(root))
   private def corpusDir(root: String) = s"${stateDir(root)}/corpus"
   private def fpsDir(root: String) = s"${stateDir(root)}/fingerprints"
   private def bksDir(root: String) = s"${stateDir(root)}/band_keys"
@@ -245,6 +254,7 @@ object CurateIncremental {
     val hasEmb = hadoopFs(spark, new Path(srpDir(root))).exists(new Path(srpDir(root)))
     val hasWnf = hadoopFs(spark, new Path(wnfDir(root))).exists(new Path(wnfDir(root)))
     val xRoot = if (hasExactState(spark, root)) Some(exactStateRoot(root)) else None
+    val fzRoot = if (hasFuzzyState(spark, root)) Some(fuzzyStateRoot(root)) else None
     readMeta(spark, root) match {
       case Some(n) =>
         ensureRegistered(spark, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
@@ -260,7 +270,7 @@ object CurateIncremental {
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
           if (hasEmb) Some(spark.table(tableName("srp", srpDir(root)))) else None,
           if (hasWnf) Some(spark.table(tableName("wnf", wnfDir(root)))) else None,
-          xRoot)
+          xRoot, fzRoot)
       case None =>
         State(
           spark.read.parquet(corpusDir(root)),
@@ -269,7 +279,7 @@ object CurateIncremental {
           if (hasEmb) Some(spark.read.parquet(embDir(root))) else None,
           if (hasEmb) Some(spark.read.parquet(srpDir(root))) else None,
           if (hasWnf) Some(spark.read.parquet(wnfDir(root))) else None,
-          xRoot)
+          xRoot, fzRoot)
     }
   }
 
@@ -304,6 +314,10 @@ object CurateIncremental {
     require(!hasXj || cfg.entityExact.nonEmpty,
       "state carries an exact-join entity index — appendState needs " +
         "cfg.entityExact to keep it in sync")
+    val hasFz = hasFuzzyState(spark, root)
+    require(!hasFz || cfg.entityFuzzy.nonEmpty,
+      "state carries a fuzzy-join entity index — appendState needs " +
+        "cfg.entityFuzzy to keep it in sync")
     pinned(survivors.select(col(idCol), col(textCol))) { slim =>
       val fps = fingerprintTable(slim, idCol, textCol)
       val bks = Dedup.lshBandKeys(slim, idCol, textCol,
@@ -316,6 +330,8 @@ object CurateIncremental {
       if (hasXj) for (ee <- cfg.entityExact)
         ExactJoinState.append(slim, idCol, ee.tokens(col(textCol)),
           exactStateRoot(root))
+      if (hasFz && cfg.entityFuzzy.nonEmpty)
+        FuzzyJoinState.append(slim, idCol, textCol, fuzzyStateRoot(root))
       buckets match {
         case Some(n) =>
           appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
@@ -432,6 +448,8 @@ object CurateIncremental {
     if (hasWnf) sweepBucketed(wnfDir(root), "wnf", WnfBucketCols)
     if (hasExactState(spark, root))
       ExactJoinState.remove(del, exactStateRoot(root))
+    if (hasFuzzyState(spark, root))
+      FuzzyJoinState.remove(del, fuzzyStateRoot(root))
     del.unpersist()
     removed
   }
@@ -469,6 +487,8 @@ object CurateIncremental {
         tableName("wnf", wnfDir(root)), n, WnfBucketCols)
     if (hasExactState(spark, root))
       ExactJoinState.compact(spark, exactStateRoot(root))
+    if (hasFuzzyState(spark, root))
+      FuzzyJoinState.compact(spark, fuzzyStateRoot(root))
     writePlainSnapshot(spark.read.parquet(corpusDir(root)), corpusDir(root), n)
   }
 
@@ -484,8 +504,9 @@ object CurateIncremental {
         val counts = Seq(fpsDir(root), bksDir(root), srpDir(root), wnfDir(root))
           .map(d => partFileCount(spark, d)).filter(_ > 0)
         val own = if (counts.isEmpty) 0.0 else counts.max.toDouble / n
-        math.max(own,
-          ExactJoinState.filesPerBucket(spark, exactStateRoot(root)))
+        math.max(math.max(own,
+          ExactJoinState.filesPerBucket(spark, exactStateRoot(root))),
+          FuzzyJoinState.filesPerBucket(spark, fuzzyStateRoot(root)))
     }
 
   /** Opt-in hands-off compaction: run [[compactState]] when the WORST
@@ -523,8 +544,10 @@ object CurateIncremental {
         recoverSwap(fs, new Path(d))
       if (hasExactState(spark, root))
         ExactJoinState.recover(spark, exactStateRoot(root))
-      // exact_state nests its tables one level down — sweep that dir's
-      // crash residue with the same rules
+      if (hasFuzzyState(spark, root))
+        FuzzyJoinState.recover(spark, fuzzyStateRoot(root))
+      // exact_state/fuzzy_state nest their tables one level down — sweep
+      // those dirs' crash residue with the same rules
       def strayIn(dir: Path): Seq[Path] =
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).map(_.getPath).filter { p =>
@@ -533,7 +556,8 @@ object CurateIncremental {
             (n.endsWith(".old") && fs.exists(new Path(dir, n.stripSuffix(".old"))))
         }.toSeq
       val stray = strayIn(sd) ++
-        strayIn(new Path(s"${exactStateRoot(root)}/exact_state"))
+        strayIn(new Path(s"${exactStateRoot(root)}/exact_state")) ++
+        strayIn(new Path(s"${fuzzyStateRoot(root)}/fuzzy_state"))
       stray.foreach(fs.delete(_, true))
       stray.map(_.toString)
     }
@@ -564,10 +588,15 @@ object CurateIncremental {
     // it for state↔delta entity pairs. Index-first write order is moot
     // at bootstrap (no prior state), but build() snapshot-writes, so a
     // crashed bootstrap simply re-runs.
-    def buildExact(corpus: DataFrame): Unit =
+    def buildExact(corpus: DataFrame): Unit = {
       for (ee <- cfg.entityExact)
         ExactJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
           ee.tokens(col(textCol)), ee.tNum, ee.tDen, exactStateRoot(root))
+      // fuzzy entity index (VERDICT r14 #3): same lifecycle, same root
+      for (ef <- cfg.entityFuzzy)
+        FuzzyJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
+          textCol, ef.maxDist, ef.q, fuzzyStateRoot(root))
+    }
     vecs match {
       case None =>
         buildExact(r.corpus)
@@ -628,9 +657,9 @@ object CurateIncremental {
       "state must be document-level — chunk downstream of curation")
     require(cfg.entityMatcher.isEmpty,
       "a GENERIC entityMatcher is corpus-global (a delta-only matcher " +
-        "would miss state↔delta matches) — use cfg.entityExact (its " +
-        "persisted ExactJoinState probe finds every cross pair) or run " +
-        "the matcher in the periodic full re-curate")
+        "would miss state↔delta matches) — use cfg.entityExact or " +
+        "cfg.entityFuzzy (their persisted state probes find every cross " +
+        "pair) or run the matcher in the periodic full re-curate")
     val spark = delta.sparkSession
     val st = loadState(spark, root)
     require(st.embeddings.isEmpty || deltaVecs.nonEmpty,
@@ -641,6 +670,9 @@ object CurateIncremental {
     require(st.exactRoot.isEmpty || cfg.entityExact.nonEmpty,
       "state carries an exact-join entity index — daily needs " +
         "cfg.entityExact to keep it in sync")
+    require(st.fuzzyRoot.isEmpty || cfg.entityFuzzy.nonEmpty,
+      "state carries a fuzzy-join entity index — daily needs " +
+        "cfg.entityFuzzy to keep it in sync")
     val r = curateDelta(delta, benchmark, idCol, textCol, st, cfg)
 
     // pin the audit (when requested) BEFORE any state append: its id
@@ -884,6 +916,9 @@ object CurateIncremental {
     require(st.exactRoot.isEmpty || cfg.entityExact.nonEmpty,
       "state carries an exact-join entity index — refresh with " +
         "cfg.entityExact set, or the rebuilt state would leave it stale")
+    require(st.fuzzyRoot.isEmpty || cfg.entityFuzzy.nonEmpty,
+      "state carries a fuzzy-join entity index — refresh with " +
+        "cfg.entityFuzzy set, or the rebuilt state would leave it stale")
     val union = st.corpus.select(col(idCol), col(textCol))
       .unionByName(pending.select(col(idCol), col(textCol)))
     val r = Curate.curate(union, benchmark, idCol, textCol, cfg)
@@ -938,6 +973,9 @@ object CurateIncremental {
     for (ee <- cfg.entityExact)
       ExactJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
         ee.tokens(col(textCol)), ee.tNum, ee.tDen, exactStateRoot(root))
+    for (ef <- cfg.entityFuzzy)
+      FuzzyJoinState.build(corpus.select(col(idCol), col(textCol)), idCol,
+        textCol, ef.maxDist, ef.q, fuzzyStateRoot(root))
     saveState(newStateFull, root,
       buckets = readMeta(spark, root).getOrElse(defaultBuckets(spark)))
     Curate.Result(corpus, r.stats,
@@ -955,7 +993,8 @@ object CurateIncremental {
       "boilerplate removal is corpus-global; run it in the periodic full re-curate")
     require(cfg.entityMatcher.isEmpty,
       "a generic entityMatcher cannot run incrementally — use " +
-        "cfg.entityExact (see daily) or the periodic full re-curate")
+        "cfg.entityExact or cfg.entityFuzzy (see daily) or the periodic " +
+        "full re-curate")
     // the remaining corpus-dependent stages REFUSE rather than silently
     // run delta-only (a delta-local quantile cut / bigram LM /
     // temperature budget prices the day, not the corpus — wrong answers
@@ -1076,11 +1115,31 @@ object CurateIncremental {
     // policy mirrors the near-dup stage: the existing corpus wins —
     // any delta doc whose component touches a persisted survivor drops;
     // delta-only components keep their min id.
-    val resolved = (cfg.entityExact, st.exactRoot) match {
-      case (Some(ee), Some(xr)) =>
-        val pairs = ExactJoinState.probe(winnowed, idCol,
-            ee.tokens(col(textCol)), xr)
-          .select("id_a", "id_b")
+    // the fuzzy lane (VERDICT r14 #3) shares the exact lane's whole
+    // argument: [[FuzzyJoinState.probe]] returns every edit-distance
+    // pair involving the delta, the levenshtein verdict is pairwise-
+    // text-local, so the closure over the probe's pairs alone is the
+    // closure over state∪delta pairs
+    val entityPairs: Option[DataFrame] =
+      (cfg.entityExact, st.exactRoot) match {
+        case (Some(ee), Some(xr)) =>
+          Some(ExactJoinState.probe(winnowed, idCol,
+            ee.tokens(col(textCol)), xr).select("id_a", "id_b"))
+        case (Some(_), None) => sys.error(
+          "cfg.entityExact is on but the state has no exact-join entity " +
+            "index — bootstrap/refresh with entityExact set to build it")
+        case _ => (cfg.entityFuzzy, st.fuzzyRoot) match {
+          case (Some(_), Some(fr)) =>
+            Some(FuzzyJoinState.probe(winnowed, idCol, textCol, fr)
+              .select("id_a", "id_b"))
+          case (Some(_), None) => sys.error(
+            "cfg.entityFuzzy is on but the state has no fuzzy-join entity " +
+              "index — bootstrap/refresh with entityFuzzy set to build it")
+          case _ => None
+        }
+      }
+    val resolved = entityPairs match {
+      case Some(pairs) =>
         val comp = Dedup.components(pairs)
         val stateLbls = comp.join(st.corpus.select(col(idCol).as("id")),
             Seq("id"), "left_semi")
@@ -1097,10 +1156,7 @@ object CurateIncremental {
           .persist(StorageLevel.MEMORY_AND_DISK)
         res.count()
         res
-      case (Some(_), None) => sys.error(
-        "cfg.entityExact is on but the state has no exact-join entity " +
-          "index — bootstrap/refresh with entityExact set to build it")
-      case _ => winnowed
+      case None => winnowed
     }
 
     // 4.–6. per-doc stages, identical to the full recipe
@@ -1173,7 +1229,7 @@ object CurateIncremental {
     Curate.Result(emitted, stats,
       () => {
         clean.unpersist()
-        if (cfg.entityExact.nonEmpty && st.exactRoot.nonEmpty) {
+        if (entityPairs.nonEmpty) {
           resolved.unpersist(); ()
         }
         auditRelease()

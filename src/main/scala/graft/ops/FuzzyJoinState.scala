@@ -311,6 +311,18 @@ object FuzzyJoinState {
       strsDir(root), tableName("fzs", strsDir(root)), n, StrsBucketCols)
   }
 
+  /** Max files-per-bucket across the two tables — feeds the caller's
+    * auto-compaction policy. 0.0 when the state is absent. */
+  def filesPerBucket(spark: SparkSession, root: String): Double =
+    if (!exists(spark, root)) 0.0
+    else {
+      val body = readJsonSidecar(spark, metaPath(root)).getOrElse(return 0.0)
+      val n = jsonInt(body, "buckets").getOrElse(return 0.0)
+      val counts = Seq(prefixDir(root), strsDir(root))
+        .map(d => partFileCount(spark, d)).filter(_ > 0)
+      if (counts.isEmpty) 0.0 else counts.max.toDouble / n
+    }
+
   /** Roll half-finished swaps forward and finish a half-done removal. */
   def recover(spark: SparkSession, root: String): Unit = {
     for (d <- Seq(prefixDir(root), strsDir(root)))

@@ -918,6 +918,66 @@ class CurateStateSpec extends SparkSpec {
     assert(ex2.getMessage.contains("entityExact"))
   }
 
+  test("fuzzy entity resolution in incremental curation: bootstrap -> daily x2 equals full entity-stage curate of the union") {
+    // edit-distance aliases: one substituted character (dist 1) — below
+    // exact-Jaccard's reach for 3-shingles but exactly EntityFuzzy's
+    val cfg = Curate.Config(nearDupThreshold = 2.0,
+      entityFuzzy = Some(Curate.EntityFuzzy(maxDist = 1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-fzent-").toString
+    def alias(of: (Long, String), id: Long): (Long, String) =
+      (id, of._2.replaceFirst("tok0 ", "tok8 "))
+
+    val d2 = doc(2, "alpha"); val d4 = doc(4, "beta"); val d10 = doc(10, "delta")
+    val day0 = docsDf(Seq(d2, d4, doc(6, "gamma"), alias(d2, 8)))
+    val b = CurateIncremental.bootstrap(day0, bench, "doc_id", "text", root, cfg)
+    assert(b.corpus.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 6L),
+      "within-bootstrap fuzzy alias must drop at the batch entity stage")
+    b.release()
+
+    // day 1: 14 is within dist 1 of day-0 SURVIVOR 4 (state<->delta pair
+    // found only through the persisted gram index), 16 of fresh doc 10
+    // (delta<->delta) — both drop, 10 survives as its cluster's minimum
+    val day1 = docsDf(Seq(d10, alias(d4, 14), alias(d10, 16)))
+    val r1 = CurateIncremental.daily(day1, bench, "doc_id", "text", root, cfg)
+    assert(r1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "state<->delta and delta<->delta fuzzy aliases must both drop")
+    r1.release()
+
+    // day 2 probes the APPENDED index: an alias of day-1 survivor 10
+    // must drop through state extended by day 1's appendState
+    val day2 = docsDf(Seq(doc(22, "epsilon"), alias(d10, 24)))
+    val r2 = CurateIncremental.daily(day2, bench, "doc_id", "text", root, cfg)
+    assert(r2.corpus.select("doc_id").as[Long].collect().toSet == Set(22L),
+      "day-2 fuzzy alias of a day-1 survivor must drop via the appended index")
+    r2.release()
+
+    // the property: persisted state corpus == ONE full entity-stage
+    // curate over the union of all three days
+    val full = Curate.curate(day0.unionByName(day1).unionByName(day2),
+      bench, "doc_id", "text", cfg)
+    val want = full.corpus.select("doc_id").as[Long].collect().toSet
+    val got = CurateIncremental.loadState(spark, root)
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"incremental ($got) != batch ($want)")
+    full.release()
+
+    // sync guard: a daily that omits entityFuzzy against this state must
+    // refuse rather than silently let the index go stale
+    val ex = intercept[IllegalArgumentException] {
+      CurateIncremental.daily(docsDf(Seq(doc(30, "zeta"))), bench,
+        "doc_id", "text", root, Curate.Config(nearDupThreshold = 2.0))
+    }
+    assert(ex.getMessage.contains("fuzzy-join entity index"))
+    // takedown sweeps the fuzzy index too: purge survivor 4, then a
+    // fresh alias of it re-admits (the content is genuinely gone)
+    CurateIncremental.removeFromState(Seq(4L).toDF("doc_id"), "doc_id", root)
+    val r3 = CurateIncremental.daily(docsDf(Seq(alias(d4, 34))), bench,
+      "doc_id", "text", root, cfg)
+    assert(r3.corpus.select("doc_id").as[Long].collect().toSet == Set(34L),
+      "after takedown of 4, its alias must re-admit — the fuzzy index was swept")
+    r3.release()
+  }
+
   test("curateDelta refuses every corpus-dependent stage instead of running it delta-only") {
     val root = java.nio.file.Files.createTempDirectory("graft-refuse-").toString
     CurateIncremental.bootstrap(docsDf(Seq(doc(1, "alpha"))), bench,
