@@ -110,6 +110,40 @@ object ScaleStress {
       phase(s"${m}x_vocab_bpe_train8") {
         Vocab.bpeTrain(d, "text", merges = 8).length.toLong
       }
+      // batched rounds (VERDICT r14 #6): same rule list, far fewer
+      // distributed rounds — the job-count observable a 32k-merge
+      // vocabulary cares about. Sequential 40 = 40 rounds by definition.
+      phase(s"${m}x_vocab_bpe_seq40") {
+        Vocab.bpeTrain(d, "text", merges = 40).length.toLong
+      }
+      phase(s"${m}x_vocab_bpe_batched40") {
+        val (rules, rounds) = Vocab.bpeTrainBatched(d, "text",
+          merges = 40, window = 64)
+        println(s"BPEBATCH ${m}x merges=${rules.size} rounds=$rounds")
+        rules.size.toLong
+      }
+      // the INDEPENDENT-pair regime (where batching has headroom — the
+      // corpus above measures the opposite: its true merge sequence
+      // CHAINS, each argmax being the previous round's raised pair,
+      // which no sequential-faithful batcher may reorder): every word
+      // hashes to two symbols from a 64-letter alphabet, so the top
+      // pairs rarely interact and whole window prefixes batch at once
+      val dv = d.select(col("doc_id"), expr(
+        "array_join(transform(filter(split(text, ' '), w -> w != ''), " +
+          "w -> concat(char(65 + pmod(xxhash64(w), 64)), " +
+          "char(65 + pmod(xxhash64(concat(w, 'x')), 64)))), ' ')").as("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dv.count()
+      phase(s"${m}x_vocab_bpe_seq40_diverse") {
+        Vocab.bpeTrain(dv, "text", merges = 40).length.toLong
+      }
+      phase(s"${m}x_vocab_bpe_batched40_diverse") {
+        val (rules, rounds) = Vocab.bpeTrainBatched(dv, "text",
+          merges = 40, window = 64)
+        println(s"BPEBATCH_DIVERSE ${m}x merges=${rules.size} rounds=$rounds")
+        rules.size.toLong
+      }
+      dv.unpersist()
       d.unpersist()
     }
     // Winnowed-pair candidate volume: fingerprint rows are ~2/(w+1) of the

@@ -2504,6 +2504,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(rules == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), rules.toString)
   }
 
+  test("bpeTrainBatched: batched rule list equals sequential on the golden fixture and random corpora") {
+    import graft.ops.Vocab
+    // golden fixture: batching must still learn (a,a),(a,b),(aa,ab) —
+    // the (a,a)/(a,b) overlap on 'a' forces one-merge rounds here
+    val golden = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val (gRules, gRounds) = Vocab.bpeTrainBatched(golden, "text", merges = 10)
+    assert(gRules == Vocab.bpeTrain(golden, "text", merges = 10), gRules.toString)
+    assert(gRounds >= 1 && gRounds <= gRules.size)
+    // random corpora: seeded words over small alphabets at several
+    // shapes — shared letters, merged-token string collisions ("ab"
+    // appearing both as a merge result and as raw text), repeats
+    for ((seed, alpha, n, merges) <- Seq(
+      (7L, "abcd", 120, 12), (19L, "abcd", 120, 12), (43L, "abcd", 120, 12),
+      (101L, "abcdefgh", 300, 20), (211L, "abcdefgh", 300, 20))) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until n).map { _ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val seqRules = Vocab.bpeTrain(docs, "text", merges = merges)
+      val (batRules, rounds) = Vocab.bpeTrainBatched(docs, "text", merges = merges)
+      assert(batRules == seqRules,
+        s"seed $seed: batched ($batRules) != sequential ($seqRules)")
+      assert(rounds <= math.max(1, seqRules.size),
+        s"seed $seed: rounds $rounds exceeds merges ${seqRules.size}")
+    }
+    // a corpus with genuinely disjoint frequent pairs batches them in
+    // ONE round: (a,b), (c,d), (e,f) share no symbols and the rank gaps
+    // clear every raised bound
+    val disjoint = Seq((1L,
+      ("ab " * 40) + ("cd " * 30) + ("ef " * 20) + "xy")).toDF("doc_id", "text")
+    val seqD = Vocab.bpeTrain(disjoint, "text", merges = 3)
+    val (batD, roundsD) = Vocab.bpeTrainBatched(disjoint, "text", merges = 3)
+    assert(batD == seqD && seqD == Seq(("a", "b"), ("c", "d"), ("e", "f")),
+      s"$batD vs $seqD")
+    assert(roundsD == 1, s"disjoint frequent pairs must batch in one round, got $roundsD")
+  }
+
   test("bpe encode: learned rules segment unseen words greedily, map-side") {
     import graft.ops.Vocab
     val rules = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
