@@ -2290,6 +2290,69 @@ object LlmQueries {
       r.audit.get.orderBy("doc_id")
     }),
 
+    // Combined text + embedding incremental daily WITH audit (VERDICT
+    // r14 #7): q138's entity-probe composite extended with q69's
+    // persisted sketch/vector state. The universe is documents∩
+    // embeddings; evens bootstrap a state carrying BOTH the exact-join
+    // entity index and the SRP/vector tables (the bootstrap itself
+    // collapses embedding dups among the state). The delta plants one
+    // doc per drop stage: exact re-crawls (+100000), entity aliases
+    // (+200000), and EMBEDDING TWINS (+300000: word-REVERSED text — no
+    // shared shingles, passes every text stage — with the base doc's
+    // vector scaled by 1+2^-10, cosine 1.0 across the state boundary).
+    // Output is the audit: exact_dup / entity_dup / quality_floor /
+    // embedding_dup / survived, all replayed by the oracle.
+    "q144_embed_entity_daily" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vecs = table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val base = docs.join(vecs, "doc_id")
+      val sh3: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t => {
+        val ws = split(trim(t), "\\s+")
+        val len = greatest(size(ws) - 2, lit(0))
+        zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+          (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+          (ab, c) => concat(ab, lit(" "), c))
+      }
+      val cfg = Curate.Config(nearDupThreshold = 2.0, audit = true,
+        entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+      val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, nPlanes = 8,
+        prefixBits = 8, seeds = Seq(42L, 1042L), dim = 64)
+      val bench = Seq((900000L,
+        "benchmark holdout phrase matching nothing in this corpus"))
+        .toDF("doc_id", "text")
+      val fixture = cachedFixture("q144", dir) { r =>
+        CurateIncremental.bootstrap(
+          base.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+          bench, "doc_id", "text", r, cfg.copy(audit = false),
+          vecs = Some(base.filter(col("doc_id") % 2 === 0).select("doc_id", "v")),
+          vecCol = "v", ecfg = ecfg).release()
+      }
+      // fresh copy per invocation: daily appends to the state it probes
+      val root = cloneFixture("q144", dir, fixture)
+      val bt = base.select("doc_id", "text")
+      val delta = bt.filter(col("doc_id") % 2 === 1)
+        .unionByName(bt.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(bt.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" alias postscript marker")).as("text")))
+        .unionByName(bt.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text")))
+      val deltaVecs = delta.select(col("doc_id"),
+          (col("doc_id") % 100000L).as("__b"),
+          (col("doc_id") >= 300000L).as("__tw"))
+        .join(vecs.withColumnRenamed("doc_id", "__b"), "__b")
+        .select(col("doc_id"),
+          when(col("__tw"), transform(col("v"), x => x * lit(1.0009765625)))
+            .otherwise(col("v")).as("v"))
+      val r = CurateIncremental.daily(delta, bench, "doc_id", "text", root,
+        cfg, deltaVecs = Some(deltaVecs), vecCol = "v", ecfg = ecfg)
+      r.audit.get.orderBy("doc_id")
+    }),
+
     // Time-series densify + forward fill: each user's daily event-count
     // series resampled to a gap-free calendar over the user's own
     // observation span, gaps carrying the last observed value and a
@@ -5296,6 +5359,207 @@ object LlmQueries {
         |         ELSE 'survived' END AS stage
         |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
         |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q144_embed_entity_daily" -> {
+      // same seeded ±1 plane literals as q69 (Similarity.randomPlanes)
+      def bucketSql(seed: Long): String =
+        Similarity.randomPlanes(8, 64, seed).zipWithIndex.map { case (plane, p) =>
+          val lst = plane.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_aggregate(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), 'sum') >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n        |      + ")
+      val qualitySql =
+        """CAST(CAST((
+          |      CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+          |                AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+          |           WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+          |           ELSE 0.0 END * 0.4
+          |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+          |                  AND CAST(len(list_filter(string_split(text, ' '),
+          |                        t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+          |                      / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+          |             THEN 1.0 ELSE 0.3 END * 0.4
+          |      + CASE WHEN (CASE WHEN length(text) > 0
+          |                        THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+          |                        ELSE 0.0 END) <= 0.2
+          |             THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE)""".stripMargin
+      val cosineSql =
+        """list_aggregate(list_transform(range(64), j -> va[j+1] * vb[j+1]), 'sum') AS dot_i,
+          |    list_aggregate(list_transform(range(64), j -> va[j+1] * va[j+1]), 'sum') AS na2,
+          |    list_aggregate(list_transform(range(64), j -> vb[j+1] * vb[j+1]), 'sum') AS nb2""".stripMargin
+      s"""WITH RECURSIVE base AS (
+        |  SELECT d.doc_id, d.text,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |evens AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+        |s_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM evens),
+        |s_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM s_fp),
+        |s_ex AS (SELECT doc_id, text FROM s_adm WHERE doc_id = keeper),
+        |s_w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        |        FROM s_ex WHERE length(trim(text)) > 0),
+        |s_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM s_w WHERE len(ws) >= 3),
+        |s_sz AS (SELECT doc_id, count(*) AS n FROM s_shg GROUP BY 1),
+        |s_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM s_shg a JOIN s_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |s_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM s_ov
+        |  JOIN s_sz sa ON sa.doc_id = id_a JOIN s_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |s_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM s_pairs
+        |            UNION SELECT id_b, id_a FROM s_pairs),
+        |s_reach AS (
+        |  SELECT a, b FROM s_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM s_reach r JOIN s_edges e ON r.b = e.a),
+        |s_rep AS (SELECT a, min(least(a, b)) AS ent FROM s_reach GROUP BY a),
+        |s_esurv AS (
+        |  SELECT s.doc_id, s.text FROM s_ex s LEFT JOIN s_rep ON s_rep.a = s.doc_id
+        |  WHERE COALESCE(s_rep.ent, s.doc_id) = s.doc_id),
+        |s_tsurv AS MATERIALIZED (
+        |  SELECT doc_id, text FROM s_esurv WHERE $qualitySql >= 0.5),
+        |sv AS MATERIALIZED (
+        |  SELECT b.doc_id, list_transform(b.dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM base b WHERE b.doc_id IN (SELECT doc_id FROM s_tsurv)),
+        |sb AS MATERIALIZED (
+        |  SELECT doc_id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM sv),
+        |se_sc AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM sb a JOIN sb b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
+        |se_dot AS (SELECT id_a, id_b, $cosineSql FROM se_sc),
+        |se_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM se_dot
+        |  WHERE na2 > 0 AND nb2 > 0
+        |    AND CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) >= 0.99),
+        |se_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM se_pairs
+        |            UNION SELECT id_b, id_a FROM se_pairs),
+        |se_reach AS (
+        |  SELECT a, b FROM se_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM se_reach r JOIN se_edges e ON r.b = e.a),
+        |se_rep AS (SELECT a, min(least(a, b)) AS ent FROM se_reach GROUP BY a),
+        |s_state AS MATERIALIZED (
+        |  SELECT t.doc_id, t.text FROM s_tsurv t LEFT JOIN se_rep ON se_rep.a = t.doc_id
+        |  WHERE COALESCE(se_rep.ent, t.doc_id) = t.doc_id),
+        |delta AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' alias postscript marker'
+        |  FROM base WHERE doc_id % 14 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ')
+        |  FROM base WHERE doc_id % 20 = 0),
+        |d_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM delta),
+        |d_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d_fp),
+        |st_fps AS MATERIALIZED (
+        |  SELECT DISTINCT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM s_state),
+        |d_ex AS MATERIALIZED (
+        |  SELECT doc_id, text FROM d_adm
+        |  WHERE doc_id = keeper AND fp NOT IN (SELECT fp FROM st_fps)),
+        |u AS (SELECT doc_id, text FROM s_state UNION ALL SELECT doc_id, text FROM d_ex),
+        |u_w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        |        FROM u WHERE length(trim(text)) > 0),
+        |u_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM u_w WHERE len(ws) >= 3),
+        |u_sz AS (SELECT doc_id, count(*) AS n FROM u_shg GROUP BY 1),
+        |u_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM u_shg a JOIN u_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |u_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_ov
+        |  JOIN u_sz sa ON sa.doc_id = id_a JOIN u_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |p_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_pairs
+        |  WHERE id_a IN (SELECT doc_id FROM d_ex) OR id_b IN (SELECT doc_id FROM d_ex)),
+        |e_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p_pairs
+        |            UNION SELECT id_b, id_a FROM p_pairs),
+        |e_reach AS (
+        |  SELECT a, b FROM e_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM e_reach r JOIN e_edges e ON r.b = e.a),
+        |e_rep AS (SELECT a, min(least(a, b)) AS ent FROM e_reach GROUP BY a),
+        |state_lbls AS (
+        |  SELECT DISTINCT ent FROM e_rep JOIN s_state ON s_state.doc_id = e_rep.a),
+        |d_entdrop AS (
+        |  SELECT d.doc_id FROM d_ex d JOIN e_rep ON e_rep.a = d.doc_id
+        |  WHERE e_rep.ent IN (SELECT ent FROM state_lbls) OR e_rep.ent < d.doc_id),
+        |d_esurv AS (
+        |  SELECT doc_id, text FROM d_ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM d_entdrop)),
+        |d_q AS (
+        |  SELECT doc_id, $qualitySql AS quality
+        |  FROM d_esurv),
+        |d_qs AS (SELECT doc_id FROM d_q WHERE quality >= 0.5),
+        |dvv AS (
+        |  SELECT del.doc_id,
+        |    CASE WHEN del.doc_id >= 300000
+        |         THEN list_transform(b.dv, x -> x * 1.0009765625)
+        |         ELSE b.dv END AS dv
+        |  FROM delta del JOIN base b ON b.doc_id = del.doc_id % 100000),
+        |dsv AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM dvv WHERE doc_id IN (SELECT doc_id FROM d_qs)),
+        |db AS MATERIALIZED (
+        |  SELECT doc_id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM dsv),
+        |sfb AS MATERIALIZED (
+        |  SELECT * FROM sb WHERE doc_id IN (SELECT doc_id FROM s_state)),
+        |em_sc AS (
+        |  SELECT s.doc_id AS id_a, d.doc_id AS id_b, s.v AS va, d.v AS vb
+        |  FROM sfb s JOIN db d ON (s.b1 = d.b1 OR s.b2 = d.b2)
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.v, b.v
+        |  FROM db a JOIN db b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
+        |em_dot AS (SELECT id_a, id_b, $cosineSql FROM em_sc),
+        |em_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM em_dot
+        |  WHERE na2 > 0 AND nb2 > 0
+        |    AND CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) >= 0.99),
+        |em_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM em_pairs
+        |            UNION SELECT id_b, id_a FROM em_pairs),
+        |em_reach AS (
+        |  SELECT a, b FROM em_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM em_reach r JOIN em_edges e ON r.b = e.a),
+        |em_rep AS (SELECT a, min(least(a, b)) AS ent FROM em_reach GROUP BY a),
+        |state_elbls AS (
+        |  SELECT DISTINCT ent FROM em_rep JOIN s_state ON s_state.doc_id = em_rep.a),
+        |d_embdrop AS (
+        |  SELECT d.doc_id FROM d_qs d JOIN em_rep ON em_rep.a = d.doc_id
+        |  WHERE em_rep.ent IN (SELECT ent FROM state_elbls) OR em_rep.ent < d.doc_id),
+        |lab AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id != a.keeper OR a.fp IN (SELECT fp FROM st_fps)
+        |           THEN 'exact_dup'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM d_entdrop) THEN 'entity_dup'
+        |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM d_embdrop) THEN 'embedding_dup'
+        |         ELSE 'survived' END AS stage
+        |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin
+    },
 
     "q131_densify_ffill" ->
       """WITH daily AS (
