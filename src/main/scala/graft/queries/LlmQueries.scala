@@ -2353,6 +2353,20 @@ object LlmQueries {
       r.audit.get.orderBy("doc_id")
     }),
 
+    // Trained char-trigram language-ID (VERDICT r14 #8): fit a
+    // multinomial trigram model on the documents table's own labels
+    // (one vocabulary-bound count pass, top-512 grams per language ride
+    // to the driver), then classify every doc map-side — integer-exact
+    // cross-multiplied scoring, so DuckDB replays the count arithmetic
+    // and the argmax verbatim.
+    "q145_langid_trained" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val m = TextAnalysis.langIdTrain(docs, "lang", "text", topK = 512)
+      TextAnalysis.langIdPredict(docs, "text", m)
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
     // Time-series densify + forward fill: each user's daily event-count
     // series resampled to a gap-free calendar over the user's own
     // observation span, gaps carrying the last observed value and a
@@ -5359,6 +5373,57 @@ object LlmQueries {
         |         ELSE 'survived' END AS stage
         |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
         |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin,
+
+    // trained trigram language-ID: the whole fit (counts, smoothing
+    // denominators, top-512 truncation) and the exact cross-multiplied
+    // integer argmax replayed in HUGEINT (the running product over the
+    // per-language denominators is a recursive CTE — DuckDB's product()
+    // aggregate is a double and would break the exactness)
+    "q145_langid_trained" ->
+      """WITH RECURSIVE g0 AS (
+        |  SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |tg AS (
+        |  SELECT lang, unnest(list_transform(range(1, length(lt) - 1),
+        |           i -> substr(lt, i, 3))) AS g
+        |  FROM g0 WHERE length(lt) >= 3),
+        |c AS MATERIALIZED (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |vv AS (SELECT count(DISTINCT g) AS v FROM c),
+        |tot AS (SELECT lang, sum(c) AS n FROM c GROUP BY 1),
+        |topk AS MATERIALIZED (
+        |  SELECT lang, g, c FROM (
+        |    SELECT lang, g, c,
+        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+        |    FROM c) WHERE rk <= 512),
+        |nv AS MATERIALIZED (
+        |  SELECT lang, CAST(n + (SELECT v FROM vv) AS HUGEINT) AS nv,
+        |    row_number() OVER (ORDER BY lang) AS rn
+        |  FROM tot),
+        |prodc AS (
+        |  SELECT rn, nv AS p FROM nv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nv.rn, prodc.p * nv.nv FROM prodc JOIN nv ON nv.rn = prodc.rn + 1),
+        |total AS (SELECT p FROM prodc ORDER BY rn DESC LIMIT 1),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(lt) - 1),
+        |           i -> substr(lt, i, 3))) AS g
+        |  FROM g0 WHERE length(lt) >= 3),
+        |gcount AS (SELECT doc_id, count(*) AS gn FROM dg GROUP BY 1),
+        |dots AS (
+        |  SELECT d.doc_id, t.lang, CAST(sum(t.c) AS HUGEINT) AS dot
+        |  FROM dg d JOIN topk t ON t.g = d.g GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT gc.doc_id, l.lang,
+        |    (CAST(gc.gn AS HUGEINT) + COALESCE(dt.dot, 0))
+        |      * ((SELECT p FROM total) / l.nv) AS s
+        |  FROM gcount gc CROSS JOIN nv l
+        |  LEFT JOIN dots dt ON dt.doc_id = gc.doc_id AND dt.lang = l.lang),
+        |best AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+        |  FROM scores)
+        |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q144_embed_entity_daily" -> {
       // same seeded ±1 plane literals as q69 (Similarity.randomPlanes)

@@ -2493,6 +2493,41 @@ class LlmOpsSpec extends SparkSpec {
     rDef.release()
   }
 
+  test("trained char-trigram language-ID beats the stopword heuristic on planted minority languages") {
+    import graft.ops.TextAnalysis
+    // training labels OUTSIDE the heuristic's inventories (Finnish-ish,
+    // Italian-ish) plus English
+    val train = Seq(
+      ("fi", "minä olen iloinen koska aurinko paistaa tänään"),
+      ("fi", "me menemme järvelle uimaan koska vesi on lämmintä"),
+      ("fi", "hän sanoo että talvi tulee pian ja lunta sataa"),
+      ("it", "oggi andiamo alla spiaggia perché il sole splende"),
+      ("it", "domani mangiamo la pasta con il formaggio e il vino"),
+      ("it", "questa città è bellissima quando piove in primavera"),
+      ("en", "the weather is nice today and we are going to the lake"),
+      ("en", "tomorrow we will eat dinner and drink coffee together"),
+      ("en", "this city is beautiful when it rains in the spring")
+    ).toDF("lang", "text")
+    val m = TextAnalysis.langIdTrain(train, "lang", "text")
+    val held = Seq(
+      (1L, "aurinko paistaa ja järvi on lämmin tänään"),
+      (2L, "il sole splende e la spiaggia è bellissima"),
+      (3L, "the rain in spring is nice and the coffee is warm"),
+      (4L, "xy") // below trigram length → und
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdPredict(held, "text", m)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "fi", 2L -> "it", 3L -> "en", 4L -> "und"),
+      got.toString)
+    // the heuristic: no inventory hits on the Finnish doc -> "und"; the
+    // Italian doc trips the FRENCH inventory ("la") -> wrong language
+    val heur = held.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(heur(1L) == "und" && heur(2L) != "it",
+      s"planted minority docs should defeat the heuristic: $heur")
+  }
+
   test("bpeTrain: deterministic merge sequence, greedy application, early stop") {
     import graft.ops.Vocab
     // words: aaab x3, ab x1. Round 1: (a,a)=6 beats (a,b)=4 -> merge aa
