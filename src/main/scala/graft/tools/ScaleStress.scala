@@ -39,7 +39,8 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/
-    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/inc); no flag
+    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/inc); no
+    // flag
     // runs everything
     val onlyFlags = args.filter(_.startsWith("--only-"))
       .map(_.stripPrefix("--only-")).toSet
@@ -503,6 +504,63 @@ object ScaleStress {
         nd
       }
       println(f"XJOIN ${m}x deltaDocs=$nd stateMiB=$stateMiB%.2f " +
+        f"appendWriteMiB=${dirMiB(stateDir) - stateMiB}%.3f")
+      delta.unpersist(); d.unpersist()
+    }
+
+    // Incremental fuzzy edit-distance state (the r15 lane): the
+    // persisted q-gram prefix index multiplies with the name corpus
+    // (the fuzzy sweep's adversarial generator — every slice shares the
+    // "Supplier#" boilerplate), the daily delta is FIXED — ~1/11 of the
+    // base names with one digit bumped (real distance-1 hits against
+    // every slice's planted neighbours) plus ~1/13 with a 4-char suffix
+    // (novel: >= distance-2 from everything). Probe shuffle and append
+    // write bytes must stay ~delta-bound while the state grows: the
+    // ge-bucketed prefix join and the id-bucketed confirm/anti-join
+    // plan no state-side exchange (PlanShapeSpec pins the plans; this
+    // sweep prices the bytes).
+    if (runSection("fstate")) mults.foreach { m =>
+      import graft.ops.FuzzyJoinState
+      val base = graft.sources.Testdata.table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")
+      val d = (0 until m).map { k =>
+        if (k == 0) base
+        else {
+          val c = ('a' + (k % 26)).toChar
+          base.select((col("s_suppkey") + lit(k * 1000000L)).as("s_suppkey"),
+            concat(col("s_name"), lit(s"~$c$c")).as("s_name"))
+        }
+      }.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== fuzzy state ${m}x: ${d.count()} names ===")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-fstate-stress-").toString
+      phase(s"${m}x_fstate_build") {
+        FuzzyJoinState.build(d, "s_suppkey", "s_name", maxDist = 1,
+          root = root)
+        d.count()
+      }
+      val stateDir = s"$root/fuzzy_state"
+      val stateMiB = dirMiB(stateDir)
+      // fixed delta regardless of m: digit-bumped base names hit the
+      // state at distance 1; suffixed ones are novel by the slice scheme
+      val delta = base.filter(col("s_suppkey") % 11 === 0)
+        .select((col("s_suppkey") + 800000000L).as("s_suppkey"),
+          concat(expr("substring(s_name, 1, length(s_name) - 1)"),
+            translate(expr("substring(s_name, length(s_name), 1)"),
+              "0123456789", "1234567890")).as("s_name"))
+        .unionByName(base.filter(col("s_suppkey") % 13 === 0)
+          .select((col("s_suppkey") + 900000000L).as("s_suppkey"),
+            concat(col("s_name"), lit("#zzq")).as("s_name")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nd = delta.count()
+      phase(s"${m}x_fstate_probe_fixed_delta") {
+        FuzzyJoinState.probe(delta, "s_suppkey", "s_name", root).count()
+      }
+      phase(s"${m}x_fstate_append_fixed_delta") {
+        FuzzyJoinState.append(delta, "s_suppkey", "s_name", root)
+        nd
+      }
+      println(f"FSTATE ${m}x deltaNames=$nd stateMiB=$stateMiB%.2f " +
         f"appendWriteMiB=${dirMiB(stateDir) - stateMiB}%.3f")
       delta.unpersist(); d.unpersist()
     }
