@@ -430,6 +430,118 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < floor(lit(256) * w))
   }
 
+  /** DSIR feature grams: word unigrams + space-joined bigrams (the
+    * hashed n-gram feature map of Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"). */
+  private[graft] def dsirGrams(text: Column): Column = {
+    val ts = graft.ops.TextAnalysis.tokens(text)
+    val n1 = greatest(size(ts) - 1, lit(0))
+    concat(ts, zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** [[hashBucket]] widened to `hexDigits` md5 hex digits — bucket ∈
+    * [0, 16^hexDigits). The hashing-trick feature space is FIXED at
+    * 16^hexDigits whatever the vocabulary (collisions are part of the
+    * estimator and collide identically in every engine). */
+  def hashBucketHex(key: Column, hexDigits: Int): Column = {
+    require(hexDigits >= 1 && hexDigits <= 7,
+      s"hexDigits must be in [1, 7] (got $hexDigits)")
+    val h = md5(key.cast("string"))
+    (1 to hexDigits).map { i =>
+      hexDigitVal(substring(h, i, 1)) *
+        lit(math.pow(16, (hexDigits - i).toDouble).toLong)
+    }.reduce(_ + _)
+  }
+
+  /** One corpus pass to the hashed-n-gram bag: (bucket, cnt) — at most
+    * 16^hexDigits rows however large the corpus, the distribution
+    * profile DSIR scoring consumes. Fit it ONCE per corpus (target and
+    * raw) and reuse across scoring runs. */
+  def hashedNgramCounts(docs: DataFrame, textCol: String,
+                        hexDigits: Int = 2): DataFrame =
+    docs.select(explode(dsirGrams(col(textCol))).as("g"))
+      .select(hashBucketHex(col("g"), hexDigits).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  private def bucketMap(counts: DataFrame): (Map[Int, Long], Long) = {
+    // bounded by the bucket space (16^hexDigits), never the corpus
+    val rows = counts.select(col("bucket").cast("int"), col("cnt").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    (rows.toMap, rows.map(_._2).sum)
+  }
+
+  /** DSIR importance scoring, exact-integer face: rank raw documents by
+    * how much more target-like than raw-like their hashed-n-gram bag
+    * is. With add-one smoothing over the 16^hexDigits bucket space, the
+    * linear-pooled likelihood of doc x under profile P is
+    * (gn + Σ_g c_P(b(g))) / (N_P + B) — the [[TextAnalysis.nbTrain]]
+    * pooling, the price of cross-engine exactness — and the margin is
+    * the cross-multiplied difference
+    *
+    *   (gn + dot_t)·(N_r + B) − (gn + dot_r)·(N_t + B)
+    *
+    * an exact Long: positive ⇔ the doc is more target-like than
+    * raw-like (`kept`). The TRUE log-pooled DSIR weight is
+    * [[dsirLogWeights]] — engine-side floats, sign/rank-tested against
+    * this face. Magnitude bound: dot ≤ gn·N, so the products stay under
+    * 2⁶³ while gn·N·(N+B) < 9.2·10¹⁸ — ~10⁶-gram docs against ~10⁶-gram
+    * profiles; shrink per-doc gram counts (chunk first) beyond that.
+    *
+    * 100 TB posture: the two profiles ride in as bucket-space-bounded
+    * literal maps (fit once by [[hashedNgramCounts]] — the only corpus
+    * passes); scoring is a pure map-side fold per row — no UDF, no
+    * shuffle, no join, no driver round-trip per doc. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, raw: DataFrame,
+                 hexDigits: Int = 2): DataFrame = {
+    val b = math.pow(16, hexDigits.toDouble).toLong
+    val (tm, tn) = bucketMap(target)
+    val (rm, rn) = bucketMap(raw)
+    val gs = dsirGrams(col(textCol))
+    def dot(m: Map[Int, Long]): Column = {
+      val mp = typedlit(m)
+      aggregate(gs, lit(0L), (acc, g) =>
+        acc + coalesce(element_at(mp, hashBucketHex(g, hexDigits).cast("int")),
+          lit(0L)))
+    }
+    val gn = size(gs).cast("long")
+    val margin = (gn + dot(tm)) * lit(rn + b) - (gn + dot(rm)) * lit(tn + b)
+    docs.withColumn("dsir_margin", margin)
+      .withColumn("kept", col("dsir_margin") > 0)
+  }
+
+  /** The true DSIR log importance weight (log-pooled, add-one smoothed):
+    *
+    *   log w(x) = Σ_g [ln(c_t(b(g))+1) − ln(c_r(b(g))+1)]
+    *              + gn·[ln(N_r+B) − ln(N_t+B)]
+    *
+    * Engine-side doubles (float summation order is partition-stable here
+    * because the fold runs left-to-right inside one row). Compose with
+    * [[weightedSample]] (e.g. `exp(least(log_w, 0))` keeps docs in
+    * proportion to capped importance) or [[TextAnalysis.quantileFilter]]
+    * for top-quantile selection. Same map-side posture as
+    * [[dsirScores]]. */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     target: DataFrame, raw: DataFrame,
+                     hexDigits: Int = 2,
+                     outCol: String = "dsir_log_w"): DataFrame = {
+    val b = math.pow(16, hexDigits.toDouble).toLong
+    val (tm, tn) = bucketMap(target)
+    val (rm, rn) = bucketMap(raw)
+    val gs = dsirGrams(col(textCol))
+    val tmp = typedlit(tm)
+    val rmp = typedlit(rm)
+    val perGram = aggregate(gs, lit(0.0), (acc, g) => {
+      val bk = hashBucketHex(g, hexDigits).cast("int")
+      acc + log(coalesce(element_at(tmp, bk), lit(0L)) + lit(1.0)) -
+        log(coalesce(element_at(rmp, bk), lit(0L)) + lit(1.0))
+    })
+    val lenTerm = size(gs).cast("double") *
+      lit(math.log((rn + b).toDouble) - math.log((tn + b).toDouble))
+    docs.withColumn(outCol, perGram + lenTerm)
+  }
+
   /** Rendezvous (highest-random-weight) routing: the key goes to the
     * shard whose `md5(key ":" shard)` weight is lexicographically
     * largest over the candidate `shards` array (ties — md5-impossible in

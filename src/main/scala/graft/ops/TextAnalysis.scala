@@ -521,10 +521,20 @@ object TextAnalysis {
     * `topK` grams per language ride to the driver (a bounded profile,
     * not the corpus). */
   def langIdTrain(labeled: DataFrame, labelCol: String, textCol: String,
-                  topK: Int = 512): LangIdModel = {
+                  topK: Int = 512): LangIdModel =
+    nbTrain(labeled, labelCol, charTrigrams(col(textCol)), topK)
+
+  /** The gram-agnostic fit behind [[langIdTrain]]: a multinomial model
+    * over ANY array&lt;string&gt; gram expression — char trigrams for
+    * language-ID, [[tokens]] for a domain/source classifier (the
+    * DoReMi/DSIR-style classifier trained on source labels), word
+    * bigrams for topicality. Same integer-exact contract and scale
+    * shape as the langId face. */
+  def nbTrain(labeled: DataFrame, labelCol: String, grams: Column,
+              topK: Int = 512): LangIdModel = {
     import org.apache.spark.sql.expressions.Window
     val g = labeled.select(col(labelCol).cast("string").as("lang"),
-        explode(charTrigrams(col(textCol))).as("g"))
+        explode(grams).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -548,9 +558,15 @@ object TextAnalysis {
     * no trigrams). Exact-integer ranking, ties to the first label in
     * sorted order (both replayed by the q145 oracle). */
   def langIdPredict(df: DataFrame, textCol: String, m: LangIdModel,
-                    outCol: String = "lang_pred"): DataFrame = {
+                    outCol: String = "lang_pred"): DataFrame =
+    nbPredict(df, charTrigrams(col(textCol)), m, outCol)
+
+  /** The gram-agnostic argmax behind [[langIdPredict]] — pass the SAME
+    * gram expression the model was fit with. */
+  def nbPredict(df: DataFrame, grams: Column, m: LangIdModel,
+                outCol: String = "lang_pred"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val gs = charTrigrams(col(textCol))
+    val gs = grams
     val scored = m.langs.zipWithIndex.map { case (l, i) =>
       val mp = typedlit(m.counts.getOrElse(l, Map.empty[String, Long]))
       val dot = aggregate(gs, lit(0L),

@@ -2367,6 +2367,45 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Trained domain/source classifier (the DoReMi/DSIR-style classifier
+    // fit on source labels): q145's multinomial machinery over WORD
+    // unigrams and 3 coarse domains derived from the source id, with a
+    // real held-out split — even doc_ids train, odd doc_ids predict.
+    // Same integer-exact cross-multiplied argmax; the oracle replays
+    // train counts, smoothing totals and the ranked scores end to end.
+    "q146_domain_classifier" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("dom", concat(lit("dom"),
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 3)
+            .cast("string")))
+      val m = TextAnalysis.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+        "dom", TextAnalysis.tokens(col("text")), topK = 256)
+      TextAnalysis.nbPredict(docs.filter(col("doc_id") % 2 === 1),
+        TextAnalysis.tokens(col("text")), m, "dom_pred")
+        .select("doc_id", "dom", "dom_pred")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance selection (Xie et al. 2023): docs from
+    // src1/src2 are the TARGET distribution, everything else is RAW;
+    // each raw doc scores by the exact-integer cross-multiplied margin
+    // between its hashed-(uni+bi)gram likelihood under the two profiles
+    // — positive means more target-like than raw-like, the keep
+    // decision of importance-based data selection. The two profiles are
+    // one corpus pass each (≤256 rows); scoring is pure map-side. The
+    // oracle replays bucket hashing, both profiles and the margin.
+    "q147_dsir_selection" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val docs = table(s, dir, "documents")
+      val isTarget = col("source").isin("src1", "src2")
+      val target = Sampling.hashedNgramCounts(docs.filter(isTarget), "text")
+      val raw = Sampling.hashedNgramCounts(docs.filter(!isTarget), "text")
+      Sampling.dsirScores(docs.filter(!isTarget), "doc_id", "text",
+        target, raw)
+        .select("doc_id", "dsir_margin", "kept")
+        .orderBy("doc_id")
+    }),
+
     // Time-series densify + forward fill: each user's daily event-count
     // series resampled to a gap-free calendar over the user's own
     // observation span, gaps carrying the last observed value and a
@@ -5424,6 +5463,98 @@ object LlmQueries {
         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q146_domain_classifier" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id,
+        |    'dom' || (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) AS dom,
+        |    text
+        |  FROM documents),
+        |tg AS (
+        |  SELECT dom, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS g
+        |  FROM d0 WHERE doc_id % 2 = 0),
+        |c AS MATERIALIZED (SELECT dom, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |vv AS (SELECT count(DISTINCT g) AS v FROM c),
+        |tot AS (SELECT dom, sum(c) AS n FROM c GROUP BY 1),
+        |topk AS MATERIALIZED (
+        |  SELECT dom, g, c FROM (
+        |    SELECT dom, g, c,
+        |      row_number() OVER (PARTITION BY dom ORDER BY c DESC, g) AS rk
+        |    FROM c) WHERE rk <= 256),
+        |nv AS MATERIALIZED (
+        |  SELECT dom, CAST(n + (SELECT v FROM vv) AS HUGEINT) AS nv,
+        |    row_number() OVER (ORDER BY dom) AS rn
+        |  FROM tot),
+        |prodc AS (
+        |  SELECT rn, nv AS p FROM nv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nv.rn, prodc.p * nv.nv FROM prodc JOIN nv ON nv.rn = prodc.rn + 1),
+        |total AS (SELECT p FROM prodc ORDER BY rn DESC LIMIT 1),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS g
+        |  FROM d0 WHERE doc_id % 2 = 1),
+        |gcount AS (SELECT doc_id, count(*) AS gn FROM dg GROUP BY 1),
+        |dots AS (
+        |  SELECT d.doc_id, t.dom, CAST(sum(t.c) AS HUGEINT) AS dot
+        |  FROM dg d JOIN topk t ON t.g = d.g GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT gc.doc_id, l.dom,
+        |    (CAST(gc.gn AS HUGEINT) + COALESCE(dt.dot, 0))
+        |      * ((SELECT p FROM total) / l.nv) AS s
+        |  FROM gcount gc CROSS JOIN nv l
+        |  LEFT JOIN dots dt ON dt.doc_id = gc.doc_id AND dt.dom = l.dom),
+        |best AS (
+        |  SELECT doc_id, dom,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, dom) AS rk
+        |  FROM scores)
+        |SELECT d.doc_id, d.dom, COALESCE(b.dom, 'und') AS dom_pred
+        |FROM d0 d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q147_dsir_selection" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source IN ('src1', 'src2') AS is_t,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_t,
+        |    unnest(list_concat(ts,
+        |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM toks),
+        |gb AS (
+        |  SELECT doc_id, is_t,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM grams),
+        |tprof AS MATERIALIZED (SELECT b, count(*) AS c FROM gb WHERE is_t GROUP BY 1),
+        |rprof AS MATERIALIZED (SELECT b, count(*) AS c FROM gb WHERE NOT is_t GROUP BY 1),
+        |tn AS (SELECT COALESCE(sum(c), 0) AS n FROM tprof),
+        |rn AS (SELECT COALESCE(sum(c), 0) AS n FROM rprof),
+        |dots AS (
+        |  SELECT gb.doc_id,
+        |    count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM gb
+        |  LEFT JOIN tprof t ON t.b = gb.b
+        |  LEFT JOIN rprof r ON r.b = gb.b
+        |  WHERE NOT gb.is_t
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT tk.doc_id,
+        |    CAST((COALESCE(d.gn, 0) + COALESCE(d.dot_t, 0))
+        |           * ((SELECT n FROM rn) + 256)
+        |         - (COALESCE(d.gn, 0) + COALESCE(d.dot_r, 0))
+        |           * ((SELECT n FROM tn) + 256) AS BIGINT) AS dsir_margin
+        |  FROM toks tk LEFT JOIN dots d ON d.doc_id = tk.doc_id
+        |  WHERE NOT tk.is_t)
+        |SELECT doc_id, dsir_margin, dsir_margin > 0 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q144_embed_entity_daily" -> {
       // same seeded ±1 plane literals as q69 (Similarity.randomPlanes)

@@ -2528,6 +2528,85 @@ class LlmOpsSpec extends SparkSpec {
       s"planted minority docs should defeat the heuristic: $heur")
   }
 
+  test("gram-agnostic NB: word-unigram domain classifier recovers planted vocabularies") {
+    import graft.ops.TextAnalysis
+    // three domains with disjoint content vocabulary riding on shared
+    // function words — the nbTrain/nbPredict face over tokens() instead
+    // of charTrigrams (the DoReMi/DSIR-style source classifier)
+    val train = Seq(
+      ("code", "the function returns a value and the compiler checks the type"),
+      ("code", "a variable holds the pointer and the loop iterates the array"),
+      ("code", "the parser reads the token and the stack stores the frame"),
+      ("news", "the minister said the parliament votes on the budget today"),
+      ("news", "the election results arrive and the president speaks tonight"),
+      ("news", "the economy grows and the market reacts to the announcement"),
+      ("chat", "lol that movie was so funny i cried haha totally"),
+      ("chat", "omg yes we should hang out this weekend for sure"),
+      ("chat", "haha no way dude that game was awesome last night")
+    ).toDF("dom", "text")
+    val m = TextAnalysis.nbTrain(train, "dom", TextAnalysis.tokens(col("text")))
+    val held = Seq(
+      (1L, "the compiler parses the array and returns the pointer"),
+      // content-dominated on purpose: linear pooling weighs shared
+      // function words ("the") by raw mass, the documented price of the
+      // integer-exact score — signal must come from content tokens
+      (2L, "parliament debates budget election president economy market"),
+      (3L, "omg haha that was so funny dude"),
+      (4L, "") // no tokens → und
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.nbPredict(held, TextAnalysis.tokens(col("text")), m,
+        "dom_pred")
+      .select("doc_id", "dom_pred").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "code", 2L -> "news", 3L -> "chat", 4L -> "und"),
+      got.toString)
+    // the char-trigram langId faces are unchanged by the refactor:
+    // delegation, not a parallel code path
+    val viaNb = TextAnalysis.nbPredict(held,
+        TextAnalysis.charTrigrams(col("text")),
+        TextAnalysis.nbTrain(train, "dom", TextAnalysis.charTrigrams(col("text"))),
+        "p").select("doc_id", "p").as[(Long, String)].collect().toMap
+    assert(viaNb(1L) == "code" && viaNb(4L) == "und", viaNb.toString)
+  }
+
+  test("DSIR importance selection: target-like docs score positive, faces rank-agree") {
+    import graft.ops.Sampling
+    // target: medical-ish vocabulary; raw: general web chatter. A raw
+    // pool doc written in the target's vocabulary must out-rank (and
+    // keep over) raw-typical docs under BOTH scoring faces.
+    val target = Seq(
+      "the patient received the treatment and the dose was increased",
+      "clinical trial results show the treatment reduces symptoms",
+      "the diagnosis confirmed the patient needs continued therapy"
+    ).map(Tuple1(_)).toDF("text")
+    val rawCorpus = Seq(
+      "click here for the best deals on shoes and bags today",
+      "my cat did the funniest thing last night you have to see",
+      "top ten travel destinations for your summer vacation plans"
+    ).map(Tuple1(_)).toDF("text")
+    val pool = Seq(
+      (1L, "the patient responded to the treatment and the therapy"),
+      (2L, "best deals on summer shoes click here today"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val t = Sampling.hashedNgramCounts(target, "text")
+    val r = Sampling.hashedNgramCounts(rawCorpus, "text")
+    val m = Sampling.dsirScores(pool, "doc_id", "text", t, r)
+      .select("doc_id", "dsir_margin", "kept")
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(m(1L)._2 && m(1L)._1 > 0, s"target-like doc must keep: $m")
+    assert(!m(2L)._2 && m(2L)._1 < 0, s"raw-typical doc must drop: $m")
+    assert(m(3L)._1 == 0L && !m(3L)._2, s"empty doc scores zero, drops: $m")
+    val lw = Sampling.dsirLogWeights(pool, "doc_id", "text", t, r)
+      .select("doc_id", "dsir_log_w").as[(Long, Double)].collect().toMap
+    assert(lw(1L) > 0 && lw(2L) < 0 && lw(3L) == 0.0,
+      s"log-weight face must sign-agree: $lw")
+    assert(lw(1L) > lw(2L) && m(1L)._1 > m(2L)._1, "faces must rank-agree")
+    // profile fit is partition-count independent (pure count aggregate)
+    val t7 = Sampling.hashedNgramCounts(target.repartition(7), "text")
+    assert(t7.orderBy("bucket").collect().toSeq ==
+      t.orderBy("bucket").collect().toSeq)
+  }
+
   test("bpeTrain: deterministic merge sequence, greedy application, early stop") {
     import graft.ops.Vocab
     // words: aaab x3, ab x1. Round 1: (a,a)=6 beats (a,b)=4 -> merge aa
