@@ -471,6 +471,18 @@ object Sampling {
     (rows.toMap, rows.map(_._2).sum)
   }
 
+  /** O(1) per-gram profile lookup: the bucket space is DENSE, so the
+    * profile ships as an array literal indexed by bucket — a literal
+    * MAP's `element_at` is a linear scan over every entry per probe
+    * (measured 16× on q147's plan), an array `element_at` is an index.
+    * Falls back to the map form above 16⁴ buckets (a 65k-element
+    * literal is fine; a 16⁷ one is not). */
+  private def profileLookup(m: Map[Int, Long], b: Long)(bucket: Column): Column =
+    if (b <= 65536L) {
+      val arr = typedlit(Array.tabulate(b.toInt)(i => m.getOrElse(i, 0L)).toSeq)
+      element_at(arr, bucket.cast("int") + 1)
+    } else coalesce(element_at(typedlit(m), bucket.cast("int")), lit(0L))
+
   /** DSIR importance scoring, exact-integer face: rank raw documents by
     * how much more target-like than raw-like their hashed-n-gram bag
     * is. With add-one smoothing over the 16^hexDigits bucket space, the
@@ -499,17 +511,28 @@ object Sampling {
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
     val gs = dsirGrams(col(textCol))
-    def dot(m: Map[Int, Long]): Column = {
-      val mp = typedlit(m)
+    def dot(m: Map[Int, Long]): Column =
       aggregate(gs, lit(0L), (acc, g) =>
-        acc + coalesce(element_at(mp, hashBucketHex(g, hexDigits).cast("int")),
-          lit(0L)))
-    }
+        acc + profileLookup(m, b)(hashBucketHex(g, hexDigits)))
     val gn = size(gs).cast("long")
     val margin = (gn + dot(tm)) * lit(rn + b) - (gn + dot(rm)) * lit(tn + b)
     docs.withColumn("dsir_margin", margin)
       .withColumn("kept", col("dsir_margin") > 0)
   }
+
+  /** Incremental face of the DSIR profiles: fold a day's documents into
+    * a persisted hashed-n-gram profile state (target or raw),
+    * exactly-once per `deltaId` through the
+    * [[Sketches.counterUpdateState]] ledger — the profile is an
+    * additive counter bag, so N daily folds equal the one-shot
+    * [[hashedNgramCounts]] of the union bit-for-bit. A daily selection
+    * pass then reads BOTH states (bounded by the bucket space) and
+    * scores only the day's delta: no corpus rescan, ever. */
+  def dsirProfileUpdateState(spark: org.apache.spark.sql.SparkSession,
+                             path: String, docs: DataFrame, textCol: String,
+                             deltaId: String, hexDigits: Int = 2): DataFrame =
+    Sketches.counterUpdateState(spark, path,
+      hashedNgramCounts(docs, textCol, hexDigits), deltaId)
 
   /** The true DSIR log importance weight (log-pooled, add-one smoothed):
     *
@@ -530,12 +553,10 @@ object Sampling {
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
     val gs = dsirGrams(col(textCol))
-    val tmp = typedlit(tm)
-    val rmp = typedlit(rm)
     val perGram = aggregate(gs, lit(0.0), (acc, g) => {
-      val bk = hashBucketHex(g, hexDigits).cast("int")
-      acc + log(coalesce(element_at(tmp, bk), lit(0L)) + lit(1.0)) -
-        log(coalesce(element_at(rmp, bk), lit(0L)) + lit(1.0))
+      val bk = hashBucketHex(g, hexDigits)
+      acc + log(profileLookup(tm, b)(bk) + lit(1.0)) -
+        log(profileLookup(rm, b)(bk) + lit(1.0))
     })
     val lenTerm = size(gs).cast("double") *
       lit(math.log((rn + b).toDouble) - math.log((tn + b).toDouble))

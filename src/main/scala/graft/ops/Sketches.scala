@@ -328,6 +328,19 @@ object Sketches {
     ledgeredAdditiveFold(spark, path, deltaId,
       logHistogram(delta, groupCol, value), lhMergeFrames, partitions)
 
+  /** Generic persisted ADDITIVE-COUNTER state: fold a delta's counter
+    * frame (any key columns + a `cnt` long — a [[logHistogram]], a
+    * [[graft.ops.Sampling.hashedNgramCounts]] DSIR profile, any
+    * mergeable bag-of-counts) into the state at `path`, exactly-once
+    * per `deltaId` through the same ledger/swap discipline as
+    * [[cmUpdateState]]/[[lhUpdateState]]. Counters are bounded by the
+    * key space, never the corpus — the state read and the merged write
+    * stay sketch-sized however much data folded in. */
+  def counterUpdateState(spark: org.apache.spark.sql.SparkSession,
+                         path: String, delta: DataFrame, deltaId: String,
+                         partitions: Int = 1): DataFrame =
+    ledgeredAdditiveFold(spark, path, deltaId, delta, lhMergeFrames, partitions)
+
   /** Read a persisted additive-sketch state's counters WITHOUT folding a
     * delta — the monitoring face: two snapshots' persisted histograms
     * answer a quantile-drift question ([[Monitor.quantileDriftFromHists]])

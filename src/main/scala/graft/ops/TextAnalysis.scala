@@ -509,12 +509,21 @@ object TextAnalysis {
                          counts: Map[String, Map[String, Long]])
 
   /** Lowercased character trigrams, one per OCCURRENCE (multiplicity is
-    * the multinomial weight); empty below 3 characters. */
+    * the multinomial weight); empty below 3 characters. Built from the
+    * split char array with aligned-slice zip_with — NOT
+    * `transform(sequence(…), i -> substring(t, i, 3))`: SQL substring
+    * on a UTF8String scans from the start to find the codepoint offset,
+    * so the ordinal form is O(len²) per document (measured: it was 60+
+    * of q145's 117 s at sf0.1); the slice form is linear. `split(t,
+    * "")` appends one trailing empty element (Java split semantics) —
+    * filtered, so the trigram set is exactly the substring form's. */
   def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => substring(t, i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    val cs = filter(split(lower(text), ""), c => c =!= "")
+    val n2 = greatest(size(cs) - 2, lit(0))
+    zip_with(
+      zip_with(slice(cs, lit(1), n2), slice(cs, lit(2), n2),
+        (a, b) => concat(a, b)),
+      slice(cs, lit(3), n2), (ab, c) => concat(ab, c))
   }
 
   /** Fit the model from labeled text: one (label, trigram) count pass;
@@ -582,5 +591,56 @@ object TextAnalysis {
       when(size(gs) === 0, lit("und"))
         .otherwise(element_at(typedlit(m.langs),
           (lit(1) - array_max(array(scored: _*)).getField("nr")).cast("int"))))
+  }
+
+  /** Corpus-scale [[nbPredict]]: bit-identical predictions through a
+    * BROADCAST JOIN instead of literal-map folds. A literal map's
+    * `element_at` is a LINEAR SCAN over all topK entries per gram per
+    * label (measured: the map-side q145 plan spent 117 s at sf0.1 on
+    * ~10⁹ × topK string compares; this face runs it in seconds) — the
+    * relational form explodes (id, gram) rows, hash-joins the broadcast
+    * (gram, label, count) profile, and partial-aggregates k conditional
+    * dot products per id map-side, so the ONE exchange carries (id,
+    * k longs) — doc-count-bound, never gram-bound. `idCol` must be
+    * unique per row (it keys the dots back onto the frame).
+    * [[nbPredict]] stays the zero-shuffle form for small frames and
+    * ad-hoc use; this is the form a 100 TB scoring pass wants. */
+  def nbPredictById(df: DataFrame, idCol: String, grams: Column,
+                    m: LangIdModel, outCol: String = "lang_pred"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val profile = spark.createDataFrame(
+      m.counts.toSeq.flatMap { case (l, gc) =>
+        gc.toSeq.map { case (g, c) => (g, l, c) }
+      }).toDF("__nb_g", "__nb_lang", "__nb_c")
+    val withG = df.withColumn("__nb_gs", grams)
+    val dots = withG.select(col(idCol).as("__nb_id"),
+        explode(col("__nb_gs")).as("__nb_g"))
+      .join(broadcast(profile), Seq("__nb_g"))
+      .groupBy("__nb_id")
+      .agg(m.langs.head match { case l0 =>
+        sum(when(col("__nb_lang") === l0, col("__nb_c")).otherwise(0L))
+          .as(s"__nb_dot_0")
+      }, m.langs.tail.zipWithIndex.map { case (l, i) =>
+        sum(when(col("__nb_lang") === l, col("__nb_c")).otherwise(0L))
+          .as(s"__nb_dot_${i + 1}")
+      }: _*)
+    val gn = size(col("__nb_gs")).cast("long")
+    val scored = m.langs.zipWithIndex.map { case (l, i) =>
+      val dot = coalesce(col(s"__nb_dot_$i"), lit(0L))
+      val others = m.langs.filter(_ != l)
+        .map(l2 => BigInt(m.totals(l2) + m.v)).product
+      struct(
+        ((gn + dot).cast(DecimalType(38, 0)) *
+          lit(new java.math.BigDecimal(others.bigInteger))).as("s"),
+        lit(-i).as("nr"))
+    }
+    withG.join(dots, col(idCol) === col("__nb_id"), "left")
+      .withColumn(outCol,
+        when(gn === 0, lit("und"))
+          .otherwise(element_at(typedlit(m.langs),
+            (lit(1) - array_max(array(scored: _*)).getField("nr")).cast("int"))))
+      .drop((0 until m.langs.size).map(i => s"__nb_dot_$i") ++
+        Seq("__nb_id", "__nb_gs"): _*)
   }
 }

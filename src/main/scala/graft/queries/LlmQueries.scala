@@ -2362,7 +2362,11 @@ object LlmQueries {
     "q145_langid_trained" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
       val m = TextAnalysis.langIdTrain(docs, "lang", "text", topK = 512)
-      TextAnalysis.langIdPredict(docs, "text", m)
+      // the join face: the literal-map fold spent 117 s at sf0.1 on
+      // linear topK scans per gram per label; the broadcast-join dot
+      // products run the same prediction bit-identically in seconds
+      TextAnalysis.nbPredictById(docs, "doc_id",
+        TextAnalysis.charTrigrams(col("text")), m)
         .select("doc_id", "lang_pred")
         .orderBy("doc_id")
     }),
@@ -2380,8 +2384,8 @@ object LlmQueries {
             .cast("string")))
       val m = TextAnalysis.nbTrain(docs.filter(col("doc_id") % 2 === 0),
         "dom", TextAnalysis.tokens(col("text")), topK = 256)
-      TextAnalysis.nbPredict(docs.filter(col("doc_id") % 2 === 1),
-        TextAnalysis.tokens(col("text")), m, "dom_pred")
+      TextAnalysis.nbPredictById(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", TextAnalysis.tokens(col("text")), m, "dom_pred")
         .select("doc_id", "dom", "dom_pred")
         .orderBy("doc_id")
     }),
@@ -2402,6 +2406,38 @@ object LlmQueries {
       val raw = Sampling.hashedNgramCounts(docs.filter(!isTarget), "text")
       Sampling.dsirScores(docs.filter(!isTarget), "doc_id", "text",
         target, raw)
+        .select("doc_id", "dsir_margin", "kept")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental DSIR (q147's selection driven from PERSISTED profile
+    // state): target (src3/src4) and raw profiles each fold in two
+    // daily deltas — doc_id parity plays the calendar, and the second
+    // target fold replays once to exercise the ledger's exactly-once
+    // no-op. The selection pass reads both counter states (bounded by
+    // the bucket space, never the corpus) and scores the raw docs;
+    // additive counters make N folds == the one-shot profiles
+    // bit-for-bit, which is exactly what the oracle replays as a batch
+    // computation over the union. State is read-only at query time, so
+    // the fixture needs no per-invocation clone.
+    "q148_dsir_incremental" -> ((s, dir) => {
+      import graft.ops.{Sampling, Sketches}
+      val docs = table(s, dir, "documents")
+      val isTarget = col("source").isin("src3", "src4")
+      val root = cachedFixture("q148", dir) { r =>
+        val t = docs.filter(isTarget)
+        val w = docs.filter(!isTarget)
+        def fold(path: String, d: org.apache.spark.sql.DataFrame, id: String) =
+          Sampling.dsirProfileUpdateState(s, path, d, "text", id)
+        fold(s"$r/t", t.filter(col("doc_id") % 2 === 0), "day1")
+        fold(s"$r/t", t.filter(col("doc_id") % 2 === 1), "day2")
+        fold(s"$r/t", t.filter(col("doc_id") % 2 === 1), "day2") // ledger no-op
+        fold(s"$r/r", w.filter(col("doc_id") % 2 === 0), "day1")
+        fold(s"$r/r", w.filter(col("doc_id") % 2 === 1), "day2")
+        ()
+      }
+      Sampling.dsirScores(docs.filter(!isTarget), "doc_id", "text",
+        Sketches.readState(s, s"$root/t"), Sketches.readState(s, s"$root/r"))
         .select("doc_id", "dsir_margin", "kept")
         .orderBy("doc_id")
     }),
@@ -5515,6 +5551,50 @@ object LlmQueries {
     "q147_dsir_selection" ->
       """WITH toks AS (
         |  SELECT doc_id, source IN ('src1', 'src2') AS is_t,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_t,
+        |    unnest(list_concat(ts,
+        |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM toks),
+        |gb AS (
+        |  SELECT doc_id, is_t,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM grams),
+        |tprof AS MATERIALIZED (SELECT b, count(*) AS c FROM gb WHERE is_t GROUP BY 1),
+        |rprof AS MATERIALIZED (SELECT b, count(*) AS c FROM gb WHERE NOT is_t GROUP BY 1),
+        |tn AS (SELECT COALESCE(sum(c), 0) AS n FROM tprof),
+        |rn AS (SELECT COALESCE(sum(c), 0) AS n FROM rprof),
+        |dots AS (
+        |  SELECT gb.doc_id,
+        |    count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM gb
+        |  LEFT JOIN tprof t ON t.b = gb.b
+        |  LEFT JOIN rprof r ON r.b = gb.b
+        |  WHERE NOT gb.is_t
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT tk.doc_id,
+        |    CAST((COALESCE(d.gn, 0) + COALESCE(d.dot_t, 0))
+        |           * ((SELECT n FROM rn) + 256)
+        |         - (COALESCE(d.gn, 0) + COALESCE(d.dot_r, 0))
+        |           * ((SELECT n FROM tn) + 256) AS BIGINT) AS dsir_margin
+        |  FROM toks tk LEFT JOIN dots d ON d.doc_id = tk.doc_id
+        |  WHERE NOT tk.is_t)
+        |SELECT doc_id, dsir_margin, dsir_margin > 0 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q148_dsir_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source IN ('src3', 'src4') AS is_t,
         |    list_filter(string_split(text, ' '), x -> x != '') AS ts
         |  FROM documents),
         |grams AS (

@@ -2566,6 +2566,12 @@ class LlmOpsSpec extends SparkSpec {
         TextAnalysis.nbTrain(train, "dom", TextAnalysis.charTrigrams(col("text"))),
         "p").select("doc_id", "p").as[(Long, String)].collect().toMap
     assert(viaNb(1L) == "code" && viaNb(4L) == "und", viaNb.toString)
+    // the broadcast-join face predicts bit-identically to the
+    // literal-map fold (incl. the und row and the no-topK-match case)
+    val byId = TextAnalysis.nbPredictById(held, "doc_id",
+        TextAnalysis.tokens(col("text")), m, "dom_pred")
+      .select("doc_id", "dom_pred").as[(Long, String)].collect().toMap
+    assert(byId == got, s"join face must equal the map face: $byId vs $got")
   }
 
   test("DSIR importance selection: target-like docs score positive, faces rank-agree") {
@@ -2605,6 +2611,45 @@ class LlmOpsSpec extends SparkSpec {
     val t7 = Sampling.hashedNgramCounts(target.repartition(7), "text")
     assert(t7.orderBy("bucket").collect().toSeq ==
       t.orderBy("bucket").collect().toSeq)
+  }
+
+  test("DSIR profile state: ledgered folds equal the one-shot profile, replay no-ops") {
+    import graft.ops.{Sampling, Sketches}
+    val docs = Seq(
+      (1L, "the patient received the treatment today"),
+      (2L, "clinical trial results show improvement"),
+      (3L, "the diagnosis confirmed the therapy works")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-dsirstate-").toString
+    try {
+      Sampling.dsirProfileUpdateState(spark, root,
+        docs.filter(col("doc_id") <= 2), "text", "day1")
+      Sampling.dsirProfileUpdateState(spark, root,
+        docs.filter(col("doc_id") === 3), "text", "day2")
+      // replaying an applied deltaId must not double-count
+      Sampling.dsirProfileUpdateState(spark, root,
+        docs.filter(col("doc_id") === 3), "text", "day2")
+      val fromState = Sketches.readState(spark, root)
+        .orderBy("bucket").collect().toSeq
+      val oneShot = Sampling.hashedNgramCounts(docs, "text")
+        .orderBy("bucket").collect().toSeq
+      assert(fromState == oneShot,
+        s"N ledgered folds must equal the one-shot profile: $fromState vs $oneShot")
+      // and the scoring face consumes the state frame directly
+      val raw = Seq(Tuple1("click here for the best deals")).toDF("text")
+      val viaState = Sampling.dsirScores(docs, "doc_id", "text",
+          Sketches.readState(spark, root), Sampling.hashedNgramCounts(raw, "text"))
+        .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
+      val viaBatch = Sampling.dsirScores(docs, "doc_id", "text",
+          Sampling.hashedNgramCounts(docs, "text"), Sampling.hashedNgramCounts(raw, "text"))
+        .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
+      assert(viaState == viaBatch, "state-backed profile must score bit-identically")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
   }
 
   test("bpeTrain: deterministic merge sequence, greedy application, early stop") {
