@@ -510,14 +510,19 @@ object Sampling {
     val b = math.pow(16, hexDigits.toDouble).toLong
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
-    val gs = dsirGrams(col(textCol))
+    // each gram hashes ONCE into a pinned bucket array (md5 is the
+    // per-gram cost; the two profile folds then index ints)
+    val withB = docs.withColumn("__dsir_bs",
+      transform(dsirGrams(col(textCol)),
+        g => hashBucketHex(g, hexDigits).cast("int")))
     def dot(m: Map[Int, Long]): Column =
-      aggregate(gs, lit(0L), (acc, g) =>
-        acc + profileLookup(m, b)(hashBucketHex(g, hexDigits)))
-    val gn = size(gs).cast("long")
+      aggregate(col("__dsir_bs"), lit(0L), (acc, bk) =>
+        acc + profileLookup(m, b)(bk))
+    val gn = size(col("__dsir_bs")).cast("long")
     val margin = (gn + dot(tm)) * lit(rn + b) - (gn + dot(rm)) * lit(tn + b)
-    docs.withColumn("dsir_margin", margin)
+    withB.withColumn("dsir_margin", margin)
       .withColumn("kept", col("dsir_margin") > 0)
+      .drop("__dsir_bs")
   }
 
   /** Incremental face of the DSIR profiles: fold a day's documents into
@@ -533,6 +538,23 @@ object Sampling {
                              deltaId: String, hexDigits: Int = 2): DataFrame =
     Sketches.counterUpdateState(spark, path,
       hashedNgramCounts(docs, textCol, hexDigits), deltaId)
+
+  /** Takedown face of the profile state: SUBTRACT the removed
+    * documents' gram counts — additive counters un-fold exactly, so
+    * after the ledgered negative fold the state equals the profile the
+    * surviving corpus would have built (zero-count buckets may linger
+    * as explicit rows; scoring treats absent and zero identically).
+    * Ledgered like any fold: re-running a takedown deltaId no-ops
+    * rather than double-subtracting. The caller supplies the removed
+    * docs' TEXT (profiles hold no per-document rows to sweep — this is
+    * the counter-state analog of [[graft.ops.CurateIncremental]]'s
+    * removeFromState). */
+  def dsirProfileRemoveState(spark: org.apache.spark.sql.SparkSession,
+                             path: String, docs: DataFrame, textCol: String,
+                             deltaId: String, hexDigits: Int = 2): DataFrame =
+    Sketches.counterUpdateState(spark, path,
+      hashedNgramCounts(docs, textCol, hexDigits)
+        .withColumn("cnt", -col("cnt")), deltaId)
 
   /** The true DSIR log importance weight (log-pooled, add-one smoothed):
     *
@@ -552,15 +574,15 @@ object Sampling {
     val b = math.pow(16, hexDigits.toDouble).toLong
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
-    val gs = dsirGrams(col(textCol))
-    val perGram = aggregate(gs, lit(0.0), (acc, g) => {
-      val bk = hashBucketHex(g, hexDigits)
+    val withB = docs.withColumn("__dsir_bs",
+      transform(dsirGrams(col(textCol)),
+        g => hashBucketHex(g, hexDigits).cast("int")))
+    val perGram = aggregate(col("__dsir_bs"), lit(0.0), (acc, bk) =>
       acc + log(profileLookup(tm, b)(bk) + lit(1.0)) -
-        log(profileLookup(rm, b)(bk) + lit(1.0))
-    })
-    val lenTerm = size(gs).cast("double") *
+        log(profileLookup(rm, b)(bk) + lit(1.0)))
+    val lenTerm = size(col("__dsir_bs")).cast("double") *
       lit(math.log((rn + b).toDouble) - math.log((tn + b).toDouble))
-    docs.withColumn(outCol, perGram + lenTerm)
+    withB.withColumn(outCol, perGram + lenTerm).drop("__dsir_bs")
   }
 
   /** Rendezvous (highest-random-weight) routing: the key goes to the

@@ -309,6 +309,29 @@ object Streaming {
       }
       .start()
 
+  /** Per-batch DSIR profile maintenance: each micro-batch's hashed
+    * n-gram counts fold into the persisted profile state
+    * ([[graft.ops.Sampling.dsirProfileUpdateState]]). `foreachBatch`
+    * is at-least-once; the counter ledger keys on the batch id, so a
+    * re-delivered batch no-ops instead of double-counting — the same
+    * exactly-once-state argument as [[scd2FoldSink]]. A daily selection
+    * job then reads the always-current target/raw profiles (bounded by
+    * the bucket space) and scores only new documents. */
+  def dsirProfileSink(stream: DataFrame, textCol: String, statePath: String,
+                      checkpointDir: String,
+                      hexDigits: Int = 2): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Sampling.dsirProfileUpdateState(batch.sparkSession,
+            statePath, batch.toDF(), textCol, s"batch-$batchId", hexDigits)
+          ()
+        }
+      }
+      .start()
+
   /** Stream → lake zone: every micro-batch merge-upserts into the same
     * partitioned Parquet layout the batch pipeline writes
     * ([[LakeZones.mergeUpsertByDay]]), so incremental results land beside

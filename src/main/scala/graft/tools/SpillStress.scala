@@ -172,6 +172,19 @@ object SpillStress {
       graft.ops.ExactJoinState.probe(sh.filter(col("doc_id") % 2 === 1),
         "doc_id", col("toks"), root)
     }
+    // …and the fuzzy state's PROBE (r15, the q143 lane): the adversarial
+    // gram-df corpus makes the candidate exchange the lane's widest —
+    // it must spill, not OOM, and stay bit-identical
+    phase("q143_fuzzy_state_probe_8x") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spill-fzs-").toString
+      graft.ops.FuzzyJoinState.build(
+        fuzzyNames.filter(col("s_suppkey") % 2 === 0),
+        "s_suppkey", "s_name", maxDist = 1, root = root)
+      graft.ops.FuzzyJoinState.probe(
+        fuzzyNames.filter(col("s_suppkey") % 2 === 1),
+        "s_suppkey", "s_name", root)
+    }
     d.unpersist()
     spark.sparkContext.removeSparkListener(metrics)
     out.toSeq

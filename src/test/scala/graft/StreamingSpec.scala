@@ -543,6 +543,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirProfileSink: streamed batches fold into the profile the batch pass would build") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("dsirsink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dsirsink-ckpt").toString
+    val all = Seq(
+      (1L, "the patient received the treatment"),
+      (2L, "clinical trial results show improvement"),
+      (3L, "the diagnosis confirmed the therapy"))
+    val q = Streaming.dsirProfileSink(
+      ms.toDF.toDF("doc_id", "text"), "text", root, ckpt)
+    try {
+      ms.addData(all.take(2): _*); q.processAllAvailable()
+      ms.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val fromState = graft.ops.Sketches.readState(spark, root)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val oneShot = graft.ops.Sampling
+      .hashedNgramCounts(all.toDF("doc_id", "text"), "text")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(fromState == oneShot,
+      s"streamed profile must equal the batch profile: $fromState vs $oneShot")
+    // takedown: the ledgered negative fold leaves the survivors' profile
+    graft.ops.Sampling.dsirProfileRemoveState(spark, root,
+      all.take(1).toDF("doc_id", "text"), "text", "takedown-1")
+    graft.ops.Sampling.dsirProfileRemoveState(spark, root,
+      all.take(1).toDF("doc_id", "text"), "text", "takedown-1") // replay no-op
+    val afterRemove = graft.ops.Sketches.readState(spark, root)
+      .filter(col("cnt") =!= 0L)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val survivors = graft.ops.Sampling
+      .hashedNgramCounts(all.drop(1).toDF("doc_id", "text"), "text")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(afterRemove == survivors,
+      s"negative fold must leave the survivors' profile: $afterRemove vs $survivors")
+  }
+
   test("enrichStream: static dim joins each micro-batch, misses flagged") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, Double)]
