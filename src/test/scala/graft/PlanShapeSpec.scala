@@ -501,6 +501,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r15 scoring lanes: NB predict broadcasts the profile, DSIR scoring plans no per-doc join") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.plans.GraftExtensions.install(spark)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q145 (nbPredictById): the (gram, label, count) profile reaches
+      // the exploded gram rows through a BY-HINT broadcast (threshold
+      // -1 here), and the dot products hash-shuffle (id, k longs) only —
+      // no gram or text column rides a hash exchange
+      val p145 = SparkEntry.queries("q145_langid_trained")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p145.toString.contains("BroadcastHashJoin"),
+        s"q145 lost the broadcast profile join:\n$p145")
+      val textShuffles = p145.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+        .filter(_.child.output.exists(a =>
+          a.name == "__nb_g" || a.name == "text"))
+      assert(textShuffles.isEmpty,
+        s"q145 shuffles gram/text columns:\n$p145")
+      // q147 (dsirScores): profiles are literals — scoring plans NO
+      // join at all; the only operators over the raw docs are scan,
+      // project/filter and the output sort
+      val p147 = SparkEntry.queries("q147_dsir_selection")(spark, sf)
+        .queryExecution.executedPlan
+      assert(!p147.toString.contains("Join"),
+        s"q147 should score joinlessly (profiles are literals):\n$p147")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("IVF centroid folds stay at the accepted 2x filter-copy (no 4x regression)") {
     // isnotnull pushdown copies the corpus-side cell-argmax expression
     // into the scan filter — accepted at 16 centroids (PERF.md r9 note:
