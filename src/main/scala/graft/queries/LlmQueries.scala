@@ -88,9 +88,14 @@ object LlmQueries {
       dir
     })
 
-  /** Recursive directory copy (the walk stream is closed — a leaked
+  /** Recursive directory clone (the walk stream is closed — a leaked
     * Files.walk holds directory handles for the JVM's life, ADVICE
-    * r14). */
+    * r14). Files HARDLINK rather than copy when the filesystem allows:
+    * every persisted-state file in this engine is write-once (appends
+    * land NEW files; rewrites go tmp-sibling → atomic dir swap, which
+    * only unlinks), so a linked clone can never mutate the original —
+    * and the per-pass clone cost of the incremental-state macros
+    * (q138/q139/q144) stops scaling with the state's bytes. */
   private[queries] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(src)
     try walk.forEach { p =>
@@ -98,8 +103,12 @@ object LlmQueries {
       if (java.nio.file.Files.isDirectory(p)) {
         java.nio.file.Files.createDirectories(t); ()
       } else {
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        try { java.nio.file.Files.createLink(t, p); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
       }
     } finally walk.close()
   }
