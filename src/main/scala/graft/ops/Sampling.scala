@@ -577,9 +577,13 @@ object Sampling {
     val withB = docs.withColumn("__dsir_bs",
       transform(dsirGrams(col(textCol)),
         g => hashBucketHex(g, hexDigits).cast("int")))
+    // greatest(c, 0): a mis-specified takedown (dsirProfileRemoveState
+    // with text that never folded in) can leave negative counters —
+    // arithmetic stays defined on the integer face, but log(c+1) would
+    // NaN here; clamp so the log face degrades to "absent" instead
     val perGram = aggregate(col("__dsir_bs"), lit(0.0), (acc, bk) =>
-      acc + log(profileLookup(tm, b)(bk) + lit(1.0)) -
-        log(profileLookup(rm, b)(bk) + lit(1.0)))
+      acc + log(greatest(profileLookup(tm, b)(bk), lit(0L)) + lit(1.0)) -
+        log(greatest(profileLookup(rm, b)(bk), lit(0L)) + lit(1.0)))
     val lenTerm = size(col("__dsir_bs")).cast("double") *
       lit(math.log((rn + b).toDouble) - math.log((tn + b).toDouble))
     withB.withColumn(outCol, perGram + lenTerm).drop("__dsir_bs")
