@@ -600,11 +600,17 @@ object TextAnalysis {
     * ~10⁹ × topK string compares; this face runs it in seconds) — the
     * relational form explodes (id, gram) rows, hash-joins the broadcast
     * (gram, label, count) profile, and partial-aggregates k conditional
-    * dot products per id map-side, so the ONE exchange carries (id,
-    * k longs) — doc-count-bound, never gram-bound. `idCol` must be
-    * unique per row (it keys the dots back onto the frame).
-    * [[nbPredict]] stays the zero-shuffle form for small frames and
-    * ad-hoc use; this is the form a 100 TB scoring pass wants. */
+    * dot products per id map-side.
+    *
+    * Returns `(idCol, outCol)` ONLY — deliberately not the input frame:
+    * joining predictions back onto the corpus would shuffle the TEXT
+    * (measured: the first cut's join-back moved 146 MiB at 30×, linear
+    * in the corpus — the exact full-corpus exchange this face exists to
+    * avoid). Every exchange here carries (id, longs): the gram-count
+    * frame, the dot products, and their id-keyed merge. Join the result
+    * back by id if you need other columns — ids and labels shuffle,
+    * text never does. `idCol` must be unique per row. [[nbPredict]]
+    * stays the zero-shuffle form for small frames and ad-hoc use. */
   def nbPredictById(df: DataFrame, idCol: String, grams: Column,
                     m: LangIdModel, outCol: String = "lang_pred"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -613,9 +619,10 @@ object TextAnalysis {
       m.counts.toSeq.flatMap { case (l, gc) =>
         gc.toSeq.map { case (g, c) => (g, l, c) }
       }).toDF("__nb_g", "__nb_lang", "__nb_c")
-    val withG = df.withColumn("__nb_gs", grams)
-    val dots = withG.select(col(idCol).as("__nb_id"),
-        explode(col("__nb_gs")).as("__nb_g"))
+    // (id, gram-count): map-side over the corpus, (id, long) exchange
+    val gnF = df.select(col(idCol).as("__nb_id"),
+      size(grams).cast("long").as("__nb_gn"))
+    val dots = df.select(col(idCol).as("__nb_id"), explode(grams).as("__nb_g"))
       .join(broadcast(profile), Seq("__nb_g"))
       .groupBy("__nb_id")
       .agg(m.langs.head match { case l0 =>
@@ -625,7 +632,7 @@ object TextAnalysis {
         sum(when(col("__nb_lang") === l, col("__nb_c")).otherwise(0L))
           .as(s"__nb_dot_${i + 1}")
       }: _*)
-    val gn = size(col("__nb_gs")).cast("long")
+    val gn = col("__nb_gn")
     val scored = m.langs.zipWithIndex.map { case (l, i) =>
       val dot = coalesce(col(s"__nb_dot_$i"), lit(0L))
       val others = m.langs.filter(_ != l)
@@ -635,12 +642,11 @@ object TextAnalysis {
           lit(new java.math.BigDecimal(others.bigInteger))).as("s"),
         lit(-i).as("nr"))
     }
-    withG.join(dots, col(idCol) === col("__nb_id"), "left")
-      .withColumn(outCol,
+    gnF.join(dots, Seq("__nb_id"), "left")
+      .select(col("__nb_id").as(idCol),
         when(gn === 0, lit("und"))
           .otherwise(element_at(typedlit(m.langs),
-            (lit(1) - array_max(array(scored: _*)).getField("nr")).cast("int"))))
-      .drop((0 until m.langs.size).map(i => s"__nb_dot_$i") ++
-        Seq("__nb_id", "__nb_gs"): _*)
+            (lit(1) - array_max(array(scored: _*)).getField("nr")).cast("int")))
+          .as(outCol))
   }
 }

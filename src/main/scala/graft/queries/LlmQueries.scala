@@ -2393,8 +2393,11 @@ object LlmQueries {
             .cast("string")))
       val m = TextAnalysis.nbTrain(docs.filter(col("doc_id") % 2 === 0),
         "dom", TextAnalysis.tokens(col("text")), topK = 256)
+      // the predictions frame is (id, label) by design; the true label
+      // joins back by id — ids and labels shuffle, text never does
       TextAnalysis.nbPredictById(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", TextAnalysis.tokens(col("text")), m, "dom_pred")
+        .join(docs.select("doc_id", "dom"), Seq("doc_id"))
         .select("doc_id", "dom", "dom_pred")
         .orderBy("doc_id")
     }),

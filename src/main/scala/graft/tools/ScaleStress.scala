@@ -39,7 +39,7 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/
-    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/inc); no
+    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/nb/inc); no
     // flag
     // runs everything
     val onlyFlags = args.filter(_.startsWith("--only-"))
@@ -506,6 +506,44 @@ object ScaleStress {
       println(f"XJOIN ${m}x deltaDocs=$nd stateMiB=$stateMiB%.2f " +
         f"appendWriteMiB=${dirMiB(stateDir) - stateMiB}%.3f")
       delta.unpersist(); d.unpersist()
+    }
+
+    // Trained-classifier + DSIR scoring (the r15 lanes): the model/
+    // profiles are FIXED (fit once on the 1× corpus — topK and the
+    // bucket space bound them whatever the corpus), the scored corpus
+    // multiplies. Predict and score walls must grow ~linearly, and the
+    // one NB exchange must stay (id, k longs)-sized — never gram-sized.
+    if (runSection("nb")) {
+      import graft.ops.{Sampling, TextAnalysis}
+      val base = graft.sources.Testdata.table(spark, sfDir, "documents")
+      val m0 = TextAnalysis.langIdTrain(
+        base.select("doc_id", "lang", "text"), "lang", "text", topK = 512)
+      val isTarget = col("source").isin("src1", "src2")
+      val tProf = Sampling.hashedNgramCounts(base.filter(isTarget), "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rProf = Sampling.hashedNgramCounts(base.filter(!isTarget), "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tProf.count(); rProf.count()
+      mults.foreach { m =>
+        val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+        println(s"=== nb/dsir corpus ${m}x: ${d.count()} docs ===")
+        // aggregate over the OUTPUT columns — a bare count() lets
+        // Catalyst eliminate the unique-right left join and prune the
+        // scoring expressions entirely (a correct no-op, not a measure)
+        phase(s"${m}x_nb_predict") {
+          TextAnalysis.nbPredictById(d, "doc_id",
+              TextAnalysis.charTrigrams(col("text")), m0)
+            .groupBy("lang_pred").count()
+            .collect().map(_.getLong(1)).sum
+        }
+        phase(s"${m}x_dsir_score") {
+          Sampling.dsirScores(d, "doc_id", "text", tProf, rProf)
+            .agg(sum(when(col("kept"), 1L).otherwise(0L)))
+            .collect()(0).getLong(0)
+        }
+        d.unpersist()
+      }
+      tProf.unpersist(); rProf.unpersist()
     }
 
     // Incremental fuzzy edit-distance state (the r15 lane): the
