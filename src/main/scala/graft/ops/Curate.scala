@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions._
   *   4½. (opt-in) corpus-LM bigram floor ([[TextAnalysis.bigramCommonRatio]]
   *      — the corpus as its own LM; salad and too-short docs drop),
   *   5. decontamination against a benchmark set ([[Dedup.ngramOverlap]]),
+  *   5¼. (opt-in) DSIR importance selection ([[Sampling.dsirScores]], or
+  *      [[Sampling.dsirLogWeights]] + [[Sampling.weightedSample]] in
+  *      resample mode, against caller-supplied target/raw hashed-n-gram
+  *      profiles — AFTER cleaning so the selection budget prices text
+  *      that survived, BEFORE temperature so the √-rule balances what
+  *      selection kept; per-doc deterministic under fixed profiles, so
+  *      the fixpoint property is preserved),
   *   5½. (opt-in) temperature mixture balancing
   *      ([[Sampling.temperatureSample]] — AFTER cleaning so junk never
   *      consumes a dominant source's budget, BEFORE splits so every
@@ -106,6 +113,26 @@ object Curate {
     * `maxDist` and `q` are PINNED in the persisted state's sidecar at
     * bootstrap. */
   case class EntityFuzzy(maxDist: Int, q: Int = 2)
+
+  /** Knobs of the opt-in DSIR importance-selection stage (5¼): the
+    * hashed-n-gram profiles of the TARGET distribution and of the RAW
+    * pool, each a (bucket, cnt) frame — fit in one corpus pass by
+    * [[Sampling.hashedNgramCounts]] (batch), or read via
+    * [[Sketches.readState]] from the persisted counter state
+    * [[Sampling.dsirProfileUpdateState]] maintains, which is how the
+    * incremental pipeline scores a day's delta against corpus-LIFETIME
+    * profiles without ever rescanning the corpus. `resample = false`
+    * keeps margin-positive docs (more target-like than raw-like, the
+    * exact-integer [[Sampling.dsirScores]] decision); `resample = true`
+    * keeps each doc with probability exp(min(log w, 0)) — capped
+    * importance resampling ([[Sampling.dsirLogWeights]] through
+    * [[Sampling.weightedSample]]), the Xie et al. 2023 sampling rule.
+    * Fixpoint note: the profiles are INPUTS (never re-derived from the
+    * corpus being curated) and both keep rules are per-doc
+    * deterministic, so the recipe's fixpoint property is preserved —
+    * survivors re-curated against the same profiles all survive. */
+  case class Dsir(target: DataFrame, raw: DataFrame, hexDigits: Int = 2,
+                  resample: Boolean = false)
 
   case class Config(
       nearDupThreshold: Double = 0.5,
@@ -182,6 +209,13 @@ object Curate {
       // whose share of corpus-frequent bigrams reaches the floor; docs too
       // short to score (< 2 tokens) are dropped with the salad
       bigramLmFloor: Option[(Long, Double)] = None,
+      // opt-in DSIR importance selection (stage 5¼, see [[Dsir]]): docs
+      // are kept by how target-like their hashed-n-gram bag is under
+      // the supplied target/raw profiles — AFTER cleaning/decontam (so
+      // selection never spends its budget on junk the recipe drops
+      // anyway), BEFORE temperature balancing (selection changes source
+      // counts; the √-rule must price what selection kept)
+      dsir: Option[Dsir] = None,
       // opt-in α=1/2 temperature mixture balancing keyed on this source
       // column (Sampling.temperatureSample): dominant sources are
       // down-sampled toward √-balance after cleaning, before splits
@@ -193,6 +227,24 @@ object Curate {
   case class Result(corpus: DataFrame, stats: DataFrame,
                     release: () => Unit = () => (),
                     audit: Option[DataFrame] = None)
+
+  /** The DSIR keep rule, shared by the batch recipe (stage 5¼) and the
+    * incremental delta face ([[CurateIncremental.curateDelta]] — the
+    * delta is scored against the caller's corpus-lifetime profiles, so
+    * selection is delta-only by construction). Threshold mode keeps
+    * margin-positive docs; resample mode keeps docs with probability
+    * exp(min(log w, 0)). Working columns are dropped either way — the
+    * stage is a pure filter on the recipe's frame. */
+  private[graft] def dsirSelect(docs: DataFrame, idCol: String,
+                                textCol: String, d: Dsir): DataFrame =
+    if (d.resample) {
+      val w = Sampling.dsirLogWeights(docs, textCol, d.target, d.raw,
+        d.hexDigits, outCol = "__dsir_log_w")
+      Sampling.weightedSample(w, idCol,
+        exp(least(col("__dsir_log_w"), lit(0.0)))).drop("__dsir_log_w")
+    } else
+      Sampling.dsirScores(docs, textCol, d.target, d.raw, d.hexDigits)
+        .filter(col("kept")).drop("dsir_margin", "kept")
 
   /** Curate `docs` (idCol, textCol) against `benchmark` (same shape).
     * Output: survivors with `text` redacted and a `split` column; stats
@@ -375,13 +427,23 @@ object Curate {
     val nClean = clean.count()
     spanned.unpersist() // == nearDeduped when the span stage is off
 
-    // 5.5 (opt-in) temperature mixture balancing: the √(c_min/c_s) keep
-    // rule over CLEAN counts (post-dedup/quality/decontam), so a source's
-    // budget is spent on text that survived — and before splits, so the
-    // balanced mixture is what train/val/test all sample from
-    val balanced = cfg.temperatureBalanceCol match {
-      case Some(srcCol) => Sampling.temperatureSample(clean, idCol, srcCol)
+    // 5.25 (opt-in) DSIR importance selection: keep docs by how
+    // target-like their hashed-n-gram bag is under the supplied
+    // profiles — pure map-side scoring against bucket-space-bounded
+    // profile literals, so the stage adds NO shuffle to the recipe
+    val selected = cfg.dsir match {
+      case Some(d) => dsirSelect(clean, idCol, textCol, d)
       case None => clean
+    }
+
+    // 5.5 (opt-in) temperature mixture balancing: the √(c_min/c_s) keep
+    // rule over SELECTED counts (post-dedup/quality/decontam/DSIR), so a
+    // source's budget is spent on text that survived — and before
+    // splits, so the balanced mixture is what train/val/test all sample
+    // from
+    val balanced = cfg.temperatureBalanceCol match {
+      case Some(srcCol) => Sampling.temperatureSample(selected, idCol, srcCol)
+      case None => selected
     }
 
     // 6. assign splits (text already redacted before dedup)
@@ -423,6 +485,7 @@ object Curate {
           "quality_quantile" -> qualityBase,
           "bigram_lm" -> quality,
           "contaminated" -> clean,
+          "dsir_dropped" -> selected,
           "temperature_cut" -> balanced) ++
           // the chunk stage can drop a doc too (a zero-token text emits
           // no window) — without this handoff the audit labeled such a

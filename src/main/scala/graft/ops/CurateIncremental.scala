@@ -1173,7 +1173,19 @@ object CurateIncremental {
     val nClean = clean.count()
     nearDeduped.unpersist()
 
-    val curated = clean
+    // 5.25 (opt-in) DSIR importance selection, identical rule to the
+    // batch recipe: the profiles come IN (read from the persisted
+    // counter states [[Sampling.dsirProfileUpdateState]] maintains —
+    // corpus-lifetime distributions, bounded by the bucket space), so
+    // only the delta is ever scored and the corpus is never rescanned.
+    // Per-doc deterministic against fixed profiles → batch/incremental
+    // parity is by construction, like the blocklist stage.
+    val selected = cfg.dsir match {
+      case Some(d) => Curate.dsirSelect(clean, idCol, textCol, d)
+      case None => clean
+    }
+
+    val curated = selected
       .withColumn("split",
         Sampling.splitAssign(col(idCol), cfg.trainPct, cfg.valPct))
     val emitted = cfg.chunk match {
@@ -1205,7 +1217,8 @@ object CurateIncremental {
           "winnow_borrow" -> winnowed,
           "entity_dup" -> resolved,
           "quality_floor" -> quality,
-          "contaminated" -> clean) ++
+          "contaminated" -> clean,
+          "dsir_dropped" -> selected) ++
           (cfg.chunk match {
             case Some(_) =>
               Seq("chunk_empty" -> emitted.select(col(idCol)).distinct())

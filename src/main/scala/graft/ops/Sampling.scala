@@ -432,7 +432,10 @@ object Sampling {
 
   /** DSIR feature grams: word unigrams + space-joined bigrams (the
     * hashed n-gram feature map of Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"). */
+    * Language Models via Importance Resampling"). NULL text yields an
+    * EMPTY gram array (via [[TextAnalysis.tokens]]' null guard), so a
+    * NULL-text doc scores as a zero-gram doc rather than poisoning the
+    * fold with NULL. */
   private[graft] def dsirGrams(text: Column): Column = {
     val ts = graft.ops.TextAnalysis.tokens(text)
     val n1 = greatest(size(ts) - 1, lit(0))
@@ -493,20 +496,25 @@ object Sampling {
     *
     *   (gn + dot_t)·(N_r + B) − (gn + dot_r)·(N_t + B)
     *
-    * an exact Long: positive ⇔ the doc is more target-like than
-    * raw-like (`kept`). The TRUE log-pooled DSIR weight is
+    * exact in DECIMAL(38,0) (the [[TextAnalysis.nbPredict]] discipline —
+    * Long cross-products would silently wrap past 9.2·10¹⁸, which
+    * per-bucket counts of a multi-billion-gram corpus reach): positive
+    * ⇔ the doc is more target-like than raw-like (`kept`, decided on
+    * the decimal). `dsir_margin` is exposed as BIGINT for downstream
+    * compactness — when the exact margin exceeds the Long range the
+    * column is NULL (never a wrapped value) while `kept` stays correct
+    * from the decimal sign. The TRUE log-pooled DSIR weight is
     * [[dsirLogWeights]] — engine-side floats, sign/rank-tested against
-    * this face. Magnitude bound: dot ≤ gn·N, so the products stay under
-    * 2⁶³ while gn·N·(N+B) < 9.2·10¹⁸ — ~10⁶-gram docs against ~10⁶-gram
-    * profiles; shrink per-doc gram counts (chunk first) beyond that.
+    * this face.
     *
     * 100 TB posture: the two profiles ride in as bucket-space-bounded
     * literal maps (fit once by [[hashedNgramCounts]] — the only corpus
     * passes); scoring is a pure map-side fold per row — no UDF, no
     * shuffle, no join, no driver round-trip per doc. */
-  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+  def dsirScores(docs: DataFrame, textCol: String,
                  target: DataFrame, raw: DataFrame,
                  hexDigits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val b = math.pow(16, hexDigits.toDouble).toLong
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
@@ -519,9 +527,16 @@ object Sampling {
       aggregate(col("__dsir_bs"), lit(0L), (acc, bk) =>
         acc + profileLookup(m, b)(bk))
     val gn = size(col("__dsir_bs")).cast("long")
-    val margin = (gn + dot(tm)) * lit(rn + b) - (gn + dot(rm)) * lit(tn + b)
-    withB.withColumn("dsir_margin", margin)
-      .withColumn("kept", col("dsir_margin") > 0)
+    val marginDec =
+      (gn + dot(tm)).cast(DecimalType(38, 0)) * lit(rn + b) -
+      (gn + dot(rm)).cast(DecimalType(38, 0)) * lit(tn + b)
+    // explicit range gate: non-ANSI decimal→long WRAPS on overflow
+    // (Decimal.toLong truncates), so out-of-range margins are nulled
+    // by hand — NULL, never a wrapped value
+    withB.withColumn("dsir_margin",
+        when(marginDec.between(lit(Long.MinValue), lit(Long.MaxValue)),
+          marginDec.cast("long")))
+      .withColumn("kept", marginDec > 0)
       .drop("__dsir_bs")
   }
 
@@ -567,7 +582,7 @@ object Sampling {
     * proportion to capped importance) or [[TextAnalysis.quantileFilter]]
     * for top-quantile selection. Same map-side posture as
     * [[dsirScores]]. */
-  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+  def dsirLogWeights(docs: DataFrame, textCol: String,
                      target: DataFrame, raw: DataFrame,
                      hexDigits: Int = 2,
                      outCol: String = "dsir_log_w"): DataFrame = {

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization, empty-safe (consecutive/trailing separators
-    * yield no empty tokens). */
+    * yield no empty tokens) and NULL-safe: NULL text yields an EMPTY
+    * array, not NULL — gram consumers (langId/NB predict, DSIR scoring)
+    * branch on `size(gs) === 0` for their "no signal" row ('und',
+    * zero-gram score), and a propagated NULL would silently skip that
+    * branch (ADVICE r15). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    coalesce(filter(split(text, " "), t => t =!= ""),
+      array().cast("array<string>"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -516,9 +521,12 @@ object TextAnalysis {
     * so the ordinal form is O(len²) per document (measured: it was 60+
     * of q145's 117 s at sf0.1); the slice form is linear. `split(t,
     * "")` appends one trailing empty element (Java split semantics) —
-    * filtered, so the trigram set is exactly the substring form's. */
+    * filtered, so the trigram set is exactly the substring form's.
+    * NULL text yields an EMPTY array (not NULL) so langIdPredict's
+    * `size(gs) === 0` branch still fires → 'und' (ADVICE r15). */
   def charTrigrams(text: Column): Column = {
-    val cs = filter(split(lower(text), ""), c => c =!= "")
+    val cs = coalesce(filter(split(lower(text), ""), c => c =!= ""),
+      array().cast("array<string>"))
     val n2 = greatest(size(cs) - 2, lit(0))
     zip_with(
       zip_with(slice(cs, lit(1), n2), slice(cs, lit(2), n2),

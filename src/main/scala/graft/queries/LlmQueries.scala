@@ -90,18 +90,26 @@ object LlmQueries {
 
   /** Recursive directory clone (the walk stream is closed — a leaked
     * Files.walk holds directory handles for the JVM's life, ADVICE
-    * r14). Files HARDLINK rather than copy when the filesystem allows:
-    * every persisted-state file in this engine is write-once (appends
-    * land NEW files; rewrites go tmp-sibling → atomic dir swap, which
-    * only unlinks), so a linked clone can never mutate the original —
-    * and the per-pass clone cost of the incremental-state macros
-    * (q138/q139/q144) stops scaling with the state's bytes. */
+    * r14). BULK data files (*.parquet — the bytes that made per-pass
+    * clone cost scale with state size) HARDLINK rather than copy:
+    * parquet in this engine is write-once (appends land NEW files;
+    * rewrites go tmp-sibling → atomic dir swap, which only unlinks), so
+    * a linked clone can never mutate the original. Small METADATA files
+    * (json sidecars, ledgers, _SUCCESS) are COPIED: RawLocalFileSystem's
+    * `fs.create(path, overwrite = true)` truncates an existing inode in
+    * place, so a linked sidecar that any clone flow ever rewrote would
+    * corrupt the shared fixture for all later clones (ADVICE r15) —
+    * copying them is byte-trivial and makes the invariant hold by
+    * construction. */
   private[queries] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(src)
     try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) {
         java.nio.file.Files.createDirectories(t); ()
+      } else if (!p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
       } else {
         try { java.nio.file.Files.createLink(t, p); () }
         catch {
@@ -2416,7 +2424,7 @@ object LlmQueries {
       val isTarget = col("source").isin("src1", "src2")
       val target = Sampling.hashedNgramCounts(docs.filter(isTarget), "text")
       val raw = Sampling.hashedNgramCounts(docs.filter(!isTarget), "text")
-      Sampling.dsirScores(docs.filter(!isTarget), "doc_id", "text",
+      Sampling.dsirScores(docs.filter(!isTarget), "text",
         target, raw)
         .select("doc_id", "dsir_margin", "kept")
         .orderBy("doc_id")
@@ -2448,10 +2456,63 @@ object LlmQueries {
         fold(s"$r/r", w.filter(col("doc_id") % 2 === 1), "day2")
         ()
       }
-      Sampling.dsirScores(docs.filter(!isTarget), "doc_id", "text",
+      Sampling.dsirScores(docs.filter(!isTarget), "text",
         Sketches.readState(s, s"$root/t"), Sketches.readState(s, s"$root/r"))
         .select("doc_id", "dsir_margin", "kept")
         .orderBy("doc_id")
+    }),
+
+    // DSIR selection INSIDE the curation recipe (VERDICT r15 #1): the
+    // daily increment scores its delta against PERSISTED corpus-lifetime
+    // profile states as curation stage 5¼ — bootstrap curates the evens
+    // and folds their target (src1/src2, two ledgered deltas + one
+    // replayed no-op) and raw profiles into counter states; the daily
+    // delta (odds + re-crawled state dups + within-delta dups) runs the
+    // audited recipe with cfg.dsir reading both states. Only the DELTA
+    // is ever scored (profiles are bucket-space-bounded literals), the
+    // corpus is never rescanned. Output is the audit: exact_dup (state
+    // hit or within-delta loser) / dsir_dropped (margin ≤ 0) /
+    // survived, all replayed by the oracle from raw tables.
+    "q149_dsir_recipe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.{Sampling, Sketches}
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench = Seq((900000L,
+        "benchmark holdout phrase matching nothing in this corpus"))
+        .toDF("doc_id", "text")
+      // quality floor 0.0: the stage is deliberately open so the audit
+      // isolates the two labels under test (q135/q144 cover the rest)
+      val cfg0 = Curate.Config(nearDupThreshold = 2.0, qualityFloor = 0.0)
+      val fixture = cachedFixture("q149", dir) { r =>
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        CurateIncremental.bootstrap(evens.select("doc_id", "text"), bench,
+          "doc_id", "text", r, cfg0).release()
+        val isT = col("source").isin("src1", "src2")
+        def fold(path: String, d: DataFrame, id: String) =
+          Sampling.dsirProfileUpdateState(s, path, d, "text", id)
+        fold(s"$r/dsir_t", evens.filter(isT && col("doc_id") % 4 === 0), "day1")
+        fold(s"$r/dsir_t", evens.filter(isT && col("doc_id") % 4 === 2), "day2")
+        fold(s"$r/dsir_t", evens.filter(isT && col("doc_id") % 4 === 2), "day2") // ledger no-op
+        fold(s"$r/dsir_r", evens.filter(!isT), "day1")
+        ()
+      }
+      // fresh copy per invocation: daily appends to the curate state it
+      // probes (the profile states are only READ — dsir scoring never
+      // folds — but they ride the clone so every path is clone-local)
+      val root = cloneFixture("q149", dir, fixture)
+      val bt = docs.select("doc_id", "text")
+      val delta = bt.filter(col("doc_id") % 2 === 1)
+        .unionByName(bt.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(bt.filter(col("doc_id") % 2 === 1 && col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val cfg = cfg0.copy(audit = true,
+        dsir = Some(Curate.Dsir(
+          Sketches.readState(s, s"$root/dsir_t"),
+          Sketches.readState(s, s"$root/dsir_r"))))
+      val r = CurateIncremental.daily(delta, bench, "doc_id", "text", root, cfg)
+      r.audit.get.orderBy("doc_id")
     }),
 
     // Time-series densify + forward fill: each user's daily event-count
@@ -5647,6 +5708,81 @@ object LlmQueries {
         |  WHERE NOT tk.is_t)
         |SELECT doc_id, dsir_margin, dsir_margin > 0 AS kept
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q149_dsir_recipe" ->
+      """WITH evens AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+        |delta AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 9 = 0),
+        |state_fp AS (SELECT DISTINCT text FROM evens),
+        |keepers AS (SELECT text, min(doc_id) AS keeper FROM delta GROUP BY text),
+        |surv0 AS (
+        |  SELECT d.doc_id, d.text FROM delta d
+        |  JOIN keepers k ON k.text = d.text AND k.keeper = d.doc_id
+        |  WHERE d.text NOT IN (SELECT text FROM state_fp)),
+        |etoks AS (
+        |  SELECT source IN ('src1', 'src2') AS is_t,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM evens),
+        |egrams AS (
+        |  SELECT is_t, unnest(list_concat(ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM etoks),
+        |egb AS (
+        |  SELECT is_t,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM egrams),
+        |tprof AS MATERIALIZED (SELECT b, count(*) AS c FROM egb WHERE is_t GROUP BY 1),
+        |rprof AS MATERIALIZED (SELECT b, count(*) AS c FROM egb WHERE NOT is_t GROUP BY 1),
+        |tn AS (SELECT COALESCE(sum(c), 0) AS n FROM tprof),
+        |rn AS (SELECT COALESCE(sum(c), 0) AS n FROM rprof),
+        |dtoks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM surv0),
+        |dgrams AS (
+        |  SELECT doc_id, unnest(list_concat(ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM dtoks),
+        |dgb AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM dgrams),
+        |dots AS (
+        |  SELECT dgb.doc_id, count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM dgb
+        |  LEFT JOIN tprof t ON t.b = dgb.b
+        |  LEFT JOIN rprof r ON r.b = dgb.b
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT s0.doc_id,
+        |    (COALESCE(d.gn, 0) + COALESCE(d.dot_t, 0))
+        |      * ((SELECT n FROM rn) + 256)
+        |    - (COALESCE(d.gn, 0) + COALESCE(d.dot_r, 0))
+        |      * ((SELECT n FROM tn) + 256) AS m
+        |  FROM surv0 s0 LEFT JOIN dots d ON d.doc_id = s0.doc_id)
+        |SELECT dl.doc_id,
+        |  CASE WHEN sc.doc_id IS NULL THEN 'exact_dup'
+        |       WHEN sc.m > 0 THEN 'survived'
+        |       ELSE 'dsir_dropped' END AS stage
+        |FROM delta dl LEFT JOIN scored sc ON sc.doc_id = dl.doc_id
+        |ORDER BY dl.doc_id""".stripMargin,
 
     "q144_embed_entity_daily" -> {
       // same seeded ±1 plane literals as q69 (Similarity.randomPlanes)

@@ -537,7 +537,7 @@ object ScaleStress {
             .collect().map(_.getLong(1)).sum
         }
         phase(s"${m}x_dsir_score") {
-          Sampling.dsirScores(d, "doc_id", "text", tProf, rProf)
+          Sampling.dsirScores(d, "text", tProf, rProf)
             .agg(sum(when(col("kept"), 1L).otherwise(0L)))
             .collect()(0).getLong(0)
         }

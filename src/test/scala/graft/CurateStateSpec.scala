@@ -719,6 +719,79 @@ class CurateStateSpec extends SparkSpec {
     full.release()
   }
 
+  test("dsir selection in the recipe: bootstrap -> daily equals batch over the union, profiles from persisted counter state") {
+    import graft.ops.{Sampling, Sketches}
+    // two disjoint vocabularies: A-docs are target-like, B-docs raw-like
+    def aDoc(id: Long, salt: String): (Long, String) =
+      (id, s"alpha beta gamma delta epsilon alpha beta gamma $salt")
+    def bDoc(id: Long, salt: String): (Long, String) =
+      (id, s"zeta eta theta iota kappa zeta eta theta $salt")
+    val root = java.nio.file.Files.createTempDirectory("graft-dsirrec-").toString
+    // persisted corpus-lifetime profiles: target folded in two ledgered
+    // deltas (one replayed \u2014 exactly-once no-op), raw in one
+    Sampling.dsirProfileUpdateState(spark, s"$root/t",
+      docsDf(Seq(aDoc(900, "p1"), aDoc(901, "p2"))), "text", "d1")
+    Sampling.dsirProfileUpdateState(spark, s"$root/t",
+      docsDf(Seq(aDoc(902, "p3"))), "text", "d2")
+    Sampling.dsirProfileUpdateState(spark, s"$root/t",
+      docsDf(Seq(aDoc(902, "p3"))), "text", "d2") // ledger no-op
+    Sampling.dsirProfileUpdateState(spark, s"$root/r",
+      docsDf(Seq(aDoc(910, "p4"), bDoc(911, "p5"), bDoc(912, "p6"),
+        bDoc(913, "p7"))), "text", "d1")
+    // near-dup off (the A/B docs share most shingles BY DESIGN — the
+    // dsir stage, not LSH, must be what separates them) and quality
+    // floor open: the test isolates the selection stage
+    def cfg = Curate.Config(nearDupThreshold = 2.0, qualityFloor = 0.0,
+      dsir = Some(Curate.Dsir(Sketches.readState(spark, s"$root/t"),
+        Sketches.readState(spark, s"$root/r"))))
+
+    val day0 = docsDf(Seq(aDoc(1, "x1"), aDoc(2, "x2"), bDoc(3, "x3")))
+    val b = CurateIncremental.bootstrap(day0, bench, "doc_id", "text",
+      s"$root/state", cfg)
+    assert(b.corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "bootstrap must dsir-select: A-docs kept, B-doc dropped")
+    b.release()
+
+    // day 1: a fresh A-doc, a fresh B-doc (dsir-dropped), and a re-crawl
+    // of day-0 survivor 1 (exact_dup at the state probe) \u2014 the audit
+    // must label each, and dsir selection must score ONLY the delta
+    val day1 = docsDf(Seq(aDoc(10, "y1"), bDoc(11, "y2"),
+      (12L, day0.filter(col("doc_id") === 1).select("text").as[String].head())))
+    val d1 = CurateIncremental.daily(day1, bench, "doc_id", "text",
+      s"$root/state", cfg.copy(audit = true))
+    assert(d1.corpus.select("doc_id").as[Long].collect().toSet == Set(10L))
+    val labels = d1.audit.get.select("doc_id", "stage").as[(Long, String)]
+      .collect().toMap
+    assert(labels == Map(10L -> "survived", 11L -> "dsir_dropped",
+      12L -> "exact_dup"), s"audit labels wrong: $labels")
+    d1.release()
+
+    // parity: state after the daily == one full batch curate of the
+    // union with the SAME cfg (fixed profiles -> per-doc deterministic)
+    val full = Curate.curate(day0.unionByName(day1), bench,
+      "doc_id", "text", cfg)
+    val want = full.corpus.select("doc_id").as[Long].collect().toSet
+    val got = CurateIncremental.loadState(spark, s"$root/state")
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"incremental ($got) != batch ($want)")
+    full.release()
+
+    // resample mode: margin-positive docs carry log-weight > 0 (capped
+    // to keep-probability 1), so every A-doc survives resampling too;
+    // the rule is per-doc deterministic, so curating survivors again
+    // changes nothing (fixpoint)
+    val rcfg = cfg.copy(dsir = cfg.dsir.map(_.copy(resample = true)))
+    val r1 = Curate.curate(day0, bench, "doc_id", "text", rcfg)
+    val kept1 = r1.corpus.select("doc_id").as[Long].collect().toSet
+    assert(kept1.contains(1L) && kept1.contains(2L),
+      s"resample must keep margin-positive docs: $kept1")
+    val r2 = Curate.curate(r1.corpus.select("doc_id", "text"), bench,
+      "doc_id", "text", rcfg)
+    assert(r2.corpus.select("doc_id").as[Long].collect().toSet == kept1,
+      "dsir resample must be a fixpoint under fixed profiles")
+    r1.release(); r2.release()
+  }
+
   test("exact-join state: pairs(state) \u222a probe(delta) == full recompute of the union") {
     import graft.ops.{Dedup, ExactJoinState}
     val root = java.nio.file.Files.createTempDirectory("graft-xjs-").toString

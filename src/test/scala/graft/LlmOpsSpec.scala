@@ -2596,13 +2596,13 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val t = Sampling.hashedNgramCounts(target, "text")
     val r = Sampling.hashedNgramCounts(rawCorpus, "text")
-    val m = Sampling.dsirScores(pool, "doc_id", "text", t, r)
+    val m = Sampling.dsirScores(pool, "text", t, r)
       .select("doc_id", "dsir_margin", "kept")
       .as[(Long, Long, Boolean)].collect().map(x => x._1 -> (x._2, x._3)).toMap
     assert(m(1L)._2 && m(1L)._1 > 0, s"target-like doc must keep: $m")
     assert(!m(2L)._2 && m(2L)._1 < 0, s"raw-typical doc must drop: $m")
     assert(m(3L)._1 == 0L && !m(3L)._2, s"empty doc scores zero, drops: $m")
-    val lw = Sampling.dsirLogWeights(pool, "doc_id", "text", t, r)
+    val lw = Sampling.dsirLogWeights(pool, "text", t, r)
       .select("doc_id", "dsir_log_w").as[(Long, Double)].collect().toMap
     assert(lw(1L) > 0 && lw(2L) < 0 && lw(3L) == 0.0,
       s"log-weight face must sign-agree: $lw")
@@ -2637,10 +2637,10 @@ class LlmOpsSpec extends SparkSpec {
         s"N ledgered folds must equal the one-shot profile: $fromState vs $oneShot")
       // and the scoring face consumes the state frame directly
       val raw = Seq(Tuple1("click here for the best deals")).toDF("text")
-      val viaState = Sampling.dsirScores(docs, "doc_id", "text",
+      val viaState = Sampling.dsirScores(docs, "text",
           Sketches.readState(spark, root), Sampling.hashedNgramCounts(raw, "text"))
         .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
-      val viaBatch = Sampling.dsirScores(docs, "doc_id", "text",
+      val viaBatch = Sampling.dsirScores(docs, "text",
           Sampling.hashedNgramCounts(docs, "text"), Sampling.hashedNgramCounts(raw, "text"))
         .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
       assert(viaState == viaBatch, "state-backed profile must score bit-identically")
@@ -2650,6 +2650,61 @@ class LlmOpsSpec extends SparkSpec {
       }
       rm(new java.io.File(root))
     }
+  }
+
+  test("NULL text is a zero-signal row, not a NULL bomb (ADVICE r15)") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    // the gram faces yield EMPTY arrays on NULL (split would propagate
+    // NULL and skip every size(gs)===0 branch downstream)
+    val z = docs.filter(col("doc_id") === 1)
+      .select(size(TextAnalysis.tokens(col("text"))).as("nt"),
+        size(TextAnalysis.charTrigrams(col("text"))).as("nc")).head()
+    assert(z.getInt(0) == 0 && z.getInt(1) == 0,
+      s"NULL text must gram to empty arrays: $z")
+    // 'und' on both predict faces, exactly like empty text
+    val m = TextAnalysis.langIdTrain(
+      Seq(("en", "the cat sat on the mat"), ("de", "der hund lief im park"))
+        .toDF("lang", "text"), "lang", "text")
+    val p1 = TextAnalysis.langIdPredict(docs, "text", m)
+      .filter(col("doc_id") === 1).select("lang_pred").as[String].head()
+    assert(p1 == "und", s"literal-map face on NULL text: $p1")
+    val p2 = TextAnalysis.nbPredictById(docs, "doc_id",
+        TextAnalysis.charTrigrams(col("text")), m)
+      .filter(col("doc_id") === 1).select("lang_pred").as[String].head()
+    assert(p2 == "und", s"broadcast-join face on NULL text: $p2")
+    // dsir: a NULL-text doc scores as a zero-gram doc (margin 0, drops)
+    val prof = Sampling.hashedNgramCounts(docs.filter(col("doc_id") === 2), "text")
+    val s1 = Sampling.dsirScores(docs, "text", prof, prof)
+      .filter(col("doc_id") === 1).select("dsir_margin", "kept").head()
+    assert(s1.getLong(0) == 0L && !s1.getBoolean(1),
+      s"NULL text must dsir-score like an empty doc: $s1")
+  }
+
+  test("dsirScores: margins past the Long range null out, kept stays exact (ADVICE r15)") {
+    import graft.ops.Sampling
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // the doc's own gram buckets, computed the way the scorer hashes
+    val bs = docs.select(explode(Sampling.dsirGrams(col("text"))).as("g"))
+      .select(Sampling.hashBucketHex(col("g"), 2).as("b"))
+      .distinct().as[Long].collect().toSeq
+    // target mass 1e13 on exactly those buckets, raw mass 1e10
+    // everywhere: dot_t·(rn+B) ≈ 1.8e26 — far past 2^63, exactly the
+    // multi-billion-gram-corpus regime the Long face silently wrapped in
+    val t = bs.map(b => (b, 10_000_000_000_000L)).toDF("bucket", "cnt")
+    val r = spark.range(256).select(col("id").as("bucket"),
+      lit(10_000_000_000L).as("cnt"))
+    val row = Sampling.dsirScores(docs, "text", t, r)
+      .select("dsir_margin", "kept").head()
+    assert(row.isNullAt(0),
+      s"out-of-Long margin must be NULL, never a wrapped value: $row")
+    assert(row.getBoolean(1),
+      s"kept must stay correct from the decimal sign: $row")
+    // and the log face agrees on the direction at the same magnitudes
+    val lw = Sampling.dsirLogWeights(docs, "text", t, r)
+      .select("dsir_log_w").as[Double].head()
+    assert(lw > 0, s"log face must agree the doc is target-like: $lw")
   }
 
   test("bpeTrain: deterministic merge sequence, greedy application, early stop") {

@@ -531,6 +531,30 @@ class PlanShapeSpec extends SparkSpec {
         .queryExecution.executedPlan
       assert(!p147.toString.contains("Join"),
         s"q147 should score joinlessly (profiles are literals):\n$p147")
+      // r16 (VERDICT r15 #1): the IN-RECIPE DSIR stage — both keep
+      // rules, the exact code Curate stage 5¼ and curateDelta run —
+      // plans ZERO exchange and zero join over the scored frame: the
+      // persisted profile states collapse to bucket-space-bounded
+      // literals at plan time, so only the recipe's own shuffles ever
+      // touch the corpus (the "no state-side exchange" contract)
+      locally {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import graft.ops.{Curate, Sampling}
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+          .select("doc_id", "text", "source")
+        val isT = col("source").isin("src1", "src2")
+        val t = Sampling.hashedNgramCounts(docs.filter(isT), "text")
+        val r = Sampling.hashedNgramCounts(docs.filter(!isT), "text")
+        for (resample <- Seq(false, true)) {
+          val p = Curate.dsirSelect(docs, "doc_id", "text",
+              Curate.Dsir(t, r, resample = resample))
+            .queryExecution.executedPlan
+          assert(!p.toString.contains("Join"),
+            s"dsirSelect(resample=$resample) plans a join:\n$p")
+          assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"dsirSelect(resample=$resample) plans an exchange:\n$p")
+        }
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
