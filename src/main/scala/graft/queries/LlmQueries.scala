@@ -1557,7 +1557,11 @@ object LlmQueries {
     // recursive SQL.
     "q135_entity_stage" -> ((s, dir) => {
       import s.implicits._
-      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // sf0.01-bounded (VERDICT r15 #4): doc_id < 500 is the whole table
+      // at the driver's correctness SF and a fixed-size slice at bench
+      // SFs — the batch entity stage's full-scale pricing rides q150
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
       val copies = base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       val variants = base.filter(col("doc_id") % 7 === 0)
@@ -2278,7 +2282,11 @@ object LlmQueries {
     // (recursive closure over pairs involving the delta).
     "q138_entity_incremental" -> ((s, dir) => {
       import s.implicits._
-      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // sf0.01-bounded (VERDICT r15 #4): the entity-probe daily is priced
+      // at full scale inside q150's multi-lane macro; this row stays the
+      // exact-lane ORACLE evidence
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
       val sh3: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t => {
         val ws = split(trim(t), "\\s+")
         val len = greatest(size(ws) - 2, lit(0))
@@ -2321,7 +2329,10 @@ object LlmQueries {
     // embedding_dup / survived, all replayed by the oracle.
     "q144_embed_entity_daily" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // sf0.01-bounded (VERDICT r15 #4): the text+entity+embedding daily
+      // is priced at full scale inside q150's multi-lane macro
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
       val vecs = table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val base = docs.join(vecs, "doc_id")
@@ -2476,7 +2487,9 @@ object LlmQueries {
     "q149_dsir_recipe" -> ((s, dir) => {
       import s.implicits._
       import graft.ops.{Sampling, Sketches}
-      val docs = table(s, dir, "documents")
+      // sf0.01-bounded like the other per-lane macros (VERDICT r15 #4);
+      // the dsir lane's full-scale pricing lives in q150
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"), col("source"))
       val bench = Seq((900000L,
         "benchmark holdout phrase matching nothing in this corpus"))
@@ -2512,6 +2525,99 @@ object LlmQueries {
           Sketches.readState(s, s"$root/dsir_t"),
           Sketches.readState(s, s"$root/dsir_r"))))
       val r = CurateIncremental.daily(delta, bench, "doc_id", "text", root, cfg)
+      r.audit.get.orderBy("doc_id")
+    }),
+
+    // THE multi-lane daily macro (VERDICT r15 #4): ONE cloned state, ONE
+    // daily() running every incremental lane the engine ships — exact
+    // fingerprint probe, exact-Jaccard entity probe, quality floor,
+    // decontam, DSIR selection from persisted profile states, and the
+    // embedding near-dup probe — at FULL corpus scale. The per-lane
+    // macros (q135/q138/q144/q149) are sf0.01-bounded oracle rows; this
+    // row is where the bench prices the composite daily as data grows.
+    // Per-phase walls (bootstrap/clone/daily) print to stderr tagged
+    // [q150] — the bench observable for attributing a regression to a
+    // phase; the RESULT is the deterministic audit, fully replayed by
+    // the DuckDB oracle (exact_dup / entity_dup / quality_floor /
+    // dsir_dropped / embedding_dup / survived).
+    "q150_multilane_daily" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.{Sampling, Sketches}
+      def timed[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val x = f
+        System.err.println(
+          f"[q150] $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        x
+      }
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val vecs = table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val base = docs.join(vecs, "doc_id")
+      val sh3: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t => {
+        val ws = split(trim(t), "\\s+")
+        val len = greatest(size(ws) - 2, lit(0))
+        zip_with(zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+          (a, b) => concat(a, lit(" "), b)), slice(ws, lit(3), len),
+          (ab, c) => concat(ab, lit(" "), c))
+      }
+      val ecfg = CurateIncremental.EmbedConfig(threshold = 0.99, nPlanes = 8,
+        prefixBits = 8, seeds = Seq(42L, 1042L), dim = 64)
+      val bench = Seq((900000L,
+        "benchmark holdout phrase matching nothing in this corpus"))
+        .toDF("doc_id", "text")
+      val cfg0 = Curate.Config(nearDupThreshold = 2.0,
+        entityExact = Some(Curate.EntityExact(sh3, 2L, 3L)))
+      val fixture = cachedFixture("q150", dir) { r =>
+        timed("bootstrap") {
+          val evens = base.filter(col("doc_id") % 2 === 0)
+          CurateIncremental.bootstrap(evens.select("doc_id", "text"), bench,
+            "doc_id", "text", s"$r/state", cfg0,
+            vecs = Some(evens.select("doc_id", "v")), vecCol = "v",
+            ecfg = ecfg).release()
+          // a QUARTER of the sources are the target distribution — wide
+          // enough that target-like docs (and their reversed-text
+          // embedding twins, which keep their unigram mass) survive to
+          // the embedding probe, narrow enough that raw-typical docs
+          // still dsir-drop: every lane labels at sf0.01 (a src1/src2
+          // target starved the embedding lane; a half-sources target
+          // kept everything)
+          val isT = regexp_extract(col("source"), "([0-9]+)", 1)
+            .cast("int") % 4 === 0
+          def fold(p: String, d: DataFrame, id: String) =
+            Sampling.dsirProfileUpdateState(s, p, d, "text", id)
+          fold(s"$r/dsir_t", evens.filter(isT && col("doc_id") % 4 === 0), "day1")
+          fold(s"$r/dsir_t", evens.filter(isT && col("doc_id") % 4 === 2), "day2")
+          fold(s"$r/dsir_r", evens.filter(!isT), "day1")
+          ()
+        }
+      }
+      // fresh copy per invocation: daily appends to the state it probes
+      val root = timed("clone")(cloneFixture("q150", dir, fixture))
+      val bt = base.select("doc_id", "text")
+      val delta = bt.filter(col("doc_id") % 2 === 1)
+        .unionByName(bt.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(bt.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" alias postscript marker")).as("text")))
+        .unionByName(bt.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text")))
+      val deltaVecs = delta.select(col("doc_id"),
+          (col("doc_id") % 100000L).as("__b"),
+          (col("doc_id") >= 300000L).as("__tw"))
+        .join(vecs.withColumnRenamed("doc_id", "__b"), "__b")
+        .select(col("doc_id"),
+          when(col("__tw"), transform(col("v"), x => x * lit(1.0009765625)))
+            .otherwise(col("v")).as("v"))
+      val cfg = cfg0.copy(audit = true,
+        dsir = Some(Curate.Dsir(
+          Sketches.readState(s, s"$root/dsir_t"),
+          Sketches.readState(s, s"$root/dsir_r"))))
+      val r = timed("daily")(CurateIncremental.daily(delta, bench,
+        "doc_id", "text", s"$root/state", cfg,
+        deltaVecs = Some(deltaVecs), vecCol = "v", ecfg = ecfg))
       r.audit.get.orderBy("doc_id")
     }),
 
@@ -4570,7 +4676,8 @@ object LlmQueries {
     // recursive closure, min-id survivor; contamination is omitted — the
     // benchmark phrase shares no 5-gram with the corpus by construction
     "q135_entity_stage" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
@@ -5394,7 +5501,8 @@ object LlmQueries {
     // survivors, quality floor; the no-match benchmark keeps
     // contamination empty
     "q138_entity_incremental" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |evens AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
         |s_fp AS (
         |  SELECT doc_id, text,
@@ -5710,14 +5818,16 @@ object LlmQueries {
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q149_dsir_recipe" ->
-      """WITH evens AS (
-        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+      """WITH docs AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id < 500),
+        |evens AS (
+        |  SELECT doc_id, text, source FROM docs WHERE doc_id % 2 = 0),
         |delta AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  SELECT doc_id, text FROM docs WHERE doc_id % 2 = 1
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 100000, text FROM docs WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 200000, text FROM documents
+        |  SELECT doc_id + 200000, text FROM docs
         |  WHERE doc_id % 2 = 1 AND doc_id % 9 = 0),
         |state_fp AS (SELECT DISTINCT text FROM evens),
         |keepers AS (SELECT text, min(doc_id) AS keeper FROM delta GROUP BY text),
@@ -5813,7 +5923,8 @@ object LlmQueries {
       s"""WITH RECURSIVE base AS (
         |  SELECT d.doc_id, d.text,
         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dv
-        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id < 500),
         |evens AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
         |s_fp AS (
         |  SELECT doc_id, text,
@@ -5979,6 +6090,253 @@ object LlmQueries {
         |           THEN 'exact_dup'
         |         WHEN a.doc_id IN (SELECT doc_id FROM d_entdrop) THEN 'entity_dup'
         |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM d_embdrop) THEN 'embedding_dup'
+        |         ELSE 'survived' END AS stage
+        |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
+        |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin
+    },
+
+    "q150_multilane_daily" -> {
+      // same helper SQL as the q144 oracle (same plane seeds, same
+      // quality formula, same integer-cosine) — the q150 replay is the
+      // q144 pipeline plus the DSIR stage between quality and the
+      // embedding lane, with the profiles re-derived from the evens
+      def bucketSql(seed: Long): String =
+        Similarity.randomPlanes(8, 64, seed).zipWithIndex.map { case (plane, p) =>
+          val lst = plane.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_aggregate(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), 'sum') >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n        |      + ")
+      val qualitySql =
+        """CAST(CAST((
+          |      CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 20
+          |                AND len(list_filter(string_split(text, ' '), t -> t != '')) <= 1000 THEN 1.0
+          |           WHEN len(list_filter(string_split(text, ' '), t -> t != '')) >= 5 THEN 0.5
+          |           ELSE 0.0 END * 0.4
+          |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+          |                  AND CAST(len(list_filter(string_split(text, ' '),
+          |                        t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+          |                      / len(list_filter(string_split(text, ' '), t -> t != '')) >= 0.05
+          |             THEN 1.0 ELSE 0.3 END * 0.4
+          |      + CASE WHEN (CASE WHEN length(text) > 0
+          |                        THEN CAST(length(text) - length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) / length(text)
+          |                        ELSE 0.0 END) <= 0.2
+          |             THEN 1.0 ELSE 0.2 END * 0.2) AS DECIMAL(4,2)) AS DOUBLE)""".stripMargin
+      val cosineSql =
+        """list_aggregate(list_transform(range(64), j -> va[j+1] * vb[j+1]), 'sum') AS dot_i,
+          |    list_aggregate(list_transform(range(64), j -> va[j+1] * va[j+1]), 'sum') AS na2,
+          |    list_aggregate(list_transform(range(64), j -> vb[j+1] * vb[j+1]), 'sum') AS nb2""".stripMargin
+      val bSql =
+        """(CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+          |          THEN ascii(substr(md5(g), 1, 1)) - 48
+          |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+          |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+          |            THEN ascii(substr(md5(g), 2, 1)) - 48
+          |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END)""".stripMargin
+      s"""WITH RECURSIVE base AS (
+        |  SELECT d.doc_id, d.text, d.source,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |evens AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+        |s_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM evens),
+        |s_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM s_fp),
+        |s_ex AS (SELECT doc_id, text FROM s_adm WHERE doc_id = keeper),
+        |s_w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        |        FROM s_ex WHERE length(trim(text)) > 0),
+        |s_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM s_w WHERE len(ws) >= 3),
+        |s_sz AS (SELECT doc_id, count(*) AS n FROM s_shg GROUP BY 1),
+        |s_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM s_shg a JOIN s_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |s_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM s_ov
+        |  JOIN s_sz sa ON sa.doc_id = id_a JOIN s_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |s_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM s_pairs
+        |            UNION SELECT id_b, id_a FROM s_pairs),
+        |s_reach AS (
+        |  SELECT a, b FROM s_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM s_reach r JOIN s_edges e ON r.b = e.a),
+        |s_rep AS (SELECT a, min(least(a, b)) AS ent FROM s_reach GROUP BY a),
+        |s_esurv AS (
+        |  SELECT s.doc_id, s.text FROM s_ex s LEFT JOIN s_rep ON s_rep.a = s.doc_id
+        |  WHERE COALESCE(s_rep.ent, s.doc_id) = s.doc_id),
+        |s_tsurv AS MATERIALIZED (
+        |  SELECT doc_id, text FROM s_esurv WHERE $qualitySql >= 0.5),
+        |sv AS MATERIALIZED (
+        |  SELECT b.doc_id, list_transform(b.dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM base b WHERE b.doc_id IN (SELECT doc_id FROM s_tsurv)),
+        |sb AS MATERIALIZED (
+        |  SELECT doc_id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM sv),
+        |se_sc AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM sb a JOIN sb b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
+        |se_dot AS (SELECT id_a, id_b, $cosineSql FROM se_sc),
+        |se_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM se_dot
+        |  WHERE na2 > 0 AND nb2 > 0
+        |    AND CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) >= 0.99),
+        |se_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM se_pairs
+        |            UNION SELECT id_b, id_a FROM se_pairs),
+        |se_reach AS (
+        |  SELECT a, b FROM se_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM se_reach r JOIN se_edges e ON r.b = e.a),
+        |se_rep AS (SELECT a, min(least(a, b)) AS ent FROM se_reach GROUP BY a),
+        |s_state AS MATERIALIZED (
+        |  SELECT t.doc_id, t.text FROM s_tsurv t LEFT JOIN se_rep ON se_rep.a = t.doc_id
+        |  WHERE COALESCE(se_rep.ent, t.doc_id) = t.doc_id),
+        |delta AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' alias postscript marker'
+        |  FROM base WHERE doc_id % 14 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ')
+        |  FROM base WHERE doc_id % 20 = 0),
+        |d_fp AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM delta),
+        |d_adm AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM d_fp),
+        |st_fps AS MATERIALIZED (
+        |  SELECT DISTINCT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        |  FROM s_state),
+        |d_ex AS MATERIALIZED (
+        |  SELECT doc_id, text FROM d_adm
+        |  WHERE doc_id = keeper AND fp NOT IN (SELECT fp FROM st_fps)),
+        |u AS (SELECT doc_id, text FROM s_state UNION ALL SELECT doc_id, text FROM d_ex),
+        |u_w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        |        FROM u WHERE length(trim(text)) > 0),
+        |u_shg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+        |  FROM u_w WHERE len(ws) >= 3),
+        |u_sz AS (SELECT doc_id, count(*) AS n FROM u_shg GROUP BY 1),
+        |u_ov AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |         FROM u_shg a JOIN u_shg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |u_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_ov
+        |  JOIN u_sz sa ON sa.doc_id = id_a JOIN u_sz sb ON sb.doc_id = id_b
+        |  WHERE o * 3 >= (sa.n + sb.n - o) * 2),
+        |p_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM u_pairs
+        |  WHERE id_a IN (SELECT doc_id FROM d_ex) OR id_b IN (SELECT doc_id FROM d_ex)),
+        |e_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p_pairs
+        |            UNION SELECT id_b, id_a FROM p_pairs),
+        |e_reach AS (
+        |  SELECT a, b FROM e_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM e_reach r JOIN e_edges e ON r.b = e.a),
+        |e_rep AS (SELECT a, min(least(a, b)) AS ent FROM e_reach GROUP BY a),
+        |state_lbls AS (
+        |  SELECT DISTINCT ent FROM e_rep JOIN s_state ON s_state.doc_id = e_rep.a),
+        |d_entdrop AS (
+        |  SELECT d.doc_id FROM d_ex d JOIN e_rep ON e_rep.a = d.doc_id
+        |  WHERE e_rep.ent IN (SELECT ent FROM state_lbls) OR e_rep.ent < d.doc_id),
+        |d_esurv AS (
+        |  SELECT doc_id, text FROM d_ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM d_entdrop)),
+        |d_q AS (
+        |  SELECT doc_id, $qualitySql AS quality
+        |  FROM d_esurv),
+        |d_qs AS (SELECT doc_id FROM d_q WHERE quality >= 0.5),
+        |p_tk AS (
+        |  SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 = 0 AS is_t,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM base WHERE doc_id % 2 = 0),
+        |p_gr AS (
+        |  SELECT is_t, unnest(list_concat(ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM p_tk),
+        |p_gb AS (SELECT is_t, $bSql AS b FROM p_gr),
+        |tprof AS MATERIALIZED (SELECT b, count(*) AS c FROM p_gb WHERE is_t GROUP BY 1),
+        |rprof AS MATERIALIZED (SELECT b, count(*) AS c FROM p_gb WHERE NOT is_t GROUP BY 1),
+        |tn AS (SELECT COALESCE(sum(c), 0) AS n FROM tprof),
+        |rn AS (SELECT COALESCE(sum(c), 0) AS n FROM rprof),
+        |ds_tk AS (
+        |  SELECT q.doc_id, list_filter(string_split(e2.text, ' '), x -> x != '') AS ts
+        |  FROM d_qs q JOIN d_esurv e2 ON e2.doc_id = q.doc_id),
+        |ds_gr AS (
+        |  SELECT doc_id, unnest(list_concat(ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS g
+        |  FROM ds_tk),
+        |ds_gb AS (SELECT doc_id, $bSql AS b FROM ds_gr),
+        |ds_dots AS (
+        |  SELECT ds_gb.doc_id, count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM ds_gb
+        |  LEFT JOIN tprof t ON t.b = ds_gb.b
+        |  LEFT JOIN rprof r ON r.b = ds_gb.b
+        |  GROUP BY 1),
+        |d_ds AS MATERIALIZED (
+        |  SELECT q.doc_id FROM d_qs q LEFT JOIN ds_dots d ON d.doc_id = q.doc_id
+        |  WHERE (COALESCE(d.gn, 0) + COALESCE(d.dot_t, 0))
+        |          * ((SELECT n FROM rn) + 256)
+        |      - (COALESCE(d.gn, 0) + COALESCE(d.dot_r, 0))
+        |          * ((SELECT n FROM tn) + 256) > 0),
+        |dvv AS (
+        |  SELECT del.doc_id,
+        |    CASE WHEN del.doc_id >= 300000
+        |         THEN list_transform(b.dv, x -> x * 1.0009765625)
+        |         ELSE b.dv END AS dv
+        |  FROM delta del JOIN base b ON b.doc_id = del.doc_id % 100000),
+        |dsv AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(dv, x -> CAST(round(x * 1048576) AS BIGINT)) AS v
+        |  FROM dvv WHERE doc_id IN (SELECT doc_id FROM d_ds)),
+        |db AS MATERIALIZED (
+        |  SELECT doc_id, v,
+        |    ${bucketSql(42L)} AS b1,
+        |    ${bucketSql(1042L)} AS b2
+        |  FROM dsv),
+        |sfb AS MATERIALIZED (
+        |  SELECT * FROM sb WHERE doc_id IN (SELECT doc_id FROM s_state)),
+        |em_sc AS (
+        |  SELECT s.doc_id AS id_a, d.doc_id AS id_b, s.v AS va, d.v AS vb
+        |  FROM sfb s JOIN db d ON (s.b1 = d.b1 OR s.b2 = d.b2)
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.v, b.v
+        |  FROM db a JOIN db b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
+        |em_dot AS (SELECT id_a, id_b, $cosineSql FROM em_sc),
+        |em_pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM em_dot
+        |  WHERE na2 > 0 AND nb2 > 0
+        |    AND CAST(dot_i AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) >= 0.99),
+        |em_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM em_pairs
+        |            UNION SELECT id_b, id_a FROM em_pairs),
+        |em_reach AS (
+        |  SELECT a, b FROM em_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM em_reach r JOIN em_edges e ON r.b = e.a),
+        |em_rep AS (SELECT a, min(least(a, b)) AS ent FROM em_reach GROUP BY a),
+        |state_elbls AS (
+        |  SELECT DISTINCT ent FROM em_rep JOIN s_state ON s_state.doc_id = em_rep.a),
+        |d_embdrop AS (
+        |  SELECT d.doc_id FROM d_ds d JOIN em_rep ON em_rep.a = d.doc_id
+        |  WHERE em_rep.ent IN (SELECT ent FROM state_elbls) OR em_rep.ent < d.doc_id),
+        |lab AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id != a.keeper OR a.fp IN (SELECT fp FROM st_fps)
+        |           THEN 'exact_dup'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM d_entdrop) THEN 'entity_dup'
+        |         WHEN q.quality < 0.5 THEN 'quality_floor'
+        |         WHEN a.doc_id NOT IN (SELECT doc_id FROM d_ds) THEN 'dsir_dropped'
         |         WHEN a.doc_id IN (SELECT doc_id FROM d_embdrop) THEN 'embedding_dup'
         |         ELSE 'survived' END AS stage
         |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)

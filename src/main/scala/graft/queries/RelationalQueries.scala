@@ -486,14 +486,14 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
-    // Flagship-lifecycle macro-benchmark: a 10-day Pipeline.backfill over
+    // Flagship-lifecycle macro-benchmark: a 5-day Pipeline.backfill over
     // a deterministic synthetic raw zone (SyntheticRaw, sliding ~80%-
     // overlap id windows) — per-day manifests, DQ gates, dynamic
     // partition overwrites and serving sinks, ten times over. The
     // construction RUNS the backfill, so Bench's timing captures the
     // per-day overhead the golden tests can't see regressing; the result
     // face is the per-day KPI read back from the lake it just wrote.
-    // The arc is 10 days (not 30): the signal is per-day overhead × N,
+    // The arc is 5 days (was 10, was 30): the signal is per-day overhead × N,
     // so a longer arc only multiplies bench wall without adding
     // information — tools/TimeBackfill.scala covers long arcs. DuckDB
     // cannot replay the lifecycle, but the RESULT face is closed-form:
@@ -506,7 +506,10 @@ object RelationalQueries {
     // without replaying the lifecycle. Bench runs it single-pass (see
     // Bench.singlePass).
     "q82_backfill_days" -> ((s, dir) => {
-      val dates = (1 to 10).map(d => f"2026-03-$d%02d")
+      // 5 days (was 10): the signal is per-day overhead x N, so the arc
+      // only needs enough days to average startup noise (VERDICT r15
+      // #4); tools/TimeBackfill.scala covers long arcs
+      val dates = (1 to 5).map(d => f"2026-03-$d%02d")
       val base = java.nio.file.Files.createTempDirectory("graft-q82-").toString
       graft.sources.SyntheticRaw.writeDays(s"$base/raw", dates, moviesPerDay = 50)
       val cfg = graft.Pipeline.Config(s"$base/raw", s"$base/lake",
@@ -1056,7 +1059,7 @@ object RelationalQueries {
         |    AS snapshot_date,
         |  CAST(50 AS BIGINT) AS nb_movies,
         |  CAST(20 AS BIGINT) AS nb_movies_with_omdb
-        |FROM generate_series(1, 10) t(d)
+        |FROM generate_series(1, 5) t(d)
         |ORDER BY snapshot_date""".stripMargin,
 
     // exact decimal product-sum; year() on the naive timestamp matches

@@ -928,7 +928,7 @@ class PlanShapeSpec extends SparkSpec {
   test("no query plans an unbounded CartesianProduct") {
     // documented bounded cross joins (1-row agg combines, fixed-cardinality
     // broadcasts) plan as BroadcastNestedLoopJoin, never CartesianProduct.
-    // q82 is excluded: its CONSTRUCTION runs the whole 30-day backfill
+    // q82 is excluded: its CONSTRUCTION runs the whole multi-day backfill
     // (~1 min, violating this spec's planning-only contract) and its
     // returned frame is a bare partitioned-parquet read + sort with no
     // join to audit — the backfill's own plans are covered by
