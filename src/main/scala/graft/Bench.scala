@@ -141,12 +141,28 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q73,q40 benches just the named (prefix-matched)
     // queries — the profiling loop for a single regression
+    // VERDICT r15 #4: the per-lane incremental macros are ORACLE-ONLY
+    // rows — graft.Verify + the DuckDB oracle still gate every one of
+    // them at sf0.01, but the bench prices the composite daily ONCE,
+    // through q150_multilane_daily (the same exact/entity/quality/DSIR/
+    // embedding lanes over one cloned state at FULL scale). Re-pricing
+    // each lane's clone+daily scaffold separately grew the bench
+    // ~20 s/round while measuring the same fixed cost: profiled
+    // (tools/ProfileQuery), a composite daily's wall is ~90% per-job
+    // overhead, not data — q150 at sf0.01 runs 368 jobs whose summed
+    // task time is ~7 s of 32-core compute under a ~28 s daily wall,
+    // and its wall is IDENTICAL at sf0.1 (26.5 s) — so each demoted
+    // macro re-priced ~the same scaffold. SPARK_GRAFT_ONLY still
+    // benches any of them explicitly when a single lane needs
+    // profiling.
+    val oracleOnly = Set("q135_entity_stage", "q138_entity_incremental",
+      "q144_embed_entity_daily", "q149_dsir_recipe")
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(f) =>
         val want = f.split(",").map(_.trim).filter(_.nonEmpty)
         allNames.filter(n => want.exists(n.startsWith))
-      case None => allNames
+      case None => allNames.filterNot(oracleOnly)
     }
     // Lifecycle macro-benchmarks re-run a ~1 min 30-day backfill per
     // invocation; warm-up + min-of-2 would triple that for a noise

@@ -132,7 +132,7 @@ object Curate {
     * deterministic, so the recipe's fixpoint property is preserved —
     * survivors re-curated against the same profiles all survive. */
   case class Dsir(target: DataFrame, raw: DataFrame, hexDigits: Int = 2,
-                  resample: Boolean = false)
+                  resample: Boolean = false, charN: Option[Int] = None)
 
   case class Config(
       nearDupThreshold: Double = 0.5,
@@ -239,11 +239,12 @@ object Curate {
                                 textCol: String, d: Dsir): DataFrame =
     if (d.resample) {
       val w = Sampling.dsirLogWeights(docs, textCol, d.target, d.raw,
-        d.hexDigits, outCol = "__dsir_log_w")
+        d.hexDigits, outCol = "__dsir_log_w", charN = d.charN)
       Sampling.weightedSample(w, idCol,
         exp(least(col("__dsir_log_w"), lit(0.0)))).drop("__dsir_log_w")
     } else
-      Sampling.dsirScores(docs, textCol, d.target, d.raw, d.hexDigits)
+      Sampling.dsirScores(docs, textCol, d.target, d.raw, d.hexDigits,
+          charN = d.charN)
         .filter(col("kept")).drop("dsir_margin", "kept")
 
   /** Curate `docs` (idCol, textCol) against `benchmark` (same shape).

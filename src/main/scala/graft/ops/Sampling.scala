@@ -457,13 +457,29 @@ object Sampling {
     }.reduce(_ + _)
   }
 
+  /** The per-corpus gram face selector (VERDICT r15 #2): `charN = None`
+    * is the word uni+bigram face ([[dsirGrams]]); `Some(n)` is hashed
+    * char n-grams ([[TextAnalysis.charNgrams]]) for UNSEGMENTED scripts
+    * — whitespace grams reduce an unspaced document to ONE giant token,
+    * so the token face's importance estimate collapses (every doc
+    * scores by corpus-size difference alone; q151 plants the fixture).
+    * Same bucket space, same profile state format either way — pick the
+    * face PER CORPUS and keep fit/score consistent. */
+  private def dsirGramFace(text: Column, charN: Option[Int]): Column =
+    charN match {
+      case Some(n) => graft.ops.TextAnalysis.charNgrams(text, n)
+      case None => dsirGrams(text)
+    }
+
   /** One corpus pass to the hashed-n-gram bag: (bucket, cnt) — at most
     * 16^hexDigits rows however large the corpus, the distribution
     * profile DSIR scoring consumes. Fit it ONCE per corpus (target and
-    * raw) and reuse across scoring runs. */
+    * raw) and reuse across scoring runs. `charN` selects the char-gram
+    * face (see [[dsirGramFace]]). */
   def hashedNgramCounts(docs: DataFrame, textCol: String,
-                        hexDigits: Int = 2): DataFrame =
-    docs.select(explode(dsirGrams(col(textCol))).as("g"))
+                        hexDigits: Int = 2,
+                        charN: Option[Int] = None): DataFrame =
+    docs.select(explode(dsirGramFace(col(textCol), charN)).as("g"))
       .select(hashBucketHex(col("g"), hexDigits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
@@ -513,7 +529,8 @@ object Sampling {
     * shuffle, no join, no driver round-trip per doc. */
   def dsirScores(docs: DataFrame, textCol: String,
                  target: DataFrame, raw: DataFrame,
-                 hexDigits: Int = 2): DataFrame = {
+                 hexDigits: Int = 2,
+                 charN: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val b = math.pow(16, hexDigits.toDouble).toLong
     val (tm, tn) = bucketMap(target)
@@ -521,7 +538,7 @@ object Sampling {
     // each gram hashes ONCE into a pinned bucket array (md5 is the
     // per-gram cost; the two profile folds then index ints)
     val withB = docs.withColumn("__dsir_bs",
-      transform(dsirGrams(col(textCol)),
+      transform(dsirGramFace(col(textCol), charN),
         g => hashBucketHex(g, hexDigits).cast("int")))
     def dot(m: Map[Int, Long]): Column =
       aggregate(col("__dsir_bs"), lit(0L), (acc, bk) =>
@@ -550,9 +567,10 @@ object Sampling {
     * scores only the day's delta: no corpus rescan, ever. */
   def dsirProfileUpdateState(spark: org.apache.spark.sql.SparkSession,
                              path: String, docs: DataFrame, textCol: String,
-                             deltaId: String, hexDigits: Int = 2): DataFrame =
+                             deltaId: String, hexDigits: Int = 2,
+                             charN: Option[Int] = None): DataFrame =
     Sketches.counterUpdateState(spark, path,
-      hashedNgramCounts(docs, textCol, hexDigits), deltaId)
+      hashedNgramCounts(docs, textCol, hexDigits, charN), deltaId)
 
   /** Takedown face of the profile state: SUBTRACT the removed
     * documents' gram counts — additive counters un-fold exactly, so
@@ -566,9 +584,10 @@ object Sampling {
     * removeFromState). */
   def dsirProfileRemoveState(spark: org.apache.spark.sql.SparkSession,
                              path: String, docs: DataFrame, textCol: String,
-                             deltaId: String, hexDigits: Int = 2): DataFrame =
+                             deltaId: String, hexDigits: Int = 2,
+                             charN: Option[Int] = None): DataFrame =
     Sketches.counterUpdateState(spark, path,
-      hashedNgramCounts(docs, textCol, hexDigits)
+      hashedNgramCounts(docs, textCol, hexDigits, charN)
         .withColumn("cnt", -col("cnt")), deltaId)
 
   /** The true DSIR log importance weight (log-pooled, add-one smoothed):
@@ -585,12 +604,13 @@ object Sampling {
   def dsirLogWeights(docs: DataFrame, textCol: String,
                      target: DataFrame, raw: DataFrame,
                      hexDigits: Int = 2,
-                     outCol: String = "dsir_log_w"): DataFrame = {
+                     outCol: String = "dsir_log_w",
+                     charN: Option[Int] = None): DataFrame = {
     val b = math.pow(16, hexDigits.toDouble).toLong
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
     val withB = docs.withColumn("__dsir_bs",
-      transform(dsirGrams(col(textCol)),
+      transform(dsirGramFace(col(textCol), charN),
         g => hashBucketHex(g, hexDigits).cast("int")))
     // greatest(c, 0): a mis-specified takedown (dsirProfileRemoveState
     // with text that never folded in) can leave negative counters —

@@ -102,6 +102,76 @@ object Scd2State {
 
   private def curTable(root: String) = tableName("scd", curDir(root))
 
+  // ---- history range manifest (VERDICT r15 #7): per-generation
+  // [min valid_from, max valid_to], the io/StatsManifest discipline on
+  // the dimension store — a point-in-time read prunes every generation
+  // whose range cannot cover the queried date. CONSERVATIVE by
+  // construction: a missing, torn, or stale-wide entry only means the
+  // dir is read (or ranges are wider than the live rows after a
+  // removeKeys sweep) — pruning is never lossy.
+  private def histManifestPath(root: String) =
+    new Path(s"${stateDir(root)}/_graft_hist_ranges.json")
+
+  /** Sentinel range of an EMPTY generation dir: overlaps no date. */
+  private val EmptyRange = ("9999-12-31", "0000-01-01")
+
+  private def readHistManifest(spark: SparkSession,
+                               root: String): Map[String, (String, String)] =
+    try {
+      readJsonSidecar(spark, histManifestPath(root)) match {
+        case None => Map.empty
+        case Some(body) =>
+          """"([A-Za-z0-9-]+)"\s*:\s*\{\s*"from"\s*:\s*"([0-9-]*)"\s*,\s*"to"\s*:\s*"([0-9-]*)"\s*\}""".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+      }
+    } catch { case _: Exception => Map.empty } // torn manifest = no pruning
+
+  private def writeHistManifest(spark: SparkSession, root: String,
+                                m: Map[String, (String, String)]): Unit = {
+    val body = m.toSeq.sorted.map { case (l, (f, t)) =>
+      s""""$l": {"from": "$f", "to": "$t"}"""
+    }.mkString("{\"dirs\": {", ", ", "}}")
+    writeJsonSidecar(spark, histManifestPath(root), body)
+  }
+
+  /** One delta-sized job: the dir's [min valid_from, max valid_to]. */
+  private def histRangeOf(spark: SparkSession, root: String,
+                          label: String): (String, String) = {
+    val r = spark.read.parquet(s"${histDir(root)}/d=$label")
+      .agg(min(date_format(col("valid_from"), "yyyy-MM-dd")),
+        max(date_format(col("valid_to"), "yyyy-MM-dd")))
+      .head()
+    if (r.isNullAt(0)) EmptyRange else (r.getString(0), r.getString(1))
+  }
+
+  private def updateHistManifest(spark: SparkSession, root: String,
+                                 put: Map[String, (String, String)],
+                                 drop: Seq[String] = Seq.empty): Unit =
+    writeHistManifest(spark, root,
+      readHistManifest(spark, root) -- drop ++ put)
+
+  private def histLabels(spark: SparkSession, root: String): Seq[String] = {
+    val hp = new Path(histDir(root))
+    val fs = hadoopFs(spark, hp)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      .map(_.getPath.getName.stripPrefix("d=")).toSeq.sorted
+  }
+
+  /** The history generations a PIT read at `date` must open: manifest
+    * range overlaps the date, or no (parseable) entry — the pruning
+    * observable the tests and plans assert on. */
+  private[graft] def prunedHistLabels(spark: SparkSession, root: String,
+                                      date: String): Seq[String] = {
+    val mf = readHistManifest(spark, root)
+    histLabels(spark, root).filter(l => mf.get(l) match {
+      case Some((from, to)) => from <= date && date <= to
+      case None => true
+    })
+  }
+
   private case class Meta(buckets: Int, keyCols: Seq[String],
                           attrCols: Seq[String], applied: Set[String],
                           last: String, gens: Long, watermark: String)
@@ -285,6 +355,10 @@ object Scd2State {
         col("nb_snapshots")) ++ attrCols.map(col)
     older.select(cols: _*).write.mode("overwrite")
       .parquet(s"${histDir(root)}/d=bootstrap")
+    // FRESH manifest (bootstrap over a reused root must not inherit
+    // stale ranges); one delta-sized agg over the just-written dir
+    writeHistManifest(spark, root,
+      Map("bootstrap" -> histRangeOf(spark, root, "bootstrap")))
     writeCurrent(latest.select(cols :+ lit(0L).as(GenCol): _*), root,
       capApplied(Meta(n, keyCols, attrCols, dates.toSet, last,
         gens = 0L, watermark = "")))
@@ -302,7 +376,20 @@ object Scd2State {
     * delta-key rows only — fold write cost ∝ delta, not state
     * (VERDICT r14 #1). */
   def fold(snapshot: DataFrame, root: String, date: String): Unit =
+    fold(snapshot, root, date, autoCompact = None)
+
+  /** [[fold]] with the hands-off compaction knob: `autoCompact = Some(t)`
+    * runs [[compactIfNeeded]] after the ledgered fold with `t` as BOTH
+    * bounds (files per bucket on `current`, dirs in `history`) — file
+    * counts stay bounded at any cadence, every read bit-identical
+    * across the swap (VERDICT r15 #3). */
+  def fold(snapshot: DataFrame, root: String, date: String,
+           autoCompact: Option[Int]): Unit = {
     foldHooked(snapshot, root, date, () => ())
+    autoCompact.foreach { t =>
+      compactIfNeeded(snapshot.sparkSession, root, t, math.max(t, 2)); ()
+    }
+  }
 
   /** [[fold]] with a fault-injection point between the generation
     * append and the ledger write — test-only seam for the torn-append
@@ -325,6 +412,10 @@ object Scd2State {
     // same history bytes, byte-identical append rows (LWW-harmless
     // duplicates), then the ledger lands
     retired.write.mode("overwrite").parquet(s"${histDir(root)}/d=$date")
+    // range-manifest the new generation (crash before this = a missing
+    // entry = the dir is read unpruned; the replay rewrites both)
+    updateHistManifest(spark, root,
+      Map(date -> histRangeOf(spark, root, date)))
     val genDf = newRows.withColumn(GenCol, lit(m.gens + 1L))
     // pin the delta-sized rows before the append mutates the very table
     // their lineage reads (the ExactJoinState.appendHooked discipline)
@@ -396,6 +487,34 @@ object Scd2State {
       fs.listStatus(hp).exists(s => s.isDirectory && s.getPath.getName.startsWith("d="))
     if (!hasHist) cur
     else spark.read.parquet(histDir(root)).select(cols: _*).unionByName(cur)
+  }
+
+  /** Date-range-pruned POINT-IN-TIME read (VERDICT r15 #7): every
+    * interval covering `date` (ISO `yyyy-MM-dd`) — row-identical to
+    * `intervals(...).filter(valid_from <= date AND date <= valid_to)`,
+    * asserted in Scd2StateSpec — but opening ONLY the history
+    * generations whose manifested [min valid_from, max valid_to] range
+    * overlaps the date, plus the current table. A years-long daily
+    * history answers a point query from the handful of generations
+    * whose intervals can cover it instead of every per-date dir; with
+    * no (or a torn) manifest the face degrades to the unpruned read,
+    * never to a wrong answer. */
+  def intervalsAt(spark: SparkSession, root: String, date: String): DataFrame = {
+    require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"intervalsAt takes an ISO date (got '$date')")
+    val m = readMeta(spark, root)
+    val cols = m.keyCols.map(col) ++
+      Seq(col("version"), col("valid_from"), col("valid_to"),
+        col("nb_snapshots")) ++ m.attrCols.map(col)
+    val cur = lwwResolve(genRowsLoaded(spark, root, m), m.keyCols).select(cols: _*)
+    val keep = prunedHistLabels(spark, root, date)
+    val base =
+      if (keep.isEmpty) cur
+      else spark.read
+        .parquet(keep.map(l => s"${histDir(root)}/d=$l"): _*)
+        .select(cols: _*).unionByName(cur)
+    base.filter(col("valid_from") <= lit(date).cast("date") &&
+      col("valid_to") >= lit(date).cast("date"))
   }
 
   /** Right-to-be-forgotten: purge every version of `del`'s keys (a
@@ -498,6 +617,11 @@ object Scd2State {
     foldable.foreach(l => fs.delete(new Path(hp, s"d=$l"), true))
     fs.delete(compactMarker(root), true)
     spark.catalog.refreshByPath(histDir(root))
+    // fold the range manifest with the dirs (a crash leaves entries for
+    // deleted dirs — harmless, the prune face intersects with EXISTING
+    // dirs — and the new dir unmanifested — read unpruned)
+    updateHistManifest(spark, root,
+      Map(next -> histRangeOf(spark, root, next)), drop = foldable)
     ()
   }
 
@@ -505,6 +629,36 @@ object Scd2State {
   def compact(spark: SparkSession, root: String): Unit = {
     compactCurrent(spark, root)
     compactHistory(spark, root)
+  }
+
+  /** Hands-off compaction policy (VERDICT r15 #3): fold `current` back
+    * to one file per bucket when its per-bucket file count exceeds
+    * `maxFilesPerBucket` (each fold appends one file per bucket, so the
+    * observable reads as folds-since-compaction + 1), and fold the
+    * per-date history dirs when more than `maxHistoryDirs` accumulate.
+    * Driven by the same counters the compaction tests pin
+    * ([[currentFileCount]]/[[historyDirCount]]); reads are
+    * bit-identical before and after by the compaction contracts
+    * (Scd2StateSpec). Returns (currentCompacted, historyCompacted).
+    * Reachable from [[fold]] via its `autoCompact` knob, so a years-long
+    * daily cadence stays file-bounded without an operator remembering a
+    * maintenance window — the [[graft.ops.CurateIncremental.daily]]
+    * `autoCompact` discipline, on the dimension store. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxFilesPerBucket: Int = 7,
+                      maxHistoryDirs: Int = 31): (Boolean, Boolean) = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1 (got $maxFilesPerBucket)")
+    require(maxHistoryDirs >= 2,
+      s"maxHistoryDirs must be >= 2 — compactHistory folds multiple dirs " +
+        s"into one (got $maxHistoryDirs)")
+    val m = readMeta(spark, root)
+    val overCur = currentFileCount(spark, root).toDouble /
+      math.max(m.buckets, 1) > maxFilesPerBucket
+    if (overCur) compactCurrent(spark, root)
+    val overHist = historyDirCount(spark, root) > maxHistoryDirs
+    if (overHist) compactHistory(spark, root)
+    (overCur, overHist)
   }
 
   /** part-files in the current table / subdirs in history — the

@@ -524,14 +524,24 @@ object TextAnalysis {
     * filtered, so the trigram set is exactly the substring form's.
     * NULL text yields an EMPTY array (not NULL) so langIdPredict's
     * `size(gs) === 0` branch still fires → 'und' (ADVICE r15). */
-  def charTrigrams(text: Column): Column = {
+  def charTrigrams(text: Column): Column = charNgrams(text, 3)
+
+  /** [[charTrigrams]] generalized to any n ∈ [1, 8] — the gram face for
+    * UNSEGMENTED scripts (CJK, Thai): whitespace tokenization reduces an
+    * unspaced document to one giant "token", collapsing every
+    * token-gram estimator (language-ID trains fine on trigrams; DSIR's
+    * token face degenerates — see [[Sampling.hashedNgramCounts]]'s
+    * `charN`). Same aligned-slice zip_with chain as the trigram face
+    * (linear, never ordinal-substring), same lowercasing, same
+    * one-per-occurrence multiplicity, NULL-safe. */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"charNgrams n must be in [1, 8] (got $n)")
     val cs = coalesce(filter(split(lower(text), ""), c => c =!= ""),
       array().cast("array<string>"))
-    val n2 = greatest(size(cs) - 2, lit(0))
-    zip_with(
-      zip_with(slice(cs, lit(1), n2), slice(cs, lit(2), n2),
-        (a, b) => concat(a, b)),
-      slice(cs, lit(3), n2), (ab, c) => concat(ab, c))
+    val m = greatest(size(cs) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(cs, lit(1), m)) { (acc, i) =>
+      zip_with(acc, slice(cs, lit(i), m), (a, b) => concat(a, b))
+    }
   }
 
   /** Fit the model from labeled text: one (label, trigram) count pass;

@@ -2549,6 +2549,7 @@ object LlmQueries {
           f"[q150] $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         x
       }
+
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
       val vecs = table(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
@@ -2619,6 +2620,44 @@ object LlmQueries {
         "doc_id", "text", s"$root/state", cfg,
         deltaVecs = Some(deltaVecs), vecCol = "v", ecfg = ecfg))
       r.audit.get.orderBy("doc_id")
+    }),
+
+    // DSIR char-gram face for UNSEGMENTED scripts (VERDICT r15 #2): the
+    // corpus is the documents table with every space removed — a
+    // whitespace tokenizer sees ONE giant token per doc, so the token
+    // face's gram bag is a singleton: its margin is the corpus-size
+    // term gn*(rn - tn) plus md5-BUCKET-COLLISION noise (the single
+    // gram either misses both profiles or collides with an unrelated
+    // profile string's bucket) — NO content signal either way (the
+    // planted-fixture unit in LlmOpsSpec pins the clean case: the
+    // token face gives the target-like and raw-like doc the SAME
+    // verdict). The char-trigram face (same md5 bucket space, same
+    // profile-state format, selectable per corpus via `charN`)
+    // recovers the underlying vocabulary distribution and separates
+    // target-like docs. Both faces' margins and keeps ride the output;
+    // the oracle replays both gram constructions end to end.
+    "q151_dsir_chargram" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), " ", "").as("text"), col("source"))
+      val isT = regexp_extract(col("source"), "([0-9]+)", 1)
+        .cast("int") % 4 === 0
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val tTok = Sampling.hashedNgramCounts(evens.filter(isT), "text")
+      val rTok = Sampling.hashedNgramCounts(evens.filter(!isT), "text")
+      val tChr = Sampling.hashedNgramCounts(evens.filter(isT), "text",
+        charN = Some(3))
+      val rChr = Sampling.hashedNgramCounts(evens.filter(!isT), "text",
+        charN = Some(3))
+      Sampling.dsirScores(odds, "text", tTok, rTok)
+        .select(col("doc_id"), col("dsir_margin").as("tok_margin"),
+          col("kept").as("tok_kept"))
+        .join(Sampling.dsirScores(odds, "text", tChr, rChr, charN = Some(3))
+          .select(col("doc_id"), col("dsir_margin").as("chr_margin"),
+            col("kept").as("chr_kept")), Seq("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // Time-series densify + forward fill: each user's daily event-count
@@ -6342,6 +6381,98 @@ object LlmQueries {
         |  FROM d_adm a LEFT JOIN d_q q ON q.doc_id = a.doc_id)
         |SELECT doc_id, stage FROM lab ORDER BY doc_id""".stripMargin
     },
+
+    "q151_dsir_chargram" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, ' ', '') AS t,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 = 0 AS is_t
+        |  FROM documents),
+        |ev AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |od AS (SELECT doc_id, t FROM d WHERE doc_id % 2 = 1),
+        |ptg AS (SELECT is_t, t AS g FROM ev WHERE length(t) > 0),
+        |pgb AS (
+        |  SELECT is_t,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM ptg),
+        |ttok AS MATERIALIZED (SELECT b, count(*) AS c FROM pgb WHERE is_t GROUP BY 1),
+        |rtok AS MATERIALIZED (SELECT b, count(*) AS c FROM pgb WHERE NOT is_t GROUP BY 1),
+        |ttn AS (SELECT COALESCE(sum(c), 0) AS n FROM ttok),
+        |trn AS (SELECT COALESCE(sum(c), 0) AS n FROM rtok),
+        |pcg AS (
+        |  SELECT is_t, unnest(list_transform(range(1, length(lower(t)) - 1),
+        |    i -> substr(lower(t), i, 3))) AS g
+        |  FROM ev WHERE length(t) >= 3),
+        |pcb AS (
+        |  SELECT is_t,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM pcg),
+        |tchr AS MATERIALIZED (SELECT b, count(*) AS c FROM pcb WHERE is_t GROUP BY 1),
+        |rchr AS MATERIALIZED (SELECT b, count(*) AS c FROM pcb WHERE NOT is_t GROUP BY 1),
+        |ctn AS (SELECT COALESCE(sum(c), 0) AS n FROM tchr),
+        |crn AS (SELECT COALESCE(sum(c), 0) AS n FROM rchr),
+        |otg AS (SELECT doc_id, t AS g FROM od WHERE length(t) > 0),
+        |ogb AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM otg),
+        |otd AS (
+        |  SELECT ogb.doc_id, count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM ogb LEFT JOIN ttok t ON t.b = ogb.b LEFT JOIN rtok r ON r.b = ogb.b
+        |  GROUP BY 1),
+        |tokm AS (
+        |  SELECT o.doc_id,
+        |    CAST((COALESCE(x.gn, 0) + COALESCE(x.dot_t, 0))
+        |           * ((SELECT n FROM trn) + 256)
+        |         - (COALESCE(x.gn, 0) + COALESCE(x.dot_r, 0))
+        |           * ((SELECT n FROM ttn) + 256) AS BIGINT) AS tok_margin
+        |  FROM od o LEFT JOIN otd x ON x.doc_id = o.doc_id),
+        |ocg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(lower(t)) - 1),
+        |    i -> substr(lower(t), i, 3))) AS g
+        |  FROM od WHERE length(t) >= 3),
+        |ocb AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ascii(substr(md5(g), 1, 1)) <= 57
+        |          THEN ascii(substr(md5(g), 1, 1)) - 48
+        |          ELSE ascii(substr(md5(g), 1, 1)) - 87 END) * 16
+        |    + (CASE WHEN ascii(substr(md5(g), 2, 1)) <= 57
+        |            THEN ascii(substr(md5(g), 2, 1)) - 48
+        |            ELSE ascii(substr(md5(g), 2, 1)) - 87 END) AS b
+        |  FROM ocg),
+        |ocd AS (
+        |  SELECT ocb.doc_id, count(*) AS gn,
+        |    CAST(COALESCE(sum(t.c), 0) AS HUGEINT) AS dot_t,
+        |    CAST(COALESCE(sum(r.c), 0) AS HUGEINT) AS dot_r
+        |  FROM ocb LEFT JOIN tchr t ON t.b = ocb.b LEFT JOIN rchr r ON r.b = ocb.b
+        |  GROUP BY 1),
+        |chrm AS (
+        |  SELECT o.doc_id,
+        |    CAST((COALESCE(x.gn, 0) + COALESCE(x.dot_t, 0))
+        |           * ((SELECT n FROM crn) + 256)
+        |         - (COALESCE(x.gn, 0) + COALESCE(x.dot_r, 0))
+        |           * ((SELECT n FROM ctn) + 256) AS BIGINT) AS chr_margin
+        |  FROM od o LEFT JOIN ocd x ON x.doc_id = o.doc_id)
+        |SELECT t1.doc_id, t1.tok_margin, t1.tok_margin > 0 AS tok_kept,
+        |  t2.chr_margin, t2.chr_margin > 0 AS chr_kept
+        |FROM tokm t1 JOIN chrm t2 ON t2.doc_id = t1.doc_id
+        |ORDER BY t1.doc_id""".stripMargin,
 
     "q131_densify_ffill" ->
       """WITH daily AS (

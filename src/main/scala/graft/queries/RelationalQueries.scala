@@ -675,6 +675,42 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Date-range-PRUNED point-in-time over the PERSISTED SCD2 store
+    // (VERDICT r15 #7): the fixture folds the whole events snapshot
+    // calendar into Scd2State (bootstrap + daily folds — each fold
+    // range-manifests its retired generation), then the query answers
+    // "which interval covered the median calendar date" through
+    // intervalsAt, which opens ONLY the history generations whose
+    // manifested [min valid_from, max valid_to] overlaps the date
+    // (Scd2StateSpec pins the file-count assertion; this row pins the
+    // ANSWER against DuckDB's batch replay of the same PIT filter).
+    // Read-only at query time — no per-invocation clone.
+    "q152_pit_pruned" -> ((s, dir) => {
+      import graft.ops.Scd2State
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      val dates = snap
+        .select(date_format(col("snap_date"), "yyyy-MM-dd").as("d"))
+        .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+      val fixture = LlmQueries.cachedFixture("q152", dir) { r =>
+        Scd2State.bootstrap(
+          snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dates.head),
+          Seq("user_id"), Seq("etype"), "snap_date", r)
+        dates.tail.foreach { dt =>
+          Scd2State.fold(
+            snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dt)
+              .select("user_id", "etype"), r, dt)
+        }
+      }
+      val pit = dates((dates.size - 1) / 2) // the median calendar date
+      Scd2State.intervalsAt(s, fixture, pit)
+        .select("user_id", "version", "valid_from", "valid_to",
+          "nb_snapshots", "etype")
+        .orderBy("user_id", "version")
+    }),
+
+
     // DELETION-AWARE point-in-time (VERDICT r13 #8): the dimension is
     // scd2WithDeletions — a user's absence closes their interval — and
     // the fact side plants every event AGAIN dated one day later
@@ -1255,6 +1291,55 @@ object RelationalQueries {
         |                               ORDER BY valid_from) AS BIGINT) AS version,
         |       valid_from, valid_to, nb_snapshots, etype
         |FROM runs ORDER BY user_id, version""".stripMargin,
+
+    // q133's interval replay + the median-date covering filter (the
+    // pruned and unpruned reads are row-identical by contract; DuckDB
+    // replays the unpruned math)
+    "q152_pit_pruned" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT DISTINCT d FROM snap),
+        |pit AS (
+        |  SELECT d FROM (
+        |    SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |           count(*) OVER () AS n
+        |    FROM cal) WHERE rn = (n + 1) // 2),
+        |born AS (SELECT user_id, min(d) AS b FROM snap GROUP BY 1),
+        |grid AS (SELECT born.user_id, cal.d FROM born
+        |         JOIN cal ON cal.d >= born.b),
+        |j AS (
+        |  SELECT g.user_id, g.d, s.etype, s.user_id IS NOT NULL AS pres
+        |  FROM grid g LEFT JOIN snap s
+        |    ON s.user_id = g.user_id AND s.d = g.d),
+        |w AS (
+        |  SELECT user_id, d, etype, pres,
+        |         CASE WHEN row_number() OVER pk = 1
+        |              OR etype IS DISTINCT FROM lag(etype) OVER pk
+        |              OR pres IS DISTINCT FROM lag(pres) OVER pk
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM j WINDOW pk AS (PARTITION BY user_id ORDER BY d)),
+        |v AS (
+        |  SELECT user_id, d, etype, pres,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |runs AS (
+        |  SELECT user_id, ver, min(d) AS valid_from, max(d) AS valid_to,
+        |         CAST(count(*) AS BIGINT) AS nb_snapshots, min(etype) AS etype
+        |  FROM v WHERE pres GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY valid_from) AS BIGINT) AS version,
+        |         valid_from, valid_to, nb_snapshots, etype
+        |  FROM runs)
+        |SELECT user_id, version, valid_from, valid_to, nb_snapshots, etype
+        |FROM dim
+        |WHERE valid_from <= (SELECT d FROM pit)
+        |  AND valid_to >= (SELECT d FROM pit)
+        |ORDER BY user_id, version""".stripMargin,
+
 
     // q133's dimension replay + the interval-covering join; gap-dated
     // planted facts appear on neither side

@@ -281,6 +281,38 @@ class AnnIndexSpec extends SparkSpec {
       s"retrained index must pass the recalibrated floor: $d2 vs $baseline2")
   }
 
+  test("recall@10 holds a pinned floor through appends + takedowns + one retrain (VERDICT r15 #6)") {
+    // the lifecycle where silent recall rot hides: build, two appends
+    // assigned against stale centroids, a takedown sweep, then a
+    // retrain re-centering cells on the survivors. Everything is
+    // seeded/deterministic, so recall@10 is a FIXED number — the pin is
+    // a floor just under the measured value, and any edit to the
+    // build/append/remove/retrain path that degrades ranked retrieval
+    // fails here instead of surfacing as production recall rot.
+    val root = java.nio.file.Files.createTempDirectory("graft-annrecall-").toString
+    AnnIndex.build(corpusDf(1L to 200L), "c_id", "c_vec", root, cfg, buckets = 4)
+    AnnIndex.append(corpusDf(201L to 260L), "c_id", "c_vec", root)
+    AnnIndex.append(corpusDf(261L to 320L), "c_id", "c_vec", root)
+    val removed = (5L to 60L by 5).toSet
+    assert(AnnIndex.remove(removed.toSeq.toDF("c_id"), "c_id", root) ==
+      removed.size)
+    AnnIndex.retrain(spark, root, cfg)
+
+    val live = (1L to 320L).filterNot(removed)
+    val queries = queriesDf(401L to 440L)
+    val truth = Similarity.cosineTopK(queries, corpusDf(live), 10)
+      .select("q_id", "c_id")
+    val approx = AnnIndex.topK(queries, root, k = 10, nProbes = 3)
+      .select("q_id", "c_id")
+    val recall = truth.join(approx, Seq("q_id", "c_id")).count().toDouble /
+      (40 * 10)
+    // removed ids must never surface (the takedown contract inside the
+    // recall lifecycle)
+    assert(approx.filter(col("c_id").isin(removed.toSeq: _*)).count() == 0)
+    assert(recall >= 0.85,
+      f"recall@10 after append+takedown+retrain regressed: $recall%.3f < 0.85")
+  }
+
   test("remove sweeps a vector out of the postings and out of every neighbor list") {
     val root = java.nio.file.Files.createTempDirectory("graft-annrm-").toString
     val corpus = corpusDf(1L to 80L)

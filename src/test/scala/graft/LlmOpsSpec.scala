@@ -2707,6 +2707,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(lw > 0, s"log face must agree the doc is target-like: $lw")
   }
 
+  test("DSIR char-gram face: unspaced scripts separate where the token face cannot (VERDICT r15 #2)") {
+    import graft.ops.{Sampling, Sketches}
+    // planted UNSEGMENTED corpora: two disjoint character vocabularies,
+    // no whitespace anywhere — the CJK/Thai regime
+    def aDoc(i: Long) = (i, ("alphabetagamma" * 6) + s"pad$i")
+    def bDoc(i: Long) = (i, ("zetaetathetaiota" * 6) + s"pad$i")
+    val target = (1L to 4L).map(aDoc).toDF("doc_id", "text")
+    val raw = ((11L to 14L).map(bDoc) ++ Seq(aDoc(15L), aDoc(16L)))
+      .toDF("doc_id", "text")
+    val pool = Seq(aDoc(100L), bDoc(101L)).toDF("doc_id", "text")
+    // token face: ONE giant token per doc — the gram bag is a singleton,
+    // so the margin is the corpus-size term plus at most a bucket
+    // collision: the target-like and raw-like doc get the SAME verdict
+    val tok = Sampling.dsirScores(pool, "text",
+        Sampling.hashedNgramCounts(target, "text"),
+        Sampling.hashedNgramCounts(raw, "text"))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(tok(100L) == tok(101L),
+      s"token face has no signal on unspaced docs, verdicts must agree: $tok")
+    // char-trigram face (same bucket space): separates
+    val chr = Sampling.dsirScores(pool, "text",
+        Sampling.hashedNgramCounts(target, "text", charN = Some(3)),
+        Sampling.hashedNgramCounts(raw, "text", charN = Some(3)),
+        charN = Some(3))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(chr(100L) && !chr(101L),
+      s"char face must keep the target-vocabulary doc and drop the other: $chr")
+    // profile STATE format unchanged: the char-gram profile folds through
+    // the same counterUpdateState ledger and scores bit-identically
+    val root = java.nio.file.Files.createTempDirectory("graft-chrstate-").toString
+    Sampling.dsirProfileUpdateState(spark, root, target, "text", "d1",
+      charN = Some(3))
+    val rawChr = Sampling.hashedNgramCounts(raw, "text", charN = Some(3))
+    val viaState = Sampling.dsirScores(pool, "text",
+        Sketches.readState(spark, root), rawChr, charN = Some(3))
+      .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
+    val viaBatch = Sampling.dsirScores(pool, "text",
+        Sampling.hashedNgramCounts(target, "text", charN = Some(3)), rawChr,
+        charN = Some(3))
+      .select("doc_id", "dsir_margin").as[(Long, Long)].collect().toMap
+    assert(viaState == viaBatch,
+      "state-backed char-gram profile must score bit-identically")
+    // charNgrams generalizes charTrigrams exactly
+    val t3 = Seq(Tuple1("AbC dEf")).toDF("text")
+      .select(graft.ops.TextAnalysis.charTrigrams(col("text")).as("a"),
+        graft.ops.TextAnalysis.charNgrams(col("text"), 3).as("b"))
+      .head()
+    assert(t3.getSeq[String](0) == t3.getSeq[String](1))
+  }
+
   test("bpeTrain: deterministic merge sequence, greedy application, early stop") {
     import graft.ops.Vocab
     // words: aaab x3, ab x1. Round 1: (a,a)=6 beats (a,b)=4 -> merge aa
