@@ -156,10 +156,13 @@ object Vocab {
     *    merge is accepted as long as its LOWER bound (static count
     *    minus the summed matching triple counts) still wins;
     *  - rank-gap safety: a raised pair's count is at most the worst
-    *    static count of a pair touching any merged string plus the sum
-    *    of the per-merge triple gains — a candidate is accepted only
-    *    while its lower bound STRICTLY beats that and the next
-    *    candidate's static count;
+    *    static count of a pair touching any merged string plus the TWO
+    *    largest per-merge triple gains (a pair has two sides, so at
+    *    most two accepted merges can raise it — the per-candidate
+    *    ledger of VERDICT r15 #8; the earlier summed-over-the-batch
+    *    bound grew linearly in batch length and ended long batches
+    *    early) — a candidate is accepted only while its lower bound
+    *    STRICTLY beats that and the next candidate's static count;
     *  - candidates containing an earlier merge's token are never
     *    accepted (their count moved UP by an amount only a deeper
     *    n-gram pass could pin), and everything else is static rank
@@ -247,7 +250,17 @@ object Vocab {
         // no earlier merge can CREATE (a_i, b_i) adjacencies).
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var mergedToks = Set.empty[String]
-        var sumGain = 0L
+        // per-candidate raised-pair LEDGER (VERDICT r15 #8): a pair has
+        // two sides, so at most TWO distinct accepted merges can raise
+        // it (one per side — a gained (x, t_i) adjacency embeds merge
+        // i's triple on the right, (t_i, y) on the left, and (t_i, t_j)
+        // embeds one of each). Any raised pair is therefore bounded by
+        // the worst static count of a pair touching a merged string
+        // PLUS THE TWO LARGEST per-merge gains — not the sum over the
+        // whole batch, which grew linearly in batch length and ended
+        // every long batch early.
+        var gTop1 = 0L
+        var gTop2 = 0L
         var maxS = 0L
         var stop = false
         for (((a, b, c), idx) <- cand.zipWithIndex if !stop) {
@@ -274,13 +287,15 @@ object Vocab {
           // only), and ties against RAISED pairs never are (their names
           // are unknown) — both stay strict.
           val gapSafe = accepted.isEmpty ||
-            (lower > maxS + sumGain &&
+            (lower > maxS + gTop1 + gTop2 &&
               (lower > othersStatic || (dec == 0L && lower >= othersStatic)))
           if (noMergedTok && gapSafe && lower >= 2) {
             accepted += ((a, b))
             mergedToks += t
-            sumGain += math.max(raisedLeft.getOrElse((a, b), 0L),
+            val g = math.max(raisedLeft.getOrElse((a, b), 0L),
               raisedRight.getOrElse((a, b), 0L))
+            if (g >= gTop1) { gTop2 = gTop1; gTop1 = g }
+            else if (g > gTop2) gTop2 = g
             maxS = math.max(maxS, sMax.getOrElse(t, 0L))
           } else stop = true
         }

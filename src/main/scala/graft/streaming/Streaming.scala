@@ -309,6 +309,69 @@ object Streaming {
       }
       .start()
 
+  /** Stream → persisted EXACT-JACCARD entity probe (VERDICT r15 #5 —
+    * the [[graft.ops.ExactJoinState]] probes' streaming face): each
+    * micro-batch probes the persisted prefix/token index for EVERY
+    * qualifying pair involving the batch — batch↔state through the
+    * tok-bucketed index (zero state-side exchange) plus batch↔batch —
+    * appends the match pairs to `outDir`, then appends the batch's
+    * docs to the index so LATER batches match against them (probe
+    * before append, or a batch would pair with itself through the
+    * state).
+    *
+    * Replay safety: the index appends are idempotent by id (the
+    * anti-join lands each doc's token rows exactly once; duplicate
+    * prefix rows are harmless by the probe contract), so a re-delivered
+    * batch leaves the state EXACTLY-ONCE. The pair OUTPUT is
+    * at-least-once — a batch replayed after its append emits its pairs
+    * again (now through the state side); downstream consumers key on
+    * (id_a, id_b), which stays stable because pairs are emitted in
+    * canonical orientation. The StreamingSpec golden pins streamed
+    * pairs == one batch probe of the union. */
+  def exactEntitySink(stream: DataFrame, idCol: String, textCol: String,
+                      tokens: Column => Column, root: String,
+                      outDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val docs = batch.select(col(idCol), col(textCol))
+          graft.ops.ExactJoinState.probe(docs, idCol, tokens(col(textCol)), root)
+            .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"))
+            .filter(col("id_a") =!= col("id_b"))
+            .distinct()
+            .write.mode("append").parquet(outDir)
+          graft.ops.ExactJoinState.append(docs, idCol, tokens(col(textCol)), root)
+        }
+      }
+      .start()
+
+  /** Stream → persisted FUZZY edit-distance entity probe — the
+    * [[graft.ops.FuzzyJoinState]] analog of [[exactEntitySink]], same
+    * probe-then-append order, same exactly-once-state / at-least-once-
+    * output contract; pairs carry the exact Levenshtein `dist`. */
+  def fuzzyEntitySink(stream: DataFrame, idCol: String, textCol: String,
+                      root: String, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val docs = batch.select(col(idCol), col(textCol))
+          graft.ops.FuzzyJoinState.probe(docs, idCol, textCol, root)
+            .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+            .filter(col("id_a") =!= col("id_b"))
+            .distinct()
+            .write.mode("append").parquet(outDir)
+          graft.ops.FuzzyJoinState.append(docs, idCol, textCol, root)
+        }
+      }
+      .start()
+
   /** Per-batch DSIR profile maintenance: each micro-batch's hashed
     * n-gram counts fold into the persisted profile state
     * ([[graft.ops.Sampling.dsirProfileUpdateState]]). `foreachBatch`
