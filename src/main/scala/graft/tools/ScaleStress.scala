@@ -455,6 +455,28 @@ object ScaleStress {
       }
       println(f"SCD2 ${m}x stateMiB=$stateMiB%.2f " +
         f"foldWriteMiB=${dirMiB(curDir) - stateMiB}%.3f")
+      // r16 (VERDICT r15 #3): the hands-off compaction policy holds the
+      // READ side flat through a fold loop — 14 more daily folds with
+      // autoCompact=Some(4); without it the current table accrues one
+      // file per bucket per fold and history one dir per date, so the
+      // per-fold read cost (file opens + superseded generation rows)
+      // grows linearly until an operator remembers a maintenance
+      // window. The curve to read: files/dirs sawtooth at the cap
+      // instead of climbing; byte identity across the swaps is pinned
+      // in Scd2StateSpec.
+      if (m == 1L) {
+        (3 to 16).foreach { day =>
+          val dt = f"2024-01-$day%02d"
+          val dayDelta = spark.range(2500L).select(col("id").as("k"),
+            concat(lit("d"), lit(day), lit("-"),
+              (col("id") % 89).cast("string")).as("attr"))
+          graft.ops.Scd2State.fold(dayDelta, root, dt, autoCompact = Some(4))
+          println(f"SCD2AUTO day=$dt curFiles=" +
+            f"${graft.ops.Scd2State.currentFileCount(spark, root)}%3d " +
+            f"histDirs=${graft.ops.Scd2State.historyDirCount(spark, root)}%3d " +
+            f"curMiB=${dirMiB(curDir)}%.2f")
+        }
+      }
     }
 
     // Incremental exact set-similarity state (VERDICT r14 #2): the
