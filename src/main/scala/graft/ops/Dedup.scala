@@ -310,9 +310,50 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 30): DataFrame =
     componentsWithRounds(pairs, maxIter)._1
 
+  /** Edge-count ceiling of the DRIVER union-find fast path (overridable
+    * via `spark.graft.components.driverMaxEdges`): the label-propagation
+    * rounds cost a fixed ~3 jobs each regardless of data — for the
+    * candidate-bounded pair sets an incremental daily produces
+    * (hundreds of edges), those fixed costs ARE the wall
+    * (tools/ProfileQuery: a composite daily is ~90% per-job overhead).
+    * Below the ceiling the edges collect (two longs each — 4096 edges
+    * ≈ 64 KiB) and a path-compressed union-find labels them in one
+    * pass; above it the distributed rounds run untouched, and the
+    * bench's corpus-scale closures (q40's 49k-pair set at 10×) stay on
+    * the distributed path so its O(log diameter) evidence keeps being
+    * exercised. */
+  private val DriverComponentsMaxEdges = 4096L
+
+  /** Path-compressed min-label union-find over collected edges — the
+    * driver face of [[components]]: identical (id, lbl = component
+    * minimum) contract, property-tested equal to the distributed rounds
+    * on random graphs, chains, and cliques. */
+  private def driverComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // attach the LARGER root under the smaller: the root is always
+      // the component minimum, which is exactly the distributed label
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.toSeq.sorted.map(n => n -> find(n))
+  }
+
   /** [[components]] plus the number of propagation rounds it took to
     * converge — the observable behind the O(log diameter) claim, reported
-    * by the scale-stress harness (`graft.tools.ScaleStress`). */
+    * by the scale-stress harness (`graft.tools.ScaleStress`). Returns
+    * rounds = 0 when the driver fast path labeled a small pair set. */
   def componentsWithRounds(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // Per-round frames are pinned as lazily-localCheckpointed RDDs we hold
@@ -329,8 +370,27 @@ object Dedup {
     // within one invocation — recoverability is all-or-nothing per job
     val rel = Lineage.reliable(spark)
     val edgesRdd = edgesDf.rdd
-    Lineage.mark(edgesRdd, rel) // lazy mark; round 1's action materializes it
+    Lineage.mark(edgesRdd, rel) // lazy mark; the next action materializes it
     val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
+
+    // r16 driver fast path: ONE count (which also materializes the edge
+    // cache the rounds would have warmed anyway) decides the route; a
+    // small integral-keyed pair set collects from the warm cache and
+    // union-finds on the driver — same (id, lbl=min) contract, a
+    // handful of jobs instead of ~3 per round. Long ids only: the
+    // driver ordering must equal Spark's `least`/`min`, which holds for
+    // integral types but not for every string collation.
+    val isLongKeyed =
+      edgesDf.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val maxDriverEdges = spark.conf
+      .getOption("spark.graft.components.driverMaxEdges")
+      .map(_.toLong).getOrElse(DriverComponentsMaxEdges)
+    if (isLongKeyed && edgesRdd.count() <= maxDriverEdges) {
+      val collected = edgesRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesRdd.unpersist(blocking = false)
+      import spark.implicits._
+      return (driverComponents(collected).toDF("id", "lbl"), 0)
+    }
 
     val labels0 = edges.groupBy("a").agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))

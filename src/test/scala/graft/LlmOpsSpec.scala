@@ -2652,6 +2652,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("components driver fast path equals the distributed rounds (r16)") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 200
+      // random graph + a guaranteed chain (the shape single-hop
+      // collapses get wrong and log-diameter rounds must walk)
+      val edges = (0 until 300).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2) ++
+        Seq((500L, 501L), (501L, 502L), (502L, 503L), (503L, 504L))
+      val pairs = edges.toDF("id_a", "id_b")
+      val (fastDf, fastRounds) = Dedup.componentsWithRounds(pairs)
+      assert(fastRounds == 0,
+        s"trial $trial: a small long-keyed pair set must take the driver path")
+      val fast = fastDf.as[(Long, Long)].collect().toSet
+      assert(fast.exists(_ == (504L, 500L)), "chain must collapse to its min")
+      spark.conf.set("spark.graft.components.driverMaxEdges", "0")
+      try {
+        val (distDf, distRounds) = Dedup.componentsWithRounds(pairs)
+        assert(distRounds > 0, "threshold 0 must force the distributed rounds")
+        assert(fast == distDf.as[(Long, Long)].collect().toSet,
+          s"trial $trial: driver union-find != distributed label propagation")
+      } finally spark.conf.unset("spark.graft.components.driverMaxEdges")
+    }
+  }
+
   test("NULL text is a zero-signal row, not a NULL bomb (ADVICE r15)") {
     import graft.ops.{Sampling, TextAnalysis}
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "alpha beta gamma"))
