@@ -141,11 +141,27 @@ private[graft] object BucketedTables {
     s"graft_${prefix}_" + md.take(5).map("%02x".format(_)).mkString
   }
 
-  /** Overwrite a tiny JSON sidecar (single file, create-overwrite). */
+  /** Overwrite a tiny JSON sidecar ATOMICALLY: write a dot-prefixed tmp
+    * sibling, then rename over the target (delete-first —
+    * RawLocalFileSystem's rename refuses to replace). Two invariants
+    * hang off the tmp-then-rename (ADVICE r15): a crash mid-write can
+    * never leave a TORN body a later load mis-parses (readers see the
+    * old sidecar, the new one, or — in the delete-rename sliver — none,
+    * which every reader already treats as absent), and the write always
+    * allocates a NEW inode, so a hardlinked clone of the old sidecar
+    * (the copyTree fixture discipline) can never be mutated through a
+    * shared inode by an in-place truncate. */
   def writeJsonSidecar(spark: SparkSession, p: Path, body: String): Unit = {
-    val out = hadoopFs(spark, p).create(p, true)
+    val fs = hadoopFs(spark, p)
+    val tmp = new Path(p.getParent,
+      "." + p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      sys.error(s"sidecar rename failed: $tmp -> $p")
+    ()
   }
 
   /** Read a JSON sidecar; None when absent. */
