@@ -160,17 +160,21 @@ object Scd2State {
       .map(_.getPath.getName.stripPrefix("d=")).toSeq.sorted
   }
 
-  /** The history generations a PIT read at `date` must open: manifest
-    * range overlaps the date, or no (parseable) entry — the pruning
-    * observable the tests and plans assert on. */
+  /** The history generations a read over [`from`, `to`] must open:
+    * manifest range overlaps the queried range, or no (parseable)
+    * entry — the pruning observable the tests and plans assert on. */
   private[graft] def prunedHistLabels(spark: SparkSession, root: String,
-                                      date: String): Seq[String] = {
+                                      from: String, to: String): Seq[String] = {
     val mf = readHistManifest(spark, root)
     histLabels(spark, root).filter(l => mf.get(l) match {
-      case Some((from, to)) => from <= date && date <= to
+      case Some((f, t)) => f <= to && from <= t
       case None => true
     })
   }
+
+  private[graft] def prunedHistLabels(spark: SparkSession, root: String,
+                                      date: String): Seq[String] =
+    prunedHistLabels(spark, root, date, date)
 
   private case class Meta(buckets: Int, keyCols: Seq[String],
                           attrCols: Seq[String], applied: Set[String],
@@ -499,22 +503,33 @@ object Scd2State {
     * whose intervals can cover it instead of every per-date dir; with
     * no (or a torn) manifest the face degrades to the unpruned read,
     * never to a wrong answer. */
-  def intervalsAt(spark: SparkSession, root: String, date: String): DataFrame = {
-    require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
-      s"intervalsAt takes an ISO date (got '$date')")
+  def intervalsAt(spark: SparkSession, root: String, date: String): DataFrame =
+    intervalsBetween(spark, root, date, date)
+
+  /** The RANGE face of [[intervalsAt]]: every interval overlapping
+    * [`from`, `to`] (inclusive ISO dates) — the read a fact table
+    * spanning a date window needs before a PIT join, opening only the
+    * overlapping history generations plus `current` (same conservative
+    * manifest pruning, same row-identity contract vs the unpruned
+    * filter, Scd2StateSpec). */
+  def intervalsBetween(spark: SparkSession, root: String,
+                       from: String, to: String): DataFrame = {
+    require(from.matches("\\d{4}-\\d{2}-\\d{2}") &&
+      to.matches("\\d{4}-\\d{2}-\\d{2}") && from <= to,
+      s"intervalsBetween takes an ordered ISO date range (got '$from'..'$to')")
     val m = readMeta(spark, root)
     val cols = m.keyCols.map(col) ++
       Seq(col("version"), col("valid_from"), col("valid_to"),
         col("nb_snapshots")) ++ m.attrCols.map(col)
     val cur = lwwResolve(genRowsLoaded(spark, root, m), m.keyCols).select(cols: _*)
-    val keep = prunedHistLabels(spark, root, date)
+    val keep = prunedHistLabels(spark, root, from, to)
     val base =
       if (keep.isEmpty) cur
       else spark.read
         .parquet(keep.map(l => s"${histDir(root)}/d=$l"): _*)
         .select(cols: _*).unionByName(cur)
-    base.filter(col("valid_from") <= lit(date).cast("date") &&
-      col("valid_to") >= lit(date).cast("date"))
+    base.filter(col("valid_from") <= lit(to).cast("date") &&
+      col("valid_to") >= lit(from).cast("date"))
   }
 
   /** Right-to-be-forgotten: purge every version of `del`'s keys (a

@@ -285,6 +285,16 @@ class Scd2StateSpec extends SparkSpec {
       assert(pitNorm(Scd2State.intervalsAt(spark, root, pit)) == want,
         s"post-compaction pruned PIT at $pit diverged")
     }
+    // the RANGE face: overlap semantics against the unpruned filter,
+    // including a window straddling the (compacted) history boundary
+    for ((lo, hi) <- Seq(("2024-03-05", "2024-03-09"),
+        ("2024-03-18", "2024-03-25"), ("2023-01-01", "2023-12-31"))) {
+      val want = pitNorm(Scd2State.intervals(spark, root)
+        .filter(col("valid_from") <= lit(hi).cast("date") &&
+          col("valid_to") >= lit(lo).cast("date")))
+      assert(pitNorm(Scd2State.intervalsBetween(spark, root, lo, hi)) == want,
+        s"pruned range read [$lo, $hi] diverged from the unpruned filter")
+    }
     // a torn/missing manifest degrades to the unpruned read, never a
     // wrong answer
     val mf = new java.io.File(s"$root/scd2_state/_graft_hist_ranges.json")
