@@ -384,7 +384,8 @@ object Dedup {
       edgesDf.schema("a").dataType == org.apache.spark.sql.types.LongType
     val maxDriverEdges = spark.conf
       .getOption("spark.graft.components.driverMaxEdges")
-      .map(_.toLong).getOrElse(DriverComponentsMaxEdges)
+      .flatMap(v => scala.util.Try(v.toLong).toOption) // malformed conf
+      .getOrElse(DriverComponentsMaxEdges)             // falls back (ADVICE r16)
     if (isLongKeyed && edgesRdd.count() <= maxDriverEdges) {
       val collected = edgesRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
       edgesRdd.unpersist(blocking = false)

@@ -483,11 +483,13 @@ object Sampling {
       .select(hashBucketHex(col("g"), hexDigits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
-  private def bucketMap(counts: DataFrame): (Map[Int, Long], Long) = {
-    // bounded by the bucket space (16^hexDigits), never the corpus
+  private def bucketMap(counts: DataFrame): (Map[Int, Long], BigInt) = {
+    // bounded by the bucket space (16^hexDigits), never the corpus;
+    // the TOTAL sums per-bucket Longs in BigInt — at multi-billion-gram
+    // corpora the sum of 2^16 near-2^63 buckets wraps a Long (ADVICE r16)
     val rows = counts.select(col("bucket").cast("int"), col("cnt").cast("long"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
-    (rows.toMap, rows.map(_._2).sum)
+    (rows.toMap, rows.map(c => BigInt(c._2)).sum)
   }
 
   /** O(1) per-gram profile lookup: the bucket space is DENSE, so the
@@ -540,13 +542,18 @@ object Sampling {
     val withB = docs.withColumn("__dsir_bs",
       transform(dsirGramFace(col(textCol), charN),
         g => hashBucketHex(g, hexDigits).cast("int")))
+    // the dot-product FOLD itself runs in DECIMAL(38,0) (ADVICE r16):
+    // a Long accumulator wraps silently at ~1e6 grams against ~1e13
+    // per-bucket counts, before any decimal cast could save it
+    val dec38 = DecimalType(38, 0)
     def dot(m: Map[Int, Long]): Column =
-      aggregate(col("__dsir_bs"), lit(0L), (acc, bk) =>
-        acc + profileLookup(m, b)(bk))
-    val gn = size(col("__dsir_bs")).cast("long")
+      aggregate(col("__dsir_bs"), lit(BigDecimal(0)).cast(dec38),
+        (acc, bk) => (acc + profileLookup(m, b)(bk).cast(dec38)).cast(dec38))
+    val gn = size(col("__dsir_bs")).cast(dec38)
+    def decLit(v: BigInt): Column = lit(BigDecimal(v)).cast(dec38)
     val marginDec =
-      (gn + dot(tm)).cast(DecimalType(38, 0)) * lit(rn + b) -
-      (gn + dot(rm)).cast(DecimalType(38, 0)) * lit(tn + b)
+      (gn + dot(tm)) * decLit(rn + b) -
+      (gn + dot(rm)) * decLit(tn + b)
     // explicit range gate: non-ANSI decimal→long WRAPS on overflow
     // (Decimal.toLong truncates), so out-of-range margins are nulled
     // by hand — NULL, never a wrapped value

@@ -160,13 +160,30 @@ object Scd2State {
       .map(_.getPath.getName.stripPrefix("d=")).toSeq.sorted
   }
 
+  /** LEDGERED history labels: a date-like label above `last` is a
+    * crash-window orphan awaiting its replay — invisible to every
+    * reader (else a crash between the history overwrite and the ledger
+    * on a RETIRING day would double-count the retired versions:
+    * history copy ∪ still-LWW current copy), exactly the discipline
+    * [[compactHistory]] already applies when choosing foldable dirs. */
+  private def ledgeredHistLabels(spark: SparkSession, root: String,
+                                 last: String): Seq[String] =
+    histLabels(spark, root).filter(l =>
+      l == "bootstrap" || l.startsWith("c") || l <= last)
+
   /** The history generations a read over [`from`, `to`] must open:
-    * manifest range overlaps the queried range, or no (parseable)
-    * entry — the pruning observable the tests and plans assert on. */
+    * LEDGERED, and manifest range overlaps the queried range or no
+    * (parseable) entry — the pruning observable the tests and plans
+    * assert on. */
   private[graft] def prunedHistLabels(spark: SparkSession, root: String,
-                                      from: String, to: String): Seq[String] = {
+                                      from: String, to: String): Seq[String] =
+    prunedHistLabels(spark, root, from, to, readMeta(spark, root).last)
+
+  private def prunedHistLabels(spark: SparkSession, root: String,
+                               from: String, to: String,
+                               last: String): Seq[String] = {
     val mf = readHistManifest(spark, root)
-    histLabels(spark, root).filter(l => mf.get(l) match {
+    ledgeredHistLabels(spark, root, last).filter(l => mf.get(l) match {
       case Some((f, t)) => f <= to && from <= t
       case None => true
     })
@@ -400,7 +417,16 @@ object Scd2State {
     * contract (the unledgered generation must stay invisible and the
     * replay must land byte-compatible rows). */
   private[graft] def foldHooked(snapshot: DataFrame, root: String, date: String,
-                                beforeLedger: () => Unit): Unit = {
+                                beforeLedger: () => Unit): Unit =
+    foldHooked(snapshot, root, date, beforeLedger, () => ())
+
+  /** [[foldHooked]] with a second seam between the history-dir
+    * overwrite and its manifest entry — the ADVICE r16 crash window
+    * (a stale narrower entry over the new dir's rows would prune
+    * lossily; the drop-first discipline degrades it to unpruned). */
+  private[graft] def foldHooked(snapshot: DataFrame, root: String, date: String,
+                                beforeLedger: () => Unit,
+                                afterHistWrite: () => Unit): Unit = {
     val spark = snapshot.sparkSession
     val m = readMeta(spark, root)
     if (m.applied.contains(date) || date <= m.watermark) return
@@ -415,7 +441,16 @@ object Scd2State {
     // a crash anywhere re-runs the date against the same visible state:
     // same history bytes, byte-identical append rows (LWW-harmless
     // duplicates), then the ledger lands
+    // drop the date's STALE manifest entry before the dir overwrite
+    // (ADVICE r16): a crashed prior attempt may have manifested a
+    // narrower range; if THIS attempt then crashes between the
+    // overwrite and its manifest update, the stale entry would prune
+    // lossily over the new dir's rows. Dropping first degrades every
+    // crash window to a missing entry = unpruned-correct read.
+    val mf0 = readHistManifest(spark, root)
+    if (mf0.contains(date)) writeHistManifest(spark, root, mf0 - date)
     retired.write.mode("overwrite").parquet(s"${histDir(root)}/d=$date")
+    afterHistWrite()
     // range-manifest the new generation (crash before this = a missing
     // entry = the dir is read unpruned; the replay rewrites both)
     updateHistManifest(spark, root,
@@ -485,12 +520,11 @@ object Scd2State {
       Seq(col("version"), col("valid_from"), col("valid_to"),
         col("nb_snapshots")) ++ m.attrCols.map(col)
     val cur = lwwResolve(genRowsLoaded(spark, root, m), m.keyCols).select(cols: _*)
-    val hp = new Path(histDir(root))
-    val fs = hadoopFs(spark, hp)
-    val hasHist = fs.exists(hp) &&
-      fs.listStatus(hp).exists(s => s.isDirectory && s.getPath.getName.startsWith("d="))
-    if (!hasHist) cur
-    else spark.read.parquet(histDir(root)).select(cols: _*).unionByName(cur)
+    val labels = ledgeredHistLabels(spark, root, m.last)
+    if (labels.isEmpty) cur
+    else spark.read
+      .parquet(labels.map(l => s"${histDir(root)}/d=$l"): _*)
+      .select(cols: _*).unionByName(cur)
   }
 
   /** Date-range-pruned POINT-IN-TIME read (VERDICT r15 #7): every
@@ -522,7 +556,7 @@ object Scd2State {
       Seq(col("version"), col("valid_from"), col("valid_to"),
         col("nb_snapshots")) ++ m.attrCols.map(col)
     val cur = lwwResolve(genRowsLoaded(spark, root, m), m.keyCols).select(cols: _*)
-    val keep = prunedHistLabels(spark, root, from, to)
+    val keep = prunedHistLabels(spark, root, from, to, m.last)
     val base =
       if (keep.isEmpty) cur
       else spark.read

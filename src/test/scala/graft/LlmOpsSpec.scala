@@ -2734,6 +2734,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(lw > 0, s"log face must agree the doc is target-like: $lw")
   }
 
+  test("dsirScores: the dot-product FOLD itself cannot wrap a Long (ADVICE r16)") {
+    import graft.ops.Sampling
+    // the regime the r16 advice cites: a LONG document against
+    // near-Long per-bucket counts — dot_t ≈ 4000 grams × 9e15 = 3.6e19
+    // > 2^63, so a LongType fold accumulator wraps mid-fold and
+    // corrupts `kept` before any decimal cast can save it. Small vocab
+    // (4 tokens repeated) keeps the doc's bucket set « 256, so the
+    // linear-pooled margin is decisively positive, not degenerate-zero
+    val docs = Seq((1L, ("alpha beta gamma delta " * 500).trim))
+      .toDF("doc_id", "text")
+    val bs = docs.select(explode(Sampling.dsirGrams(col("text"))).as("g"))
+      .select(Sampling.hashBucketHex(col("g"), 2).as("b"))
+      .distinct().as[Long].collect().toSeq
+    assert(bs.size < 200, s"fixture needs a sparse bucket set: ${bs.size}")
+    val t = bs.map(b => (b, 9_000_000_000_000_000L)).toDF("bucket", "cnt")
+    val r = spark.range(256).select(col("id").as("bucket"),
+      lit(1L).as("cnt"))
+    val row = Sampling.dsirScores(docs, "text", t, r)
+      .select("dsir_margin", "kept").head()
+    assert(row.getBoolean(1),
+      s"decimal fold: massively target-like doc must be kept: $row")
+    assert(row.isNullAt(0),
+      s"its margin is past the Long range, so NULL (never wrapped): $row")
+    // mirrored profiles → mirrored verdict (the fold wrap, were it
+    // still there, would corrupt BOTH directions the same way)
+    val row2 = Sampling.dsirScores(docs, "text", r, t)
+      .select("kept").head()
+    assert(!row2.getBoolean(0), s"mirror must drop: $row2")
+  }
+
   test("DSIR char-gram face: unspaced scripts separate where the token face cannot (VERDICT r15 #2)") {
     import graft.ops.{Sampling, Sketches}
     // planted UNSEGMENTED corpora: two disjoint character vocabularies,

@@ -131,6 +131,77 @@ class Scd2StateSpec extends SparkSpec {
       Temporal.scd2WithDeletions(snaps(week), Seq("k"), Seq("attr"), "d")))
   }
 
+  test("a torn fold on a RETIRING day never double-counts the retired version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2d-").toString
+    val df = snaps(week)
+    Scd2State.bootstrap(df.filter(col("d") === "2024-01-01"),
+      Seq("k"), Seq("attr"), "d", root, buckets = 4)
+    // 2024-01-03 flips key 2's attr x→y, so its current version RETIRES
+    // into history/d=2024-01-03 BEFORE the ledger; fold day2 first
+    Scd2State.fold(df.filter(col("d") === "2024-01-02").select("k", "attr"),
+      root, "2024-01-02")
+    val before = normalize(Scd2State.intervals(spark, root))
+    val day3 = df.filter(col("d") === "2024-01-03").select("k", "attr")
+    intercept[RuntimeException] {
+      Scd2State.foldHooked(day3, root, "2024-01-03",
+        () => sys.error("boom before ledger"))
+    }
+    // the orphan history dir is on disk but UNLEDGERED: every read face
+    // must ignore it — the retired version would otherwise appear twice
+    // (history copy ∪ still-LWW current copy)
+    val seen = normalize(Scd2State.intervals(spark, root))
+    assert(seen == before,
+      s"crash-orphan history generation leaked into intervals:\n$seen\nvs\n$before")
+    assert(seen.size == seen.distinct.size, s"duplicate intervals: $seen")
+    assert(!Scd2State.prunedHistLabels(spark, root, "2024-01-01", "2024-01-04")
+      .contains("2024-01-03"), "pruned read opened an unledgered orphan dir")
+    // the replay lands and the final state equals the batch collapse
+    Scd2State.fold(day3, root, "2024-01-03")
+    Scd2State.fold(df.filter(col("d") === "2024-01-04").select("k", "attr"),
+      root, "2024-01-04")
+    assert(normalize(Scd2State.intervals(spark, root)) == normalize(
+      Temporal.scd2WithDeletions(snaps(week), Seq("k"), Seq("attr"), "d")))
+  }
+
+  test("replayed-fold crash between history overwrite and manifest leaves no stale range (ADVICE r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2m-").toString
+    val df = snaps(week)
+    Scd2State.bootstrap(df.filter(col("d") === "2024-01-01"),
+      Seq("k"), Seq("attr"), "d", root, buckets = 4)
+    val mfFile = new java.io.File(s"$root/scd2_state/_graft_hist_ranges.json")
+    def mfBody() = new String(
+      java.nio.file.Files.readAllBytes(mfFile.toPath), "UTF-8")
+    // attempt 1: a RETIRING fold (key 2 flips on the 3rd) crashes after
+    // its manifest entry landed but before the ledger
+    Scd2State.fold(df.filter(col("d") === "2024-01-02").select("k", "attr"),
+      root, "2024-01-02")
+    val day3 = df.filter(col("d") === "2024-01-03").select("k", "attr")
+    intercept[RuntimeException] {
+      Scd2State.foldHooked(day3, root, "2024-01-03",
+        () => sys.error("boom before ledger"))
+    }
+    assert(mfBody().contains("2024-01-03"),
+      "fixture: attempt 1 must leave a manifested orphan entry")
+    // attempt 2 (replay — possibly with refetched, DIFFERENT rows)
+    // crashes between the d=2024-01-03 overwrite and its manifest
+    // update: the drop-first discipline must have already removed the
+    // attempt-1 entry, so the window degrades to missing-entry =
+    // unpruned read, never attempt-1's range over attempt-2's rows
+    intercept[RuntimeException] {
+      Scd2State.foldHooked(day3, root, "2024-01-03",
+        () => (), () => sys.error("boom after history overwrite"))
+    }
+    assert(!mfBody().contains("2024-01-03"),
+      s"stale attempt-1 range survived the overwrite window: ${mfBody()}")
+    // the clean replay re-manifests and the folded week matches batch
+    Scd2State.fold(day3, root, "2024-01-03")
+    assert(mfBody().contains("2024-01-03"))
+    Scd2State.fold(df.filter(col("d") === "2024-01-04").select("k", "attr"),
+      root, "2024-01-04")
+    assert(normalize(Scd2State.intervals(spark, root)) == normalize(
+      Temporal.scd2WithDeletions(snaps(week), Seq("k"), Seq("attr"), "d")))
+  }
+
   test("compaction folds generations and history dirs; intervals row-identical") {
     val root = java.nio.file.Files.createTempDirectory("graft-scd2k-").toString
     foldAll(root, week, Seq("2024-01-01"),
