@@ -399,6 +399,27 @@ object Dedup {
     Lineage.mark(labelsRdd, rel)
     var labels = spark.createDataFrame(labelsRdd, labels0.schema)
 
+    // r17 adaptive handoff (VERDICT r16 #2): after 1-2 rounds the
+    // un-converged residual of a typical closure is tiny, yet every
+    // remaining O(log diameter) round still costs ~3 fixed-overhead
+    // jobs. When the changed-label count drops under the threshold,
+    // probe the CONTRACTED (quotient) graph — one edge per pair of
+    // adjacent label classes — with a limit-capped collect; if it fits,
+    // a driver union-find over the contracted edges finishes the merge
+    // and the root map broadcasts back over the cached labels. Exact at
+    // ANY round boundary: lbl(n) is always an id from n's component, a
+    // connected component's label classes are quotient-connected, and
+    // the component minimum m always holds lbl(m)=m and is
+    // edge-incident while >1 class remains — so the quotient union-find
+    // root IS the component minimum (property-gated against the pure
+    // distributed rounds). `spark.graft.components.handoffMaxEdges`
+    // overrides; 0 disables.
+    val handoffMax = spark.conf
+      .getOption("spark.graft.components.handoffMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(DriverComponentsMaxEdges)
+    var probeBelow = handoffMax // halves after a failed probe
+
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -425,6 +446,33 @@ object Dedup {
       labels = spark.createDataFrame(nextRdd, nextDf.schema).drop("chg")
       prev.unpersist(blocking = false)
       iter += 1
+
+      if (changed > 0 && changed <= probeBelow && isLongKeyed) {
+        val q = edges
+          .join(labels.select(col("id").as("a"), col("lbl").as("__la")), Seq("a"))
+          .join(labels.select(col("id").as("b"), col("lbl").as("__lb")), Seq("b"))
+          .filter(col("__la") =!= col("__lb"))
+          .select(least(col("__la"), col("__lb")).as("x"),
+            greatest(col("__la"), col("__lb")).as("y"))
+          .distinct()
+        // limit(n+1): ONE bounded job decides fit AND fetches the edges
+        val qRows = q.limit(math.min(handoffMax + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (qRows.length <= handoffMax) {
+          val roots = driverComponents(
+            qRows.map(r => (r.getLong(0), r.getLong(1)))).toMap
+          import spark.implicits._
+          val finished =
+            if (roots.isEmpty) labels
+            else labels.join(
+                broadcast(roots.toSeq.toDF("lbl", "__root")), Seq("lbl"), "left")
+              .select(col("id"),
+                coalesce(col("__root"), col("lbl")).as("lbl"))
+          edgesRdd.unpersist(blocking = false)
+          return (finished, iter)
+        }
+        probeBelow = changed / 2 // don't re-probe until the frontier halves
+      }
     }
     require(changed == 0, s"components did not converge in $maxIter rounds")
     // the result is a leaf over labelsRdd's cached blocks — the edge blocks

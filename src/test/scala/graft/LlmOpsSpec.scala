@@ -2671,11 +2671,44 @@ class LlmOpsSpec extends SparkSpec {
       assert(fast.exists(_ == (504L, 500L)), "chain must collapse to its min")
       spark.conf.set("spark.graft.components.driverMaxEdges", "0")
       try {
+        // hybrid: distributed rounds + the r17 contracted-edge handoff
+        val (hybDf, hybRounds) = Dedup.componentsWithRounds(pairs)
+        assert(hybRounds > 0, "threshold 0 must force at least one round")
+        assert(fast == hybDf.as[(Long, Long)].collect().toSet,
+          s"trial $trial: hybrid handoff != driver union-find")
+        // pure distributed: handoff disabled too
+        spark.conf.set("spark.graft.components.handoffMaxEdges", "0")
         val (distDf, distRounds) = Dedup.componentsWithRounds(pairs)
-        assert(distRounds > 0, "threshold 0 must force the distributed rounds")
+        assert(distRounds >= hybRounds,
+          s"trial $trial: handoff must never add rounds ($hybRounds vs $distRounds)")
         assert(fast == distDf.as[(Long, Long)].collect().toSet,
           s"trial $trial: driver union-find != distributed label propagation")
-      } finally spark.conf.unset("spark.graft.components.driverMaxEdges")
+      } finally {
+        spark.conf.unset("spark.graft.components.driverMaxEdges")
+        spark.conf.unset("spark.graft.components.handoffMaxEdges")
+      }
+    }
+  }
+
+  test("components contracted-edge handoff finishes a deep chain early and exactly (VERDICT r16 #2)") {
+    import graft.ops.Dedup
+    // a 400-node path: pure label propagation needs ~log2(400) rounds;
+    // the handoff should finish from round 1's contracted residual
+    val pairs = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.components.driverMaxEdges", "0")
+    try {
+      val (hybDf, hybRounds) = Dedup.componentsWithRounds(pairs)
+      val hyb = hybDf.as[(Long, Long)].collect().toSet
+      assert(hyb == (0L until 400L).map(i => (i, 0L)).toSet,
+        "chain must collapse to node 0")
+      spark.conf.set("spark.graft.components.handoffMaxEdges", "0")
+      val (distDf, distRounds) = Dedup.componentsWithRounds(pairs)
+      assert(distDf.as[(Long, Long)].collect().toSet == hyb)
+      assert(hybRounds < distRounds,
+        s"handoff must cut rounds on a deep chain: $hybRounds vs $distRounds")
+    } finally {
+      spark.conf.unset("spark.graft.components.driverMaxEdges")
+      spark.conf.unset("spark.graft.components.handoffMaxEdges")
     }
   }
 
