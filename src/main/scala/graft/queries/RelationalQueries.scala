@@ -710,6 +710,54 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // RANGE face of the pruned PIT read (VERDICT r16 #3): the same
+    // persisted SCD2 store answers "every interval overlapping the
+    // middle third of the calendar" through intervalsBetween — the
+    // read a fact table spanning a date window needs before a PIT
+    // join. The window CROSSES history-generation boundaries (each
+    // fold's retirements land in their own d=<date> dir), which is
+    // exactly where a range-manifest bug would hide; construction
+    // asserts the plan opens ≥2 overlapping generations, skips ≥1
+    // non-overlapping one, and scans no files outside the kept dirs ∪
+    // current. The oracle replays the batch interval derivation plus
+    // the overlap filter in DuckDB. Shares q152's read-only fixture.
+    "q153_pit_range" -> ((s, dir) => {
+      import graft.ops.Scd2State
+      val snap = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("snap_date"))
+        .agg(max(col("event_type")).as("etype"))
+      val dates = snap
+        .select(date_format(col("snap_date"), "yyyy-MM-dd").as("d"))
+        .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+      val fixture = LlmQueries.cachedFixture("q152", dir) { r =>
+        Scd2State.bootstrap(
+          snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dates.head),
+          Seq("user_id"), Seq("etype"), "snap_date", r)
+        dates.tail.foreach { dt =>
+          Scd2State.fold(
+            snap.filter(date_format(col("snap_date"), "yyyy-MM-dd") === dt)
+              .select("user_id", "etype"), r, dt)
+        }
+      }
+      val lo = dates(dates.size / 3)
+      val hi = dates(2 * dates.size / 3)
+      val kept = Scd2State.prunedHistLabels(s, fixture, lo, hi)
+      require(kept.size >= 2,
+        s"q153 window [$lo,$hi] must cross >=2 history generations: $kept")
+      val out = Scd2State.intervalsBetween(s, fixture, lo, hi)
+      val histFiles = out.inputFiles.filter(_.contains("/history/d="))
+      require(histFiles.nonEmpty &&
+        histFiles.forall(f => kept.exists(l => f.contains(s"/d=$l/"))),
+        s"q153 plan reads non-overlapping generations:\n${histFiles.mkString("\n")}")
+      require(histFiles.isEmpty ||
+        Scd2State.prunedHistLabels(s, fixture, dates.head, dates.last)
+          .size > kept.size,
+        s"q153 window must actually prune (kept all ${kept.size} dirs)")
+      out.select("user_id", "version", "valid_from", "valid_to",
+          "nb_snapshots", "etype")
+        .orderBy("user_id", "version")
+    }),
+
 
     // DELETION-AWARE point-in-time (VERDICT r13 #8): the dimension is
     // scd2WithDeletions — a user's absence closes their interval — and
@@ -1338,6 +1386,55 @@ object RelationalQueries {
         |FROM dim
         |WHERE valid_from <= (SELECT d FROM pit)
         |  AND valid_to >= (SELECT d FROM pit)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // q133's interval replay + the RANGE overlap filter over the middle
+    // third of the calendar (the window the engine answers through the
+    // generation-pruned intervalsBetween read)
+    "q153_pit_range" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT DISTINCT d FROM snap),
+        |idx AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM cal),
+        |lo AS (SELECT d FROM idx WHERE rn = n // 3 + 1),
+        |hi AS (SELECT d FROM idx WHERE rn = (2 * n) // 3 + 1),
+        |born AS (SELECT user_id, min(d) AS b FROM snap GROUP BY 1),
+        |grid AS (SELECT born.user_id, cal.d FROM born
+        |         JOIN cal ON cal.d >= born.b),
+        |j AS (
+        |  SELECT g.user_id, g.d, s.etype, s.user_id IS NOT NULL AS pres
+        |  FROM grid g LEFT JOIN snap s
+        |    ON s.user_id = g.user_id AND s.d = g.d),
+        |w AS (
+        |  SELECT user_id, d, etype, pres,
+        |         CASE WHEN row_number() OVER pk = 1
+        |              OR etype IS DISTINCT FROM lag(etype) OVER pk
+        |              OR pres IS DISTINCT FROM lag(pres) OVER pk
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM j WINDOW pk AS (PARTITION BY user_id ORDER BY d)),
+        |v AS (
+        |  SELECT user_id, d, etype, pres,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM w),
+        |runs AS (
+        |  SELECT user_id, ver, min(d) AS valid_from, max(d) AS valid_to,
+        |         CAST(count(*) AS BIGINT) AS nb_snapshots, min(etype) AS etype
+        |  FROM v WHERE pres GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY valid_from) AS BIGINT) AS version,
+        |         valid_from, valid_to, nb_snapshots, etype
+        |  FROM runs)
+        |SELECT user_id, version, valid_from, valid_to, nb_snapshots, etype
+        |FROM dim
+        |WHERE valid_from <= (SELECT d FROM hi)
+        |  AND valid_to >= (SELECT d FROM lo)
         |ORDER BY user_id, version""".stripMargin,
 
 
