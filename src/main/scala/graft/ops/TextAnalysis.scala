@@ -159,6 +159,44 @@ object TextAnalysis {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
 
+  /** Pinned tracking-parameter pattern (Java∩RE2 subset): the utm_*
+    * family plus the ubiquitous click-id params — the query noise crawl
+    * corpora carry the same page under. */
+  val TrackingParamRe: String =
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid)(=.*)?$"
+
+  /** URL canonicalization (VERDICT r16 #6): collapse the spelling
+    * variants crawl corpora carry the same page under, BEFORE
+    * fingerprint/blocklist dedup treats them as distinct —
+    *   - scheme and host lowercase (path/query case is significant and
+    *     kept),
+    *   - default ports dropped (`:80` for http, `:443` for https;
+    *     non-default ports kept),
+    *   - fragment dropped (never reaches the server),
+    *   - trailing slashes stripped from the path,
+    *   - tracking params ([[TrackingParamRe]]) dropped, the survivors
+    *     sorted (param-order twins collide; a `?`-less form results
+    *     when nothing survives).
+    * Non-http(s) input passes through trimmed-unchanged (no NULL bomb).
+    * Pure map-side — regexp/split/filter/sort, all codegen'd, all in
+    * the Java∩RE2 regex subset so DuckDB replays the chain verbatim
+    * (q154's oracle). */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^(?i)(https?)://", 1))
+    val hostport = lower(regexp_extract(u, "^(?i)https?://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(regexp_replace(hostport, ":443$", ""))
+    val noFrag = regexp_replace(
+      regexp_replace(u, "^(?i)https?://[^/?#]+", ""), "#.*$", "")
+    val pathC = regexp_replace(regexp_extract(noFrag, "^([^?]*)", 1), "/+$", "")
+    val params = filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      t => length(t) > 0 && !t.rlike(TrackingParamRe))
+    val qC = array_join(array_sort(params), "&")
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, pathC,
+      when(qC === "", lit("")).otherwise(concat(lit("?"), qC))))
+  }
+
   /** Count of characters matching a regex character class: length minus
     * length-after-removal — the subtraction trick that needs only
     * `regexp_replace`, which every engine has (no regexp_count parity

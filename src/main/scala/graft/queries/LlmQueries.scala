@@ -2733,6 +2733,42 @@ object LlmQueries {
               lit("X")).as("s_name")))
       FuzzyJoinState.probe(delta, "s_suppkey", "s_name", fixture)
         .orderBy("id_a", "id_b")
+    }),
+
+    // URL canonicalization before fingerprint dedup (VERDICT r16 #6):
+    // every document plants the spelling variants crawl corpora carry
+    // the same page under — scheme/host case, default ports, trailing
+    // slash, fragments, tracking params, param order — and
+    // [[graft.ops.TextAnalysis.canonicalUrl]] must collapse each
+    // planted family to one key. Per canonical URL: how many distinct
+    // raw spellings and raw rows folded into it (the dedup mass the
+    // blocklist/fingerprint path would otherwise miscount). The oracle
+    // replays the normalization chain verbatim in DuckDB — same
+    // regexes, same filter, same sort.
+    "q154_url_canonical" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val b = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("example"), (col("doc_id") % 97).cast("string"),
+          lit(".com")).as("h"),
+        concat(lit("/p"), (col("doc_id") % 13).cast("string")).as("p"))
+      val raw = b.select(explode(array(
+        concat(lit("https://"), col("h"), col("p")),
+        concat(lit("HTTPS://"), upper(col("h")), col("p")),
+        concat(lit("https://"), col("h"), lit(":443"), col("p"), lit("/")),
+        concat(lit("https://"), col("h"), col("p"),
+          lit("?utm_source=tw&utm_campaign=c1")),
+        concat(lit("https://"), col("h"), col("p"), lit("?b=2&a=1#frag")),
+        concat(lit("https://"), col("h"), col("p"),
+          lit("?a=1&fbclid=XYZ77&b=2")),
+        concat(lit("http://"), col("h"), lit(":80"), col("p")),
+        concat(lit("http://"), col("h"), col("p"), lit("/"))
+      )).as("url"))
+      raw.select(TextAnalysis.canonicalUrl(col("url")).as("canonical_url"),
+          col("url"))
+        .groupBy("canonical_url")
+        .agg(countDistinct(col("url")).as("n_spellings"),
+          count(lit(1)).as("n_raw"))
+        .orderBy("canonical_url")
     })
   )
 
@@ -6548,6 +6584,55 @@ object LlmQueries {
         |FROM allr a JOIN allr b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
         |  AND (a.id IN (SELECT id FROM delta) OR b.id IN (SELECT id FROM delta))
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the canonicalization chain replayed step for step: same regexes
+    // (Java∩RE2 subset), same tracking filter, same param sort. DuckDB
+    // regexp_replace needs the 'g' flag where Spark replaces all.
+    "q154_url_canonical" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS h,
+        |         '/p' || CAST(doc_id % 13 AS VARCHAR) AS p
+        |  FROM documents),
+        |raw AS (
+        |  SELECT u.url FROM b, UNNEST([
+        |    'https://' || h || p,
+        |    'HTTPS://' || upper(h) || p,
+        |    'https://' || h || ':443' || p || '/',
+        |    'https://' || h || p || '?utm_source=tw&utm_campaign=c1',
+        |    'https://' || h || p || '?b=2&a=1#frag',
+        |    'https://' || h || p || '?a=1&fbclid=XYZ77&b=2',
+        |    'http://' || h || ':80' || p,
+        |    'http://' || h || p || '/']) AS u(url)),
+        |c1 AS (
+        |  SELECT url,
+        |         lower(regexp_extract(url, '^(?i)(https?)://', 1)) AS scheme,
+        |         lower(regexp_extract(url, '^(?i)https?://([^/?#]+)', 1)) AS hostport,
+        |         regexp_replace(regexp_replace(url, '^(?i)https?://[^/?#]+', ''),
+        |                        '#.*$', '') AS nofrag
+        |  FROM raw),
+        |c2 AS (
+        |  SELECT url, scheme,
+        |         CASE WHEN scheme = 'http'
+        |              THEN regexp_replace(hostport, ':80$', '')
+        |              ELSE regexp_replace(hostport, ':443$', '') END AS host,
+        |         regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1),
+        |                        '/+$', '') AS pathc,
+        |         COALESCE(array_to_string(list_sort(list_filter(
+        |           string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |           t -> len(t) > 0 AND NOT regexp_matches(t,
+        |             '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid)(=.*)?$'))),
+        |           '&'), '') AS qc -- array_to_string([]) is NULL in DuckDB
+        |  FROM c1),
+        |canon AS (
+        |  SELECT url,
+        |         scheme || '://' || host || pathc ||
+        |         CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canonical_url
+        |  FROM c2)
+        |SELECT canonical_url,
+        |       CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+        |       CAST(count(*) AS BIGINT) AS n_raw
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
   )
 }

@@ -2712,6 +2712,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl: collapses spelling twins, keeps significant parts (VERDICT r16 #6)") {
+    import graft.ops.TextAnalysis
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextAnalysis.canonicalUrl(col("u"))).as[String].head()
+    // the twin families collapse
+    assert(canon("HTTPS://Example.COM/Path") == "https://example.com/Path")
+    assert(canon("https://example.com:443/a/") == "https://example.com/a")
+    assert(canon("http://example.com:80/a") == "http://example.com/a")
+    assert(canon("https://example.com/a?b=2&a=1#frag") ==
+      "https://example.com/a?a=1&b=2")
+    assert(canon("https://example.com/a?a=1&utm_source=tw&fbclid=Z") ==
+      "https://example.com/a?a=1")
+    // significant parts survive: PATH case, non-default port, non-tracking params
+    assert(canon("https://example.com/CaseSensitive") ==
+      "https://example.com/CaseSensitive")
+    assert(canon("https://example.com:8443/a") == "https://example.com:8443/a")
+    // tracking-only query drops the '?' entirely; trailing & noise drops
+    assert(canon("https://example.com/a?utm_campaign=x") == "https://example.com/a")
+    assert(canon("https://example.com/a?x=1&&") == "https://example.com/a?x=1")
+    // :443 is NOT stripped from http (and vice versa)
+    assert(canon("http://example.com:443/a") == "http://example.com:443/a")
+    // non-http(s) input passes through trimmed-unchanged
+    assert(canon("  ftp://Example.com/X  ") == "ftp://Example.com/X")
+    assert(canon("not a url") == "not a url")
+  }
+
   test("NULL text is a zero-signal row, not a NULL bomb (ADVICE r15)") {
     import graft.ops.{Sampling, TextAnalysis}
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "alpha beta gamma"))
