@@ -2735,6 +2735,25 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Sequence packing WITH per-bin boundary spans (VERDICT r16 #5):
+    // q49's greedy first-fit packing, now also emitting each doc's
+    // (start, len) token offsets inside its bin — the structure a
+    // trainer needs to build attention masks that stop cross-document
+    // attention. Exploded to flat rows for the hash compare; the
+    // span-array face (and its tiling invariant) is unit-pinned in
+    // LlmOpsSpec. The oracle extends q49's recursive CTE with the same
+    // start/fill recurrence.
+    "q155_pack_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ntok", TextAnalysis.tokenCount(col("text")))
+      Packing.packWithSpans(d, "doc_id", "ntok", expr("doc_id div 50"),
+          cap = 800L)
+        .select(col("grp"), col("bin"), explode(col("spans")).as("sp"))
+        .select(col("sp.id").as("doc_id"), col("grp"), col("bin"),
+          col("sp.start").as("start"), col("sp.len").as("len"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization before fingerprint dedup (VERDICT r16 #6):
     // every document plants the spelling variants crawl corpora carry
     // the same page under — scheme/host case, default ports, trailing
@@ -6585,6 +6604,29 @@ object LlmQueries {
         |WHERE levenshtein(a.s, b.s) <= 1
         |  AND (a.id IN (SELECT id FROM delta) OR b.id IN (SELECT id FROM delta))
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q49's greedy recurrence extended with the span arithmetic: start
+    // is the bin's fill before the doc lands (0 on overflow)
+    "q155_pack_spans" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 50 AS grp,
+        |         len(list_filter(string_split(text, ' '), t -> t != '')) AS t,
+        |         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT grp, rn, doc_id, t, CAST(0 AS BIGINT) AS bin, t AS fill,
+        |         CAST(0 AS BIGINT) AS start
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.rn, d.doc_id, d.t,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.t > 800 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.t > 800 THEN d.t ELSE p.fill + d.t END,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.t > 800
+        |         THEN CAST(0 AS BIGINT) ELSE p.fill END
+        |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
+        |SELECT doc_id, CAST(grp AS BIGINT) AS grp, bin,
+        |       start, CAST(t AS BIGINT) AS len
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the canonicalization chain replayed step for step: same regexes
     // (Java∩RE2 subset), same tracking filter, same param sort. DuckDB

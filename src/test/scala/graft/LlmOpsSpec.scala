@@ -2712,6 +2712,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("packWithSpans: spans tile each bin exactly and agree with packSequential (VERDICT r16 #5)") {
+    import graft.ops.Packing
+    // lengths chosen to hit every fold case: exact fit, overflow,
+    // oversized doc (> cap, gets its own bin), and a multi-group split
+    val docs = Seq(
+      (1L, 40L, 0L), (2L, 60L, 0L), (3L, 100L, 0L), // 40+60 fit cap=100, 3 overflows
+      (4L, 250L, 0L),                               // oversized: own bin, len > cap
+      (5L, 10L, 0L), (6L, 10L, 0L),
+      (7L, 70L, 1L), (8L, 70L, 1L)                  // second group independent
+    ).toDF("doc_id", "ntok", "g")
+    val bins = Packing.packWithSpans(docs, "doc_id", "ntok", col("g"), cap = 100L)
+    val rows = bins.select("grp", "bin", "fill", "n_docs", "spans")
+      .as[(Long, Long, Long, Long, Seq[(Long, Long, Long)])].collect()
+    rows.foreach { case (g, b, fill, nDocs, spans) =>
+      assert(spans.nonEmpty && spans.size == nDocs, s"bin ($g,$b): $spans")
+      assert(spans.head._2 == 0L, s"bin ($g,$b) must start at 0: $spans")
+      spans.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) =>
+          assert(s2 == s1 + l1, s"bin ($g,$b) spans must tile: $spans")
+        case _ =>
+      }
+      assert(spans.map(_._3).sum == fill,
+        s"bin ($g,$b) fill must equal the span lengths: $spans vs $fill")
+    }
+    // the oversized doc sits alone with its true length
+    val big = rows.find(_._5.exists(_._1 == 4L)).get
+    assert(big._4 == 1L && big._3 == 250L, s"oversized doc bin: $big")
+    // bin assignment is bit-identical to packSequential's
+    val viaSpans = rows.flatMap { case (g, b, _, _, sp) =>
+      sp.map(s => (s._1, g, b)) }.toSet
+    val viaPack = Packing.packSequential(docs, "doc_id", "ntok", col("g"), 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSpans == viaPack, s"$viaSpans vs $viaPack")
+  }
+
   test("canonicalUrl: collapses spelling twins, keeps significant parts (VERDICT r16 #6)") {
     import graft.ops.TextAnalysis
     def canon(u: String): String =
