@@ -163,6 +163,133 @@ object AnnIndex {
     autoCompact.foreach(t => maybeCompact(spark, root, t))
   }
 
+  // ---- exactly-once ledgered append (VERDICT r16 #7) ----------------
+  // Plain [[append]] is NOT idempotent (appendBucketed lands posting
+  // rows unconditionally, and duplicate postings are NOT harmless: a
+  // duplicated candidate can displace a real one from a probe's top-k).
+  // The streaming face therefore runs a marker + ledger protocol that
+  // is exactly-once under any single crash:
+  //   1. pending marker {deltaId, filesBefore} (atomic sidecar)
+  //   2. appendBucketed
+  //   3. ledger += deltaId (atomic sidecar)
+  //   4. marker delete
+  // Repair at the start of every call: a leftover marker whose deltaId
+  // is UNLEDGERED means the append may be partial → delete every
+  // postings file not in filesBefore (the batch re-runs); a marker
+  // whose deltaId IS ledgered means only the marker delete was lost →
+  // keep the files, drop the marker. The ledger caps at [[MaxAppliedIds]]
+  // ids with a lexicographic watermark (the Scd2State capApplied
+  // discipline) — callers that may exceed the cap must use
+  // lexicographically MONOTONE deltaIds (the streaming sink's
+  // zero-padded batch ids are).
+
+  private def appendLedgerPath(root: String) =
+    new Path(s"${indexDir(root)}/_graft_append_ledger.json")
+  private def appendPendingPath(root: String) =
+    new Path(s"${indexDir(root)}/_append_pending.json")
+  private val MaxAppliedIds = 64
+
+  private def readAppendLedger(spark: SparkSession,
+                               root: String): (Set[String], String) =
+    BucketedTables.readJsonSidecar(spark, appendLedgerPath(root)) match {
+      case None => (Set.empty, "")
+      case Some(body) =>
+        val applied = """"applied"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        val ids = """"([^"]+)"""".r.findAllMatchIn(applied)
+          .map(_.group(1)).toSet
+        val wm = """"watermark"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        (ids, wm)
+    }
+
+  private def writeAppendLedger(spark: SparkSession, root: String,
+                                applied: Set[String], wm: String): Unit = {
+    val (keep, wm2) =
+      if (applied.size <= MaxAppliedIds) (applied, wm)
+      else {
+        val sorted = applied.toSeq.sorted
+        val dropped = sorted.dropRight(MaxAppliedIds)
+        (sorted.takeRight(MaxAppliedIds).toSet,
+          if (dropped.last > wm) dropped.last else wm)
+      }
+    BucketedTables.writeJsonSidecar(spark, appendLedgerPath(root),
+      s"""{"watermark": "$wm2", "applied": ${keep.toSeq.sorted
+        .map(i => s""""$i"""").mkString("[", ",", "]")}}""")
+  }
+
+  private def postingFileNames(spark: SparkSession, root: String): Set[String] = {
+    val p = new Path(postingsDir(root))
+    val fs = BucketedTables.hadoopFs(spark, p)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).toSet
+  }
+
+  /** Finish or roll back a crashed [[appendExactlyOnce]] — see the
+    * protocol above. Safe to call any time (no-op without a marker). */
+  private def repairPendingAppend(spark: SparkSession, root: String): Unit = {
+    val mp = appendPendingPath(root)
+    val fs = BucketedTables.hadoopFs(spark, mp)
+    if (!fs.exists(mp)) return
+    val body = BucketedTables.readJsonSidecar(spark, mp).getOrElse("")
+    val deltaId = """"delta"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+    val before = """"([^"]+)"""".r.findAllMatchIn(
+      """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")).map(_.group(1)).toSet
+    val (applied, wm) = readAppendLedger(spark, root)
+    val ledgered = applied.contains(deltaId) ||
+      (wm.nonEmpty && deltaId.nonEmpty && deltaId <= wm)
+    if (!ledgered) { // partial/unledgered append: roll it back
+      val pd = new Path(postingsDir(root))
+      (postingFileNames(spark, root) -- before)
+        .foreach(f => fs.delete(new Path(pd, f), false))
+      spark.catalog.refreshByPath(postingsDir(root))
+    }
+    fs.delete(mp, false)
+    ()
+  }
+
+  /** [[append]] with the exactly-once ledger: re-running a `deltaId`
+    * already in the ledger (or at/below its watermark) no-ops, and a
+    * crash at ANY point of the protocol is repaired by the next call —
+    * zero duplicate postings, zero lost batches. Returns whether the
+    * delta landed (false = ledgered replay no-op). The streaming face
+    * is [[graft.streaming.Streaming.annAppendSink]]. */
+  def appendExactlyOnce(delta: DataFrame, idCol: String, vecCol: String,
+                        root: String, deltaId: String,
+                        autoCompact: Option[Int] = None): Boolean =
+    appendExactlyOnceHooked(delta, idCol, vecCol, root, deltaId,
+      autoCompact, () => ())
+
+  /** [[appendExactlyOnce]] with a fault-injection point between the
+    * postings append and the ledger write — test-only seam. */
+  private[graft] def appendExactlyOnceHooked(delta: DataFrame, idCol: String,
+                                             vecCol: String, root: String,
+                                             deltaId: String,
+                                             autoCompact: Option[Int],
+                                             beforeLedger: () => Unit): Boolean = {
+    require(deltaId.matches("[A-Za-z0-9_-]+"),
+      s"deltaId is ledger-pinned and restricted to [A-Za-z0-9_-]: '$deltaId'")
+    val spark = delta.sparkSession
+    repairPendingAppend(spark, root)
+    val (applied, wm) = readAppendLedger(spark, root)
+    if (applied.contains(deltaId) || (wm.nonEmpty && deltaId <= wm))
+      return false
+    val before = postingFileNames(spark, root)
+    BucketedTables.writeJsonSidecar(spark, appendPendingPath(root),
+      s"""{"delta": "$deltaId", "files": ${before.toSeq.sorted
+        .map(f => s""""$f"""").mkString("[", ",", "]")}}""")
+    append(delta, idCol, vecCol, root, autoCompact = None)
+    beforeLedger()
+    writeAppendLedger(spark, root, applied + deltaId, wm)
+    val fs = BucketedTables.hadoopFs(spark, appendPendingPath(root))
+    fs.delete(appendPendingPath(root), false)
+    autoCompact.foreach(t => maybeCompact(spark, root, t))
+    true
+  }
+
   /** Files-per-bucket in the postings dir — ≈ appends-since-compaction+1;
     * probes pay file-open overhead linearly in it. */
   def filesPerBucket(spark: SparkSession, root: String): Double = {

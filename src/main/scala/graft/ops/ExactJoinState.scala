@@ -353,6 +353,18 @@ object ExactJoinState {
       if (counts.isEmpty) 0.0 else counts.max.toDouble / n
     }
 
+  /** Opt-in hands-off compaction ([[AnnIndex.maybeCompact]]'s policy on
+    * this state): [[compact]] when either table exceeds
+    * `maxFilesPerBucket` files per bucket. Returns whether it ran. */
+  def maybeCompact(spark: SparkSession, root: String,
+                   maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1 (got $maxFilesPerBucket)")
+    val over = filesPerBucket(spark, root) > maxFilesPerBucket
+    if (over) compact(spark, root)
+    over
+  }
+
   /** Roll half-finished swaps forward and finish a half-done removal —
     * the vacuum hook. */
   def recover(spark: SparkSession, root: String): Unit = {

@@ -249,14 +249,22 @@ object Streaming {
     * like the batch `daily` (which refuses a vec-less delta on an
     * embedding-carrying state rather than desynchronizing it — a
     * `curateSink` without `vecCol` on such a state fails its first
-    * batch for the same reason). */
+    * batch for the same reason).
+    *
+    * `autoCompact = Some(t)` bounds every state table at t files per
+    * bucket for the stream's LIFE (VERDICT r16 #4 — a long-running
+    * stream accrues per-batch appends exactly like the daily cadence),
+    * via the same [[graft.ops.CurateIncremental.maybeCompactState]]
+    * policy the batch `daily` runs; reads are bit-identical across the
+    * compaction swap (StreamingSpec). */
   def curateSink(stream: DataFrame, benchmark: DataFrame,
                  idCol: String, textCol: String, root: String, outDir: String,
                  checkpointDir: String,
                  cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
                  vecCol: Option[String] = None,
                  ecfg: graft.ops.CurateIncremental.EmbedConfig =
-                   graft.ops.CurateIncremental.EmbedConfig()): StreamingQuery =
+                   graft.ops.CurateIncremental.EmbedConfig(),
+                 autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -266,7 +274,8 @@ object Streaming {
             batch.select(col(idCol), col(textCol)), benchmark, idCol, textCol,
             root, cfg,
             deltaVecs = vecCol.map(v => batch.select(col(idCol), col(v))),
-            vecCol = vecCol.getOrElse("v"), ecfg = ecfg)
+            vecCol = vecCol.getOrElse("v"), ecfg = ecfg,
+            autoCompact = autoCompact)
           try r.corpus.write.mode("append").parquet(outDir)
           finally r.release()
         }
@@ -289,10 +298,14 @@ object Streaming {
     * contract). The batch caller's preconditions carry over: one row
     * per (key, date), and a date arrives COMPLETE within one batch
     * (folds are date-monotone — a later batch cannot reopen an earlier
-    * date; bootstrap the state before starting the stream). */
+    * date; bootstrap the state before starting the stream).
+    * `autoCompact = Some(t)` runs [[graft.ops.Scd2State.compactIfNeeded]]
+    * after each ledgered fold — file counts stay bounded for the
+    * stream's life (VERDICT r16 #4). */
   def scd2FoldSink(stream: DataFrame, keyCols: Seq[String],
                    attrCols: Seq[String], dateCol: String, root: String,
-                   checkpointDir: String): StreamingQuery =
+                   checkpointDir: String,
+                   autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -304,7 +317,8 @@ object Streaming {
           for (d <- dates)
             graft.ops.Scd2State.fold(
               batch.filter(date_format(col(dateCol), "yyyy-MM-dd") === d)
-                .select((keyCols ++ attrCols).map(col): _*), root, d)
+                .select((keyCols ++ attrCols).map(col): _*), root, d,
+              autoCompact)
         }
       }
       .start()
@@ -327,15 +341,20 @@ object Streaming {
     * again (now through the state side); downstream consumers key on
     * (id_a, id_b), which stays stable because pairs are emitted in
     * canonical orientation. The StreamingSpec golden pins streamed
-    * pairs == one batch probe of the union. */
+    * pairs == one batch probe of the union. `autoCompact = Some(t)`
+    * bounds the index tables at t files per bucket for the stream's
+    * life (VERDICT r16 #4), per-batch results bit-identical across
+    * the compaction swap. */
   def exactEntitySink(stream: DataFrame, idCol: String, textCol: String,
                       tokens: Column => Column, root: String,
-                      outDir: String, checkpointDir: String): StreamingQuery =
+                      outDir: String, checkpointDir: String,
+                      autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           val docs = batch.select(col(idCol), col(textCol))
           graft.ops.ExactJoinState.probe(docs, idCol, tokens(col(textCol)), root)
             .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -344,6 +363,9 @@ object Streaming {
             .distinct()
             .write.mode("append").parquet(outDir)
           graft.ops.ExactJoinState.append(docs, idCol, tokens(col(textCol)), root)
+          autoCompact.foreach { t =>
+            graft.ops.ExactJoinState.maybeCompact(spark, root, t); ()
+          }
         }
       }
       .start()
@@ -354,12 +376,14 @@ object Streaming {
     * output contract; pairs carry the exact Levenshtein `dist`. */
   def fuzzyEntitySink(stream: DataFrame, idCol: String, textCol: String,
                       root: String, outDir: String,
-                      checkpointDir: String): StreamingQuery =
+                      checkpointDir: String,
+                      autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           val docs = batch.select(col(idCol), col(textCol))
           graft.ops.FuzzyJoinState.probe(docs, idCol, textCol, root)
             .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -368,6 +392,9 @@ object Streaming {
             .distinct()
             .write.mode("append").parquet(outDir)
           graft.ops.FuzzyJoinState.append(docs, idCol, textCol, root)
+          autoCompact.foreach { t =>
+            graft.ops.FuzzyJoinState.maybeCompact(spark, root, t); ()
+          }
         }
       }
       .start()
@@ -573,6 +600,38 @@ object Streaming {
             else graft.io.StatsManifest.writeBloom(spark, path, k,
               expectedItemsPerFile, fpp)
           }
+        }
+      }
+      .start()
+
+  /** Stream → persisted ANN index (VERDICT r16 #7 — the
+    * [[graft.ops.AnnIndex.append]] streaming face): each micro-batch's
+    * vectors are assigned against the persisted centroids map-side and
+    * appended to the cell-bucketed postings, so the index is probe-able
+    * after every batch with no retrain and no corpus rescan.
+    *
+    * Replay safety: plain `append` is NOT idempotent and duplicate
+    * postings are NOT harmless (a duplicated candidate can displace a
+    * real one from a probe's top-k), so each batch lands through
+    * [[graft.ops.AnnIndex.appendExactlyOnce]] keyed on the zero-padded
+    * batch id: a re-delivered batch no-ops on the ledger, and a crash
+    * anywhere inside the append protocol is rolled back or completed by
+    * the next batch — at-least-once delivery, EXACTLY-once postings
+    * (StreamingSpec pins streamed == one-shot batch append of the
+    * union, and zero new postings on replay). `autoCompact = Some(t)`
+    * bounds the postings at t files per bucket for the stream's life. */
+  def annAppendSink(stream: DataFrame, idCol: String, vecCol: String,
+                    root: String, checkpointDir: String,
+                    autoCompact: Option[Int] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.AnnIndex.appendExactlyOnce(
+            batch.select(col(idCol), col(vecCol)), idCol, vecCol, root,
+            f"stream-$batchId%09d", autoCompact)
+          ()
         }
       }
       .start()

@@ -384,6 +384,147 @@ class StreamingSpec extends SparkSpec {
       s"fuzzy streamed pairs: $fpairs")
   }
 
+  test("entity/scd2 sinks with autoCompact: file counts bounded for the stream's life, results bit-identical (VERDICT r16 #4)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{ExactJoinState, Scd2State, Temporal}
+    def doc(seed: String): String =
+      (0 until 12).map(i => s"$seed tok$i word${i % 5}").mkString(" ")
+    def alias(src: String): String = src + " alias postscript marker"
+    // six streamed batches, each aliasing the previous batch's fresh doc
+    val freshes = (0 to 6).map(i => doc(s"g$i"))
+    val batches = (1 to 6).map(i =>
+      Seq((100L + i, alias(freshes(i - 1))), (200L + i, freshes(i))))
+    def runExact(autoCompact: Option[Int]): (Set[(Long, Long)], Double, String) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-xac-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-xac-o-")
+        .toString + "/pairs"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-xac-c-").toString
+      ExactJoinState.build(Seq((1L, freshes(0))).toDF("doc_id", "text"),
+        "doc_id", sh3Col(col("text")), 2L, 3L, root)
+      val ms = MemoryStream[(Long, String)]
+      val q = Streaming.exactEntitySink(ms.toDF.toDF("doc_id", "text"),
+        "doc_id", "text", sh3Col, root, out, ckpt, autoCompact = autoCompact)
+      try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val pairs = spark.read.parquet(out)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .as[(Long, Long)].collect().toSet
+      (pairs, ExactJoinState.filesPerBucket(spark, root), root)
+    }
+    val (boundedPairs, boundedFpb, _) = runExact(Some(1))
+    val (plainPairs, plainFpb, _) = runExact(None)
+    assert(boundedPairs == plainPairs,
+      s"autoCompact changed the streamed pairs:\n$boundedPairs\nvs\n$plainPairs")
+    // golden content: each batch's alias pairs with the previous fresh
+    assert(boundedPairs == (1 to 6).map(i =>
+      (math.min(100L + i, if (i == 1) 1L else 200L + i - 1),
+        math.max(100L + i, if (i == 1) 1L else 200L + i - 1))).toSet,
+      s"pairs: $boundedPairs")
+    assert(plainFpb > 3.0,
+      s"fixture must accrue files without the knob (got $plainFpb)")
+    assert(boundedFpb <= 2.0,
+      s"autoCompact must bound files per bucket (got $boundedFpb)")
+
+    // ---- scd2 lane: streamed folds with autoCompact stay bounded and
+    // equal the batch collapse
+    val days = (1 to 9).map(i => f"2024-02-0$i")
+    val rows = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((1L, d, s"a${i / 2}"), (2L, d, "x")) }
+    val snaps = rows.toDF("k", "d", "attr")
+      .select(col("k"), to_date(col("d")).as("d"), col("attr"))
+    val sroot = java.nio.file.Files.createTempDirectory("graft-sac-").toString
+    Scd2State.bootstrap(snaps.filter(col("d") === days.head),
+      Seq("k"), Seq("attr"), "d", sroot, buckets = 2)
+    val sckpt = java.nio.file.Files.createTempDirectory("graft-sac-c-").toString
+    val sms = MemoryStream[(Long, String, String)]
+    val sqy = Streaming.scd2FoldSink(
+      sms.toDF.toDF("k", "d", "attr")
+        .select(col("k"), to_date(col("d")).as("d"), col("attr")),
+      Seq("k"), Seq("attr"), "d", sroot, sckpt, autoCompact = Some(2))
+    try {
+      days.tail.foreach { d =>
+        sms.addData(rows.filter(_._2 == d): _*); sqy.processAllAvailable()
+      }
+    } finally sqy.stop()
+    val got = Scd2State.intervals(spark, sroot)
+      .select(col("k"), col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("attr"))
+      .as[(Long, Long, String, String, String)].collect().toSet
+    val want = Temporal.scd2WithDeletions(snaps, Seq("k"), Seq("attr"), "d")
+      .select(col("k"), col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("attr"))
+      .as[(Long, Long, String, String, String)].collect().toSet
+    assert(got == want, s"streamed folds diverged:\n$got\nvs\n$want")
+    assert(Scd2State.currentFileCount(spark, sroot) <= 3 * 2,
+      "autoCompact must bound the current table's files")
+    assert(Scd2State.historyDirCount(spark, sroot) <= 3,
+      "autoCompact must bound the history dirs")
+  }
+
+  test("annAppendSink: exactly-once postings across batches, replays and crashes (VERDICT r16 #7)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.AnnIndex
+    def vec(i: Long): Seq[Double] = {
+      val raw = (0 until 16).map(j => (((i * 31 + j * 17 + 7) % 97) - 48).toDouble)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val cfg = AnnIndex.Config(nCells = 4, kmeansIters = 3, dim = 16)
+    def cdf(ids: Seq[Long]) = ids.map(i => (i, vec(i))).toDF("c_id", "c_vec")
+    def postingsSet(root: String) = spark.read
+      .parquet(s"$root/ann_index/postings")
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSeq.sorted
+
+    val base = cdf(1L to 40L)
+    val root = java.nio.file.Files.createTempDirectory("graft-annsink-").toString
+    AnnIndex.build(base, "c_id", "c_vec", root, cfg, buckets = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annsink-c-").toString
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.annAppendSink(ms.toDF.toDF("c_id", "c_vec"),
+      "c_id", "c_vec", root, ckpt, autoCompact = Some(2))
+    val batches = Seq(41L to 50L, 51L to 60L, 61L to 70L)
+    try {
+      batches.foreach { ids =>
+        ms.addData(ids.map(i => (i, vec(i))): _*)
+        q.processAllAvailable()
+        // probe-able after every batch: the batch's own vectors rank
+        val probe = AnnIndex.topK(
+          ids.take(2).map(i => (i, vec(i))).toDF("q_id", "q_vec"),
+          root, k = 3, nProbes = 2)
+        assert(probe.count() > 0, s"index not probe-able after batch $ids")
+      }
+    } finally q.stop()
+
+    // streamed == one-shot batch append of the union, against the SAME
+    // trained centroids (clone the built index, append once)
+    val root2 = java.nio.file.Files.createTempDirectory("graft-annsink2-").toString
+    AnnIndex.build(base, "c_id", "c_vec", root2, cfg, buckets = 2,
+      trained = graft.ops.IndexStore.loadCentroids(spark,
+        s"$root/ann_index/centroids"))
+    AnnIndex.append(cdf(41L to 70L), "c_id", "c_vec", root2)
+    assert(postingsSet(root) == postingsSet(root2),
+      "streamed postings != one-shot batch append of the union")
+
+    // a replayed (already-ledgered) batch lands ZERO new postings
+    val before = postingsSet(root)
+    assert(!AnnIndex.appendExactlyOnce(cdf(41L to 50L), "c_id", "c_vec",
+      root, "stream-000000000"), "ledgered replay must no-op")
+    assert(postingsSet(root) == before, "replay landed new postings")
+
+    // crash between the postings append and the ledger: the next call
+    // rolls the partial append back and re-lands it exactly once
+    intercept[RuntimeException] {
+      AnnIndex.appendExactlyOnceHooked(cdf(71L to 75L), "c_id", "c_vec",
+        root, "stream-000000099", None, () => sys.error("boom before ledger"))
+    }
+    AnnIndex.appendExactlyOnce(cdf(71L to 75L), "c_id", "c_vec",
+      root, "stream-000000099")
+    val after = postingsSet(root)
+    assert(after.map(_._1).count(id => id >= 71L && id <= 75L) == 5,
+      s"crash replay must land the batch exactly once: $after")
+  }
+
   test("curateSink with vecCol: micro-batches run the embedding stage against persisted state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ops.CurateIncremental
