@@ -81,6 +81,30 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Fused per-doc disposition walk (VERDICT r16 #1): the recipe's stage
+    * handoffs form a subset CHAIN (every stage filters its
+    * predecessor), so ONE union + max-depth aggregation labels every
+    * input doc with the first stage it vanished from — the old walk
+    * planned a broadcast anti-join per stage and read every handoff
+    * twice behind its own persist (q150 profiled ~90% fixed
+    * broadcast-job overhead); this plans a single hash aggregation and
+    * reads each handoff once. Returns (idCol, stage, __last) — `__last`
+    * is the 1-based index of the last handoff the doc survived (0 =
+    * dropped at the first), so callers can derive the stage-count stats
+    * from the SAME pass instead of one count() action per stage. */
+  private[ops] def fusedAudit(input: DataFrame, idCol: String,
+                              handoffs: Seq[(String, DataFrame)]): DataFrame = {
+    val names = handoffs.map(_._1)
+    val tagged = (input.select(col(idCol)).withColumn("__d", lit(0)) +:
+      handoffs.zipWithIndex.map { case ((_, f), i) =>
+        f.select(col(idCol)).withColumn("__d", lit(i + 1)) })
+      .reduce(_.unionByName(_))
+    tagged.groupBy(col(idCol)).agg(max(col("__d")).as("__last"))
+      .withColumn("stage",
+        when(col("__last") === names.size, lit("survived"))
+          .otherwise(element_at(typedlit(names), col("__last") + 1)))
+  }
+
   /** Knobs of the opt-in winnowed borrowed-content filter (stage 3¾):
     * [[TextAnalysis.winnowedFingerprints]]'s (k, w) plus the pair rules
     * of [[Dedup.winnowedPairs]] — docs sharing ≥ `minShared` fingerprints
@@ -432,8 +456,13 @@ object Curate {
     // target-like their hashed-n-gram bag is under the supplied
     // profiles — pure map-side scoring against bucket-space-bounded
     // profile literals, so the stage adds NO shuffle to the recipe
+    // persisted when the stage is ON: the per-gram scoring fold is the
+    // recipe's heaviest per-doc expression and multiple consumers read
+    // this frame (balanced/curated/emitted suffixes, the audit's dsir
+    // branch) — unpinned, each re-ran the fold (r17 profile)
     val selected = cfg.dsir match {
       case Some(d) => dsirSelect(clean, idCol, textCol, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => clean
     }
 
@@ -497,28 +526,16 @@ object Curate {
               Seq("chunk_empty" -> emitted.select(col(idCol)).distinct())
             case None => Seq.empty
           })
-        // each id frame is read twice (as a stage's survivors and as the
-        // next stage's input) AND sits on a by-now-unpersisted lineage —
-        // caching the tiny id projections makes the whole walk cost ~one
-        // recipe pass instead of ~11 partial recomputes
-        val ids = handoffs.map { case (n, f) =>
-          n -> f.select(col(idCol))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        }
-        val dropped = (docs.select(col(idCol)) +: ids.map(_._2))
-          .zip(ids)
-          .map { case (prev, (stage, cur)) =>
-            prev.join(cur, Seq(idCol), "left_anti")
-              .withColumn("stage", lit(stage))
-          }
-        (Some(dropped
-          .reduce(_.unionByName(_))
-          .unionByName(ids.last._2.withColumn("stage", lit("survived")))),
-          () => ids.foreach(_._2.unpersist()))
+        // fused walk (VERDICT r16 #1): one union + max-depth aggregation
+        // instead of one broadcast anti-join per stage — each handoff is
+        // read exactly once, so the per-stage id persists are gone too
+        (Some(fusedAudit(docs, idCol, handoffs)
+          .select(col(idCol), col("stage"))), () => ())
       }
     Result(emitted, stats,
       () => {
         clean.unpersist()
+        if (cfg.dsir.nonEmpty) { selected.unpersist(); () }
         if (effectiveMatcher.nonEmpty) { resolved.unpersist(); () }
         auditRelease()
       }, auditFrame)

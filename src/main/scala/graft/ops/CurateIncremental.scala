@@ -1025,7 +1025,10 @@ object CurateIncremental {
     // corpus text was redacted by the run that produced it, so delta
     // fingerprints/shingles compare redacted-to-redacted
     val redacted = delta1.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
-    val total = redacted.count()
+    // with audit ON, every stage-count stat derives from the fused
+    // audit's ONE materialization pass (VERDICT r16 #1) — the classic
+    // per-stage count() actions only run on the audit-off path
+    val total = if (cfg.audit) -1L else redacted.count()
 
     // 1.75 (opt-in) blocklist subtraction on the redacted fingerprint,
     // identical to the full recipe (per-doc vs the static list — no
@@ -1042,6 +1045,10 @@ object CurateIncremental {
     // fingerprint table (probe side is the delta — the state table is
     // never re-hashed, and never re-partitioned either: see
     // [[fingerprintProbe]])
+    // this count stays on BOTH paths: it materializes the exact cache
+    // BEFORE the entity/near-dup probes read it — their pair plan is a
+    // UNION whose branches would otherwise race to fill the same cold
+    // partitions concurrently and duplicate the dedup work
     val exact = fingerprintProbe(
         Dedup.dedupCorpus(admitted, textCol, idCol), idCol, textCol, st)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1085,8 +1092,11 @@ object CurateIncremental {
           .withColumnRenamed("id", "__dup")
         val nd = exact.join(dups, exact(idCol) === col("__dup"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize before the entity probe / audit branches read it
+        // (same race argument as `exact` above); with audit ON, exact's
+        // cache must survive for the audit's exact_dup branch
         val n = nd.count()
-        exact.unpersist()
+        if (!cfg.audit) exact.unpersist()
         (nd, n)
       }
 
@@ -1154,7 +1164,7 @@ object CurateIncremental {
         val res = winnowed
           .join(dups, winnowed(idCol) === col("__entity_dup"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        res.count()
+        if (!cfg.audit) { res.count(); () } // audit's fused pass materializes it
         res
       case None => winnowed
     }
@@ -1170,8 +1180,13 @@ object CurateIncremental {
     val clean = quality
       .join(contaminated, quality(idCol) === col("__contaminated_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // this count stays on BOTH paths: it materializes the cache chain
+    // (exact → resolved → clean) in dependency order, so the fused
+    // audit's union branches read warm caches instead of racing to fill
+    // the same partitions concurrently (measured: the race re-ran the
+    // entity probe per branch)
     val nClean = clean.count()
-    nearDeduped.unpersist()
+    if (!cfg.audit) nearDeduped.unpersist()
 
     // 5.25 (opt-in) DSIR importance selection, identical rule to the
     // batch recipe: the profiles come IN (read from the persisted
@@ -1180,8 +1195,13 @@ object CurateIncremental {
     // only the delta is ever scored and the corpus is never rescanned.
     // Per-doc deterministic against fixed profiles → batch/incremental
     // parity is by construction, like the blocklist stage.
+    // persisted when the stage is ON: the per-gram scoring fold is the
+    // recipe's heaviest per-doc expression and THREE consumers read this
+    // frame (the audit's dsir branch, the embedding-lane semi-join, the
+    // survivor pin) — unpinned, each re-ran the fold (r17 profile)
     val selected = cfg.dsir match {
       case Some(d) => Curate.dsirSelect(clean, idCol, textCol, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       case None => clean
     }
 
@@ -1195,21 +1215,24 @@ object CurateIncremental {
       case None => curated
     }
 
-    val stats = curated.sparkSession.createDataFrame(Seq(
-      (total, nExact, nNear, nClean)
-    )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
-      "nb_after_quality_decontam")
-
     // opt-in per-doc disposition audit, the incremental face of the
-    // batch recipe's (same walk over the DELTA's stage handoffs; stage
-    // names match so one consumer reads both). NOTE for [[daily]]: the
-    // id frames' lineage reads the state dirs appendState mutates —
+    // batch recipe's (same FUSED walk over the DELTA's stage handoffs;
+    // stage names match so one consumer reads both — VERDICT r16 #1).
+    // ONE union + max-depth aggregation replaces the per-stage broadcast
+    // anti-joins, and its single materialization pass also yields every
+    // stage-count stat (the deferred counts above). NOTE for [[daily]]:
+    // the frame's lineage reads the state dirs appendState mutates —
     // daily pins the audit frame BEFORE appending, exactly like the
-    // corpus. Direct curateDelta callers mutate nothing, so lazy is
-    // safe there.
-    val (auditFrame, auditRelease: (() => Unit)) =
-      if (!cfg.audit) (None, () => ())
-      else {
+    // corpus. Direct curateDelta callers mutate nothing, so the cached
+    // depth frame is safe there.
+    val (stats, auditFrame, auditRelease: (() => Unit)) =
+      if (!cfg.audit) {
+        val st0 = curated.sparkSession.createDataFrame(Seq(
+          (total, nExact, nNear, nClean)
+        )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
+          "nb_after_quality_decontam")
+        (st0, None, () => ())
+      } else {
         val handoffs: Seq[(String, DataFrame)] = Seq(
           "blocklist" -> admitted,
           "exact_dup" -> exact,
@@ -1224,24 +1247,37 @@ object CurateIncremental {
               Seq("chunk_empty" -> emitted.select(col(idCol)).distinct())
             case None => Seq.empty
           })
-        val ids = handoffs.map { case (n, f) =>
-          n -> f.select(col(idCol))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        val depth = Curate.fusedAudit(delta, idCol, handoffs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // THE one action of the audit path: the last-survived-depth
+        // histogram — materializes the cached depth frame (and every
+        // pipeline cache upstream of it) and prices every stage at once
+        val hist = depth.groupBy("__last").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val names = handoffs.map(_._1)
+        def after(stage: String): Long = {
+          val k = names.indexOf(stage) + 1
+          hist.filter(_._1 >= k).values.sum
         }
-        val dropped = (delta.select(col(idCol)) +: ids.map(_._2))
-          .zip(ids)
-          .map { case (prev, (stage, cur)) =>
-            prev.join(cur, Seq(idCol), "left_anti")
-              .withColumn("stage", lit(stage))
-          }
-        (Some(dropped
-          .reduce(_.unionByName(_))
-          .unionByName(ids.last._2.withColumn("stage", lit("survived")))),
-          () => ids.foreach(_._2.unpersist()))
+        val st0 = curated.sparkSession.createDataFrame(Seq(
+          (hist.values.sum, nExact, nNear, nClean)
+        )).toDF("nb_input", "nb_after_exact_dedup", "nb_after_near_dedup",
+          "nb_after_quality_decontam")
+        require(after("exact_dup") == nExact && after("near_dup") == nNear,
+          s"fused-audit histogram disagrees with the stage counts: " +
+            s"${after("exact_dup")}/${after("near_dup")} vs $nExact/$nNear")
+        // classic cache lifecycle, deferred past the fused pass: clean's
+        // cache is materialized now, so the upstream frames retire
+        // exactly as the audit-off counts retired them
+        exact.unpersist()
+        nearDeduped.unpersist()
+        (st0, Some(depth.select(col(idCol), col("stage"))),
+          () => { depth.unpersist(); () })
       }
     Curate.Result(emitted, stats,
       () => {
         clean.unpersist()
+        if (cfg.dsir.nonEmpty) { selected.unpersist(); () }
         if (entityPairs.nonEmpty) {
           resolved.unpersist(); ()
         }

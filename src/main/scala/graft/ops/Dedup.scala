@@ -362,36 +362,53 @@ object Dedup {
     // superseded round's blocks are unpersisted immediately — r3 ran a
     // second convergence-join job per round and accumulated up to 30 label
     // snapshots in block storage.
-    val edgesDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct()
     // snapshot the reliable-checkpoint flag ONCE for the whole loop
     // (ADVICE r13): a mid-loop conf flip must not mix cut mechanisms
     // within one invocation — recoverability is all-or-nothing per job
     val rel = Lineage.reliable(spark)
-    val edgesRdd = edgesDf.rdd
-    Lineage.mark(edgesRdd, rel) // lazy mark; the next action materializes it
-    val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
 
-    // r16 driver fast path: ONE count (which also materializes the edge
-    // cache the rounds would have warmed anyway) decides the route; a
-    // small integral-keyed pair set collects from the warm cache and
-    // union-finds on the driver — same (id, lbl=min) contract, a
-    // handful of jobs instead of ~3 per round. Long ids only: the
-    // driver ordering must equal Spark's `least`/`min`, which holds for
-    // integral types but not for every string collation.
+    // r17: pin the PAIR set before symmetrizing — the edge frame unions
+    // the pair plan with its swapped self, and Spark evaluates the two
+    // union branches independently, so an unpinned upstream (an entity
+    // probe, an LSH band walk) ran END TO END TWICE (q150 profiled 156
+    // AQE-stage jobs rooted at this line; half were the second
+    // evaluation). One count materializes the pinned pairs; everything
+    // downstream reads the cache.
+    val pairsDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val pairsRdd = pairsDf.rdd
+    Lineage.mark(pairsRdd, rel)
+    val nPairs = pairsRdd.count()
+    val pinned = spark.createDataFrame(pairsRdd, pairsDf.schema)
+
+    // r16 driver fast path, now decided on the RAW pair count (the
+    // union-find is orientation-blind, so the symmetrized+distinct edge
+    // frame never needs to exist on this route): a small integral-keyed
+    // pair set collects from the warm cache and union-finds on the
+    // driver — same (id, lbl=min) contract, a handful of jobs instead
+    // of ~3 per round. Long ids only: the driver ordering must equal
+    // Spark's `least`/`min`, which holds for integral types but not for
+    // every string collation.
     val isLongKeyed =
-      edgesDf.schema("a").dataType == org.apache.spark.sql.types.LongType
+      pairsDf.schema("a").dataType == org.apache.spark.sql.types.LongType
     val maxDriverEdges = spark.conf
       .getOption("spark.graft.components.driverMaxEdges")
       .flatMap(v => scala.util.Try(v.toLong).toOption) // malformed conf
       .getOrElse(DriverComponentsMaxEdges)             // falls back (ADVICE r16)
-    if (isLongKeyed && edgesRdd.count() <= maxDriverEdges) {
-      val collected = edgesRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edgesRdd.unpersist(blocking = false)
+    if (isLongKeyed && nPairs <= maxDriverEdges) {
+      val collected = pairsRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairsRdd.unpersist(blocking = false)
       import spark.implicits._
       return (driverComponents(collected).toDF("id", "lbl"), 0)
     }
+
+    val edgesDf = pinned
+      .unionByName(pinned.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val edgesRdd = edgesDf.rdd
+    Lineage.mark(edgesRdd, rel)
+    edgesRdd.count() // materialize once; the rounds read the cache
+    pairsRdd.unpersist(blocking = false)
+    val edges = spark.createDataFrame(edgesRdd, edgesDf.schema)
 
     val labels0 = edges.groupBy("a").agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("lbl"))
