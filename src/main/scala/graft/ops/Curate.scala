@@ -343,7 +343,10 @@ object Curate {
         val nd = Dedup.survivorsTransitive(exact, pairs, idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = nd.count()
-        exact.unpersist()
+        // audit=on keeps the cache alive: the fused audit's exact_dup
+        // branch reads it instead of re-running dedupCorpus (released
+        // in auditRelease)
+        if (!cfg.audit) { exact.unpersist(); () }
         (nd, n)
       }
 
@@ -360,7 +363,7 @@ object Curate {
           .filter(TextAnalysis.tokenCount(col(textCol)) > 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sd.count()
-        nearDeduped.unpersist()
+        if (!cfg.audit) { nearDeduped.unpersist(); () }
         sd
       case None => nearDeduped
     }
@@ -450,7 +453,10 @@ object Curate {
       .join(contaminated, quality(idCol) === col("__contaminated_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nClean = clean.count()
-    spanned.unpersist() // == nearDeduped when the span stage is off
+    // == nearDeduped when the span stage is off; with audit on the pin
+    // survives until auditRelease so the span/winnow audit branches read
+    // the cache instead of re-running the near-dedup machinery
+    if (!cfg.audit) { spanned.unpersist(); () }
 
     // 5.25 (opt-in) DSIR importance selection: keep docs by how
     // target-like their hashed-n-gram bag is under the supplied
@@ -527,10 +533,23 @@ object Curate {
             case None => Seq.empty
           })
         // fused walk (VERDICT r16 #1): one union + max-depth aggregation
-        // instead of one broadcast anti-join per stage — each handoff is
-        // read exactly once, so the per-stage id persists are gone too
-        (Some(fusedAudit(docs, idCol, handoffs)
-          .select(col(idCol), col("stage"))), () => ())
+        // instead of one broadcast anti-join per stage. Two pins make it
+        // byte-clean (q100's gate caught both regressions): the depth
+        // frame is PERSISTED (unpinned, every consumer re-ran all the
+        // handoff suffixes), and the exact/nearDeduped/spanned stage
+        // caches — already materialized by the recipe's own counts —
+        // stay alive until release, so the union's early branches read
+        // caches instead of re-running dedupCorpus/LSH/spanDedup (their
+        // exchanges were only reused WITHIN the audit job, doubling
+        // shuffle-read)
+        val depth = fusedAudit(docs, idCol, handoffs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (Some(depth.select(col(idCol), col("stage"))),
+          () => {
+            depth.unpersist()
+            exact.unpersist(); nearDeduped.unpersist(); spanned.unpersist()
+            ()
+          })
       }
     Result(emitted, stats,
       () => {
