@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the search face a
+  * training-data pipeline needs for query-driven curation (pull the
+  * documents most relevant to a capability probe), retrieval-based
+  * decontamination (find what a benchmark question would retrieve), and
+  * hard-negative mining against a lexical baseline.
+  *
+  * Scale shape (the reason this is phrased as three joins, not a UDF):
+  *
+  *  - ONE corpus-scale pass builds the postings frame (doc, term, tf, dl)
+  *    — the same partial+final count aggregate every engine's inverted
+  *    index starts from. Everything downstream is bounded by the QUERY
+  *    vocabulary, not the corpus: the postings are semi-joined against the
+  *    broadcast query-term set first, so df counting, per-query fan-out
+  *    and scoring all price |postings of query terms|, never |corpus|.
+  *  - df/N/avgdl come from the SAME pass (df from the restricted postings
+  *    — a term's postings ARE its document frequency; N and total token
+  *    count from a 1-row aggregate that broadcasts).
+  *  - the only corpus-scale shuffle is the postings groupBy; the scoring
+  *    aggregate shuffles (query, doc) pairs for matched docs only.
+  *
+  * Scoring is EXACT-ARITHMETIC BM25 (k1 = 1.2, b = 0.75), the engine's
+  * cross-engine-determinism discipline (see LlmQueries doc): the idf is
+  * the rational Robertson ratio (N − df + ½)/(df + ½) WITHOUT the log —
+  * strictly positive, strictly decreasing in df, so common terms damp
+  * exactly as BM25 intends while every per-term contribution stays the
+  * IEEE division of two exact integers:
+  *
+  *   contrib = [(2N − 2df + 1) · 22·tf·A] / [(2df + 1) · (10·A·tf + 3·A + 9·dl·N)]
+  *
+  * (A = total corpus tokens, dl = doc length; the second factor is
+  * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with avgdl = A/N put over the
+  * common denominator 10·A — no float appears before the final division).
+  * Per-(query, doc) scores sum those divisions as DECIMAL(28,12), so the
+  * aggregation is order-independent and ranking ties are impossible to
+  * drift across partitionings; ties on the exact score break by doc id.
+  * The RANKING runs on the exact decimal; the output `score` is its
+  * double cast (the engine's output-surface convention — decimal
+  * renderings disagree on trailing zeros across engines, doubles don't).
+  * Both factors accumulate in DECIMAL(38,0), never a wrappable Long
+  * (the DSIR margin discipline — at corpus scale 22·tf·A alone passes
+  * 2^63).
+  */
+object Retrieval {
+
+  /** (doc, term, tf, dl) postings + the restriction/scoring pipeline in
+    * one call: top-`k` docs per query by rational-BM25.
+    *
+    * `queries` is a SMALL frame (a probe set, a benchmark, a mined query
+    * log sample — thousands, not corpus-scale): it is broadcast twice
+    * (term set, then per-query terms) and duplicate terms within one
+    * query count once (bag-of-words queries are overwhelmingly sets; the
+    * dedup makes the scoring insensitive to query phrasing repeats).
+    *
+    * Output: (query id, doc id, n_matched, score double, rank),
+    * rank 1..k per query by (score desc, doc id asc). Queries matching
+    * nothing produce no rows. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val postings = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // 1-row corpus stats; broadcast into every contribution
+    val stats = base.agg(count(lit(1)).cast("long").as("__n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("__a"))
+
+    val qterms = queries
+      .select(col(qidCol), explode(TextAnalysis.tokens(col(qtextCol))).as("term"))
+      .distinct()
+    val qvocab = qterms.select("term").distinct()
+
+    // corpus-scale → query-vocabulary-bounded, ONCE (before the per-query
+    // fan-out, so df counts each posting exactly once)
+    val qpost = postings.join(broadcast(qvocab), Seq("term"))
+    val dfs = qpost.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val dec = "decimal(38,0)"
+    val num = (lit(2L) * col("__n") - lit(2L) * col("df") + lit(1L)).cast(dec) *
+      lit(22L).cast(dec) * col("tf").cast(dec) * col("__a").cast(dec)
+    val den = (lit(2L) * col("df") + lit(1L)).cast(dec) *
+      (lit(10L).cast(dec) * col("__a").cast(dec) * col("tf").cast(dec) +
+        lit(3L).cast(dec) * col("__a").cast(dec) +
+        lit(9L).cast(dec) * col("__dl").cast(dec) * col("__n").cast(dec))
+    val contrib = (num.cast("double") / den.cast("double"))
+      .cast("decimal(28,12)")
+
+    val scored = qpost
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(contrib).cast("decimal(38,12)").as("score"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("score", col("score").cast("double"))
+  }
+}

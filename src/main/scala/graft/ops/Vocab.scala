@@ -328,4 +328,21 @@ object Vocab {
         flatten(transform(TextAnalysis.tokens(col(textCol)), w => seg(w))))
       .withColumn("nb_bpe_tokens", size(col("bpe_tokens")))
   }
+
+  /** PRIORITY-semantics encode — the merge-list algorithm every deployed
+    * BPE tokenizer runs (repeatedly merge the lowest-RANK adjacent pair;
+    * see [[graft.functions.BpeEncodeExpr]]): the face to use on text the
+    * rules were NOT trained on. [[encode]] above replays rules in
+    * training order, one pass each — on the TRAINING corpus the two
+    * agree (a rule's operand tokens are produced only by strictly
+    * lower-rank rules, so rank order and training order coincide;
+    * property-tested in CatalystExtSpec), but on unseen text a low-rank
+    * rule whose operand appears only after a higher-rank merge fires
+    * must wait for it, which only the priority face honors. Codegen'd
+    * scalar kernel with a distinct-word memo — prices distinct words,
+    * not corpus tokens. Requires [[graft.plans.GraftExtensions]]
+    * installed (registers `graft_bpe_encode`). */
+  def encodePriority(text: Column, rules: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", text,
+      typedlit(rules.map(r => Seq(r._1, r._2))))
 }

@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before user-injected optimizer rules ever see the plan
     e.injectPostHocResolutionRule(_ => CollapseDeduplicate)
     e.injectFunction(graft.functions.SimHash64Expr.descriptor)
+    e.injectFunction(graft.functions.BpeEncodeExpr.descriptor)
     e.injectFunction(graft.functions.BloomMightContain.descriptor)
     e.injectFunction(graft.functions.NfcNormalize.descriptor)
     graft.functions.SqlFunctions.all.foreach(e.injectFunction)
@@ -52,6 +53,7 @@ object GraftExtensions {
     * a live session's analyzer is already constructed.) */
   def install(spark: SparkSession): Unit = {
     (graft.functions.SimHash64Expr.descriptor +:
+        graft.functions.BpeEncodeExpr.descriptor +:
         graft.functions.BloomMightContain.descriptor +:
         graft.functions.NfcNormalize.descriptor +:
         graft.functions.SqlFunctions.all)

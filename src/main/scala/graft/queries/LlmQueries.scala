@@ -29,6 +29,16 @@ object LlmQueries {
   val MixtureFractions: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap
 
+  /** q156 probe queries, shared by the Spark frame and the oracle's
+    * VALUES list: common terms, a rare dominating term, a 4-term query,
+    * absent terms, and the df≈N stopword pair. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join fast",
+    2L -> "dup scan",
+    3L -> "window sort stream table",
+    4L -> "vector plan quantum",
+    5L -> "the a")
+
   /** q83 target token shares (pre-normalization): even-indexed sources
     * 3×, odd 1× — shared by the Spark query and the interpolated oracle
     * CASE (which mirrors the w/Σw division itself, `3.0/40.0`, so both
@@ -2788,8 +2798,86 @@ object LlmQueries {
         .agg(countDistinct(col("url")).as("n_spellings"),
           count(lit(1)).as("n_raw"))
         .orderBy("canonical_url")
+    }),
+
+    // Rational-BM25 top-k retrieval (ops/Retrieval.scala): the lexical
+    // search face — query-driven curation, retrieval decontamination,
+    // hard-negative mining. The probe set spans the interesting df
+    // regimes: all-common terms, a rare term ('dup', df≪N) that must
+    // dominate its query's ranking, a 4-term query, absent terms
+    // (contribute nothing), and the stopword pair (the rational idf
+    // damps df≈N toward zero, exactly like log-idf, without a float
+    // before the final division). The oracle replays postings, df, the
+    // integer numerator/denominator and the DECIMAL(28,12)-summed
+    // scores verbatim.
+    "q156_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val qs = Bm25Queries.toDF("query_id", "qtext")
+      graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PRIORITY-semantics BPE encode closing the tokenizer loop: train 6
+    // merges on the corpus (q117's exact trace), then tokenize a doc
+    // subset with [[graft.functions.BpeEncodeExpr]] — repeatedly merge
+    // the lowest-RANK adjacent pair, the algorithm every deployed BPE
+    // tokenizer runs (rule 6 merges (m, er) ON TOP of rule 1's 'er', so
+    // rank recursion is genuinely exercised). The oracle chains q117's
+    // training CTEs into a recursive priority-merge replay: per step,
+    // look up every adjacent pair's rank in the trained map, merge all
+    // left-to-right occurrences of the best pair, recurse to fixpoint,
+    // then explode tokens with positions.
+    "q157_bpe_encode" -> ((s, dir) => {
+      graft.plans.GraftExtensions.install(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val trace = Vocab.bpeTrainTrace(docs, "text", merges = 6)
+      require(trace.size == 6, s"q157 expects 6 merges (got ${trace.size})")
+      val rules = trace.map(t => (t._2, t._3))
+      docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"),
+          posexplode(Vocab.encodePriority(col("text"), rules)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "pos")
     })
   )
+
+  /** q117/q157 shared oracle scaffolding: the 6-round BPE training CTE
+    * chain over the corpus word table — w0..w6 segmentation states,
+    * m1..m6 chosen merges, s1..s6 trace rows (unreferenced CTEs are not
+    * evaluated, so q157 paying only for the w/m chain is free). Callers
+    * splice it after WITH / WITH RECURSIVE and append their own CTEs. */
+  private val BpeTrainStagesSql: String = {
+    val stages = (1 to 6).map { k =>
+      s"""p$k AS (
+         |  SELECT u.p.a AS a, u.p.b AS b, CAST(sum(w.freq) AS BIGINT) AS pair_count
+         |  FROM w${k - 1} w, unnest(list_transform(range(1, len(w.syms)),
+         |    i -> {'a': w.syms[i], 'b': w.syms[i+1]})) AS u(p)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, pair_count FROM p$k ORDER BY pair_count DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    list_filter(string_split(list_reduce(list_prepend('', w.syms),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.a) AND x = m.b
+         |                  THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+         |                  ELSE acc || chr(1) || x END), chr(1)), s2 -> s2 != '') AS syms
+         |  FROM w${k - 1} w, m$k m),
+         |s$k AS (SELECT CAST($k AS INT) AS rank, m.a, m.b, m.pair_count,
+         |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$k) AS nb_symbols FROM m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
+       |  FROM documents),
+       |wt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word, freq,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM wt),
+       |$stages""".stripMargin
+  }
 
   /** DuckDB oracle SQL — each mirrors the Spark formula exactly (same
     * hash inputs, same division order, same tie-breaks). */
@@ -5273,32 +5361,8 @@ object LlmQueries {
     // it cannot occur in a symbol). MATERIALIZED pins each stage to one
     // evaluation — inlined CTEs would re-run the chain exponentially.
     "q117_bpe_train" -> {
-      val stages = (1 to 6).map { k =>
-        s"""p$k AS (
-           |  SELECT u.p.a AS a, u.p.b AS b, CAST(sum(w.freq) AS BIGINT) AS pair_count
-           |  FROM w${k - 1} w, unnest(list_transform(range(1, len(w.syms)),
-           |    i -> {'a': w.syms[i], 'b': w.syms[i+1]})) AS u(p)
-           |  GROUP BY 1, 2),
-           |m$k AS MATERIALIZED (SELECT a, b, pair_count FROM p$k ORDER BY pair_count DESC, a, b LIMIT 1),
-           |w$k AS MATERIALIZED (
-           |  SELECT w.word, w.freq,
-           |    list_filter(string_split(list_reduce(list_prepend('', w.syms),
-           |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.a) AND x = m.b
-           |                  THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
-           |                  ELSE acc || chr(1) || x END), chr(1)), s2 -> s2 != '') AS syms
-           |  FROM w${k - 1} w, m$k m),
-           |s$k AS (SELECT CAST($k AS INT) AS rank, m.a, m.b, m.pair_count,
-           |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$k) AS nb_symbols FROM m$k m)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to 6).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
-      s"""WITH tok AS (
-         |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
-         |  FROM documents),
-         |wt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
-         |w0 AS MATERIALIZED (SELECT word, freq,
-         |  list_transform(range(1, length(word) + 1),
-         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM wt),
-         |$stages
+      s"""WITH $BpeTrainStagesSql
          |$union ORDER BY rank""".stripMargin
     },
 
@@ -6675,6 +6739,103 @@ object LlmQueries {
         |SELECT canonical_url,
         |       CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
         |       CAST(count(*) AS BIGINT) AS n_raw
-        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    "q156_bm25_topk" -> {
+      val values = Bm25Queries.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $values),
+         |docs AS (SELECT doc_id, lower(text) AS text FROM documents),
+         |base AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> t != '') AS toks FROM docs),
+         |post AS (
+         |  SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |          unnest(toks) AS t FROM base)
+         |  GROUP BY 1, 2, 3),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS a FROM base),
+         |qterms AS (SELECT DISTINCT query_id, t AS term
+         |  FROM (SELECT query_id,
+         |    unnest(list_filter(string_split(qtext, ' '), t -> t != '')) AS t
+         |    FROM q)),
+         |qvocab AS (SELECT DISTINCT term FROM qterms),
+         |qpost AS (SELECT p.* FROM post p JOIN qvocab v USING (term)),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM qpost GROUP BY 1),
+         |contrib AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |    CAST(CAST(2 * s.n - 2 * d.df + 1 AS HUGEINT)
+         |           * 22 * p.tf * s.a AS DOUBLE)
+         |    / CAST(CAST(2 * d.df + 1 AS HUGEINT)
+         |           * (CAST(10 AS HUGEINT) * s.a * p.tf
+         |              + 3 * s.a + 9 * p.dl * s.n) AS DOUBLE) AS c
+         |  FROM qpost p
+         |  JOIN qterms qt USING (term)
+         |  JOIN dfs d USING (term), stats s),
+         |scored AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    CAST(sum(CAST(c AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS score
+         |  FROM contrib GROUP BY 1, 2),
+         |ranked AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, n_matched,
+         |  CAST(score AS DOUBLE) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q157_bpe_encode" -> {
+      val rulesUnion = (1 to 6)
+        .map(k => s"SELECT $k AS rank, a, b FROM m$k").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $BpeTrainStagesSql,
+         |rules AS MATERIALIZED ($rulesUnion),
+         |rmap AS MATERIALIZED (SELECT
+         |  map(list(a || chr(1) || b ORDER BY rank),
+         |      list(rank ORDER BY rank)) AS rm,
+         |  map(list(rank ORDER BY rank),
+         |      list({'a': a, 'b': b} ORDER BY rank)) AS pm
+         |  FROM rules),
+         |enc_docs AS (SELECT doc_id, lower(text) AS txt
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |wrds AS (SELECT doc_id, i AS widx, ws[i] AS word
+         |  FROM (SELECT doc_id, string_split(txt, ' ') AS ws FROM enc_docs),
+         |       unnest(range(1, len(ws) + 1)) AS t(i)
+         |  WHERE ws[i] != ''),
+         |e0 AS (SELECT doc_id, widx,
+         |  list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, 0 AS step
+         |  FROM wrds),
+         |enc AS (
+         |  SELECT * FROM e0
+         |  UNION ALL
+         |  SELECT doc_id, widx,
+         |    list_filter(string_split(list_reduce(list_prepend('', syms),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || pa) AND x = pb
+         |                  THEN substr(acc, 1, length(acc) - length(pa)) || pa || pb
+         |                  ELSE acc || chr(1) || x END), chr(1)),
+         |      s2 -> s2 != '') AS syms,
+         |    step + 1
+         |  FROM (
+         |    SELECT e.doc_id, e.widx, e.syms, e.step,
+         |      map_extract(r.pm, best)[1].a AS pa,
+         |      map_extract(r.pm, best)[1].b AS pb
+         |    FROM (
+         |      SELECT e2.*, list_min(list_filter(list_transform(
+         |          range(1, len(e2.syms)),
+         |          i -> map_extract(r2.rm,
+         |                 e2.syms[i] || chr(1) || e2.syms[i+1])[1]),
+         |        v -> v IS NOT NULL)) AS best
+         |      FROM enc e2, rmap r2) e, rmap r
+         |    WHERE e.best IS NOT NULL)),
+         |fin AS (SELECT doc_id, widx, arg_max(syms, step) AS syms
+         |  FROM enc GROUP BY 1, 2),
+         |toks AS (SELECT doc_id, widx, i AS sidx, syms[i] AS token
+         |  FROM fin, unnest(range(1, len(syms) + 1)) AS t(i))
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY widx, sidx) AS BIGINT) AS pos, token
+         |FROM toks ORDER BY doc_id, pos""".stripMargin
+    }
   )
 }

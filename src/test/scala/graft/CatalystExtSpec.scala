@@ -247,4 +247,63 @@ class CatalystExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("integer literal"),
       s"literal guard missing: ${e2.getMessage}")
   }
+
+  test("BpeEncodeExpr: PRIORITY semantics, not one pass per rule") {
+    GraftExtensions.install(spark)
+    import graft.ops.Vocab
+    // rank-0 ("cd","b") can only fire AFTER rank-1 ("c","d") creates its
+    // operand: priority gives [cdb]; a sequential training-order replay
+    // (Vocab.encode) leaves [cd, b] — the distinction this face exists for
+    val rules = Seq(("cd", "b"), ("c", "d"))
+    val df = Seq("cdb").toDF("text")
+    val prio = df.select(Vocab.encodePriority(col("text"), rules).as("t"))
+      .as[Seq[String]].head()
+    assert(prio == Seq("cdb"), s"priority face gave $prio")
+    val seqn = df.select(col("text")).withColumn("text", col("text"))
+    val folded = Vocab.encode(seqn, "text", rules)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    assert(folded == Seq("cd", "b"), s"sequential face gave $folded")
+  }
+
+  test("BpeEncodeExpr: overlap runs, multi-space, empty, multibyte, null") {
+    GraftExtensions.install(spark)
+    import graft.ops.Vocab
+    val aa = Seq(("a", "a"))
+    def enc(text: String, rules: Seq[(String, String)]): Option[Seq[String]] = {
+      val r = Seq(Option(text)).toDF("text")
+        .select(Vocab.encodePriority(col("text"), rules).as("t"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0))
+    }
+    // left-to-right non-overlapping: aaa -> [aa, a]; aaaa -> [aa, aa]
+    assert(enc("aaa x aaaa", aa).contains(Seq("aa", "a", "x", "aa", "aa")))
+    assert(enc("  ", aa).contains(Seq.empty))
+    assert(enc("", aa).contains(Seq.empty))
+    assert(enc(null, aa).isEmpty, "NULL text must stay NULL")
+    // codepoint symbols: 'é' is one symbol, not two UTF-16/UTF-8 units
+    assert(enc("éé ß", Seq(("é", "é")))
+      .contains(Seq("éé", "ß")))
+    // rules can chain onto merged tokens within one word
+    assert(enc("cdb cd b", Seq(("cd", "b"), ("c", "d")))
+      .contains(Seq("cdb", "cd", "b")))
+  }
+
+  test("BpeEncodeExpr equals the training-order fold on the trained corpus") {
+    GraftExtensions.install(spark)
+    import graft.ops.Vocab
+    // training invariant: a rule's operand tokens are produced only by
+    // strictly lower-rank rules, so rank order == training order and the
+    // two faces agree on every word the rules were trained on
+    val docs = graft.sources.Testdata
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(lower(col("text")).as("text"))
+    val rules = Vocab.bpeTrain(docs, "text", merges = 6)
+    assert(rules.size == 6)
+    val both = Vocab.encode(docs, "text", rules)
+      .withColumn("prio", Vocab.encodePriority(col("text"), rules))
+    assert(both.filter(not(col("bpe_tokens") === col("prio"))).count() == 0)
+    // and the kernel went through whole-stage codegen, not an eval fallback
+    val planStr = both.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_bpe_encode"))
+  }
 }
