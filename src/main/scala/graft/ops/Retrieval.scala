@@ -73,17 +73,29 @@ object Retrieval {
     // 1-row corpus stats; broadcast into every contribution
     val stats = base.agg(count(lit(1)).cast("long").as("__n"),
       coalesce(sum(col("__dl")), lit(0L)).as("__a"))
-
-    val qterms = queries
-      .select(col(qidCol), explode(TextAnalysis.tokens(col(qtextCol))).as("term"))
-      .distinct()
-    val qvocab = qterms.select("term").distinct()
-
+    val qterms = queryTerms(queries, qidCol, qtextCol)
     // corpus-scale → query-vocabulary-bounded, ONCE (before the per-query
     // fan-out, so df counts each posting exactly once)
-    val qpost = postings.join(broadcast(qvocab), Seq("term"))
-    val dfs = qpost.groupBy("term").agg(count(lit(1)).as("df"))
+    val qpost = postings.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"))
+    rankMatches(qpost, idCol, qterms, qidCol, stats, k)
+  }
 
+  /** (query id, term) DISTINCT — the query side of every face. */
+  private[ops] def queryTerms(queries: DataFrame, qidCol: String,
+                              qtextCol: String): DataFrame =
+    queries
+      .select(col(qidCol), explode(TextAnalysis.tokens(col(qtextCol))).as("term"))
+      .distinct()
+
+  /** Scoring tail shared by [[bm25TopK]] and [[RetrievalState.probe]]:
+    * `qpost` is the query-vocabulary-restricted postings frame
+    * (`idCol`, `__dl`, term, tf) — ONE row per (doc, query term), so df
+    * is a plain count — and `stats` a 1-row (`__n`, `__a`) frame. */
+  private[ops] def rankMatches(qpost: DataFrame, idCol: String,
+                               qterms: DataFrame, qidCol: String,
+                               stats: DataFrame, k: Int): DataFrame = {
+    val dfs = qpost.groupBy("term").agg(count(lit(1)).as("df"))
     val dec = "decimal(38,0)"
     val num = (lit(2L) * col("__n") - lit(2L) * col("df") + lit(1L)).cast(dec) *
       lit(22L).cast(dec) * col("tf").cast(dec) * col("__a").cast(dec)
@@ -93,7 +105,6 @@ object Retrieval {
         lit(9L).cast(dec) * col("__dl").cast(dec) * col("__n").cast(dec))
     val contrib = (num.cast("double") / den.cast("double"))
       .cast("decimal(28,12)")
-
     val scored = qpost
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))

@@ -2843,6 +2843,35 @@ object LlmQueries {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
           col("col").as("token"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // Persisted inverted-index probe (ops/RetrievalState.scala): evens
+    // bootstrap the index, odds arrive as delta 'd1' through the
+    // exactly-once marker+ledger append (the construction REPLAYS the
+    // delta and requires the no-op — a doc indexed twice would double
+    // its tf and df), then the probe answers from the term-bucketed
+    // postings + counter-state stats alone. The oracle is q156's batch
+    // SQL VERBATIM over the full corpus: the state face must reproduce
+    // the batch answer bit-for-bit or the hash gate fails.
+    "q158_bm25_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val fixture = cachedFixture("q158", dir) { root =>
+        graft.ops.RetrievalState.build(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", root, buckets = 8)
+        val landed = graft.ops.RetrievalState.appendExactlyOnce(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", root, "d1")
+        require(landed, "q158 delta must land")
+        val replay = graft.ops.RetrievalState.appendExactlyOnce(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", root, "d1")
+        require(!replay, "q158 replayed delta must no-op (exactly-once)")
+      }
+      graft.ops.RetrievalState.probe(Bm25Queries.toDF("query_id", "qtext"),
+          "query_id", "qtext", fixture, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .select("query_id", "doc_id", "n_matched", "score", "rank")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2877,6 +2906,54 @@ object LlmQueries {
        |  list_transform(range(1, length(word) + 1),
        |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM wt),
        |$stages""".stripMargin
+  }
+
+  /** q156/q158 shared oracle: rational-BM25 over the WHOLE documents
+    * table — the batch answer the state face must reproduce bit-for-bit
+    * (q158's construction is evens-bootstrap + odds-delta + replayed
+    * no-op, whose indexed union is exactly this corpus). */
+  private val Bm25BatchOracleSql: String = {
+    val values = Bm25Queries.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |docs AS (SELECT doc_id, lower(text) AS text FROM documents),
+       |base AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), t -> t != '') AS toks FROM docs),
+       |post AS (
+       |  SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |          unnest(toks) AS t FROM base)
+       |  GROUP BY 1, 2, 3),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS a FROM base),
+       |qterms AS (SELECT DISTINCT query_id, t AS term
+       |  FROM (SELECT query_id,
+       |    unnest(list_filter(string_split(qtext, ' '), t -> t != '')) AS t
+       |    FROM q)),
+       |qvocab AS (SELECT DISTINCT term FROM qterms),
+       |qpost AS (SELECT p.* FROM post p JOIN qvocab v USING (term)),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM qpost GROUP BY 1),
+       |contrib AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    CAST(CAST(2 * s.n - 2 * d.df + 1 AS HUGEINT)
+       |           * 22 * p.tf * s.a AS DOUBLE)
+       |    / CAST(CAST(2 * d.df + 1 AS HUGEINT)
+       |           * (CAST(10 AS HUGEINT) * s.a * p.tf
+       |              + 3 * s.a + 9 * p.dl * s.n) AS DOUBLE) AS c
+       |  FROM qpost p
+       |  JOIN qterms qt USING (term)
+       |  JOIN dfs d USING (term), stats s),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(CAST(c AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, n_matched,
+       |  CAST(score AS DOUBLE) AS score, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB oracle SQL — each mirrors the Spark formula exactly (same
@@ -6741,49 +6818,11 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS n_raw
         |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
-    "q156_bm25_topk" -> {
-      val values = Bm25Queries.map { case (id, t) =>
-        s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
-      s"""WITH q(query_id, qtext) AS (VALUES $values),
-         |docs AS (SELECT doc_id, lower(text) AS text FROM documents),
-         |base AS (SELECT doc_id,
-         |  list_filter(string_split(text, ' '), t -> t != '') AS toks FROM docs),
-         |post AS (
-         |  SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |          unnest(toks) AS t FROM base)
-         |  GROUP BY 1, 2, 3),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS a FROM base),
-         |qterms AS (SELECT DISTINCT query_id, t AS term
-         |  FROM (SELECT query_id,
-         |    unnest(list_filter(string_split(qtext, ' '), t -> t != '')) AS t
-         |    FROM q)),
-         |qvocab AS (SELECT DISTINCT term FROM qterms),
-         |qpost AS (SELECT p.* FROM post p JOIN qvocab v USING (term)),
-         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM qpost GROUP BY 1),
-         |contrib AS (
-         |  SELECT qt.query_id, p.doc_id,
-         |    CAST(CAST(2 * s.n - 2 * d.df + 1 AS HUGEINT)
-         |           * 22 * p.tf * s.a AS DOUBLE)
-         |    / CAST(CAST(2 * d.df + 1 AS HUGEINT)
-         |           * (CAST(10 AS HUGEINT) * s.a * p.tf
-         |              + 3 * s.a + 9 * p.dl * s.n) AS DOUBLE) AS c
-         |  FROM qpost p
-         |  JOIN qterms qt USING (term)
-         |  JOIN dfs d USING (term), stats s),
-         |scored AS (
-         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched,
-         |    CAST(sum(CAST(c AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS score
-         |  FROM contrib GROUP BY 1, 2),
-         |ranked AS (SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT query_id, doc_id, n_matched,
-         |  CAST(score AS DOUBLE) AS score, rank
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "q156_bm25_topk" -> Bm25BatchOracleSql,
+
+    // the state face must reproduce the batch answer over the union —
+    // its oracle IS the batch SQL
+    "q158_bm25_incremental" -> Bm25BatchOracleSql,
 
     "q157_bpe_encode" -> {
       val rulesUnion = (1 to 6)

@@ -99,6 +99,140 @@ class RetrievalSpec extends SparkSpec {
     assert(got.length == 2 && got.map(_.getInt(4)).sorted.toSeq == Seq(1, 2))
   }
 
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-retrieval-$tag-").toString
+
+  test("RetrievalState: bootstrap + append probes == batch bm25TopK of the union") {
+    import graft.ops.RetrievalState
+    val root = tmpRoot("union")
+    val docs = corpus.toDF("doc_id", "text")
+    RetrievalState.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root, buckets = 4)
+    assert(RetrievalState.appendExactlyOnce(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", root, "d1"))
+    val queries = Seq((1L, "cat mat"), (2L, "zebra the"), (3L, "dog"))
+      .toDF("query_id", "qtext")
+    val fromState = RetrievalState.probe(queries, "query_id", "qtext", root)
+      .withColumnRenamed("id", "doc_id")
+    val batch = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext")
+    val key = Seq("query_id", "doc_id", "n_matched", "score", "rank")
+    assert(fromState.select(key.map(col): _*).collect().toSet ==
+      batch.select(key.map(col): _*).collect().toSet)
+  }
+
+  test("RetrievalState: replay no-ops; crash between append and ledger repairs") {
+    import graft.ops.RetrievalState
+    val root = tmpRoot("crash")
+    val docs = corpus.toDF("doc_id", "text")
+    RetrievalState.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root, buckets = 4)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    // crash AFTER the postings append + stats fold, BEFORE the ledger
+    intercept[RuntimeException] {
+      RetrievalState.appendHooked(delta, "doc_id", "text", root, "d1",
+        None, () => throw new RuntimeException("boom"))
+    }
+    // the re-run repairs (rolls the unledgered postings back) and lands
+    // the delta exactly once — tf/df undoubled, scores == batch
+    assert(RetrievalState.appendExactlyOnce(delta, "doc_id", "text", root, "d1"))
+    assert(!RetrievalState.appendExactlyOnce(delta, "doc_id", "text", root, "d1"),
+      "ledgered replay must no-op")
+    val queries = Seq((1L, "the dog zebra")).toDF("query_id", "qtext")
+    val key = Seq("query_id", "doc_id", "n_matched", "score", "rank")
+    val fromState = RetrievalState.probe(queries, "query_id", "qtext", root)
+      .withColumnRenamed("id", "doc_id").select(key.map(col): _*)
+    val batch = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext").select(key.map(col): _*)
+    assert(fromState.collect().toSet == batch.collect().toSet)
+  }
+
+  test("RetrievalState: compact bounds files, probe identical before/after") {
+    import graft.ops.RetrievalState
+    val root = tmpRoot("compact")
+    val docs = corpus.toDF("doc_id", "text")
+    RetrievalState.build(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", root, buckets = 2)
+    (2L to 5L).foreach { i =>
+      RetrievalState.appendExactlyOnce(docs.filter(col("doc_id") === i),
+        "doc_id", "text", root, f"d$i%03d")
+    }
+    val queries = Seq((1L, "the dog cat zebra mat")).toDF("query_id", "qtext")
+    val before = RetrievalState.probe(queries, "query_id", "qtext", root)
+      .collect().toSet
+    val fpbBefore = RetrievalState.filesPerBucket(spark, root)
+    assert(fpbBefore > 1.0, s"5 appends should leave multi-file buckets: $fpbBefore")
+    assert(RetrievalState.maybeCompact(spark, root, maxFilesPerBucket = 1))
+    assert(RetrievalState.filesPerBucket(spark, root) <= 1.0)
+    val after = RetrievalState.probe(queries, "query_id", "qtext", root)
+      .collect().toSet
+    assert(before == after, "compaction must not change probe results")
+  }
+
+  test("RetrievalState: probe plans zero state-side exchange") {
+    import graft.ops.RetrievalState
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = tmpRoot("plan")
+    val docs = graft.sources.Testdata
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    RetrievalState.build(docs, "doc_id", "text", root, buckets = 4)
+    val out = RetrievalState.probe(
+      Seq((1L, "spark join fast"), (2L, "dup scan")).toDF("query_id", "qtext"),
+      "query_id", "qtext", root)
+    assert(out.count() > 0)
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ self.flatMap(_.children.flatMap(expand))
+    }
+    val nodes = expand(out.queryExecution.executedPlan)
+    // every exchange above the state carries query-vocab-BOUNDED rows,
+    // never the raw corpus: each state scan must have the In(term)
+    // pushdown (so matched postings are filtered AT the scan), and no
+    // join may shuffle the state side (all joins broadcast)
+    val stateScans = nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("bm25_state/postings")) => s
+    }
+    assert(stateScans.nonEmpty)
+    // the vocabulary filter must reach the scan as a parquet pushdown OR
+    // as bucket pruning on the bucket column (strictly fewer buckets
+    // selected than exist) — either way, non-matching state never loads
+    stateScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "").contains("In(term")
+      val pruned = s.optionalBucketSet.exists(bs =>
+        bs.cardinality() < s.relation.bucketSpec.map(_.numBuckets).getOrElse(0))
+      assert(pushed || pruned,
+        s"vocab filter never reached the scan: ${s.metadata}")
+    }
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val shuffleJoins = nodes.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.isEmpty,
+      s"probe joins must broadcast: ${shuffleJoins.map(_.nodeName)}")
+    // df aggregation (groupBy term) rides the term bucketing: no exchange
+    // may sit between a state scan and the first aggregate above it
+    val badAggShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if expand(e.child).exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("bm25_state/postings"))
+          case _ => false
+        } && !expand(e.child).exists(
+          _.nodeName.toLowerCase.contains("aggregate")) => e
+    }
+    assert(badAggShuffles.isEmpty,
+      "an exchange carries un-aggregated state rows: the bucketed scan " +
+        s"was not used (${badAggShuffles.map(_.nodeName)})")
+  }
+
   test("plan shape: every join broadcasts — no corpus-side join shuffle") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
