@@ -39,9 +39,8 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/
-    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/nb/inc); no
-    // flag
-    // runs everything
+    // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/nb/bm25/
+    // inc); no flag runs everything
     val onlyFlags = args.filter(_.startsWith("--only-"))
       .map(_.stripPrefix("--only-")).toSet
     def runSection(name: String): Boolean =
@@ -622,6 +621,59 @@ object ScaleStress {
       }
       println(f"FSTATE ${m}x deltaNames=$nd stateMiB=$stateMiB%.2f " +
         f"appendWriteMiB=${dirMiB(stateDir) - stateMiB}%.3f")
+      delta.unpersist(); d.unpersist()
+    }
+
+    // BM25 inverted-index state (r17): the corpus pass is paid at build;
+    // a FIXED delta appends at delta-bounded cost however large the
+    // state; a probe whose query vocabulary matches a FIXED doc subset
+    // (the copy-1 marker tokens — the same count at every m ≥ 2) stays
+    // flat as the state multiplies, because matched postings, not corpus
+    // size, price the probe (bucket pruning + In pushdown at the scan).
+    // A common-term probe grows with its matched set BY DESIGN — scoring
+    // visits every doc containing a query term; that lane documents the
+    // inherent term, not a leak.
+    if (runSection("bm25")) mults.foreach { m =>
+      import graft.ops.RetrievalState
+      import spark.implicits._
+      val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"=== bm25 state ${m}x: ${d.count()} docs ===")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stress-").toString
+      phase(s"${m}x_bm25_build") {
+        RetrievalState.build(d, "doc_id", "text", root)
+        d.count()
+      }
+      val stateMiB = dirMiB(s"$root/bm25_state")
+      def runProbe(qs: Seq[(Long, String)]): Long = {
+        // aggregate over the SCORES (verify-skill gotcha: a bare count
+        // lets Catalyst prune the scoring expressions entirely)
+        val r = RetrievalState.probe(qs.toDF("query_id", "qtext"),
+            "query_id", "qtext", root, k = 10)
+          .agg(count(lit(1)), sum(col("score"))).head()
+        require(!r.isNullAt(1) || r.getLong(0) == 0L)
+        r.getLong(0)
+      }
+      phase(s"${m}x_bm25_probe_fixed_vocab") {
+        runProbe(Seq((1L, "copymark1 tag1")))
+      }
+      phase(s"${m}x_bm25_probe_common_vocab") {
+        runProbe(Seq((1L, "spark join fast"), (2L, "window scan")))
+      }
+      // fixed delta regardless of m: re-id'd base slice + a novel term
+      val base = graft.sources.Testdata.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val delta = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 800000000L).as("doc_id"),
+          concat(col("text"), lit(" zzqfresh")).as("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nd = delta.count()
+      phase(s"${m}x_bm25_append_fixed_delta") {
+        RetrievalState.appendExactlyOnce(delta, "doc_id", "text", root, "sd1")
+        nd
+      }
+      println(f"BM25 ${m}x deltaDocs=$nd stateMiB=$stateMiB%.2f " +
+        f"appendWriteMiB=${dirMiB(s"$root/bm25_state") - stateMiB}%.3f")
       delta.unpersist(); d.unpersist()
     }
 
