@@ -636,6 +636,38 @@ object Streaming {
       }
       .start()
 
+  /** Stream → persisted BM25 inverted index (the
+    * [[graft.ops.RetrievalState]] streaming face, r17): each
+    * micro-batch's documents tokenize map-side and append to the
+    * term-bucketed postings + counter-state stats, so the index answers
+    * [[graft.ops.RetrievalState.probe]] with every streamed doc after
+    * each batch — no corpus rescan, ever.
+    *
+    * Replay safety: duplicate postings are NOT harmless (a doc indexed
+    * twice doubles its tf AND inflates every shared term's df, skewing
+    * ALL scores), so each batch lands through
+    * [[graft.ops.RetrievalState.appendExactlyOnce]] keyed on the
+    * zero-padded batch id — at-least-once delivery, exactly-once
+    * postings and stats (StreamingSpec pins streamed probes == the
+    * batch bm25TopK of everything streamed, and zero new postings on
+    * replay). `autoCompact = Some(t)` bounds the postings at t files
+    * per bucket for the stream's life. */
+  def bm25AppendSink(stream: DataFrame, idCol: String, textCol: String,
+                     root: String, checkpointDir: String,
+                     autoCompact: Option[Int] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.RetrievalState.appendExactlyOnce(
+            batch.select(col(idCol), col(textCol)), idCol, textCol, root,
+            f"stream-$batchId%09d", autoCompact)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming face of [[graft.ops.Monitor.embeddingDrift]]: per
     * micro-batch, the embedding column's distribution is compared
     * against a STATIC reference corpus — encoder-version regressions

@@ -525,6 +525,56 @@ class StreamingSpec extends SparkSpec {
       s"crash replay must land the batch exactly once: $after")
   }
 
+  test("bm25AppendSink: exactly-once postings, probes == batch over the streamed union") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Retrieval, RetrievalState}
+    val words = Seq("spark", "join", "fast", "scan", "table", "window",
+      "stream", "dup", "the", "vector")
+    def text(i: Long): String =
+      (0 until 8).map(j => words(((i * 7 + j * 3 + 1) % 10).toInt)).mkString(" ")
+    def docs(ids: Seq[Long]) = ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    def postingsSet(root: String) = spark.read
+      .parquet(s"$root/bm25_state/postings")
+      .select(col("term"), col("id"), col("tf")).as[(String, Long, Long)]
+      .collect().toSeq.sorted
+
+    val root = java.nio.file.Files.createTempDirectory("graft-bmsink-").toString
+    RetrievalState.build(docs(1L to 20L), "doc_id", "text", root, buckets = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bmsink-c-").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streaming.bm25AppendSink(ms.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", root, ckpt, autoCompact = Some(2))
+    val queries = Seq((1L, "dup scan"), (2L, "spark the")).toDF("query_id", "qtext")
+    val batches = Seq(21L to 30L, 31L to 40L, 41L to 50L)
+    try {
+      batches.foreach { ids =>
+        ms.addData(ids.map(i => (i, text(i))): _*)
+        q.processAllAvailable()
+        assert(RetrievalState.probe(queries, "query_id", "qtext", root)
+          .count() > 0, s"index not probe-able after batch $ids")
+      }
+    } finally q.stop()
+
+    // streamed probes == the batch face over everything streamed
+    val key = Seq("query_id", "doc_id", "n_matched", "score", "rank")
+    val fromState = RetrievalState.probe(queries, "query_id", "qtext", root)
+      .withColumnRenamed("id", "doc_id").select(key.map(col): _*)
+    val batch = Retrieval.bm25TopK(docs(1L to 50L), "doc_id", "text",
+      queries, "query_id", "qtext").select(key.map(col): _*)
+    assert(fromState.collect().toSet == batch.collect().toSet,
+      "streamed index diverged from the batch recompute")
+
+    // a replayed (already-ledgered) batch lands ZERO new postings
+    val before = postingsSet(root)
+    assert(!RetrievalState.appendExactlyOnce(docs(21L to 30L),
+      "doc_id", "text", root, "stream-000000000"), "ledgered replay must no-op")
+    assert(postingsSet(root) == before, "replay landed new postings")
+
+    // autoCompact held the stream's postings file count bounded
+    assert(RetrievalState.filesPerBucket(spark, root) <= 2.0,
+      s"autoCompact must bound files: ${RetrievalState.filesPerBucket(spark, root)}")
+  }
+
   test("curateSink with vecCol: micro-batches run the embedding stage against persisted state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ops.CurateIncremental
