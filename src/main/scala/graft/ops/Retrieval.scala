@@ -118,4 +118,78 @@ object Retrieval {
       .filter(col("rank") <= k)
       .withColumn("score", col("score").cast("double"))
   }
+
+  /** Exact TERM-FREQUENCY cosine self-join: every unordered doc pair
+    * whose tf-vector cosine meets `tNum/tDen` — the weighted sibling of
+    * [[Dedup.exactJaccardPairs]] (set Jaccard is blind to repetition:
+    * a doc and its text doubled share the same token SET; their tf
+    * cosine is exactly 1, which is what catches template expansions and
+    * boilerplate-stuffed rewrites).
+    *
+    * Scale shape — never all-pairs: candidates come from a LOSSLESS
+    * Cauchy–Schwarz prefix filter. Order each doc's terms by corpus
+    * rarity (df asc, term); keep rank r in the prefix while the suffix
+    * FROM r could still reach the threshold alone, i.e. while
+    * `(nsq − cumBefore(r)) · tDen² ≥ tNum² · nsq` in exact integers.
+    * If a pair shares no kept term of doc a, every shared term lies in
+    * a's dropped suffix S, and Cauchy–Schwarz gives
+    * dot(a,b) ≤ √(Σ_{S} w²)·|b| < t·|a|·|b| — the pair cannot qualify,
+    * so prefix(a) ⋈ FULL(b) on the term misses nothing (the
+    * [[ExactJoinState]] probe orientation; prefix×prefix needs the
+    * sharper positional lemma that only holds for sets). At a high
+    * threshold the prefix is the rarest sliver of each doc's weight
+    * mass, so candidate lists ride low-df postings; a stopword-heavy
+    * corpus at a LOW threshold degrades toward wide candidate lists —
+    * inherent to the problem (everything really is similar to
+    * everything), not to the plan. Verification is candidate-keyed and
+    * exact: dot² · tDen² ≥ tNum² · nsq_a · nsq_b in DECIMAL(38,0),
+    * no float anywhere.
+    *
+    * Output: (id_a < id_b, dot, nsq_a, nsq_b) — all integers; cosine
+    * itself is the caller's division. */
+  def cosineSelfJoin(docs: DataFrame, idCol: String, textCol: String,
+                     tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must be in (0, 1]: got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    val tn2 = lit(tNum).cast(dec) * lit(tNum).cast(dec)
+    val td2 = lit(tDen).cast(dec) * lit(tDen).cast(dec)
+    val tw = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("id"), explode(col("ts")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("long").as("w"))
+    val nrm = tw.groupBy("id")
+      .agg(sum(col("w") * col("w")).cast("long").as("nsq"))
+    val dfT = tw.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val rarity = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
+    val pref = tw.join(nrm, "id").join(dfT, "term")
+      .withColumn("cum_before", coalesce(
+        sum(col("w") * col("w")).over(
+          rarity.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter((col("nsq") - col("cum_before")).cast(dec) * td2 >=
+        tn2 * col("nsq").cast(dec))
+      .select(col("id"), col("term"), col("nsq"))
+    val ca = pref.select(col("id").as("ia"), col("term"),
+      col("nsq").as("na"))
+    val full = tw.join(nrm, "id")
+      .select(col("id").as("ib"), col("term"), col("nsq").as("nb"))
+    val cand = ca.join(full, "term")
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        when(col("ia") < col("ib"), col("na")).otherwise(col("nb")).as("nsq_a"),
+        when(col("ia") < col("ib"), col("nb")).otherwise(col("na")).as("nsq_b"))
+      .distinct()
+    val ta = tw.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
+    val tb = tw.select(col("id").as("id_b"), col("term"), col("w").as("wb"))
+    cand.join(ta, "id_a")
+      .join(tb, Seq("id_b", "term"))
+      .groupBy("id_a", "id_b", "nsq_a", "nsq_b")
+      .agg(sum(col("wa") * col("wb")).cast("long").as("dot"))
+      .filter(col("dot").cast(dec) * col("dot").cast(dec) * td2 >=
+        tn2 * col("nsq_a").cast(dec) * col("nsq_b").cast(dec))
+      .select("id_a", "id_b", "dot", "nsq_a", "nsq_b")
+  }
 }

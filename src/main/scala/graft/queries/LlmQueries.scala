@@ -2872,6 +2872,34 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .select("query_id", "doc_id", "n_matched", "score", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    // Exact tf-cosine self-join via the lossless Cauchy–Schwarz prefix
+    // filter (ops/Retrieval.cosineSelfJoin) — the weighted sibling of
+    // q129's set-Jaccard pairs. The planted twins DOUBLE each base
+    // doc's text: identical token set (set Jaccard is blind to them as
+    // duplicates-of-weight) but tf exactly 2×, so cosine is exactly 1 —
+    // the repetition-aware signal this operator exists for. Threshold
+    // 87/100 also surfaces the corpus's natural high-cosine tail. The
+    // oracle replays the full quadratic term join + integer
+    // cross-multiplied threshold; the Spark side must find exactly the
+    // same pairs through the prefix filter.
+    "q159_cosine_pairs" -> ((s, dir) => {
+      // % 6, not a larger slice: this synthetic corpus is lexical
+      // APSS's worst case (31-term vocabulary — no term is rare, so
+      // prefix postings stay corpus-wide and candidates approach
+      // all-pairs however the threshold is set; a real crawl vocabulary
+      // gives the prefix its selectivity). The slice keeps the bench
+      // honest without pricing a quadratic the operator exists to avoid.
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val doubled = base.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      graft.ops.Retrieval.cosineSelfJoin(base.unionByName(doubled),
+          "doc_id", "text", 87L, 100L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6823,6 +6851,38 @@ object LlmQueries {
     // the state face must reproduce the batch answer over the union —
     // its oracle IS the batch SQL
     "q158_bm25_incremental" -> Bm25BatchOracleSql,
+
+    "q159_cosine_pairs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE doc_id % 6 = 0),
+        |d AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' ' || text
+        |  FROM d0 WHERE doc_id % 30 = 0),
+        |tw AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |        FROM d)
+        |  GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nsq
+        |  FROM tw GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM tw a JOIN tw b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, dot, na.nsq AS nsq_a, nb.nsq AS nsq_b
+        |  FROM dots
+        |  JOIN nrm na ON na.doc_id = id_a
+        |  JOIN nrm nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, dot, nsq_a, nsq_b FROM p
+        |WHERE CAST(dot AS HUGEINT) * dot * 10000
+        |      >= 7569 * CAST(nsq_a AS HUGEINT) * nsq_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q157_bpe_encode" -> {
       val rulesUnion = (1 to 6)

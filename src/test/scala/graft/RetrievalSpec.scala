@@ -233,6 +233,63 @@ class RetrievalSpec extends SparkSpec {
         s"was not used (${badAggShuffles.map(_.nodeName)})")
   }
 
+  /** Quadratic BigInt reference for cosineSelfJoin — nothing shared with
+    * the operator but the threshold inequality. */
+  private def cosineBrute(docs: Seq[(Long, String)], tNum: Long, tDen: Long)
+      : Set[(Long, Long, Long)] = {
+    def tf(s: String) = s.split(" ").filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w -> BigInt(o.length) }
+    val vs = docs.map { case (id, t) => id -> tf(t) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, va) <- vs; (ib, vb) <- vs if ia < ib
+      dot = va.keySet.intersect(vb.keySet).toSeq
+        .map(w => va(w) * vb(w)).sum
+      nsqA = va.values.map(x => x * x).sum
+      nsqB = vb.values.map(x => x * x).sum
+      if dot * dot * tDen * tDen >= BigInt(tNum) * tNum * nsqA * nsqB
+    } yield (ia, ib, dot.toLong)).toSet
+  }
+
+  test("cosineSelfJoin equals the quadratic reference on random corpora") {
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val rnd = new scala.util.Random(7331)
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 40L).map { i =>
+        i -> Seq.fill(2 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      }
+      Seq((1L, 2L), (3L, 5L), (87L, 100L)).foreach { case (tn, td) =>
+        val got = graft.ops.Retrieval
+          .cosineSelfJoin(docs.toDF("doc_id", "text"), "doc_id", "text", tn, td)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = cosineBrute(docs, tn, td)
+        assert(got == want,
+          s"trial $trial t=$tn/$td: missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
+  test("cosineSelfJoin: tf-doubled twin pairs at cosine exactly 1; sets can't see it") {
+    val docs = Seq(
+      (1L, "x y x z"),
+      (2L, "x y x z x y x z"),  // doubled: same token SET, tf 2x, cos = 1
+      (3L, "p q r"))
+    val got = graft.ops.Retrieval
+      .cosineSelfJoin(docs.toDF("doc_id", "text"), "doc_id", "text", 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"threshold 1 must keep only the twin: ${got.toSeq}")
+  }
+
+  test("cosineSelfJoin: exact threshold boundary, kept at 3/5, dropped just above") {
+    // a = (x:3, y:4), b = (x:1): cos = 3/5 exactly
+    val docs = Seq((1L, "x x x y y y y"), (2L, "x"))
+    def pairs(tn: Long, td: Long) = graft.ops.Retrieval
+      .cosineSelfJoin(docs.toDF("doc_id", "text"), "doc_id", "text", tn, td)
+      .count()
+    assert(pairs(3L, 5L) == 1, "cos == t must be KEPT (>= threshold)")
+    assert(pairs(60001L, 100000L) == 0, "cos just under t must drop")
+  }
+
   test("plan shape: every join broadcasts — no corpus-side join shuffle") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
