@@ -2900,6 +2900,33 @@ object LlmQueries {
       graft.ops.Retrieval.cosineSelfJoin(base.unionByName(doubled),
           "doc_id", "text", 87L, 100L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // The WHOLE tokenizer loop in one pipeline: train 6 BPE merges on
+    // the corpus (q117), tokenize every doc with the PRIORITY encode
+    // (q157's expression), then pack sequences by the REAL subword
+    // counts with per-bin document-boundary spans (q155's fold) — the
+    // shape a trainer actually consumes, where packing by whitespace
+    // counts would mis-fill every bin. The oracle chains all three
+    // replays; its encode runs over the DISTINCT WORD table (encode is
+    // per-word, so per-word token counts join back to doc words — the
+    // same Zipfian observation behind the expression's word memo).
+    "q160_bpe_pack" -> ((s, dir) => {
+      graft.plans.GraftExtensions.install(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val trace = Vocab.bpeTrainTrace(docs, "text", merges = 6)
+      require(trace.size == 6, s"q160 expects 6 merges (got ${trace.size})")
+      val rules = trace.map(t => (t._2, t._3))
+      val counted = docs.select(col("doc_id"),
+        size(Vocab.encodePriority(col("text"), rules))
+          .cast("long").as("ntok"))
+      Packing.packWithSpans(counted, "doc_id", "ntok",
+          expr("doc_id div 100"), cap = 1200L)
+        .select(col("grp"), col("bin"), explode(col("spans")).as("sp"))
+        .select(col("sp.id").as("doc_id"), col("grp"), col("bin"),
+          col("sp.start").as("start"), col("sp.len").as("len"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6883,6 +6910,72 @@ object LlmQueries {
         |WHERE CAST(dot AS HUGEINT) * dot * 10000
         |      >= 7569 * CAST(nsq_a AS HUGEINT) * nsq_b
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q160_bpe_pack" -> {
+      val rulesUnion = (1 to 6)
+        .map(k => s"SELECT $k AS rank, a, b FROM m$k").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $BpeTrainStagesSql,
+         |rules AS MATERIALIZED ($rulesUnion),
+         |rmap AS MATERIALIZED (SELECT
+         |  map(list(a || chr(1) || b ORDER BY rank),
+         |      list(rank ORDER BY rank)) AS rm,
+         |  map(list(rank ORDER BY rank),
+         |      list({'a': a, 'b': b} ORDER BY rank)) AS pm
+         |  FROM rules),
+         |e0 AS (SELECT word, syms, 0 AS step FROM w0),
+         |enc AS (
+         |  SELECT * FROM e0
+         |  UNION ALL
+         |  SELECT word,
+         |    list_filter(string_split(list_reduce(list_prepend('', syms),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || pa) AND x = pb
+         |                  THEN substr(acc, 1, length(acc) - length(pa)) || pa || pb
+         |                  ELSE acc || chr(1) || x END), chr(1)),
+         |      s2 -> s2 != '') AS syms,
+         |    step + 1
+         |  FROM (
+         |    SELECT e.word, e.syms, e.step,
+         |      map_extract(r.pm, best)[1].a AS pa,
+         |      map_extract(r.pm, best)[1].b AS pb
+         |    FROM (
+         |      SELECT e2.*, list_min(list_filter(list_transform(
+         |          range(1, len(e2.syms)),
+         |          i -> map_extract(r2.rm,
+         |                 e2.syms[i] || chr(1) || e2.syms[i+1])[1]),
+         |        v -> v IS NOT NULL)) AS best
+         |      FROM enc e2, rmap r2) e, rmap r
+         |    WHERE e.best IS NOT NULL)),
+         |wcount AS MATERIALIZED (
+         |  SELECT word, len(arg_max(syms, step)) AS wtoks
+         |  FROM enc GROUP BY word),
+         |ntoks AS MATERIALIZED (
+         |  SELECT doc_id, CAST(coalesce(sum(wc.wtoks), 0) AS BIGINT) AS t
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split(lower(text), ' '),
+         |            x -> x != '')) AS word
+         |        FROM documents) dw
+         |  JOIN wcount wc USING (word)
+         |  GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc_id, doc_id // 100 AS grp, t,
+         |         row_number() OVER (PARTITION BY doc_id // 100
+         |           ORDER BY doc_id) AS rn
+         |  FROM ntoks),
+         |p AS (
+         |  SELECT grp, rn, doc_id, t, CAST(0 AS BIGINT) AS bin, t AS fill,
+         |         CAST(0 AS BIGINT) AS start
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.grp, d.rn, d.doc_id, d.t,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.t > 1200 THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.t > 1200 THEN d.t ELSE p.fill + d.t END,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.t > 1200
+         |         THEN CAST(0 AS BIGINT) ELSE p.fill END
+         |  FROM p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
+         |SELECT doc_id, CAST(grp AS BIGINT) AS grp, bin,
+         |       start, CAST(t AS BIGINT) AS len
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     "q157_bpe_encode" -> {
       val rulesUnion = (1 to 6)

@@ -290,6 +290,19 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs(60001L, 100000L) == 0, "cos just under t must drop")
   }
 
+  test("cosineSelfJoin never plans a cartesian product") {
+    val docs = graft.sources.Testdata
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val out = graft.ops.Retrieval
+      .cosineSelfJoin(docs, "doc_id", "text", 87L, 100L)
+    assert(out.count() >= 0)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must ride the term equi-join, never a cross")
+  }
+
   test("plan shape: every join broadcasts — no corpus-side join shuffle") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
