@@ -479,7 +479,11 @@ object Sampling {
   def hashedNgramCounts(docs: DataFrame, textCol: String,
                         hexDigits: Int = 2,
                         charN: Option[Int] = None): DataFrame =
-    docs.select(explode(dsirGramFace(col(textCol), charN)).as("g"))
+    // gram explode + md5 bucket hashing + partial count all run before
+    // the first exchange — floor the scan parallelism (Par doc; the
+    // profile is an additive counter bag, partition-invariant)
+    Par.ensureMinPartitions(docs)
+      .select(explode(dsirGramFace(col(textCol), charN)).as("g"))
       .select(hashBucketHex(col("g"), hexDigits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
@@ -538,7 +542,13 @@ object Sampling {
     val (tm, tn) = bucketMap(target)
     val (rm, rn) = bucketMap(raw)
     // each gram hashes ONCE into a pinned bucket array (md5 is the
-    // per-gram cost; the two profile folds then index ints)
+    // per-gram cost; the two profile folds then index ints).
+    // NOTE deliberately NOT Par-guarded: dsirScores is the recipe's
+    // zero-exchange scoring contract (PlanShapeSpec pins dsirSelect to
+    // zero exchanges, the delta-bounded daily guarantee) — standalone
+    // corpus-scale callers apply Par.ensureMinPartitions to their input
+    // themselves when the whole pass would otherwise ride one scan
+    // partition (q147/q148/q151 do).
     val withB = docs.withColumn("__dsir_bs",
       transform(dsirGramFace(col(textCol), charN),
         g => hashBucketHex(g, hexDigits).cast("int")))

@@ -574,6 +574,10 @@ object TextAnalysis {
     * one-per-occurrence multiplicity, NULL-safe. */
   def charNgrams(text: Column, n: Int): Column = {
     require(n >= 1 && n <= 8, s"charNgrams n must be in [1, 8] (got $n)")
+    // (r17-opt note: an explicit let-binding of the split via a
+    // 1-element transform lambda was A/B-benched at sf0.1 and changed
+    // nothing — Spark's subexpression elimination already evaluates the
+    // repeated split once — so the direct form stays.)
     val cs = coalesce(filter(split(lower(text), ""), c => c =!= ""),
       array().cast("array<string>"))
     val m = greatest(size(cs) - (n - 1), lit(0))
@@ -587,18 +591,32 @@ object TextAnalysis {
     * not the corpus). */
   def langIdTrain(labeled: DataFrame, labelCol: String, textCol: String,
                   topK: Int = 512): LangIdModel =
-    nbTrain(labeled, labelCol, charTrigrams(col(textCol)), topK)
+    // widePar: char-trigram extraction is the expensive-gram regime the
+    // parallelism floor exists for (measured −0.9 s on q145's train at
+    // sf0.1/local[32]; a token-gram fit measured the floor as pure
+    // overhead, so it stays opt-in)
+    nbTrain(labeled, labelCol, charTrigrams(col(textCol)), topK,
+      widePar = true)
 
   /** The gram-agnostic fit behind [[langIdTrain]]: a multinomial model
     * over ANY array&lt;string&gt; gram expression — char trigrams for
     * language-ID, [[tokens]] for a domain/source classifier (the
     * DoReMi/DSIR-style classifier trained on source labels), word
     * bigrams for topicality. Same integer-exact contract and scale
-    * shape as the langId face. */
+    * shape as the langId face.
+    *
+    * `widePar`: floor the input's scan parallelism before the count
+    * pass ([[Par.ensureMinPartitions]]) — the gram explode + partial
+    * aggregation run BEFORE the first exchange, so on a one-row-group
+    * file they run serial however many cores the session has. Opt-in
+    * because the floor's fixed cost only pays off when per-row gram
+    * extraction is expensive (char n-grams); for cheap token grams it
+    * measured as a net loss at bench scale. */
   def nbTrain(labeled: DataFrame, labelCol: String, grams: Column,
-              topK: Int = 512): LangIdModel = {
+              topK: Int = 512, widePar: Boolean = false): LangIdModel = {
     import org.apache.spark.sql.expressions.Window
-    val g = labeled.select(col(labelCol).cast("string").as("lang"),
+    val g = (if (widePar) Par.ensureMinPartitions(labeled) else labeled)
+      .select(col(labelCol).cast("string").as("lang"),
         explode(grams).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -666,19 +684,30 @@ object TextAnalysis {
     * frame, the dot products, and their id-keyed merge. Join the result
     * back by id if you need other columns — ids and labels shuffle,
     * text never does. `idCol` must be unique per row. [[nbPredict]]
-    * stays the zero-shuffle form for small frames and ad-hoc use. */
+    * stays the zero-shuffle form for small frames and ad-hoc use.
+    *
+    * `widePar` (default on): floor the input's scan parallelism
+    * ([[Par.ensureMinPartitions]]) — the gram explode → broadcast join
+    * → partial agg all run BEFORE the first exchange, so on a
+    * one-row-group file the whole scoring pass runs serial however
+    * many cores the session has (measured: q145 wall-flat between
+    * local[4] and local[32] before the floor, −2 s after). Pass false
+    * for cheap token grams on small frames, where the floor's fixed
+    * cost measured as a net loss (q146). */
   def nbPredictById(df: DataFrame, idCol: String, grams: Column,
-                    m: LangIdModel, outCol: String = "lang_pred"): DataFrame = {
+                    m: LangIdModel, outCol: String = "lang_pred",
+                    widePar: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val spark = df.sparkSession
     val profile = spark.createDataFrame(
       m.counts.toSeq.flatMap { case (l, gc) =>
         gc.toSeq.map { case (g, c) => (g, l, c) }
       }).toDF("__nb_g", "__nb_lang", "__nb_c")
+    val dfP = if (widePar) Par.ensureMinPartitions(df) else df
     // (id, gram-count): map-side over the corpus, (id, long) exchange
-    val gnF = df.select(col(idCol).as("__nb_id"),
+    val gnF = dfP.select(col(idCol).as("__nb_id"),
       size(grams).cast("long").as("__nb_gn"))
-    val dots = df.select(col(idCol).as("__nb_id"), explode(grams).as("__nb_g"))
+    val dots = dfP.select(col(idCol).as("__nb_id"), explode(grams).as("__nb_g"))
       .join(broadcast(profile), Seq("__nb_g"))
       .groupBy("__nb_id")
       .agg(m.langs.head match { case l0 =>

@@ -2425,7 +2425,10 @@ object LlmQueries {
       // the predictions frame is (id, label) by design; the true label
       // joins back by id — ids and labels shuffle, text never does
       TextAnalysis.nbPredictById(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", TextAnalysis.tokens(col("text")), m, "dom_pred")
+        "doc_id", TextAnalysis.tokens(col("text")), m, "dom_pred",
+        // cheap token grams on a half-corpus frame: the parallelism
+        // floor measured as pure overhead here (see nbPredictById doc)
+        widePar = false)
         .join(docs.select("doc_id", "dom"), Seq("doc_id"))
         .select("doc_id", "dom", "dom_pred")
         .orderBy("doc_id")
@@ -2445,7 +2448,10 @@ object LlmQueries {
       val isTarget = col("source").isin("src1", "src2")
       val target = Sampling.hashedNgramCounts(docs.filter(isTarget), "text")
       val raw = Sampling.hashedNgramCounts(docs.filter(!isTarget), "text")
-      Sampling.dsirScores(docs.filter(!isTarget), "text",
+      // joinless scoring would otherwise run serial on the one-row-group
+      // scan (Par doc)
+      Sampling.dsirScores(
+        graft.ops.Par.ensureMinPartitions(docs.filter(!isTarget)), "text",
         target, raw)
         .select("doc_id", "dsir_margin", "kept")
         .orderBy("doc_id")
@@ -2477,7 +2483,10 @@ object LlmQueries {
         fold(s"$r/r", w.filter(col("doc_id") % 2 === 1), "day2")
         ()
       }
-      Sampling.dsirScores(docs.filter(!isTarget), "text",
+      // joinless scoring would otherwise run serial on the one-row-group
+      // scan (Par doc)
+      Sampling.dsirScores(
+        graft.ops.Par.ensureMinPartitions(docs.filter(!isTarget)), "text",
         Sketches.readState(s, s"$root/t"), Sketches.readState(s, s"$root/r"))
         .select("doc_id", "dsir_margin", "kept")
         .orderBy("doc_id")
@@ -2661,10 +2670,14 @@ object LlmQueries {
         charN = Some(3))
       val rChr = Sampling.hashedNgramCounts(evens.filter(!isT), "text",
         charN = Some(3))
-      Sampling.dsirScores(odds, "text", tTok, rTok)
+      // both joinless scoring passes would otherwise run serial on the
+      // one-row-group scan (Par doc) — floor the scored frame's
+      // parallelism once, shared by the two passes
+      val oddsP = graft.ops.Par.ensureMinPartitions(odds)
+      Sampling.dsirScores(oddsP, "text", tTok, rTok)
         .select(col("doc_id"), col("dsir_margin").as("tok_margin"),
           col("kept").as("tok_kept"))
-        .join(Sampling.dsirScores(odds, "text", tChr, rChr, charN = Some(3))
+        .join(Sampling.dsirScores(oddsP, "text", tChr, rChr, charN = Some(3))
           .select(col("doc_id"), col("dsir_margin").as("chr_margin"),
             col("kept").as("chr_kept")), Seq("doc_id"))
         .orderBy("doc_id")
