@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,9 +113,10 @@ object Graph {
                scale: Long = 1000000000000000L,
                dampNum: Long = 85, dampDen: Long = 100,
                redistributeDangling: Boolean = false,
-               tol: Long = 0L): DataFrame =
+               tol: Long = 0L,
+               assumeDistinctEdges: Boolean = false): DataFrame =
     pageRankWithRounds(edges, srcCol, dstCol, iterations, scale,
-      dampNum, dampDen, redistributeDangling, tol)._1
+      dampNum, dampDen, redistributeDangling, tol, assumeDistinctEdges)._1
 
   /** [[pageRank]] plus the number of iterations actually run — the
     * observable behind the convergence stop (the componentsWithRounds
@@ -123,66 +126,135 @@ object Graph {
                          scale: Long = 1000000000000000L,
                          dampNum: Long = 85, dampDen: Long = 100,
                          redistributeDangling: Boolean = false,
-                         tol: Long = 0L): (DataFrame, Int) = {
+                         tol: Long = 0L,
+                         assumeDistinctEdges: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0 (got $iterations)")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, scale > 0")
     require(tol >= 0, s"tol must be >= 0 (got $tol)")
+    val spark = edges.sparkSession
     // snapshot the reliable-checkpoint flag ONCE for the whole loop
     // (ADVICE r13): a mid-loop conf flip must not mix cut mechanisms
     // within one invocation — recoverability is all-or-nothing per job
-    val rel = Lineage.reliable(edges.sparkSession)
-    val e = Lineage.cut(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct(), rel)
-    val nodes = Lineage.cut(e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
-      .distinct(), rel)
-    val n = nodes.count()
-    if (n == 0) return (nodes.withColumn("pr", lit(0L)), 0)
-    val init = scale / n
-    val base = (init * (dampDen - dampNum)) / dampDen
-    val outdeg = Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("deg")), rel)
-    // the dangling node SET is static (no out-edges ever); only its mass
-    // changes per iteration — compute the set once, cut it, and each
-    // round pays one bounded semi-join + 1-row aggregate
-    val dangling =
-      if (redistributeDangling)
-        Some(Lineage.cut(nodes.join(
-          outdeg.select(col("src").as("node")), Seq("node"), "left_anti"), rel))
-      else None
-    var pr = nodes.withColumn("pr", lit(init))
-    var iter = 0
-    var converged = false
-    while (iter < iterations && !converged) {
-      val share = dangling.map { d =>
-        val mass = pr.join(d, Seq("node"), "left_semi")
-          .agg(coalesce(sum("pr"), lit(0L))).head.getLong(0)
-        mass / n // floor: both non-negative
-      }.getOrElse(0L)
-      val sums = pr.join(outdeg, pr("node") === outdeg("src"))
-        // integral div, NOT `/`: long / long is a DOUBLE divide in Spark,
-        // which rounds and would break both exactness and the oracle
-        .select(col("src"), expr("pr div deg").as("c"))
-        .join(e, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum("c").as("s"))
-      val next = Lineage.cut(nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampNum * (coalesce(s, 0L) + $share)) div $dampDen"))
-            .as("pr")), rel)
-      if (tol > 0) {
-        // exact-integer L1 delta over the two cut frames (both sides are
-        // materialized blocks, the join is node-keyed longs only)
-        val delta = next.withColumnRenamed("pr", "pn")
-          .join(pr.withColumnRenamed("pr", "po"), "node")
-          .agg(coalesce(sum(abs(col("pn") - col("po"))), lit(0L)))
-          .head.getLong(0)
-        converged = delta < tol
+    val rel = Lineage.reliable(spark)
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // assumeDistinctEdges skips the full-edge de-dup exchange when the
+    // caller provably passes a distinct edge list (q125/q132 both
+    // build one); semantics are unchanged for default callers
+    val e = Lineage.cut(if (assumeDistinctEdges) eRaw else eRaw.distinct(), rel)
+    val m = e.count()
+    // r17-opt (guide §2.4), SCALE-ADAPTIVE loop layout. Two regimes,
+    // bit-identical results (same integer arithmetic; GraphSpec + the
+    // q125/q132 oracles pin it):
+    //
+    //  - PARTITIONED (m >= spark.graft.pagerank.partitionedMinEdges,
+    //    default 1M): the loop-invariant frames — per-src adjacency
+    //    with out-degree attached, and the node set — are partitioned/
+    //    sorted by their join key ONCE and cut; every iteration's joins
+    //    reuse that layout, so the only per-round exchange is the
+    //    partially-aggregated (dst, Σ contribution) frame (longs,
+    //    node-count-bounded). The naive shape re-shuffles the FULL edge
+    //    list by src every iteration — measured 133.7 MB of q125's
+    //    134 MB bench shuffle-read; the probe (tools/PageRankProbe)
+    //    shows bytes now grow ~0.03 MB/round instead of an edge-list
+    //    per round. AQE is snapshotted OFF for this regime: an eager
+    //    localCheckpoint under AQE reports UnknownPartitioning (the
+    //    adaptive plan cannot promise a layout at plan time — measured
+    //    with tools/PartitionProbe), which would silently re-shuffle
+    //    every reuse; the loop's plans are fixed-shape anyway. Restored
+    //    in the finally.
+    //
+    //  - SMALL (below the threshold): the simple shape under whatever
+    //    AQE the session has — for small graphs AQE's runtime
+    //    broadcasts and partition coalescing beat the reorganization
+    //    (measured on q132's ~0.5M-edge graph: forcing the partitioned
+    //    regime cost +1.5 s and +12 MB over the simple shape).
+    val partitioned = m >= Try(spark.conf.get(
+        "spark.graft.pagerank.partitionedMinEdges", "1000000").toLong)
+      .getOrElse(1000000L)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    if (partitioned) spark.conf.set(aqeKey, "false")
+    try {
+      def keySorted(df: DataFrame, k: String): DataFrame =
+        if (partitioned) df.sortWithinPartitions(k) else df
+      val nodes = Lineage.cut(keySorted(e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node")))
+        .distinct(), "node"), rel)
+      val n = nodes.count()
+      if (n == 0) return (nodes.withColumn("pr", lit(0L)), 0)
+      val init = scale / n
+      val base = (init * (dampDen - dampNum)) / dampDen
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // partitioned regime: adjacency with degree attached,
+      // hash(src)-partitioned + sorted, cut once. Small regime: the
+      // degree frame alone, cut (the loop joins e per round).
+      val eDeg =
+        if (partitioned)
+          Lineage.cut(e.join(outdeg, "src")
+            .select(col("src"), col("dst"), col("deg"))
+            .sortWithinPartitions("src"), rel)
+        else Lineage.cut(outdeg, rel)
+      // the dangling node SET is static (no out-edges ever); only its mass
+      // changes per iteration — compute the set once, cut it, and each
+      // round pays one bounded semi-join + 1-row aggregate. Anti-join
+      // against the DEDUPED src set, source-count-bounded.
+      val srcSet =
+        if (partitioned) outdeg.select(col("src").as("node"))
+        else eDeg.select(col("src").as("node"))
+      val dangling =
+        if (redistributeDangling)
+          Some(Lineage.cut(keySorted(
+            nodes.join(srcSet, Seq("node"), "left_anti"), "node"), rel))
+        else None
+      // per-round contribution sums keyed (node = dst). Partitioned:
+      // pr rides in hash(node)-partitioned; the rename keeps the
+      // attribute, so the join against the src-partitioned adjacency
+      // plans no exchange on either side. Small: the classic
+      // pr ⋈ outdeg ⋈ e chain (same values).
+      def mkSums(pr: DataFrame): DataFrame =
+        (if (partitioned)
+          eDeg.join(pr.withColumnRenamed("node", "src"), "src")
+            // integral div, NOT `/`: long / long is a DOUBLE divide in
+            // Spark, which rounds and would break both exactness and
+            // the oracle
+            .select(col("dst"), expr("pr div deg").as("c"))
+        else
+          pr.join(eDeg, pr("node") === eDeg("src"))
+            .select(col("src"), expr("pr div deg").as("c"))
+            .join(e, "src")
+            .select(col("dst"), col("c")))
+          .groupBy(col("dst").as("node"))
+          .agg(sum("c").as("s"))
+      var pr = nodes.withColumn("pr", lit(init))
+      var iter = 0
+      var converged = false
+      while (iter < iterations && !converged) {
+        val share = dangling.map { d =>
+          val mass = pr.join(d, Seq("node"), "left_semi")
+            .agg(coalesce(sum("pr"), lit(0L))).head.getLong(0)
+          mass / n // floor: both non-negative
+        }.getOrElse(0L)
+        val sums = mkSums(pr)
+        val next = Lineage.cut(keySorted(nodes.join(sums, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dampNum * (coalesce(s, 0L) + $share)) div $dampDen"))
+              .as("pr")), "node"), rel)
+        if (tol > 0) {
+          // exact-integer L1 delta over the two cut frames (both sides are
+          // materialized blocks, the join is node-keyed longs only)
+          val delta = next.withColumnRenamed("pr", "pn")
+            .join(pr.withColumnRenamed("pr", "po"), "node")
+            .agg(coalesce(sum(abs(col("pn") - col("po"))), lit(0L)))
+            .head.getLong(0)
+          converged = delta < tol
+        }
+        pr = next
+        iter += 1
       }
-      pr = next
-      iter += 1
-    }
-    (pr, iter)
+      (pr, iter)
+    } finally spark.conf.set(aqeKey, aqePrev)
   }
 }

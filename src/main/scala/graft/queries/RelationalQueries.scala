@@ -566,7 +566,11 @@ object RelationalQueries {
         .select(col("pa").as("src"), col("pb").as("dst")).distinct()
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      // edges are distinct by construction (distinct pairs with src<dst,
+      // unioned with their disjoint flips) — skip the operator's de-dup
+      // exchange (r17-opt)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3,
+          assumeDistinctEdges = true)
         .orderBy("node")
     }),
 
@@ -584,7 +588,10 @@ object RelationalQueries {
       val edges = li.select(col("l_suppkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + 100000L).as("dst")).distinct()
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3,
-        redistributeDangling = true)
+        redistributeDangling = true,
+        // the caller's own distinct makes the operator's de-dup pass
+        // redundant (r17-opt)
+        assumeDistinctEdges = true)
         .orderBy("node")
     }),
 

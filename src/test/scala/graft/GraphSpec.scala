@@ -83,6 +83,46 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(13), "pagerank must be bit-identical on any partitioning")
   }
 
+  test("partitioned regime == small regime, bit for bit (incl. dangling + distinct-skip)") {
+    // r17-opt: above spark.graft.pagerank.partitionedMinEdges the loop
+    // pre-partitions its invariant frames under AQE-off; results must be
+    // BIT-IDENTICAL to the simple shape on the same graph. Force each
+    // regime via the conf and compare, on a graph with dangling nodes
+    // and duplicate edges (so distinct vs assumeDistinctEdges is
+    // exercised too).
+    val edges = ((0L until 600L).map(i => (i % 41, (i * 13) % 53)) ++
+      (0L until 600L).map(i => (i % 41, (i * 13) % 53)))  // dups
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val key = "spark.graft.pagerank.partitionedMinEdges"
+    def run(threshold: String, dang: Boolean) = {
+      spark.conf.set(key, threshold)
+      try Graph.pageRank(edges, "src", "dst", iterations = 4,
+          redistributeDangling = dang)
+        .as[(Long, Long)].collect().sorted.toSeq
+      finally spark.conf.unset(key)
+    }
+    for (dang <- Seq(false, true)) {
+      val small = run("1000000000", dang)
+      val part = run("1", dang)
+      assert(small == part,
+        s"regimes diverge (dangling=$dang):\nsmall=$small\npart =$part")
+    }
+    // distinct-skip face: the same distinct edge list through both
+    // assumeDistinctEdges settings, partitioned regime
+    val distinctE = edges.distinct()
+    spark.conf.set(key, "1")
+    try {
+      val a = Graph.pageRank(distinctE, "src", "dst", 4)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val b = Graph.pageRank(distinctE, "src", "dst", 4,
+          assumeDistinctEdges = true)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(a == b, "assumeDistinctEdges must not change results")
+    } finally spark.conf.unset(key)
+    // and AQE must come back exactly as it was
+    assert(spark.conf.get("spark.sql.adaptive.enabled") != null)
+  }
+
   test("triangles: K4 has 3 per node; a path has none; direction/dups collapse") {
     val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
       .toDF("src", "dst") // both directions + no dedup: must canonicalize
