@@ -780,16 +780,32 @@ object Dedup {
         col("n_b") * tDen >= col("n_a") * tNum &&
         col("n_a") * tDen >= col("n_b") * tNum)
       .select("id_a", "id_b", "n_a", "n_b").distinct()
-    // verify: overlap = count of tokens present on BOTH sides, computed
-    // candidate-keyed from the exploded frame (id-keyed fan-out join,
-    // then an (id_b, tok)-keyed equi-join — a pair with no shared token
-    // cannot be a candidate, so the inner join loses nothing)
-    val ta = toks.select(col("id").as("id_a"), col("tok"))
-    val tb = toks.select(col("id").as("id_b"), col("tok"))
-    cand.join(ta, "id_a")
-      .join(tb, Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("overlap"))
+    // verify (r17-opt, guide §2.3): overlap = |ts_a ∩ ts_b| computed
+    // map-side from the two docs' PACKED token arrays, attached only
+    // for ids that actually appear in a candidate pair (semi-join).
+    // The previous shape fanned every pair out to ALL of side a's
+    // exploded tokens and re-aggregated (cand ⋈ toks_a ⋈ toks_b →
+    // groupBy) — two corpus-exploded shuffles plus a fan-out-sized
+    // aggregation exchange; this shape shuffles candidate-doc arrays
+    // once and needs no aggregation at all. array_intersect hashes the
+    // smaller side (O(n_a + n_b) per pair), and both arrays are
+    // already distinct, so its size is exactly the old shared-token
+    // count.
+    // cand is consumed three times below (both id columns feed the
+    // semi-join, then the verify joins ride it) — cut it once or every
+    // reference re-runs the whole prefix/window/self-join subtree
+    // (measured: the uncut shape DOUBLED q129's bytes)
+    val candC = Lineage.cut(cand)
+    val ids = candC.select(col("id_a").as("id"))
+      .unionAll(candC.select(col("id_b").as("id"))).distinct()
+    val candSets = base.join(ids, Seq("id"), "left_semi")
+    candC
+      .join(candSets.select(col("id").as("id_a"), col("ts").as("__ts_a")), "id_a")
+      .join(candSets.select(col("id").as("id_b"), col("ts").as("__ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long")
+          .as("overlap"),
+        col("n_a"), col("n_b"))
       .filter(col("overlap") * tDen >=
         (col("n_a") + col("n_b") - col("overlap")) * tNum)
       .select("id_a", "id_b", "overlap", "n_a", "n_b")
