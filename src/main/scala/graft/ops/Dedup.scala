@@ -212,12 +212,19 @@ object Dedup {
     * sets, and pre-compute the intersection size. */
   private def pairShingles(pairs: DataFrame, df: DataFrame, idCol: String,
                            textCol: String, shingleN: Int): DataFrame = {
-    val ids = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // r17-opt: `pairs` is typically the WHOLE candidate-generation
+    // pipeline (minhash signatures → banded self-join → distinct) and is
+    // consumed three times below (both id columns feed the semi-join,
+    // then the verify joins ride it) — cut it once or every reference
+    // re-runs that subtree (the q129 finding: the uncut shape doubled
+    // bytes and wall)
+    val pairsC = Lineage.cut(pairs)
+    val ids = pairsC.select(col("id_a").as("id"))
+      .union(pairsC.select(col("id_b").as("id"))).distinct()
     val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
     val sh = needed.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
-    pairs
+    pairsC
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("nb_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
