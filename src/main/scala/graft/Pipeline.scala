@@ -73,28 +73,22 @@ object Pipeline {
 
     try {
       // quality gates — dbt schema tests (Q1-Q3, models/*/schema.yml).
-      // The five gates are independent single-action jobs over different
-      // tables: submit them CONCURRENTLY (multi-threaded job submission
-      // against one session is supported; the only shared state is the
-      // enriched persist, whose block computation is lock-protected).
-      // Await.result propagates the first violation exactly like the
-      // sequential form did; the export below still waits for ALL gates —
-      // dbt's test-then-materialize barrier is preserved.
-      {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-        try Await.result(Future.sequence(Seq(
-          Future(Relational.assertQuality(rawPop, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))),
-          Future(Relational.assertQuality(rawDet, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id"))),
-          Future(Relational.assertQuality(rawOmdb, Seq("imdb_id"), Seq("snapshot_date", "imdb_id"))),
-          Future(Relational.assertQuality(enriched, Seq("snapshot_date", "tmdb_id", "title"),
-            Seq("snapshot_date", "tmdb_id"))),
-          Future(Relational.assertQuality(kpi, Seq("snapshot_date", "nb_movies"),
-            Seq("snapshot_date"))))), Duration.Inf)
-        finally pool.shutdown()
-      }
+      // The five gates run as ONE action (r17-opt): each reduces to a
+      // (gate, nulls, dups) row and the rows union into a single
+      // collect — one driver round-trip per day instead of five
+      // concurrently-submitted ones (the previous Future-per-gate form
+      // still paid ~4 AQE stage-jobs per gate; measured on the q82
+      // lifecycle macro the gates were ~100 tiny jobs over 5 days).
+      // Violation still throws before any materialization — dbt's
+      // test-then-materialize barrier is preserved.
+      Relational.assertQualityAll(Seq(
+        ("raw_tmdb_popular", rawPop, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id")),
+        ("raw_tmdb_details", rawDet, Seq("tmdb_id"), Seq("snapshot_date", "tmdb_id")),
+        ("raw_omdb_ratings", rawOmdb, Seq("imdb_id"), Seq("snapshot_date", "imdb_id")),
+        ("movies_enriched_daily", enriched, Seq("snapshot_date", "tmdb_id", "title"),
+          Seq("snapshot_date", "tmdb_id")),
+        ("kpi_daily_summary", kpi, Seq("snapshot_date", "nb_movies"),
+          Seq("snapshot_date"))))
 
       // lake export (3 staging → formatted/, 2 marts → usage/, S9/S10)
       // and the serving sinks (`index_elasticsearch.py:22-23,245-246`)

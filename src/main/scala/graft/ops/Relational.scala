@@ -222,20 +222,48 @@ object Relational {
     * the not_null total falls out of the same job — per-day pipelines run
     * five of these, and each saved action is saved scheduling wall on
     * every backfilled day. The null gate still reports first. */
-  def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit = {
-    if (uniqueKeys.isEmpty) {
-      val nulls = notNullViolations(df, notNullCols).head().getLong(0)
-      require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
-    } else {
+  def assertQuality(df: DataFrame, notNullCols: Seq[String], uniqueKeys: Seq[String]): Unit =
+    assertQualityAll(Seq(("table", df, notNullCols, uniqueKeys)))
+
+  /** N quality gates in ONE action (r17-opt): each gate reduces to a
+    * (gate, nb_null_rows, nb_dup_keys) row and the rows union into a
+    * single collect — a 5-gate pipeline day pays one driver round-trip
+    * instead of five (measured on the q82 lifecycle macro: the gates
+    * were ~100 tiny AQE stage-jobs over a 5-day backfill). Violation
+    * semantics are [[assertQuality]]'s: throws naming the first
+    * violated gate's columns; all gates evaluate before any throw. */
+  def assertQualityAll(
+      gates: Seq[(String, DataFrame, Seq[String], Seq[String])]): Unit = {
+    require(gates.nonEmpty, "assertQualityAll needs at least one gate")
+    val per = gates.map { case (name, df, notNullCols, uniqueKeys) =>
       val nullPred = notNullCols.map(col(_).isNull).foldLeft(lit(false))(_ || _)
-      val r = df.groupBy(uniqueKeys.map(col): _*)
-        .agg(count(lit(1)).as("__n"), countIf(nullPred).as("__nulls"))
-        .agg(coalesce(sum(col("__nulls")), lit(0L)).as("nb_null_rows"),
-          countIf(col("__n") > 1).as("nb_dup_keys"))
-        .head()
-      val (nulls, dups) = (r.getLong(0), r.getLong(1))
-      require(nulls == 0, s"not_null violated: $nulls rows with NULL in $notNullCols")
-      require(dups == 0, s"unique violated: $dups duplicate key groups for $uniqueKeys")
+      if (uniqueKeys.isEmpty)
+        df.agg(countIf(nullPred).as("nb_null_rows"))
+          .select(lit(name).as("gate"), col("nb_null_rows"),
+            lit(0L).as("nb_dup_keys"))
+      else
+        df.groupBy(uniqueKeys.map(col): _*)
+          .agg(count(lit(1)).as("__n"), countIf(nullPred).as("__nulls"))
+          .agg(coalesce(sum(col("__nulls")), lit(0L)).as("nb_null_rows"),
+            countIf(col("__n") > 1).as("nb_dup_keys"))
+          .select(lit(name).as("gate"), col("nb_null_rows"),
+            col("nb_dup_keys"))
+    }
+    // (r17-opt note: narrowing AQE/shuffle.partitions around this
+    // collect was A/B-measured and REVERTED — AQE-off widened the tiny
+    // gate shuffles to session width (+2.5 s over a 5-day lifecycle),
+    // and pinning shuffle.partitions=1 here would also freeze the
+    // persisted `enriched` frame's layout at 1 partition for every
+    // downstream consumer, a scale trap. AQE's runtime coalescing is
+    // exactly right for these row-bounded aggregates.)
+    val byGate = per.reduce(_ unionAll _).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    gates.foreach { case (name, _, notNullCols, uniqueKeys) =>
+      val (nulls, dups) = byGate(name)
+      require(nulls == 0,
+        s"not_null violated ($name): $nulls rows with NULL in $notNullCols")
+      require(dups == 0,
+        s"unique violated ($name): $dups duplicate key groups for $uniqueKeys")
     }
   }
 }
