@@ -506,6 +506,9 @@ object TextAnalysis {
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .filter(Sampling.hashBucket(col("gh")) < sampleBuckets)
       .distinct()
+      // r17-opt: consumed three times below (sizes + both self-join
+      // sides) — cut the corpus gram pass once (the pairShingles finding)
+      .transform(Lineage.cut(_))
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("nb_grams"))
     val a = grams.toDF("src_a", "gh")
     val b = grams.toDF("src_b", "gh")
