@@ -158,8 +158,16 @@ object LlmQueries {
     * 0.65 s for this corpus' tokenize pass at sf0.1; element_at's
     * per-call ordinal checks dominate), and this pass runs once per
     * consumer of the token frame. */
-  private def shingleDocs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+  private def shingleDocs(s: SparkSession, dir: String,
+                          widePar: Boolean = false): DataFrame = {
+    // widePar: the split/shingle chain runs before any exchange — floor
+    // the scan parallelism BEFORE it (Par doc) so the per-row zip_with
+    // work spreads across cores instead of riding the one-row-group
+    // scan. Opt-in per caller, A/B-measured: q129's full self-join gains
+    // −0.8 s; q134's delta probe LOSES ~1 s (the extra exchange on its
+    // half-corpus delta outweighs the parallelized shingling there).
+    val base = table(s, dir, "documents")
+    (if (widePar) graft.ops.Par.ensureMinPartitions(base) else base)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -167,12 +175,14 @@ object LlmQueries {
         "zip_with(zip_with(slice(ws, 1, greatest(size(ws)-2, 0)), " +
           "slice(ws, 2, greatest(size(ws)-2, 0)), (a, b) -> concat(a, ' ', b)), " +
           "slice(ws, 3, greatest(size(ws)-2, 0)), (ab, c) -> concat(ab, ' ', c))"))
+  }
 
   /** The exact set-similarity pair pipeline of q129: 3-shingle token
     * sets over `documents`, all pairs with Jaccard ≥ 1/2 via
     * [[Dedup.exactJaccardPairs]]'s lossless size+rarity-prefix chain. */
   private def exactPairsFrame(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactJaccardPairs(shingleDocs(s, dir), "doc_id", col("toks"), 1L, 2L)
+    Dedup.exactJaccardPairs(shingleDocs(s, dir, widePar = true),
+      "doc_id", col("toks"), 1L, 2L)
 
   /** Match-pair frame SHARED by q129 (the pair report) and q130 (entity
     * resolution): materialized ONCE per (JVM, sf-dir) as a lake-side
