@@ -907,13 +907,22 @@ class PlanShapeSpec extends SparkSpec {
   test("exact set-similarity lane pins no corpus-sized state (q129/q130)") {
     // VERDICT r12 #1: q129 used to eagerly localCheckpoint the whole
     // token-array corpus — a corpus-sized, non-recomputable executor-
-    // storage pin. The de-weaked plan recomputes the (cheap, lineage-
-    // recoverable) tokenize pass per consumer instead: no InMemoryTable-
-    // Scan and no checkpoint-RDD scan may appear anywhere in q129's plan.
+    // storage pin. The invariant is NO CORPUS-SIZED pin: no
+    // InMemoryTableScan anywhere, and any checkpoint-RDD scan must be
+    // PAIR-BOUNDED (r17-opt cuts the candidate frame once before its
+    // three verify consumers — four long columns, candidate-count rows
+    // — the same class as q130's label frame below; a pinned frame
+    // carrying token arrays or text would be the r12 regression).
     val p129 = plan("q129_exact_jaccard")
-    for (bad <- Seq("InMemoryTableScan", "ExistingRDD"))
-      assert(!p129.contains(bad),
-        s"q129 pins state in executor storage ($bad):\n$p129")
+    assert(!p129.contains("InMemoryTableScan"),
+      s"q129 pins a frame in executor storage:\n$p129")
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p129).map(_.group(1)).toSeq
+    rddScans.foreach { cols =>
+      assert(!cols.contains("ts") && !cols.contains("text") &&
+        !cols.contains("tok"),
+        s"q129 pins a corpus-sized frame (columns: $cols):\n$p129")
+    }
     // q130 consumes the SHARED pair fixture (a lake-side parquet read,
     // VERDICT r12 #2) — its only ExistingRDD scan is the transitive-
     // closure label frame, which is pair-endpoint-sized, never the
