@@ -745,19 +745,34 @@ object Dedup {
     *    tokens must intersect — only those are indexed, and corpus-wide
     *    boilerplate tokens (everyone's commonest) fall outside every
     *    prefix;
-    *  - verify: candidate pairs join the EXPLODED token frame on both
-    *    sides and the exact overlap is a matching-token count — rows on
-    *    the verify exchanges are (long, long, token), never full token
-    *    arrays — passing `o·tDen ≥ tNum·(|A|+|B|−o)`.
+    *  - verify (r17-opt): the PACKED distinct-token arrays of exactly
+    *    the docs some candidate pair references (a semi-join against the
+    *    candidate ids) attach to each pair and the overlap is
+    *    `size(array_intersect)` — no aggregation, and the verify
+    *    exchanges are bounded by candidate-doc arrays (4 longs + two
+    *    packed arrays per pair), never the exploded corpus — passing
+    *    `o·tDen ≥ tNum·(|A|+|B|−o)`.
     *
     * The token-df table is corpus-scale (shingle vocabularies grow with
     * the corpus), so rarity attaches via a token-keyed shuffle join,
-    * never a broadcast. Nothing is pinned in executor storage: the
-    * tokenization is recomputed per consumer (scan + split are cheap and
+    * never a broadcast. Executor-storage pins are CANDIDATE-BOUNDED,
+    * never corpus-sized: the candidate-pair frame (4 longs per row) and
+    * the candidate docs' packed token arrays are `Lineage.cut` because
+    * each feeds multiple consumers (re-execution doubled bytes/wall —
+    * r17/r18 measurements), while the corpus tokenization itself is
+    * recomputed per consumer (scan + split are cheap and
     * lineage-recoverable — r12 eagerly `localCheckpoint`ed the whole
     * token-array corpus, a corpus-sized, non-recomputable executor-
     * storage pin that a single lost executor would kill at cluster
-    * scale). Returns (id_a, id_b, overlap, n_a, n_b) with id_a < id_b —
+    * scale; the cut frames here are pair-mass-sized, a few % of a
+    * deduped corpus).
+    *
+    * NULL-token contract: `array_intersect` counts a shared NULL element
+    * as overlap where the old explode + null-unsafe equi-join never
+    * matched NULLs — `base` therefore drops NULL tokens explicitly, so
+    * both shapes agree on any input (no engine tokenizer emits NULLs
+    * today; the filter is the guard that keeps that a non-assumption).
+    * Returns (id_a, id_b, overlap, n_a, n_b) with id_a < id_b —
     * integer columns only, so the result hash-compares exactly. Empty
     * token sets drop. */
   def exactJaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
@@ -765,14 +780,26 @@ object Dedup {
     require(tNum > 0 && tNum <= tDen,
       s"threshold must be in (0, 1]: got $tNum/$tDen")
     val base = df.select(col(idCol).as("id"),
-      array_distinct(tokensCol).as("ts"))
+      // NULL tokens drop (see scaladoc: array_intersect would count a
+      // shared NULL; the exploded equi-join shape never did)
+      array_distinct(filter(tokensCol, x => x.isNotNull)).as("ts"))
       .filter(size(col("ts")) > 0)
     val toks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
       explode(col("ts")).as("tok"))
-    val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
     // prefix length: n - ceil(t*n) + 1, ceil in exact integers
     val prefLen = col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)
-    val pref = toks.join(dfTable, "tok")
+    // token df via a WINDOW over the one exploded pass, not a separate
+    // groupBy + join (r18-opt, guide §2.4): the join form consumed
+    // `toks` twice, so the corpus tokenize/shingle/explode subtree ran
+    // twice per invocation — the window computes the same per-token
+    // count on the single pass and drops the df-aggregation exchange
+    // (both forms shuffle the full exploded rows by tok exactly once;
+    // a pathologically hot token now lands in one window partition
+    // where the join form could AQE-skew-split it, but the hot-key
+    // flood this could matter for is exactly what `lshCandidates.
+    // maxBucket`-style upstream hygiene bounds)
+    val pref = toks
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy("tdf", "tok")))
       .filter(col("rk") <= prefLen)
@@ -805,7 +832,14 @@ object Dedup {
     val candC = Lineage.cut(cand)
     val ids = candC.select(col("id_a").as("id"))
       .unionAll(candC.select(col("id_b").as("id"))).distinct()
-    val candSets = base.join(ids, Seq("id"), "left_semi")
+    // candSets feeds BOTH verify joins — uncut, each reference re-ran
+    // the whole corpus tokenize/shingle pass plus the semi-join (the
+    // r17-opt cut-placement rule: the re-executed subtree has its own
+    // shuffles, so the cut wins; measured r18: q129 two full
+    // scan→split→shingle→Exchange subtrees → one). The pin is
+    // candidate-bounded (packed arrays of candidate docs only), never
+    // corpus-sized — see the scaladoc.
+    val candSets = Lineage.cut(base.join(ids, Seq("id"), "left_semi"))
     candC
       .join(candSets.select(col("id").as("id_a"), col("ts").as("__ts_a")), "id_a")
       .join(candSets.select(col("id").as("id_b"), col("ts").as("__ts_b")), "id_b")

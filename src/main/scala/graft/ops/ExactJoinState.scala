@@ -69,9 +69,13 @@ object ExactJoinState {
   /** Prefix rows (tok, id, n) from a token-row frame, rarity-ordered
     * (df asc, tok) within that frame. */
   private def prefixOf(toks: DataFrame, tNum: Long, tDen: Long): DataFrame = {
-    val dfTable = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
     val prefLen = col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1)
-    toks.join(dfTable, "tok")
+    // df via a window over the single exploded pass, not groupBy + join
+    // — the join form evaluated `toks` (and whatever un-pinned subtree
+    // feeds it) twice per call; same values, one fewer exchange (the
+    // [[Dedup.exactJaccardPairs]] r18-opt restructure)
+    toks
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy("tdf", "tok")))
       .filter(col("rk") <= prefLen)

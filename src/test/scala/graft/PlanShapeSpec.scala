@@ -909,18 +909,22 @@ class PlanShapeSpec extends SparkSpec {
     // token-array corpus — a corpus-sized, non-recomputable executor-
     // storage pin. The invariant is NO CORPUS-SIZED pin: no
     // InMemoryTableScan anywhere, and any checkpoint-RDD scan must be
-    // PAIR-BOUNDED (r17-opt cuts the candidate frame once before its
-    // three verify consumers — four long columns, candidate-count rows
-    // — the same class as q130's label frame below; a pinned frame
-    // carrying token arrays or text would be the r12 regression).
+    // CANDIDATE-BOUNDED — the pair frame (four long columns,
+    // candidate-count rows) and, since r18-opt, the candidate docs'
+    // PACKED token arrays (`ts`), which are semi-joined to the
+    // candidate ids before the cut so their mass is pair-bounded, a
+    // few % of a deduped corpus (uncut, each of the two verify joins
+    // re-ran the whole corpus tokenize/shingle pass — the r17 #4
+    // finding). The r12 regression this spec guards against is a pin
+    // of the RAW corpus: `text` or the EXPLODED `tok` rows, whose mass
+    // is the corpus however few candidates exist.
     val p129 = plan("q129_exact_jaccard")
     assert(!p129.contains("InMemoryTableScan"),
       s"q129 pins a frame in executor storage:\n$p129")
     val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r
       .findAllMatchIn(p129).map(_.group(1)).toSeq
     rddScans.foreach { cols =>
-      assert(!cols.contains("ts") && !cols.contains("text") &&
-        !cols.contains("tok"),
+      assert(!cols.contains("text") && !cols.contains("tok"),
         s"q129 pins a corpus-sized frame (columns: $cols):\n$p129")
     }
     // q130 consumes the SHARED pair fixture (a lake-side parquet read,
