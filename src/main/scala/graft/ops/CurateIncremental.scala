@@ -302,7 +302,14 @@ object CurateIncremental {
   private[graft] def appendStateHooked(survivors: DataFrame, idCol: String,
                                        textCol: String, root: String,
                                        cfg: Curate.Config,
-                                       afterIndexWrites: () => Unit): Unit = {
+                                       afterIndexWrites: () => Unit,
+                                       // extra pre-corpus writes joining the
+                                       // concurrent index group ([[daily]]
+                                       // rides appendEmbedState here: its
+                                       // srp→emb pair is internally ordered
+                                       // but, as a group, only needs to land
+                                       // before the corpus marker)
+                                       extraIndexWrites: Seq[() => Unit] = Nil): Unit = {
     val spark = survivors.sparkSession
     val buckets = readMeta(spark, root)
     val wnfPath = new Path(wnfDir(root))
@@ -324,33 +331,68 @@ object CurateIncremental {
         cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.lshRows)
       val wnf = cfg.winnowFilter.map(wf =>
         Dedup.winnowTable(slim, idCol, textCol, wf.k, wf.w))
-      // exact-join entity index rides with the other INDEX appends
-      // (before the corpus write — over-drop, never re-admit); its own
-      // append is per-table idempotent, so a crashed day replays clean
-      if (hasXj) for (ee <- cfg.entityExact)
-        ExactJoinState.append(slim, idCol, ee.tokens(col(textCol)),
-          exactStateRoot(root))
-      if (hasFz && cfg.entityFuzzy.nonEmpty)
-        FuzzyJoinState.append(slim, idCol, textCol, fuzzyStateRoot(root))
-      buckets match {
-        case Some(n) =>
-          appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols)
-          appendBucketed(bks, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols)
-          for (w <- wnf) {
+      // the INDEX appends — fingerprints, band keys, winnow, and the
+      // entity indexes (each per-table idempotent, so a crashed day
+      // replays clean) — are order-independent AMONG THEMSELVES: the
+      // durability contract is index-tables-BEFORE-corpus, not an order
+      // within the index group. r18-opt runs them concurrently (guide
+      // §2.6 — independent jobs back-fill each other's stragglers; a
+      // daily's appends are fixed-overhead-bound, so serializing them
+      // serialized pure scheduling wall) and awaits ALL before the
+      // corpus write, preserving the crash ordering exactly. They all
+      // read the same pinned `slim` cache, never each other's tables.
+      val indexWrites: Seq[() => Unit] = Seq(
+        cfg.entityExact.filter(_ => hasXj).map(ee => () =>
+          ExactJoinState.append(slim, idCol, ee.tokens(col(textCol)),
+            exactStateRoot(root))),
+        cfg.entityFuzzy.filter(_ => hasFz).map(_ => () =>
+          FuzzyJoinState.append(slim, idCol, textCol, fuzzyStateRoot(root))),
+        buckets match {
+          case Some(n) => Some(() =>
+            appendBucketed(fps, fpsDir(root), tableName("fps", fpsDir(root)), n, FpsBucketCols))
+          case None => Some(() => fps.write.mode("append").parquet(fpsDir(root)))
+        },
+        buckets match {
+          case Some(n) => Some(() =>
+            appendBucketed(bks, bksDir(root), tableName("bks", bksDir(root)), n, BksBucketCols))
+          case None => Some(() => bks.write.mode("append").parquet(bksDir(root)))
+        },
+        wnf.map(w => () => buckets match {
+          case Some(n) =>
             recoverSwap(hadoopFs(spark, wnfPath), wnfPath)
             if (hadoopFs(spark, wnfPath).exists(wnfPath))
               appendBucketed(w, wnfDir(root), tableName("wnf", wnfDir(root)), n, WnfBucketCols)
             else // first winnow append: backfill-create the bucketed table
               writeBucketedSnapshot(w, wnfDir(root), tableName("wnf", wnfDir(root)), n, WnfBucketCols)
-          }
-        case None => // legacy layout keeps the same crash-safe ordering
-          fps.write.mode("append").parquet(fpsDir(root))
-          bks.write.mode("append").parquet(bksDir(root))
-          wnf.foreach(_.write.mode("append").parquet(wnfDir(root)))
-      }
+          case None => w.write.mode("append").parquet(wnfDir(root))
+        })).flatten
+      runAllConcurrently(indexWrites ++ extraIndexWrites)
       afterIndexWrites()
       slim.write.mode("append").parquet(corpusDir(root))
     }
+  }
+
+  /** Run independent state writes concurrently and await ALL before
+    * returning (the [[graft.io.LakeZones.exportAll]] discipline: every
+    * task is Try-wrapped and awaited even when an earlier one failed, so
+    * no write races a caller's cleanup; the first failure then
+    * rethrows). Used for append groups whose crash contract orders the
+    * GROUP against a later marker write, not the writes within it. */
+  private def runAllConcurrently(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_.apply()); return }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val results = Await.result(
+        Future.sequence(tasks.map(t => Future(scala.util.Try(t())))),
+        Duration.Inf)
+      results.foreach {
+        case scala.util.Failure(e) => throw e
+        case _ => ()
+      }
+    } finally pool.shutdown()
   }
 
   /** Append an embedding delta's survivors to the embedding state
@@ -719,10 +761,14 @@ object CurateIncremental {
                 lit("embedding_dup")).otherwise(col("stage")))
             .drop("__fin")
         })
-        // embedding tables first, text corpus last — the corpus append
-        // stays the overall serving marker (see [[appendEmbedState]])
-        appendEmbedState(pinnedEmb, idCol, vecCol, root, ecfg)
-        appendState(corpus, idCol, textCol, root, cfg)
+        // embedding tables before the text corpus — the corpus append
+        // stays the overall serving marker (see [[appendEmbedState]]).
+        // r18-opt: the embed pair (internally srp→emb ordered) rides the
+        // text-state index group CONCURRENTLY; the corpus write still
+        // waits for every one of them, so the marker contract holds
+        appendStateHooked(corpus, idCol, textCol, root, cfg, () => (),
+          extraIndexWrites =
+            Seq(() => appendEmbedState(pinnedEmb, idCol, vecCol, root, ecfg)))
         autoCompact.foreach(t => maybeCompactState(spark, root, t))
         Curate.Result(corpus, r.stats, () => {
           r.release()

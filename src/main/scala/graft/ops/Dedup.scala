@@ -374,6 +374,47 @@ object Dedup {
     // within one invocation — recoverability is all-or-nothing per job
     val rel = Lineage.reliable(spark)
 
+    val pairsDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+
+    // r16 driver fast path (long-keyed only: the driver ordering must
+    // equal Spark's `least`/`min`, which holds for integral types but
+    // not for every string collation), r18-opt: ONE bounded action —
+    // `limit(max+1).collect()` — both decides fit and fetches the edges.
+    // The r17 shape materialized the pair RDD (under AQE, `.rdd` alone
+    // runs each shuffle stage of the candidate plan as its own job),
+    // counted it, then collected from the cache — three driver round
+    // trips per call, and for the candidate-bounded pair sets an
+    // incremental daily produces (hundreds of edges) those fixed costs
+    // WERE the wall (q150: the components pins were the profile's
+    // biggest job root, ~69 jobs). The trade: when the probe OVERFLOWS
+    // (> maxDriverEdges), the distributed path below re-executes the
+    // pair plan once more — measured at q40 scale (49k pairs, the
+    // bench's corpus-scale closure) and priced under the per-call fixed
+    // cost it saves everywhere else; `driverMaxEdges = 0` disables the
+    // probe entirely for callers that know they are corpus-scale.
+    val isLongKeyed =
+      pairsDf.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val maxDriverEdges = spark.conf
+      .getOption("spark.graft.components.driverMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption) // malformed conf
+      .getOrElse(DriverComponentsMaxEdges)             // falls back (ADVICE r16)
+    if (isLongKeyed && maxDriverEdges > 0) {
+      // coalesce(1): CollectLimit otherwise scans the final stage
+      // incrementally (1, 4, 16, … partitions — one JOB each) hunting
+      // for max+1 rows it usually won't find; one merged partition makes
+      // the probe exactly one job, and the limit's early stop keeps the
+      // single task from draining more than max+1 rows of the upstream
+      // shuffle when the pair set IS huge
+      val probe = pairsDf.coalesce(1)
+        .limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= maxDriverEdges) {
+        import spark.implicits._
+        return (driverComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+          .toDF("id", "lbl"), 0)
+      }
+    }
+
     // r17: pin the PAIR set before symmetrizing — the edge frame unions
     // the pair plan with its swapped self, and Spark evaluates the two
     // union branches independently, so an unpinned upstream (an entity
@@ -381,32 +422,10 @@ object Dedup {
     // AQE-stage jobs rooted at this line; half were the second
     // evaluation). One count materializes the pinned pairs; everything
     // downstream reads the cache.
-    val pairsDf = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val pairsRdd = pairsDf.rdd
     Lineage.mark(pairsRdd, rel)
-    val nPairs = pairsRdd.count()
+    pairsRdd.count()
     val pinned = spark.createDataFrame(pairsRdd, pairsDf.schema)
-
-    // r16 driver fast path, now decided on the RAW pair count (the
-    // union-find is orientation-blind, so the symmetrized+distinct edge
-    // frame never needs to exist on this route): a small integral-keyed
-    // pair set collects from the warm cache and union-finds on the
-    // driver — same (id, lbl=min) contract, a handful of jobs instead
-    // of ~3 per round. Long ids only: the driver ordering must equal
-    // Spark's `least`/`min`, which holds for integral types but not for
-    // every string collation.
-    val isLongKeyed =
-      pairsDf.schema("a").dataType == org.apache.spark.sql.types.LongType
-    val maxDriverEdges = spark.conf
-      .getOption("spark.graft.components.driverMaxEdges")
-      .flatMap(v => scala.util.Try(v.toLong).toOption) // malformed conf
-      .getOrElse(DriverComponentsMaxEdges)             // falls back (ADVICE r16)
-    if (isLongKeyed && nPairs <= maxDriverEdges) {
-      val collected = pairsRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
-      pairsRdd.unpersist(blocking = false)
-      import spark.implicits._
-      return (driverComponents(collected).toDF("id", "lbl"), 0)
-    }
 
     val edgesDf = pinned
       .unionByName(pinned.select(col("b").as("a"), col("a").as("b")))
