@@ -235,6 +235,16 @@ object Relational {
   def assertQualityAll(
       gates: Seq[(String, DataFrame, Seq[String], Seq[String])]): Unit = {
     require(gates.nonEmpty, "assertQualityAll needs at least one gate")
+    // duplicate gate names would silently collapse in the result map —
+    // a masked violated gate is worse than a failing one (ADVICE r17).
+    // (r18-opt note: fusing ALL keyed gates into one two-exchange
+    // union plan — gate-tagged rows, stringified key arrays — was
+    // A/B-measured on the q82 lifecycle: −15 jobs/arc but a consistent
+    // +0.8 s wall (the union's array-keyed aggregation costs more task
+    // time than the per-gate two-row aggregates it replaces at this
+    // row count) — REVERTED; the per-gate subtrees below stay.)
+    require(gates.map(_._1).distinct.size == gates.size,
+      s"assertQualityAll gate names must be unique: ${gates.map(_._1)}")
     val per = gates.map { case (name, df, notNullCols, uniqueKeys) =>
       val nullPred = notNullCols.map(col(_).isNull).foldLeft(lit(false))(_ || _)
       if (uniqueKeys.isEmpty)

@@ -159,35 +159,62 @@ object Retrieval {
       .filter(size(col("ts")) > 0)
       .select(col("id"), explode(col("ts")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("long").as("w"))
-    val nrm = tw.groupBy("id")
-      .agg(sum(col("w") * col("w")).cast("long").as("nsq"))
-    val dfT = tw.groupBy("term").agg(count(lit(1)).as("tdf"))
-    val rarity = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
-    val pref = tw.join(nrm, "id").join(dfT, "term")
+    // df and the squared norm via WINDOWS over the one tf pass, not
+    // separate groupBy frames joined back (r18-opt, the
+    // exactJaccardPairs restructure): the join form evaluated the
+    // corpus tokenize/tf subtree once per reference (tw + nrm + dfT ≈
+    // 3 evaluations inside the prefix branch alone); `base` computes
+    // the same values in a single pass — one term-keyed and one
+    // id-keyed exchange, which the join shape paid anyway.
+    val wId = Window.partitionBy("id")
+    val base = tw
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("nsq", sum(col("w") * col("w")).over(wId))
+    val pref = base
       .withColumn("cum_before", coalesce(
         sum(col("w") * col("w")).over(
-          rarity.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          wId.orderBy(col("tdf"), col("term"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter((col("nsq") - col("cum_before")).cast(dec) * td2 >=
         tn2 * col("nsq").cast(dec))
       .select(col("id"), col("term"), col("nsq"))
     val ca = pref.select(col("id").as("ia"), col("term"),
       col("nsq").as("na"))
-    val full = tw.join(nrm, "id")
+    val full = base
       .select(col("id").as("ib"), col("term"), col("nsq").as("nb"))
-    val cand = ca.join(full, "term")
+    // cand feeds three consumers below (the id union + both verify
+    // joins) — cut once or each reference re-runs the prefix/self-join
+    // subtree (the exactJaccardPairs discipline); pair-sized pin, four
+    // longs per row
+    val cand = Lineage.cut(ca.join(full, "term")
       .filter(col("ia") =!= col("ib"))
       .select(
         least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         when(col("ia") < col("ib"), col("na")).otherwise(col("nb")).as("nsq_a"),
         when(col("ia") < col("ib"), col("nb")).otherwise(col("na")).as("nsq_b"))
-      .distinct()
-    val ta = tw.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
-    val tb = tw.select(col("id").as("id_b"), col("term"), col("w").as("wb"))
-    cand.join(ta, "id_a")
-      .join(tb, Seq("id_b", "term"))
-      .groupBy("id_a", "id_b", "nsq_a", "nsq_b")
-      .agg(sum(col("wa") * col("wb")).cast("long").as("dot"))
+      .distinct())
+    // verify (r18-opt, guide §2.3 + §codegen): the exact dot is a
+    // single codegen'd sorted-merge over the two docs' PACKED
+    // (term, w) arrays — attached only for docs some candidate pair
+    // references — instead of fanning every pair out to all of side
+    // a's term rows and re-aggregating (two candidate×term exchanges +
+    // a fan-out aggregation). An interpreted HOF dot was measured in
+    // r17 at +59% wall (lambda-per-element); graft_sorted_dot is the
+    // whole-stage-codegen kernel with the same O(|a|+|b|) merge. The
+    // packed pin is candidate-bounded (semi-join first), never corpus-
+    // sized; array_sort makes the collect_list order deterministic.
+    graft.plans.GraftExtensions.install(docs.sparkSession)
+    val ids = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    val packed = Lineage.cut(tw.join(ids, Seq("id"), "left_semi")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w")))).as("tw")))
+    cand
+      .join(packed.select(col("id").as("id_a"), col("tw").as("__tw_a")), "id_a")
+      .join(packed.select(col("id").as("id_b"), col("tw").as("__tw_b")), "id_b")
+      .withColumn("dot",
+        call_function("graft_sorted_dot", col("__tw_a"), col("__tw_b")))
       .filter(col("dot").cast(dec) * col("dot").cast(dec) * td2 >=
         tn2 * col("nsq_a").cast(dec) * col("nsq_b").cast(dec))
       .select("id_a", "id_b", "dot", "nsq_a", "nsq_b")

@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(graft.functions.BpeEncodeExpr.descriptor)
     e.injectFunction(graft.functions.BloomMightContain.descriptor)
     e.injectFunction(graft.functions.NfcNormalize.descriptor)
+    e.injectFunction(graft.functions.SortedDotExpr.descriptor)
     graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }
@@ -56,6 +57,7 @@ object GraftExtensions {
         graft.functions.BpeEncodeExpr.descriptor +:
         graft.functions.BloomMightContain.descriptor +:
         graft.functions.NfcNormalize.descriptor +:
+        graft.functions.SortedDotExpr.descriptor +:
         graft.functions.SqlFunctions.all)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -86,6 +86,49 @@ class CatalystExtSpec extends SparkSpec {
     assert(planStr.contains("graft_simhash64"))
   }
 
+  test("SortedDotExpr matches the join-and-aggregate dot exactly (incl. nulls)") {
+    GraftExtensions.install(spark) // registers graft_sorted_dot
+    // packed sorted form vs the exploded equi-join + sum it replaced in
+    // cosineSelfJoin's verify — r18-opt; null terms must NEVER match
+    // (the old join was null-unsafe on the term key)
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val tw = docs.select(col("id"), explode(col("ts")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("long").as("w"))
+    val packed = tw.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w")))).as("tw"))
+    val pairs = packed.select(col("id").as("id_a"), col("tw").as("ta"))
+      .crossJoin(packed.select(col("id").as("id_b"), col("tw").as("tb")))
+      .filter(col("id_a") < col("id_b"))
+    val fast = pairs.select(col("id_a"), col("id_b"),
+      expr("graft_sorted_dot(ta, tb)").as("dot"))
+    val slow = tw.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
+      .join(tw.select(col("id").as("id_b"), col("term"), col("w").as("wb")),
+        "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).cast("long").as("dot"))
+    // pairs sharing no term: fast yields 0, slow yields no row
+    val joined = fast.join(slow.withColumnRenamed("dot", "dot_slow"),
+      Seq("id_a", "id_b"), "left")
+    assert(joined
+      .filter(col("dot") =!= coalesce(col("dot_slow"), lit(0L))).count() == 0)
+    assert(fast.count() > 0)
+    // the kernel really went through codegen (not an eval fallback)
+    assert(fast.queryExecution.executedPlan.toString.contains("graft_sorted_dot"))
+    // null terms never match — matching the null-unsafe equi-join
+    import spark.implicits._
+    val withNull = Seq(
+      (Seq((null.asInstanceOf[String], 7L), ("a", 2L), ("b", 3L)),
+        Seq((null.asInstanceOf[String], 5L), ("b", 4L), ("c", 9L)))
+    ).toDF("ta", "tb")
+    assert(withNull.select(expr("graft_sorted_dot(ta, tb)")).head.getLong(0)
+      == 12L) // only "b" matches: 3*4; the two NULL terms contribute 0
+  }
+
   test("SqlFunctions: graft_hamming64 and graft_bucket match the Scala ops") {
     GraftExtensions.install(spark)
     val r = spark.sql(
