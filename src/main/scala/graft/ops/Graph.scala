@@ -173,10 +173,45 @@ object Graph {
     val partitioned = m >= Try(spark.conf.get(
         "spark.graft.pagerank.partitionedMinEdges", "1000000").toLong)
       .getOrElse(1000000L)
+    // The partitioned regime flips the SESSION's AQE off for the loop
+    // (layout reuse needs non-adaptive plans — see above). That flip is
+    // session-global state (ADVICE r17): the JVM-wide lock below makes
+    // overlapping pageRank calls serialize instead of interleaving
+    // set/restore (two interleaved calls could otherwise write back the
+    // other's 'false' and leave AQE off for the rest of the session).
+    // CONSTRAINT, documented: other queries submitted CONCURRENTLY on
+    // the same session while a big pageRank runs plan without AQE —
+    // callers that need concurrent submission should run pageRank on a
+    // dedicated session (SparkSession.newSession inherits the context).
+    // Scoping the flip to a child session here was evaluated and
+    // rejected: the input frames are bound to the caller's session, and
+    // re-binding the edge list costs a full Row-deserialization pass
+    // over it (or a private-API InternalRow bridge) — an O(edges) tax
+    // on every call to protect a caller pattern the engine's own
+    // pipelines never use (Pipeline/CurateIncremental submit
+    // sequentially).
     val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    if (partitioned) spark.conf.set(aqeKey, "false")
-    try {
+    if (!partitioned) return loopBody(spark, e, m, iterations, scale,
+      dampNum, dampDen, redistributeDangling, tol, rel, partitioned = false)
+    Graph.AqeFlipLock.synchronized {
+      val aqePrev = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try loopBody(spark, e, m, iterations, scale, dampNum, dampDen,
+        redistributeDangling, tol, rel, partitioned = true)
+      finally spark.conf.set(aqeKey, aqePrev)
+    }
+  }
+
+  /** JVM-global monitor serializing the partitioned regime's AQE flip —
+    * overlapping calls must not interleave set/restore. */
+  private object AqeFlipLock
+
+  private def loopBody(spark: SparkSession, e: DataFrame, m: Long,
+                       iterations: Int, scale: Long,
+                       dampNum: Long, dampDen: Long,
+                       redistributeDangling: Boolean, tol: Long,
+                       rel: Boolean, partitioned: Boolean): (DataFrame, Int) = {
+    {
       def keySorted(df: DataFrame, k: String): DataFrame =
         if (partitioned) df.sortWithinPartitions(k) else df
       val nodes = Lineage.cut(keySorted(e.select(col("src").as("node"))
@@ -255,6 +290,6 @@ object Graph {
         iter += 1
       }
       (pr, iter)
-    } finally spark.conf.set(aqeKey, aqePrev)
+    }
   }
 }

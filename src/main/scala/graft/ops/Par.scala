@@ -34,11 +34,14 @@ object Par {
     * where a contiguous scan stops being able to feed every core. */
   private def smallBytes(df: DataFrame): BigInt = {
     val sess = df.sparkSession
-    val split = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").stripSuffix("B") match {
-      case s if s.forall(_.isDigit) => s.toLong
-      case _ => 134217728L
-    }
+    // Spark's own byte-string parser, so size-suffixed conf values
+    // ("128m", "1g") resolve correctly — the previous digits-only parse
+    // silently fell back to the default on any suffixed deployment
+    // (ADVICE r17), moving the repartition gate's threshold
+    val split = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+      .getOrElse(134217728L)
     BigInt(sess.sparkContext.defaultParallelism) * BigInt(split)
   }
 

