@@ -140,10 +140,19 @@ object ExactJoinState {
             root: String): DataFrame = {
     val spark = delta.sparkSession
     val (pref, stToks, _, tNum, tDen) = load(spark, root)
-    val dd = Dedup.exactJaccardPairs(delta, idCol, tokensCol, tNum, tDen)
-    val base = delta.select(col(idCol).as("id"),
+    // r18-opt: pin the delta's packed distinct-token arrays ONCE — the
+    // probe consumes the tokenization four ways (the delta↔delta
+    // exactJaccardPairs internals, the candidate explode, the verify
+    // array join), and each uncut reference re-ran the caller's
+    // tokenize/shingle chain serially off the scan (measured on q134:
+    // the final plan carried 4+ full delta shingle subtrees). The pin
+    // is DELTA-bounded — the same class as CurateIncremental.daily's
+    // survivor pins, never the corpus (the indexed state is only ever
+    // read through its bucketed tables).
+    val base = Lineage.cut(delta.select(col(idCol).as("id"),
       array_distinct(tokensCol).as("ts"))
-      .filter(size(col("ts")) > 0)
+      .filter(size(col("ts")) > 0))
+    val dd = Dedup.exactJaccardPairs(base, "id", col("ts"), tNum, tDen)
     val dToks = base.select(col("id"), size(col("ts")).cast("long").as("n"),
       explode(col("ts")).as("tok"))
     // candidates: state PREFIX rows ⋈ delta FULL token rows on tok —
