@@ -222,8 +222,12 @@ object Dedup {
     val ids = pairsC.select(col("id_a").as("id"))
       .union(pairsC.select(col("id_b").as("id"))).distinct()
     val needed = df.join(ids, df(idCol) === ids("id"), "left_semi")
-    val sh = needed.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    // sh feeds BOTH verify joins — uncut, each reference re-ran the
+    // corpus scan + semi-join + tokenize/shingle chain (r18-opt, the
+    // exactJaccardPairs candSets finding). The pin is candidate-doc-
+    // bounded (semi-joined first), never corpus-sized.
+    val sh = Lineage.cut(needed.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh")))
     pairsC
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
